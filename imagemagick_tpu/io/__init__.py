@@ -1,0 +1,158 @@
+"""Format registry + read/write entry points.
+
+Mirrors the constitute layer (/root/reference/MagickCore/constitute.c:
+ReadImage at :607, WriteImage at :1217) and the coder registry
+(/root/reference/MagickCore/magick.c: GetMagickInfo at :605): filenames may
+carry an explicit ``fmt:`` prefix, otherwise the extension and then magic
+bytes decide (SetImageInfo, image.c:2789 + magic.c sniffing).
+
+Pseudo formats synthesize device arrays directly (pseudo.py); MIFF/PNM are
+native; everything else goes through the host codec bridge (codecs.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional, Union
+
+import numpy as np
+
+from ..core.image import Image
+from . import codecs, miff, pnm, pseudo
+from ..core.geometry import parse_geometry
+
+__all__ = ["read_image", "read_images", "write_image", "image_from_blob",
+           "image_to_blob", "detect_format", "supported_read_formats",
+           "supported_write_formats"]
+
+# magic-byte sniffing table (magic.c analog)
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"BM", "bmp"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
+    (b"RIFF", "webp"),
+    (b"id=ImageMagick", "miff"),
+    (b"P1", "pnm"), (b"P2", "pnm"), (b"P3", "pnm"), (b"P4", "pnm"),
+    (b"P5", "pnm"), (b"P6", "pnm"), (b"P7", "pam"), (b"PF", "pfm"), (b"Pf", "pfm"),
+    (b"qoif", "qoi"),
+    (b"8BPS", "psd"),
+    (b"\x00\x00\x01\x00", "ico"),
+]
+
+_PSEUDO = {
+    "xc": lambda arg, w, h: pseudo.xc(arg or "white", w or 1, h or 1),
+    "canvas": lambda arg, w, h: pseudo.xc(arg or "white", w or 1, h or 1),
+    "gradient": lambda arg, w, h: pseudo.gradient(arg or "white-black", w or 256, h or 256),
+    "radial-gradient": lambda arg, w, h: pseudo.radial_gradient(arg or "white-black", w or 256, h or 256),
+    "plasma": lambda arg, w, h: pseudo.plasma(arg or "", w or 256, h or 256),
+    "pattern": lambda arg, w, h: pseudo.pattern(arg or "checkerboard", w or 256, h or 256),
+    "hald": lambda arg, w, h: pseudo.hald(int(arg) if arg else 8),
+    "logo": lambda arg, w, h: pseudo.logo(),
+    "rose": lambda arg, w, h: pseudo.rose(),
+    "wizard": lambda arg, w, h: pseudo.wizard(),
+    "granite": lambda arg, w, h: pseudo.granite(),
+    "netscape": lambda arg, w, h: pseudo.netscape(),
+    "null": lambda arg, w, h: pseudo.xc("transparent", w or 1, h or 1),
+}
+
+_NATIVE_EXT = {"miff": "miff", "mif": "miff",
+               "ppm": "pnm", "pgm": "pnm", "pbm": "pnm", "pnm": "pnm",
+               "pam": "pnm", "pfm": "pnm"}
+
+# in-memory registry for mpr: (registry.c:457 SetImageRegistry analog)
+_MPR_REGISTRY = {}
+
+
+def detect_format(data: bytes) -> Optional[str]:
+    for magic, fmt in _MAGIC:
+        if data[: len(magic)] == magic:
+            if fmt == "webp" and data[8:12] != b"WEBP":
+                continue
+            return fmt
+    if data[4:12] in (b"ftypavif", b"ftypheic", b"ftypmif1"):
+        return "avif" if b"avif" in data[4:12] else "heic"
+    return None
+
+
+def _split_filename(filename: str):
+    """'fmt:rest' prefix split (SetImageInfo filename syntax)."""
+    m = re.match(r"^([A-Za-z][A-Za-z0-9_+-]*):(.*)$", filename)
+    if m and (m.group(1).lower() in _PSEUDO or m.group(1).lower() in
+              set(_NATIVE_EXT) | set(codecs._PIL_FORMATS) | {"mpr", "info", "txt", "json"}):
+        return m.group(1).lower(), m.group(2)
+    return None, filename
+
+
+def read_images(filename: str, size: Optional[str] = None) -> List[Image]:
+    fmt, rest = _split_filename(str(filename))
+    w = h = None
+    if size:
+        g = parse_geometry(size)
+        w = int(g.width) if g.width else None
+        h = int(g.height) if g.height else None
+    if fmt in _PSEUDO:
+        return [_PSEUDO[fmt](rest, w, h)]
+    if fmt == "mpr":
+        if rest not in _MPR_REGISTRY:
+            raise FileNotFoundError(f"no mpr registry entry {rest!r}")
+        return list(_MPR_REGISTRY[rest])
+    with open(rest, "rb") as f:
+        data = f.read()
+    return image_from_blob(data, fmt or os.path.splitext(rest)[1].lstrip(".").lower())
+
+
+def read_image(filename: str, size: Optional[str] = None) -> Image:
+    return read_images(filename, size)[0]
+
+
+def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
+    sniffed = detect_format(data)
+    use = sniffed or (fmt.lower() if fmt else None)
+    if use is None:
+        raise ValueError("cannot determine image format")
+    if use == "miff":
+        return miff.decode(data)
+    if use in ("pnm", "ppm", "pgm", "pbm", "pam", "pfm"):
+        return [pnm.decode(data)]
+    return codecs.decode(data, use)
+
+
+def write_image(image: Union[Image, List[Image]], filename: str,
+                quality: int = 92, depth: Optional[int] = None) -> None:
+    fmt, rest = _split_filename(str(filename))
+    images = image if isinstance(image, list) else [image]
+    if fmt == "mpr":
+        _MPR_REGISTRY[rest] = list(images)
+        return
+    if fmt in ("null",):
+        return
+    if fmt is None:
+        fmt = os.path.splitext(rest)[1].lstrip(".").lower()
+    blob = image_to_blob(images, fmt, quality=quality, depth=depth)
+    with open(rest, "wb") as f:
+        f.write(blob)
+
+
+def image_to_blob(image: Union[Image, List[Image]], fmt: str,
+                  quality: int = 92, depth: Optional[int] = None) -> bytes:
+    images = image if isinstance(image, list) else [image]
+    fmt = fmt.lower()
+    depth = depth or images[0].spec.depth
+    if fmt in ("miff", "mif"):
+        return miff.encode(images, depth=16 if depth > 8 else 8, compression="zip")
+    if fmt in ("ppm", "pgm", "pbm", "pnm", "pam", "pfm"):
+        return pnm.encode(images[0], fmt, depth=depth)
+    return codecs.encode(images, fmt, quality=quality, depth=depth)
+
+
+def supported_read_formats():
+    return sorted(set(_PSEUDO) | set(_NATIVE_EXT) | set(codecs._PIL_FORMATS) | {"mpr"})
+
+
+def supported_write_formats():
+    return sorted(set(_NATIVE_EXT) | set(codecs._PIL_FORMATS) | {"mpr", "null"})

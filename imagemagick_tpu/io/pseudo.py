@@ -1,0 +1,184 @@
+"""Procedural pseudo-coders: xc:, gradient:, plasma:, pattern:, noise, hald.
+
+The reference implements these as coders (/root/reference/coders/xc.c,
+gradient.c, plasma.c, pattern.c, hald.c) that synthesize pixels on the CPU.
+Here they are device-side generators — a gradient or hald CLUT is one
+broadcast/iota expression that fuses straight into the downstream pipeline,
+so "decode" costs nothing.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.color import parse_color
+from ..core.image import Image
+from ..core.spec import ImageSpec
+
+
+def xc(color: str = "white", width: int = 1, height: int = 1) -> Image:
+    """xc: / canvas: — constant-color canvas (coders/xc.c)."""
+    r, g, b, a = parse_color(color)
+    has_alpha = a < 1.0
+    ch = 4 if has_alpha else 3
+    vals = jnp.asarray([r, g, b, a][:ch], jnp.float32)
+    data = jnp.broadcast_to(vals, (height, width, ch))
+    return Image(data, ImageSpec(colorspace="srgb", alpha=has_alpha))
+
+
+def gradient(spec: str = "white-black", width: int = 256, height: int = 256,
+             direction: str = "vertical") -> Image:
+    """gradient: — linear two-color ramp (coders/gradient.c)."""
+    if "-" in spec:
+        c1s, c2s = spec.split("-", 1)
+    else:
+        c1s, c2s = spec or "white", "black"
+    c1 = jnp.asarray(parse_color(c1s or "white"), jnp.float32)
+    c2 = jnp.asarray(parse_color(c2s or "black"), jnp.float32)
+    if direction == "horizontal":
+        t = jnp.linspace(0.0, 1.0, width)[None, :, None]
+        t = jnp.broadcast_to(t, (height, width, 1))
+    else:
+        t = jnp.linspace(0.0, 1.0, height)[:, None, None]
+        t = jnp.broadcast_to(t, (height, width, 1))
+    data = c1 * (1.0 - t) + c2 * t
+    has_alpha = bool(c1[3] < 1.0 or c2[3] < 1.0)
+    if not has_alpha:
+        data = data[..., :3]
+    return Image(data, ImageSpec(colorspace="srgb", alpha=has_alpha))
+
+
+def radial_gradient(spec: str = "white-black", width: int = 256,
+                    height: int = 256) -> Image:
+    """radial-gradient: (coders/gradient.c radial mode)."""
+    if "-" in spec:
+        c1s, c2s = spec.split("-", 1)
+    else:
+        c1s, c2s = spec or "white", "black"
+    c1 = jnp.asarray(parse_color(c1s or "white"), jnp.float32)
+    c2 = jnp.asarray(parse_color(c2s or "black"), jnp.float32)
+    cy, cx = (height - 1) / 2.0, (width - 1) / 2.0
+    yy = jnp.arange(height, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(width, dtype=jnp.float32)[None, :]
+    r = jnp.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+    t = jnp.clip(r / max(math.hypot(cx, cy), 1e-6), 0.0, 1.0)[..., None]
+    data = c1 * (1.0 - t) + c2 * t
+    has_alpha = bool(c1[3] < 1.0 or c2[3] < 1.0)
+    if not has_alpha:
+        data = data[..., :3]
+    return Image(data, ImageSpec(colorspace="srgb", alpha=has_alpha))
+
+
+def plasma(spec: str = "", width: int = 256, height: int = 256,
+           seed: int = 0) -> Image:
+    """plasma: — fractal diamond-square clouds (coders/plasma.c).
+
+    The reference recursively splits rectangles with random perturbation;
+    here we synthesize the same spectrum with band-filtered noise (power-law
+    spectrum), fully vectorized.
+    """
+    key = jax.random.PRNGKey(seed)
+    kr, kg, kb = jax.random.split(key, 3)
+    fy = jnp.fft.fftfreq(height)[:, None]
+    fx = jnp.fft.rfftfreq(width)[None, :]
+    f = jnp.sqrt(fy * fy + fx * fx)
+    amp = jnp.where(f > 0, 1.0 / jnp.maximum(f, 1e-6), 0.0)
+
+    def layer(k):
+        phase = jax.random.uniform(k, amp.shape, minval=0.0, maxval=2.0 * math.pi)
+        spec_ = amp * jnp.exp(1j * phase)
+        x = jnp.fft.irfft2(spec_, s=(height, width))
+        x = (x - x.min()) / jnp.maximum(x.max() - x.min(), 1e-12)
+        return x
+
+    data = jnp.stack([layer(kr), layer(kg), layer(kb)], axis=-1)
+    return Image(data.astype(jnp.float32), ImageSpec(colorspace="srgb"))
+
+
+def hald(level: int = 8) -> Image:
+    """hald: — identity Hald CLUT of the given level (coders/hald.c).
+
+    A level-N Hald image is (N³)x(N³) encoding an N²-per-axis identity LUT.
+    """
+    n = level * level  # samples per channel axis
+    side = level ** 3
+    idx = jnp.arange(side * side, dtype=jnp.int32)
+    r = idx % n
+    g = (idx // n) % n
+    b = idx // (n * n)
+    scale = 1.0 / (n - 1)
+    data = jnp.stack([r * scale, g * scale, b * scale], axis=-1)
+    return Image(data.reshape(side, side, 3).astype(jnp.float32),
+                 ImageSpec(colorspace="srgb"))
+
+
+def checkerboard(width: int = 256, height: int = 256, size: int = 16,
+                 c1: str = "#CCCCCC", c2: str = "#666666") -> Image:
+    """pattern:checkerboard (coders/pattern.c built-in tile)."""
+    a = jnp.asarray(parse_color(c1)[:3], jnp.float32)
+    b = jnp.asarray(parse_color(c2)[:3], jnp.float32)
+    yy = (jnp.arange(height) // size)[:, None]
+    xx = (jnp.arange(width) // size)[None, :]
+    mask = ((yy + xx) % 2 == 0)[..., None]
+    data = jnp.where(mask, a, b)
+    return Image(data, ImageSpec(colorspace="srgb"))
+
+
+_PATTERNS = {"checkerboard": checkerboard}
+
+
+def pattern(name: str, width: int = 256, height: int = 256) -> Image:
+    name = name.lower()
+    if name in _PATTERNS:
+        return _PATTERNS[name](width, height)
+    # gray-percent patterns (pattern:gray50 etc.)
+    if name.startswith("gray"):
+        pct = int(name[4:]) / 100.0
+        return xc(f"gray({pct * 255.0:.0f})", width, height)
+    raise ValueError(f"unknown pattern {name!r}")
+
+
+def _builtin(seed: int, width: int, height: int, hue_shift: float) -> Image:
+    """Deterministic decorative stand-ins for the embedded builtin images
+    (logo:, rose:, wizard:, granite:, netscape: — coders/magick.c embeds
+    real bitmaps; we synthesize stable procedural canvases instead)."""
+    img = plasma("", width, height, seed=seed)
+    from ..ops import colorspace as cs
+
+    hsl = cs.rgb_to_hsl(img.data)
+    h = jnp.mod(hsl[..., 0] + hue_shift, 1.0)
+    s = jnp.clip(hsl[..., 1] * 0.7 + 0.2, 0.0, 1.0)
+    out = cs.hsl_to_rgb(jnp.stack([h, s, hsl[..., 2]], axis=-1))
+    return Image(out, ImageSpec(colorspace="srgb"))
+
+
+def logo() -> Image:
+    return _builtin(1, 640, 480, 0.55)
+
+
+def rose() -> Image:
+    return _builtin(2, 70, 46, 0.95)
+
+
+def wizard() -> Image:
+    return _builtin(3, 480, 640, 0.13)
+
+
+def granite() -> Image:
+    img = plasma("", 128, 128, seed=4)
+    g = jnp.mean(img.data, axis=-1, keepdims=True) * 0.3 + 0.55
+    return Image(jnp.repeat(g, 3, axis=-1), ImageSpec(colorspace="srgb"))
+
+
+def netscape() -> Image:
+    # 216-color web-safe cube swatch (coders/magick.c NETSCAPE image intent)
+    vals = jnp.asarray([0.0, 0.2, 0.4, 0.6, 0.8, 1.0], jnp.float32)
+    r, g, b = jnp.meshgrid(vals, vals, vals, indexing="ij")
+    data = jnp.stack([r, g, b], axis=-1).reshape(6, 36, 3)
+    data = jnp.repeat(jnp.repeat(data, 8, axis=0), 6, axis=1)
+    return Image(data, ImageSpec(colorspace="srgb"))

@@ -1,0 +1,476 @@
+"""Blur / sharpen / convolution effects (the effect.c op family).
+
+TPU-native re-implementation of /root/reference/MagickCore/effect.c (4,391
+LoC, 14 OpenMP row loops).  Each effect is a pure function over an
+(..., H, W, C) float array; neighborhood work lowers to
+``lax.conv_general_dilated`` (which XLA maps onto the MXU/VPU with fusion)
+after an explicit virtual-pixel pad, replacing the reference's per-row cache
+views.
+
+Kernel construction matches the reference:
+  * 1-D Gaussian blur kernel + GetOptimalKernelWidth1D
+    (/root/reference/MagickCore/gem.c:262-300; BlurImage effect.c:765)
+  * 2-D sharpen kernel: negated Gaussian with center = -2*sum, normalized
+    (SharpenImage, effect.c:4070-4140)
+  * UnsharpMask threshold/gain update (effect.c:4256-4330)
+  * Edge/Emboss (effect.c EdgeImage/EmbossImage)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.virtual_pixel import pad_spatial
+
+_EPSILON = 1.0e-15
+_QUANTUM_SCALE = 1.0 / 65535.0  # Q16 QuantumScale; bounds kernel support
+
+
+def _sigma_safe(sigma: float) -> float:
+    return abs(sigma) if abs(sigma) >= _EPSILON else _EPSILON
+
+
+@lru_cache(maxsize=256)
+def optimal_kernel_width_1d(radius: float, sigma: float) -> int:
+    """GetOptimalKernelWidth1D (/root/reference/MagickCore/gem.c:262)."""
+    if radius > _EPSILON:
+        return int(2.0 * math.ceil(radius) + 1.0)
+    gamma = abs(sigma)
+    if gamma <= _EPSILON:
+        return 3
+    alpha = 1.0 / (2.0 * gamma * gamma)
+    beta = 1.0 / (math.sqrt(2.0 * math.pi) * gamma)
+    width = 5
+    while True:
+        j = (width - 1) // 2
+        xs = np.arange(-j, j + 1, dtype=np.float64)
+        normalize = float(np.sum(np.exp(-xs * xs * alpha) * beta))
+        value = math.exp(-float(j * j) * alpha) * beta / normalize
+        if value < _QUANTUM_SCALE or value < _EPSILON:
+            break
+        width += 2
+    return width - 2
+
+
+@lru_cache(maxsize=256)
+def optimal_kernel_width_2d(radius: float, sigma: float) -> int:
+    """GetOptimalKernelWidth2D (/root/reference/MagickCore/gem.c:302)."""
+    if radius > _EPSILON:
+        return int(2.0 * math.ceil(radius) + 1.0)
+    gamma = abs(sigma)
+    if gamma <= _EPSILON:
+        return 3
+    alpha = 1.0 / (2.0 * gamma * gamma)
+    beta = 1.0 / (2.0 * math.pi * gamma * gamma)
+    width = 5
+    while True:
+        j = (width - 1) // 2
+        us = np.arange(-j, j + 1, dtype=np.float64)
+        r2 = us[:, None] ** 2 + us[None, :] ** 2
+        normalize = float(np.sum(np.exp(-r2 * alpha) * beta))
+        value = math.exp(-float(j * j) * alpha) * beta / normalize
+        if value < _QUANTUM_SCALE or value < _EPSILON:
+            break
+        width += 2
+    return width - 2
+
+
+@lru_cache(maxsize=256)
+def gaussian_kernel_1d(radius: float, sigma: float) -> np.ndarray:
+    """Normalized 1-D Gaussian (the reference's "blur:" builtin kernel,
+    /root/reference/MagickCore/kernel.c Gaussian/Blur case)."""
+    width = optimal_kernel_width_1d(radius, sigma)
+    s = _sigma_safe(sigma)
+    j = (width - 1) // 2
+    xs = np.arange(-j, j + 1, dtype=np.float64)
+    k = np.exp(-(xs * xs) / (2.0 * s * s)) / (math.sqrt(2.0 * math.pi) * s)
+    k /= k.sum()
+    return k.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Generic convolution
+# ---------------------------------------------------------------------------
+
+def _depthwise_conv(img: jnp.ndarray, kernel: jnp.ndarray,
+                    virtual_pixel: str = "edge") -> jnp.ndarray:
+    """Depthwise 2-D correlation with virtual-pixel padding.
+
+    img: (..., H, W, C); kernel: (kh, kw) applied to every channel.
+    The reference's ConvolveImage flips nothing (MorphologyPrimitive convolve
+    correlates with the kernel reflected; ConvolveImage pre-reflects) — we
+    apply straight correlation, matching -convolve semantics.
+    """
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    lead = img.shape[:-3]
+    h, w, c = img.shape[-3:]
+    x = img.reshape((-1, h, w, c))
+    x = pad_spatial(x, (ph, kh - 1 - ph), (pw, kw - 1 - pw), virtual_pixel)
+    k = jnp.asarray(kernel, img.dtype)
+    k = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO, depthwise
+    out = lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(lead + out.shape[1:])
+
+
+def _separable_conv(img: jnp.ndarray, k1d: jnp.ndarray,
+                    virtual_pixel: str = "edge") -> jnp.ndarray:
+    """Two-pass separable depthwise convolution (rows then columns)."""
+    k = np.asarray(k1d, dtype=np.float32)
+    out = _depthwise_conv(img, k.reshape(1, -1), virtual_pixel)
+    out = _depthwise_conv(out, k.reshape(-1, 1), virtual_pixel)
+    return out
+
+
+def convolve(img: jnp.ndarray, kernel, bias: float = 0.0,
+             normalize: bool = False, virtual_pixel: str = "edge") -> jnp.ndarray:
+    """ConvolveImage (effect.c): correlate with an arbitrary 2-D kernel."""
+    k = np.asarray(kernel, dtype=np.float32)
+    if normalize:
+        s = k.sum()
+        if abs(s) > 1e-12:
+            k = k / s
+    out = _depthwise_conv(img, k, virtual_pixel) + bias
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def _mix_alpha(img, out, channels_only: bool):
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The effect family
+# ---------------------------------------------------------------------------
+
+def blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+         virtual_pixel: str = "edge") -> jnp.ndarray:
+    """BlurImage (/root/reference/MagickCore/effect.c:765): separable Gaussian."""
+    if abs(sigma) < _EPSILON:
+        return img
+    k = gaussian_kernel_1d(radius, sigma)
+    return jnp.clip(_separable_conv(img, k, virtual_pixel), 0.0, 1.0)
+
+
+def gaussian_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+                  virtual_pixel: str = "edge") -> jnp.ndarray:
+    """GaussianBlurImage (effect.c:1709).
+
+    The reference builds a full 2-D "gaussian:" kernel; a Gaussian is
+    separable so under edge-replicating pads the two-pass form is identical,
+    and it is what the TPU wants (two skinny convs instead of a k^2 window).
+    """
+    if abs(sigma) < _EPSILON:
+        return img
+    width = optimal_kernel_width_2d(radius, sigma)
+    s = _sigma_safe(sigma)
+    j = (width - 1) // 2
+    xs = np.arange(-j, j + 1, dtype=np.float64)
+    k = np.exp(-(xs * xs) / (2.0 * s * s))
+    k /= k.sum()
+    return jnp.clip(_separable_conv(img, k.astype(np.float32), virtual_pixel), 0.0, 1.0)
+
+
+@lru_cache(maxsize=128)
+def _sharpen_kernel(radius: float, sigma: float) -> np.ndarray:
+    """SharpenImage kernel (effect.c:4070-4140): -Gaussian, center=-2*sum."""
+    width = optimal_kernel_width_2d(radius, sigma)
+    s = _sigma_safe(sigma)
+    j = (width - 1) // 2
+    us = np.arange(-j, j + 1, dtype=np.float64)
+    r2 = us[None, :] ** 2 + us[:, None] ** 2
+    k = -np.exp(-r2 / (2.0 * s * s)) / (2.0 * math.pi * s * s)
+    total = k.sum()
+    k[j, j] = -2.0 * total
+    k /= k.sum()
+    return k.astype(np.float32)
+
+
+def sharpen(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+            virtual_pixel: str = "edge") -> jnp.ndarray:
+    """SharpenImage (effect.c:4070)."""
+    return jnp.clip(_depthwise_conv(img, jnp.asarray(_sharpen_kernel(radius, sigma)),
+                                    virtual_pixel), 0.0, 1.0)
+
+
+def unsharp_mask(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+                 gain: float = 1.0, threshold: float = 0.05,
+                 virtual_pixel: str = "edge") -> jnp.ndarray:
+    """UnsharpMaskImage (effect.c:4256)."""
+    blurred = blur(img, radius, sigma, virtual_pixel)
+    diff = img - blurred
+    out = jnp.where(jnp.abs(2.0 * diff) < threshold, img, img + gain * diff)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def adaptive_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+                  virtual_pixel: str = "edge") -> jnp.ndarray:
+    """AdaptiveBlurImage (effect.c:118): blur inversely weighted by edge strength.
+
+    The reference computes an edge image (EdgeImage sigma), thresholds and
+    blurs it, then per pixel selects one of ``width/2`` progressively wider
+    Gaussian convolutions.  We compute the blur stack (static count) and
+    select per-pixel with a vectorized gather — same math, fused on device.
+    """
+    if abs(sigma) < _EPSILON:
+        return img
+    width = optimal_kernel_width_2d(radius, sigma)
+    n_levels = max(width // 2, 1)
+    edge = edge_image(img, radius)
+    edge = blur(edge, radius, sigma, virtual_pixel)
+    strength = jnp.max(edge, axis=-1, keepdims=True)
+    # level 0 = sharpest (strong edge), last = widest blur
+    idx = jnp.clip(((1.0 - strength) * n_levels).astype(jnp.int32), 0, n_levels - 1)
+    stack = []
+    for lvl in range(n_levels):
+        s = _sigma_safe(sigma) * (lvl + 1) / n_levels
+        stack.append(blur(img, 0.0, s, virtual_pixel))
+    stacked = jnp.stack(stack, axis=0)
+    out = jnp.take_along_axis(stacked, idx[None, ...], axis=0)[0]
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def adaptive_sharpen(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+                     virtual_pixel: str = "edge") -> jnp.ndarray:
+    """AdaptiveSharpenImage (effect.c:400): sharpen scaled by edge strength."""
+    if abs(sigma) < _EPSILON:
+        return img
+    edge = edge_image(img, radius)
+    edge = blur(edge, radius, sigma, virtual_pixel)
+    strength = jnp.clip(jnp.max(edge, axis=-1, keepdims=True), 0.0, 1.0)
+    sharped = sharpen(img, radius, sigma, virtual_pixel)
+    out = img + strength * (sharped - img)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def edge_image(img: jnp.ndarray, radius: float = 0.0,
+               virtual_pixel: str = "edge") -> jnp.ndarray:
+    """EdgeImage (effect.c): convolve with flat -1 kernel, center = w*h-1."""
+    width = optimal_kernel_width_1d(radius, 0.5)
+    k = -np.ones((width, width), dtype=np.float32)
+    k[(width - 1) // 2, (width - 1) // 2] = float(width * width) - 1.0
+    return jnp.clip(_depthwise_conv(img, jnp.asarray(k), virtual_pixel), 0.0, 1.0)
+
+
+def emboss(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+           virtual_pixel: str = "edge") -> jnp.ndarray:
+    """EmbossImage (effect.c): directional Gaussian-derivative kernel + equalize-free bias."""
+    width = optimal_kernel_width_2d(radius, sigma)
+    s = _sigma_safe(sigma)
+    j = (width - 1) // 2
+    k = np.zeros((width, width), dtype=np.float64)
+    # Directional ±Gaussian: positive toward the light (upper-left), negative
+    # away, zero center (EmbossImage, effect.c).
+    for v in range(-j, j + 1):
+        for u in range(-j, j + 1):
+            g = math.exp(-(u * u + v * v) / (2.0 * s * s)) / (2.0 * math.pi * s * s)
+            k[v + j, u + j] = (8.0 if (u >= 0 and v >= 0) or (u > -v) else -8.0) * g
+    k[j, j] = 0.0
+    out = _depthwise_conv(img, jnp.asarray(k.astype(np.float32)), virtual_pixel) + 0.5
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def motion_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+                angle: float = 0.0, virtual_pixel: str = "edge") -> jnp.ndarray:
+    """MotionBlurImage (effect.c:2100 region): 1-sided Gaussian streak.
+
+    kernel[i] = exp(-i²/(2σ²))/(sqrt(2π)σ) along direction `angle`,
+    sampled at unit steps from the pixel outward.
+    """
+    width = optimal_kernel_width_1d(radius, sigma)
+    s = _sigma_safe(sigma)
+    xs = np.arange(width, dtype=np.float64)
+    k = np.exp(-(xs * xs) / (2.0 * s * s)) / (math.sqrt(2.0 * math.pi) * s)
+    k /= k.sum()
+    theta = math.radians(angle)
+    dx, dy = math.cos(theta), math.sin(theta)
+    # Build a sparse 2-D kernel holding the streak (offsets rounded to grid).
+    offs = [(int(round(i * dy)), int(round(i * dx))) for i in range(width)]
+    max_y = max(abs(o[0]) for o in offs)
+    max_x = max(abs(o[1]) for o in offs)
+    kh, kw = 2 * max_y + 1, 2 * max_x + 1
+    k2 = np.zeros((kh, kw), dtype=np.float32)
+    for w_, (oy, ox) in zip(k, offs):
+        k2[max_y + oy, max_x + ox] += w_
+    return jnp.clip(_depthwise_conv(img, jnp.asarray(k2), virtual_pixel), 0.0, 1.0)
+
+
+def rotational_blur(img: jnp.ndarray, angle: float) -> jnp.ndarray:
+    """RotationalBlurImage (effect.c:2533): average over rotated samples.
+
+    The reference samples each pixel along a circular arc about the center
+    (n = a function of the blur angle) with bilinear interpolation.  Here we
+    average a static stack of whole-image rotations — identical math, but
+    each rotation is a dense gather the compiler pipelines.
+    """
+    from .distort import rotate_bilinear  # local import to avoid cycle
+
+    n = max(int(4.0 * abs(angle) + 2.0), 3)
+    thetas = np.linspace(-math.radians(angle) / 2.0, math.radians(angle) / 2.0, n)
+    acc = jnp.zeros_like(img)
+    for t in thetas:
+        acc = acc + rotate_bilinear(img, t)
+    return jnp.clip(acc / float(n), 0.0, 1.0)
+
+
+def selective_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+                   threshold: float = 0.1, virtual_pixel: str = "edge") -> jnp.ndarray:
+    """SelectiveBlurImage (effect.c:3430): Gaussian restricted to pixels whose
+    neighborhood contrast is below threshold."""
+    blurred = gaussian_blur(img, radius, sigma, virtual_pixel)
+    local_mean = blur(img, radius, max(sigma, 1.0), virtual_pixel)
+    contrast = jnp.abs(img - local_mean)
+    mask = jnp.max(contrast, axis=-1, keepdims=True) < threshold
+    return jnp.where(mask, blurred, img)
+
+
+def despeckle(img: jnp.ndarray) -> jnp.ndarray:
+    """DespeckleImage (effect.c:1000 region): iterated hull reduction.
+
+    The reference runs 4 passes of 8-direction speckle hulls (add/subtract
+    along each of N,S,E,W,NE,NW,SE,SW).  Each hull step is two comparisons
+    against a shifted copy — pure elementwise ops on shifted views.
+    """
+    one = 1.0 / 255.0  # hull increment in quantum scale (ScaleCharToQuantum(1))
+
+    def shift(x, dy, dx):
+        out = jnp.roll(x, (dy, dx), axis=(-3, -2))
+        return out
+
+    def hull(x, dy, dx, polarity):
+        y = shift(x, dy, dx)
+        if polarity > 0:
+            x1 = jnp.where(y >= x + one, x + one, x)
+        else:
+            x1 = jnp.where(y <= x - one, x - one, x)
+        z = shift(x1, -dy, -dx)
+        if polarity > 0:
+            return jnp.where((z >= x1 + one) & (shift(x1, dy, dx) >= x1), x1 + one, x1)
+        return jnp.where((z <= x1 - one) & (shift(x1, dy, dx) <= x1), x1 - one, x1)
+
+    dirs = [(0, 1), (1, 0), (1, 1), (1, -1)]
+    out = img
+    for dy, dx in dirs:
+        out = hull(out, dy, dx, 1)
+        out = hull(out, -dy, -dx, 1)
+        out = hull(out, -dy, -dx, -1)
+        out = hull(out, dy, dx, -1)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def spread(img: jnp.ndarray, radius: float, key=None,
+           virtual_pixel: str = "edge") -> jnp.ndarray:
+    """SpreadImage (effect.c): displace each pixel by uniform random offset."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    h, w = img.shape[-3], img.shape[-2]
+    kx, ky = jax.random.split(key)
+    oy = jax.random.uniform(ky, img.shape[:-1], minval=-radius, maxval=radius)
+    ox = jax.random.uniform(kx, img.shape[:-1], minval=-radius, maxval=radius)
+    yy = jnp.arange(h)[:, None] + oy
+    xx = jnp.arange(w)[None, :] + ox
+    yi = jnp.clip(jnp.round(yy).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(jnp.round(xx).astype(jnp.int32), 0, w - 1)
+    flat = yi * w + xi
+    lead = img.shape[:-3]
+    x2 = img.reshape(lead + (h * w, img.shape[-1]))
+    out = jnp.take_along_axis(x2, flat.reshape(lead + (h * w,))[..., None], axis=-2)
+    return out.reshape(img.shape)
+
+
+def shade(img: jnp.ndarray, azimuth: float = 30.0, elevation: float = 30.0,
+          gray: bool = True, virtual_pixel: str = "edge") -> jnp.ndarray:
+    """ShadeImage (effect.c:3000 region): Lambertian shading from gradients."""
+    az = math.radians(azimuth)
+    el = math.radians(elevation)
+    light = jnp.asarray([math.cos(az) * math.cos(el),
+                         math.sin(az) * math.cos(el),
+                         math.sin(el)], img.dtype)
+    lum = jnp.mean(img, axis=-1, keepdims=True) if gray else img
+    sx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float32)
+    sy = sx.T
+    gx = _depthwise_conv(lum, jnp.asarray(sx), virtual_pixel)
+    gy = _depthwise_conv(lum, jnp.asarray(sy), virtual_pixel)
+    nz = 1.0 / 255.0 * 2.0
+    norm = jnp.sqrt(gx * gx + gy * gy + nz * nz)
+    dot = (-gx * light[0] - gy * light[1] + nz * light[2]) / norm
+    shading = jnp.clip(dot, 0.0, 1.0) / max(math.sin(el), 1e-6) * math.sin(el)
+    if gray:
+        return jnp.clip(jnp.broadcast_to(shading, img.shape), 0.0, 1.0)
+    return jnp.clip(img * shading, 0.0, 1.0)
+
+
+def kuwahara(img: jnp.ndarray, radius: float = 1.0, sigma: float = None,
+             virtual_pixel: str = "edge") -> jnp.ndarray:
+    """KuwaharaImage (effect.c:1914): edge-preserving quadrant-mean filter.
+
+    For each pixel, take the mean of the quadrant (of 4 overlapping (r+1)²
+    windows) with least variance.  Means/variances come from box filters —
+    four shifted views of the same two convolutions.
+    """
+    r = max(int(radius), 1)
+    w = r + 1
+    box = np.ones((w, w), dtype=np.float32) / float(w * w)
+    mean = _depthwise_conv(img, jnp.asarray(box), virtual_pixel)
+    mean2 = _depthwise_conv(img * img, jnp.asarray(box), virtual_pixel)
+    var = mean2 - mean * mean
+    var = jnp.sum(var, axis=-1, keepdims=True)
+    shifts = [(-r, -r), (-r, r), (r, -r), (r, r)]
+    means = jnp.stack([jnp.roll(mean, (dy, dx), axis=(-3, -2)) for dy, dx in shifts], 0)
+    vars_ = jnp.stack([jnp.roll(var, (dy, dx), axis=(-3, -2)) for dy, dx in shifts], 0)
+    best = jnp.argmin(vars_, axis=0)
+    out = jnp.take_along_axis(means, best[None, ...], axis=0)[0]
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def bilateral_blur(img: jnp.ndarray, width: int = 5, height: int = 5,
+                   intensity_sigma: float = 0.75, spatial_sigma: float = None,
+                   virtual_pixel: str = "edge") -> jnp.ndarray:
+    """BilateralBlurImage (effect.c:894): edge-preserving range+domain filter.
+
+    Direct windowed form: for window offsets (u,v),
+      w(u,v,p) = exp(-(u²+v²)/2σs²) * exp(-|I(p+uv)-I(p)|²/2σr²)
+    realized as a static unrolled sum over the window — every term is a
+    shifted elementwise multiply the VPU streams at HBM bandwidth.
+    """
+    if spatial_sigma is None:
+        spatial_sigma = max(width, height) / 3.0
+    rh, rw = height // 2, width // 2
+    lead = img.shape[:-3]
+    h, w, c = img.shape[-3:]
+    x = img.reshape((-1, h, w, c))
+    xp = pad_spatial(x, (rh, rh), (rw, rw), virtual_pixel)
+    num = jnp.zeros_like(x)
+    den = jnp.zeros((x.shape[0], h, w, 1), x.dtype)
+    inv_s = 1.0 / (2.0 * spatial_sigma * spatial_sigma)
+    inv_r = 1.0 / (2.0 * intensity_sigma * intensity_sigma)
+    for dy in range(-rh, rh + 1):
+        for dx in range(-rw, rw + 1):
+            sw = math.exp(-(dx * dx + dy * dy) * inv_s)
+            nb = lax.dynamic_slice(xp, (0, dy + rh, dx + rw, 0), x.shape)
+            d2 = jnp.sum((nb - x) ** 2, axis=-1, keepdims=True)
+            wgt = sw * jnp.exp(-d2 * inv_r)
+            num = num + wgt * nb
+            den = den + wgt
+    out = num / jnp.maximum(den, 1e-12)
+    return jnp.clip(out.reshape(img.shape), 0.0, 1.0)
+
+
+def local_contrast(img: jnp.ndarray, radius: float = 10.0,
+                   strength: float = 12.5, virtual_pixel: str = "edge") -> jnp.ndarray:
+    """LocalContrastImage (effect.c:1977): unsharp on luminance with big radius."""
+    sigma = max(abs(radius), 1.0) / 2.0
+    blurred = blur(img, 0.0, sigma, virtual_pixel)
+    out = img + (img - blurred) * (strength / 100.0) * 10.0
+    return jnp.clip(out, 0.0, 1.0)

@@ -1,0 +1,435 @@
+"""Enhancement ops: levels, gamma, histogram stretches, modulate, CLAHE...
+
+TPU-native re-implementation of /root/reference/MagickCore/enhance.c (4,582
+LoC, 15 OMP loops).  The reference builds per-channel LUTs and loops rows;
+here each op is closed-form per-pixel math (the VPU evaluates the "LUT
+function" directly — cheaper than a gather) and histogram ops use fixed-bin
+``jnp.histogram``-style reductions so everything stays in one XLA program.
+
+Formulas match the reference:
+  * ScaledSigmoidal contrast (enhance.c:4207-4260)
+  * BrightnessContrast slope/intercept (enhance.c BrightnessContrastImage)
+  * ModulateHSL (enhance.c ModulateHSL)
+  * Level/Levelize with gamma (enhance.c LevelPixel/LevelizeImage)
+  * AutoGamma log(0.5)/log(mean) (enhance.c AutoGammaImage)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import colorspace as cs
+
+_EPS = 1e-12
+
+
+def _prec(x):
+    sign = jnp.where(x < 0.0, -1.0, 1.0)
+    ax = jnp.abs(x)
+    return sign / jnp.where(ax < _EPS, _EPS, ax)
+
+
+# ---------------------------------------------------------------------------
+# Point transforms
+# ---------------------------------------------------------------------------
+
+def gamma(img: jnp.ndarray, value: float) -> jnp.ndarray:
+    """GammaImage: out = v^(1/gamma)."""
+    if value == 1.0:
+        return img
+    return jnp.power(jnp.maximum(img, 0.0), 1.0 / value)
+
+
+def level(img: jnp.ndarray, black_point: float = 0.0, white_point: float = 1.0,
+          gamma_: float = 1.0) -> jnp.ndarray:
+    """LevelImage (enhance.c LevelPixel): stretch then gamma."""
+    scale = _prec(jnp.asarray(white_point - black_point))
+    out = (img - black_point) * scale
+    if gamma_ != 1.0:
+        out = jnp.power(jnp.maximum(out, 0.0), 1.0 / gamma_)
+    return out
+
+
+def levelize(img: jnp.ndarray, black_point: float = 0.0,
+             white_point: float = 1.0, gamma_: float = 1.0) -> jnp.ndarray:
+    """LevelizeImage: inverse of level (-level / +level pair)."""
+    out = jnp.power(jnp.maximum(img, 0.0), gamma_) * (white_point - black_point) + black_point
+    return out
+
+
+def negate(img: jnp.ndarray, grayscale_only: bool = False) -> jnp.ndarray:
+    """NegateImage."""
+    neg = 1.0 - img
+    if not grayscale_only:
+        return neg
+    is_gray = jnp.all(jnp.abs(img - img[..., :1]) < 1e-6, axis=-1, keepdims=True)
+    return jnp.where(is_gray, neg, img)
+
+
+def _sigmoidal(a, b, x):
+    return 1.0 / (1.0 + jnp.exp(a * (b - x)))
+
+
+def sigmoidal_contrast(img: jnp.ndarray, sharpen: bool = True,
+                       contrast: float = 3.0, midpoint: float = 0.5) -> jnp.ndarray:
+    """SigmoidalContrastImage (enhance.c:4207-4300)."""
+    if abs(contrast) < 4.0 * 1e-10:
+        return img
+    a, b = contrast, midpoint
+    sig0 = _sigmoidal(a, b, 0.0)
+    sig1 = _sigmoidal(a, b, 1.0)
+    if sharpen:
+        return (_sigmoidal(a, b, img) - sig0) / (sig1 - sig0)
+    # inverse (logistic branch; enhance.c InverseScaledSigmoidal)
+    arg = jnp.clip((sig1 - sig0) * img + sig0, _EPS, 1.0 - _EPS)
+    return b - jnp.log(1.0 / arg - 1.0) / a
+
+
+def brightness_contrast(img: jnp.ndarray, brightness: float = 0.0,
+                        contrast: float = 0.0) -> jnp.ndarray:
+    """BrightnessContrastImage: [-100,100] args -> polynomial v*slope+icpt."""
+    if contrast < 0.0:
+        slope = 0.01 * contrast + 1.0
+    else:
+        slope = 100.0 / max(100.0 - contrast, _EPS)
+    intercept = (0.01 * brightness - 0.5) * slope + 0.5
+    return img * slope + intercept
+
+
+def modulate(img: jnp.ndarray, brightness: float = 100.0,
+             saturation: float = 100.0, hue: float = 100.0,
+             colorspace: str = "hsl") -> jnp.ndarray:
+    """ModulateImage (enhance.c ModulateHSL & friends)."""
+    conv = {"hsl": (cs.rgb_to_hsl, cs.hsl_to_rgb),
+            "hsb": (cs.rgb_to_hsv, cs.hsv_to_rgb),
+            "hsv": (cs.rgb_to_hsv, cs.hsv_to_rgb),
+            "hwb": (cs.rgb_to_hwb, cs.hwb_to_rgb),
+            "lch": (cs.rgb_to_lchab, cs.lchab_to_rgb)}[colorspace.lower()]
+    fwd, inv = conv
+    hsx = fwd(img)
+    h = hsx[..., 0] + math.fmod(hue - 100.0, 200.0) / 200.0
+    h = jnp.mod(h, 1.0)
+    s = hsx[..., 1] * (0.01 * saturation)
+    l = hsx[..., 2] * (0.01 * brightness)
+    return jnp.clip(inv(jnp.stack([h, s, l], axis=-1)), 0.0, 1.0)
+
+
+def grayscale(img: jnp.ndarray, method: str = "rec709luma") -> jnp.ndarray:
+    """GrayscaleImage (enhance.c) with the pixel-intensity method set
+    (pixel-accessor.h GetPixelIntensity variants)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    m = method.lower()
+    if m == "average":
+        y = (r + g + b) / 3.0
+    elif m == "brightness":
+        y = jnp.max(img[..., :3], axis=-1)
+    elif m == "lightness":
+        y = (jnp.max(img[..., :3], -1) + jnp.min(img[..., :3], -1)) / 2.0
+    elif m == "ms":
+        y = (r * r + g * g + b * b) / 3.0
+    elif m == "rms":
+        y = jnp.sqrt((r * r + g * g + b * b) / 3.0)
+    elif m == "rec601luma":
+        y = 0.298839 * r + 0.586811 * g + 0.114350 * b
+    elif m == "rec601luminance":
+        lin = cs.srgb_to_linear(img[..., :3])
+        y = 0.298839 * lin[..., 0] + 0.586811 * lin[..., 1] + 0.114350 * lin[..., 2]
+    elif m == "rec709luminance":
+        lin = cs.srgb_to_linear(img[..., :3])
+        y = 0.212656 * lin[..., 0] + 0.715158 * lin[..., 1] + 0.072186 * lin[..., 2]
+    else:  # rec709luma default
+        y = 0.212656 * r + 0.715158 * g + 0.072186 * b
+    return y[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based ops
+# ---------------------------------------------------------------------------
+
+_NBINS = 65536  # Q16 histogram resolution (MaxMap analog)
+
+
+def _channel_histogram(ch: jnp.ndarray, bins: int = _NBINS) -> jnp.ndarray:
+    idx = jnp.clip((ch * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
+    return jnp.zeros((bins,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+
+
+def equalize(img: jnp.ndarray, bins: int = 4096) -> jnp.ndarray:
+    """EqualizeImage: per-channel histogram equalization (enhance.c)."""
+
+    def eq_channel(ch):
+        hist = _channel_histogram(ch, bins)
+        cdf = jnp.cumsum(hist)
+        total = cdf[-1]
+        cmin = cdf[jnp.argmax(hist > 0)]  # first nonzero bin's cdf
+        lut = (cdf - cmin) * _prec(total - cmin)
+        idx = jnp.clip((ch * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
+        return lut[idx]
+
+    chans = [eq_channel(img[..., c]) for c in range(img.shape[-1])]
+    return jnp.stack(chans, axis=-1)
+
+
+def contrast_stretch(img: jnp.ndarray, black_point: float = 0.0,
+                     white_point: Optional[float] = None,
+                     bins: int = 4096) -> jnp.ndarray:
+    """ContrastStretchImage: clip black_point/white_point *fractions* of the
+    histogram tails, then linear stretch (enhance.c)."""
+    if white_point is None:
+        white_point = black_point
+    n = img[..., 0].size
+
+    def stretch_channel(ch):
+        hist = _channel_histogram(ch, bins)
+        cdf = jnp.cumsum(hist)
+        lo_count = black_point * n
+        hi_count = (1.0 - white_point) * n
+        lo_bin = jnp.argmax(cdf > lo_count).astype(jnp.float32) / (bins - 1)
+        hi_bin = (bins - 1 - jnp.argmax((cdf >= hi_count)[::-1] == False)).astype(jnp.float32) / (bins - 1)
+        hi_bin = jnp.argmax(cdf >= hi_count).astype(jnp.float32) / (bins - 1)
+        return (ch - lo_bin) * _prec(hi_bin - lo_bin)
+
+    chans = [stretch_channel(img[..., c]) for c in range(img.shape[-1])]
+    return jnp.clip(jnp.stack(chans, axis=-1), 0.0, 1.0)
+
+
+def normalize(img: jnp.ndarray) -> jnp.ndarray:
+    """NormalizeImage = ContrastStretch 2%/1% (enhance.c NormalizeImage)."""
+    return contrast_stretch(img, 0.02, 0.01)
+
+
+def auto_level(img: jnp.ndarray, per_channel: bool = True) -> jnp.ndarray:
+    """AutoLevelImage (MinMaxStretchImage): stretch actual min/max to full range."""
+    if per_channel:
+        axes = tuple(range(img.ndim - 1))
+        mn = jnp.min(img, axis=axes)
+        mx = jnp.max(img, axis=axes)
+    else:
+        mn = jnp.min(img)
+        mx = jnp.max(img)
+    return (img - mn) * _prec(mx - mn)
+
+
+def auto_gamma(img: jnp.ndarray, per_channel: bool = True) -> jnp.ndarray:
+    """AutoGammaImage: gamma = log(mean)/log(0.5) so mean -> 0.5."""
+    if per_channel:
+        axes = tuple(range(img.ndim - 1))
+        mean = jnp.mean(img, axis=axes)
+    else:
+        mean = jnp.mean(img)
+    g = jnp.log(jnp.clip(mean, 1e-6, 1.0 - 1e-6)) / math.log(0.5)
+    return jnp.power(jnp.maximum(img, 0.0), 1.0 / g)
+
+
+def linear_stretch(img: jnp.ndarray, black_point: float = 0.02,
+                   white_point: float = 0.01, bins: int = 4096) -> jnp.ndarray:
+    """LinearStretchImage: stretch on the intensity histogram (enhance.c)."""
+    inten = grayscale(img)[..., 0]
+    n = inten.size
+    hist = _channel_histogram(inten, bins)
+    cdf = jnp.cumsum(hist)
+    lo = jnp.argmax(cdf > black_point * n).astype(jnp.float32) / (bins - 1)
+    hi = jnp.argmax(cdf >= (1.0 - white_point) * n).astype(jnp.float32) / (bins - 1)
+    return jnp.clip((img - lo) * _prec(hi - lo), 0.0, 1.0)
+
+
+def clahe(img: jnp.ndarray, tiles_x: int = 8, tiles_y: int = 8,
+          bins: int = 128, clip_limit: float = 3.0) -> jnp.ndarray:
+    """CLAHEImage (enhance.c:616): contrast-limited adaptive equalization.
+
+    Works on the L channel of Lab like the reference; tile histograms are a
+    single scatter-add, clipping redistributes excess, and the per-pixel
+    lookup bilinearly blends the 4 surrounding tile CDFs — all vectorized.
+    """
+    orig_shape = img.shape
+    lab = cs.convert(img[..., :3], "srgb", "lab")
+    L = lab[..., 0]
+    h, w = L.shape[-2], L.shape[-1]
+    th, tw = -(-h // tiles_y), -(-w // tiles_x)
+
+    # pad to tile multiple
+    ph, pw = th * tiles_y - h, tw * tiles_x - w
+    Lp = jnp.pad(L, [(0, 0)] * (L.ndim - 2) + [(0, ph), (0, pw)], mode="edge")
+    lead = Lp.shape[:-2]
+    tiles = Lp.reshape(lead + (tiles_y, th, tiles_x, tw))
+    tiles = jnp.moveaxis(tiles, -2, -3)  # (..., ty, tx, th, tw)
+    flat = tiles.reshape(lead + (tiles_y * tiles_x, th * tw))
+
+    idx = jnp.clip((flat * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
+    one_hot_dims = lead + (tiles_y * tiles_x, bins)
+
+    def hist_fn(ix):
+        return jnp.zeros((bins,), jnp.float32).at[ix].add(1.0)
+
+    hists = jax.vmap(hist_fn)(idx.reshape(-1, th * tw)).reshape(one_hot_dims)
+
+    # clip & redistribute (reference ClipCLAHEHistogram)
+    limit = clip_limit * (th * tw) / bins
+    excess = jnp.sum(jnp.maximum(hists - limit, 0.0), axis=-1, keepdims=True)
+    hists = jnp.minimum(hists, limit) + excess / bins
+
+    cdf = jnp.cumsum(hists, axis=-1)
+    total = cdf[..., -1:]
+    cmin = cdf[..., :1]
+    luts = (cdf - cmin) * _prec(total - cmin)  # (..., ntiles, bins)
+    luts = luts.reshape(lead + (tiles_y, tiles_x, bins))
+
+    # bilinear blend of 4 neighboring tile LUTs per pixel
+    yy = jnp.arange(h, dtype=jnp.float32)
+    xx = jnp.arange(w, dtype=jnp.float32)
+    ty_f = jnp.clip((yy + 0.5) / th - 0.5, 0.0, tiles_y - 1.0)
+    tx_f = jnp.clip((xx + 0.5) / tw - 0.5, 0.0, tiles_x - 1.0)
+    y0 = jnp.floor(ty_f).astype(jnp.int32)
+    x0 = jnp.floor(tx_f).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, tiles_y - 1)
+    x1 = jnp.minimum(x0 + 1, tiles_x - 1)
+    fy = (ty_f - y0)[:, None]
+    fx = (tx_f - x0)[None, :]
+
+    bin_idx = jnp.clip((L * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
+
+    def lut_at(tyi, txi):
+        # luts[..., tyi[y], txi[x], bin_idx[..., y, x]]
+        t = luts[..., tyi, :, :][..., :, txi, :]  # (..., h, w, bins)
+        return jnp.take_along_axis(t, bin_idx[..., None], axis=-1)[..., 0]
+
+    v00 = lut_at(y0, x0)
+    v01 = lut_at(y0, x1)
+    v10 = lut_at(y1, x0)
+    v11 = lut_at(y1, x1)
+    Lnew = ((1 - fy) * (1 - fx) * v00 + (1 - fy) * fx * v01 +
+            fy * (1 - fx) * v10 + fy * fx * v11)
+    lab_new = jnp.concatenate([Lnew[..., None], lab[..., 1:]], axis=-1)
+    out = cs.convert(lab_new, "lab", "srgb")
+    if orig_shape[-1] > 3:
+        out = jnp.concatenate([out, img[..., 3:]], axis=-1)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# LUT application ops
+# ---------------------------------------------------------------------------
+
+def clut(img: jnp.ndarray, lut_img: jnp.ndarray) -> jnp.ndarray:
+    """ClutImage (enhance.c): per-channel 1-D lookup through a CLUT image."""
+    lut_flat = lut_img.reshape(-1, lut_img.shape[-1])  # (n, c)
+    n = lut_flat.shape[0]
+    pos = jnp.clip(img, 0.0, 1.0) * (n - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n - 1)
+    frac = pos - lo
+    c = img.shape[-1]
+    outs = []
+    for ch in range(c):
+        lch = min(ch, lut_flat.shape[1] - 1)
+        vlo = jnp.take(lut_flat[:, lch], lo[..., ch])
+        vhi = jnp.take(lut_flat[:, lch], hi[..., ch])
+        outs.append(vlo * (1.0 - frac[..., ch]) + vhi * frac[..., ch])
+    return jnp.stack(outs, axis=-1)
+
+
+def hald_clut(img: jnp.ndarray, hald: jnp.ndarray) -> jnp.ndarray:
+    """HaldClutImage (enhance.c): trilinear 3-D LUT lookup.
+
+    hald is the (side, side, 3) Hald image; cube size n = cbrt(side²).
+    """
+    side = hald.shape[-3]
+    n = round(side ** (2.0 / 3.0))
+    cube = hald.reshape(-1, hald.shape[-1])[: n * n * n].reshape(n, n, n, -1)
+    # cube indexed [b, g, r] per hald layout (r fastest)
+    pos = jnp.clip(img[..., :3], 0.0, 1.0) * (n - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n - 1)
+    f = pos - lo
+
+    def fetch(rb, gb, bb):
+        return cube[bb, gb, rb]
+
+    r0, g0, b0 = lo[..., 0], lo[..., 1], lo[..., 2]
+    r1, g1, b1 = hi[..., 0], hi[..., 1], hi[..., 2]
+    fr, fg, fb = f[..., 0:1], f[..., 1:2], f[..., 2:3]
+    c000 = fetch(r0, g0, b0)
+    c100 = fetch(r1, g0, b0)
+    c010 = fetch(r0, g1, b0)
+    c110 = fetch(r1, g1, b0)
+    c001 = fetch(r0, g0, b1)
+    c101 = fetch(r1, g0, b1)
+    c011 = fetch(r0, g1, b1)
+    c111 = fetch(r1, g1, b1)
+    c00 = c000 * (1 - fr) + c100 * fr
+    c10 = c010 * (1 - fr) + c110 * fr
+    c01 = c001 * (1 - fr) + c101 * fr
+    c11 = c011 * (1 - fr) + c111 * fr
+    c0 = c00 * (1 - fg) + c10 * fg
+    c1 = c01 * (1 - fg) + c11 * fg
+    out = c0 * (1 - fb) + c1 * fb
+    if img.shape[-1] > 3:
+        out = jnp.concatenate([out[..., :3], img[..., 3:]], axis=-1)
+    return out
+
+
+def color_decision_list(img: jnp.ndarray, slope=(1.0, 1.0, 1.0),
+                        offset=(0.0, 0.0, 0.0), power=(1.0, 1.0, 1.0),
+                        saturation: float = 1.0) -> jnp.ndarray:
+    """ColorDecisionListImage (ASC CDL, enhance.c)."""
+    s = jnp.asarray(slope, img.dtype)
+    o = jnp.asarray(offset, img.dtype)
+    p = jnp.asarray(power, img.dtype)
+    rgb = img[..., :3]
+    out = jnp.power(jnp.clip(rgb * s + o, 0.0, 1.0), p)
+    luma = (0.2126 * out[..., 0] + 0.7152 * out[..., 1] + 0.0722 * out[..., 2])[..., None]
+    out = luma + saturation * (out - luma)
+    if img.shape[-1] > 3:
+        out = jnp.concatenate([out, img[..., 3:]], axis=-1)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def white_balance(img: jnp.ndarray) -> jnp.ndarray:
+    """WhiteBalanceImage (enhance.c): neutralize mean a*/b* in Lab."""
+    lab = cs.convert(img[..., :3], "srgb", "lab")
+    axes = tuple(range(lab.ndim - 1))
+    mean_a = jnp.mean(lab[..., 1], axis=axes)
+    mean_b = jnp.mean(lab[..., 2], axis=axes)
+    L = lab[..., 0]
+    a = lab[..., 1] - (mean_a - 0.5) * (L / 1.0) * 1.1
+    b = lab[..., 2] - (mean_b - 0.5) * (L / 1.0) * 1.1
+    out = cs.convert(jnp.stack([L, a, b], axis=-1), "lab", "srgb")
+    if img.shape[-1] > 3:
+        out = jnp.concatenate([out, img[..., 3:]], axis=-1)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def enhance(img: jnp.ndarray) -> jnp.ndarray:
+    """EnhanceImage (enhance.c): 5x5 distance-weighted noise reduction."""
+    from .blur import _depthwise_conv
+    from ..core.virtual_pixel import pad_spatial
+    from jax import lax
+
+    weights = np.array([
+        [8, 8, 8, 8, 8],
+        [8, 5, 5, 5, 8],
+        [8, 5, 3, 5, 8],
+        [8, 5, 5, 5, 8],
+        [8, 8, 8, 8, 8]], np.float32)
+    weights = 1.0 / weights
+    lead = img.shape[:-3]
+    h, w, c = img.shape[-3:]
+    x = img.reshape((-1, h, w, c))
+    xp = pad_spatial(x, (2, 2), (2, 2), "edge")
+    num = jnp.zeros_like(x)
+    den = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    for dy in range(5):
+        for dx in range(5):
+            nb = lax.dynamic_slice(xp, (0, dy, dx, 0), x.shape)
+            d2 = jnp.sum((nb - x) ** 2, axis=-1, keepdims=True)
+            ok = (d2 < (0.1 * 0.1)).astype(x.dtype)
+            wgt = ok * weights[dy, dx]
+            num = num + wgt * nb
+            den = den + wgt
+    out = jnp.where(den > 0, num / jnp.maximum(den, _EPS), x)
+    return out.reshape(img.shape)
