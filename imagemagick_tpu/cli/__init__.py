@@ -1,0 +1,3 @@
+from .main import main, process, CLIState
+
+__all__ = ["main", "process", "CLIState"]

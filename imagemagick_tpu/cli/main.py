@@ -1,0 +1,1020 @@
+"""tmagick: the magick-compatible command-line interface.
+
+Re-implements the CLI engine (/root/reference/MagickWand/magick-cli.c:
+MagickImageCommand :1284, ProcessCommandOptions :587; option dispatch in
+operation.c) as a sequential interpreter over an image list — but where the
+reference executes each option as a full pixel pass, this interpreter
+*accumulates* device ops per image and compiles the whole chain as one
+fused XLA program at materialization (write/identify/compare), realizing
+the pipeline-fusion win described in SURVEY.md §7.
+
+Option grammar follows option.c's CommandOptions[]: settings vs simple ops
+vs list ops, parenthesized image stacks, -clone/-swap/-delete, +opt forms.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.color import parse_color
+from ..core.geometry import (parse_geometry, parse_meta_geometry,
+                             parse_page_geometry)
+from ..core.image import Image
+from ..core.spec import ImageSpec, normalize_colorspace
+
+
+class CLIError(Exception):
+    pass
+
+
+class LazyImage:
+    """An image plus a queue of pending device ops (for whole-chain fusion)."""
+
+    __slots__ = ("image", "pending")
+
+    def __init__(self, image: Image, pending=None):
+        self.image = image
+        self.pending = list(pending or [])
+
+    def push(self, fn, spec_update=None):
+        self.pending.append((fn, spec_update))
+
+    def materialize(self) -> Image:
+        if not self.pending:
+            return self.image
+        import jax
+
+        ops = list(self.pending)
+
+        def chain(x):
+            for fn, _ in ops:
+                x = fn(x)
+            return x
+
+        data = jax.jit(chain)(self.image.data)
+        spec = self.image.spec
+        for _, upd in ops:
+            if upd is not None:
+                spec = upd(spec)
+        out = Image(data, spec, self.image.properties, self.image.profiles,
+                    self.image.page, self.image.delay)
+        self.image = out
+        self.pending = []
+        return out
+
+
+class CLIState:
+    def __init__(self):
+        self.images: List[LazyImage] = []
+        self.stack: List[List[LazyImage]] = []
+        self.settings: Dict[str, str] = {
+            "background": "white",
+            "fill": "black",
+            "gravity": "undefined",
+            "filter": "undefined",
+            "quality": "92",
+            "virtual-pixel": "edge",
+            "colorspace-setting": "",
+            "interpolate": "bilinear",
+            "channel": "default",
+            "noise-attenuate": "1.0",
+        }
+        self.defines: Dict[str, str] = {}
+        self.size: Optional[str] = None
+        self.depth: Optional[int] = None
+        self.exit_code = 0
+
+    # -- helpers --
+    def require_images(self, opt):
+        if not self.images:
+            raise CLIError(f"no images for option {opt}")
+
+    def each(self, fn):
+        self.require_images("op")
+        for li in self.images:
+            fn(li)
+
+    def bg(self):
+        return parse_color(self.settings["background"])
+
+    def fill(self):
+        return parse_color(self.settings["fill"])
+
+
+def _geom_args(arg: str) -> Tuple[float, float]:
+    """Parse 'AxB' op arguments like -blur 0x2 -> (radius, sigma)."""
+    g = parse_geometry(arg)
+    radius = g.width if g.width is not None else 0.0
+    sigma = g.height if g.height is not None else 1.0
+    return radius, sigma
+
+
+def _spec_cs(cs_name):
+    def upd(spec):
+        return spec.with_(colorspace=cs_name)
+
+    return upd
+
+
+def _spec_ch(alpha=None):
+    def upd(spec):
+        if alpha is None:
+            return spec
+        return spec.with_(alpha=alpha)
+
+    return upd
+
+
+# ---------------------------------------------------------------------------
+# Option implementations.  Each handler: (state, arg, plus_form) -> None.
+# n_args mirrors option.c's CommandOptions[] arg counts.
+# ---------------------------------------------------------------------------
+
+def _op_resize(st, arg, plus, op="resize"):
+    from ..ops import resize as rz
+
+    filt = st.settings["filter"]
+    for li in st.images:
+        img = li.materialize()
+        w, h, _, _ = parse_meta_geometry(arg, img.width, img.height)
+        if op == "resize" or op == "adaptive-resize":
+            data = rz.resize(img.data, h, w, filt, has_alpha=img.spec.alpha)
+        elif op == "scale":
+            data = rz.scale(img.data, h, w)
+        elif op == "sample":
+            data = rz.sample(img.data, h, w)
+        elif op == "thumbnail":
+            data = rz.thumbnail(img.data, h, w, has_alpha=img.spec.alpha)
+        li.image = img.replace(data=data)
+
+
+def _op_geometry_slice(st, arg, plus, op):
+    from ..ops import transform as tf
+
+    for li in st.images:
+        img = li.materialize()
+        if op == "crop":
+            w, h, x, y = parse_page_geometry(arg, img.width, img.height)
+            data = tf.crop(img.data, x, y, w, h)
+        elif op == "chop":
+            w, h, x, y = parse_page_geometry(arg, img.width, img.height)
+            data = tf.chop(img.data, x, y, w, h)
+        elif op == "extent":
+            w, h, x, y = parse_page_geometry(arg, img.width, img.height)
+            from ..ops.composite import gravity_offset
+
+            gx, gy = gravity_offset(st.settings["gravity"], w, h,
+                                    img.width, img.height, -x, -y)
+            data = tf.extent(img.data, -gx, -gy, w, h, background=st.bg()[: img.channels])
+        elif op == "shave":
+            g = parse_geometry(arg)
+            data = tf.shave(img.data, int(g.width or 0), int(g.height or g.width or 0))
+        elif op == "splice":
+            w, h, x, y = parse_page_geometry(arg, img.width, img.height)
+            data = tf.splice(img.data, x, y, w, h, background=st.bg()[: img.channels])
+        elif op == "roll":
+            g = parse_geometry(arg)
+            data = tf.roll(img.data, g.x or 0, g.y or 0)
+        elif op == "trim":
+            data = tf.trim(img.data)
+        li.image = img.replace(data=data)
+
+
+def _lazy_op(st, make_fn, spec_update=None):
+    st.require_images("op")
+    for li in st.images:
+        c = li.image.spec  # spec BEFORE this op (approximation: specs only
+        # change via spec_update chains, tracked per-op)
+        li.push(make_fn(li), spec_update)
+
+
+def _op_simple(module: str, fname: str, argmap):
+    """Build a lazy per-pixel/neighborhood op handler."""
+
+    def handler(st, arg, plus):
+        import importlib
+
+        mod = importlib.import_module(f"imagemagick_tpu.ops.{module}")
+        fn = getattr(mod, fname)
+        kwargs_builder = argmap
+
+        def make(li):
+            kwargs = kwargs_builder(st, arg, plus) if kwargs_builder else {}
+
+            def run(x):
+                return fn(x, **kwargs)
+
+            return run
+
+        _lazy_op(st, make)
+
+    return handler
+
+
+def _op_colorspace(st, arg, plus):
+    target = normalize_colorspace(arg)
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.transform_colorspace(target)
+
+
+def _op_grayscale(st, arg, plus):
+    from ..ops import enhance as en
+
+    for li in st.images:
+        img = li.materialize()
+        data = en.grayscale(img.data, arg or "rec709luma")
+        li.image = Image(data, img.spec.with_(colorspace="gray"),
+                         img.properties, img.profiles, img.page, img.delay)
+
+
+def _op_separate(st, arg, plus):
+    from ..ops import channel as chan
+
+    new_images = []
+    for li in st.images:
+        img = li.materialize()
+        for comp in chan.separate_all(img.data):
+            new_images.append(LazyImage(Image(comp, ImageSpec(colorspace="gray"))))
+    st.images = new_images
+
+
+def _op_combine(st, arg, plus):
+    from ..ops import channel as chan
+
+    imgs = [li.materialize() for li in st.images]
+    data = chan.combine([im.data for im in imgs])
+    cs_name = "srgb" if data.shape[-1] >= 3 else "gray"
+    alpha = data.shape[-1] in (2, 4)
+    st.images = [LazyImage(Image(data, ImageSpec(colorspace=cs_name, alpha=alpha)))]
+
+
+def _op_alpha(st, arg, plus):
+    from ..ops import channel as chan
+
+    for li in st.images:
+        img = li.materialize()
+        data = chan.set_alpha(img.data, arg, img.spec.alpha,
+                              background=st.bg()[:3])
+        alpha = arg.lower() in ("set", "on", "activate", "opaque", "copy", "transparent")
+        if arg.lower() in ("off", "deactivate", "remove", "flatten"):
+            alpha = False
+        if arg.lower() == "extract":
+            li.image = Image(data, ImageSpec(colorspace="gray"))
+        else:
+            li.image = Image(data, img.spec.with_(alpha=alpha), img.properties,
+                             img.profiles, img.page, img.delay)
+
+
+def _op_rotate(st, arg, plus):
+    from ..ops import distort as dt
+
+    deg = float(arg.rstrip("<>"))
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=dt.rotate(img.data, deg,
+                                              background=st.bg()[: img.channels]))
+
+
+def _op_noise(st, arg, plus):
+    from ..ops import visual_effects as vfx
+    import jax
+
+    if plus:  # +noise TYPE = add noise
+        att = float(st.settings.get("noise-attenuate", "1.0"))
+
+        def handler_make(li):
+            def run(x):
+                return vfx.add_noise(x, arg, attenuate=att,
+                                     key=jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31)))
+
+            return run
+
+        _lazy_op(st, handler_make)
+    else:  # -noise RADIUS = median-ish reduce
+        from ..ops import statistic as stx
+
+        r = int(float(arg))
+
+        def handler_make(li):
+            def run(x):
+                return stx.statistic(x, "nonpeak", 2 * r + 1, 2 * r + 1)
+
+            return run
+
+        _lazy_op(st, handler_make)
+
+
+def _op_morphology(st, arg, plus):
+    from ..ops import morphology as mo
+
+    parts = arg.split(None, 1)
+    if len(parts) == 1 and " " not in arg:
+        raise CLIError("-morphology needs 'method kernel'")
+    method = parts[0]
+    kernel = parts[1] if len(parts) > 1 else "square:1"
+    iters = 1
+    if ":" in method:
+        method, _, it = method.partition(":")
+        iters = int(it)
+
+    def make(li):
+        def run(x):
+            return mo.morphology(x, method, kernel, iterations=iters,
+                                 virtual_pixel=st.settings["virtual-pixel"])
+
+        return run
+
+    _lazy_op(st, make)
+
+
+def _op_composite_list(st, arg, plus):
+    """-composite list operator: images[0] = dst, images[1] = src (+ mask)."""
+    from ..ops import composite as comp
+
+    if len(st.images) < 2:
+        raise CLIError("-composite needs at least two images")
+    dst = st.images[0].materialize()
+    src = st.images[1].materialize()
+    op = st.settings.get("compose", "over")
+    g = st.settings.get("compose-geometry")
+    x = y = 0
+    if g:
+        gg = parse_geometry(g)
+        x, y = gg.x or 0, gg.y or 0
+    out = comp.composite_at(dst.data, src.data, op, x, y,
+                            st.settings["gravity"],
+                            dst_alpha=dst.spec.alpha, src_alpha=src.spec.alpha)
+    alpha = out.shape[-1] > dst.spec.color_channels
+    st.images = [LazyImage(Image(out, dst.spec.with_(alpha=alpha),
+                                 dst.properties, dst.profiles))]
+
+
+def _op_append(st, arg, plus):
+    import jax.numpy as jnp
+
+    imgs = [li.materialize() for li in st.images]
+    axis = -2 if plus else -3  # -append = vertical, +append = horizontal
+    datas = [im.data for im in imgs]
+    if plus:
+        hh = max(d.shape[-3] for d in datas)
+        datas = [jnp.pad(d, [(0, hh - d.shape[-3]), (0, 0), (0, 0)], mode="edge")
+                 for d in datas]
+    else:
+        ww = max(d.shape[-2] for d in datas)
+        datas = [jnp.pad(d, [(0, 0), (0, ww - d.shape[-2]), (0, 0)], mode="edge")
+                 for d in datas]
+    st.images = [LazyImage(Image(jnp.concatenate(datas, axis=axis), imgs[0].spec))]
+
+
+def _op_flatten(st, arg, plus):
+    from ..ops import composite as comp
+
+    imgs = [li.materialize() for li in st.images]
+    base = imgs[0]
+    out = base.data
+    for im in imgs[1:]:
+        out = comp.composite_at(out, im.data, "over", 0, 0, "northwest",
+                                dst_alpha=base.spec.alpha, src_alpha=im.spec.alpha)
+    st.images = [LazyImage(Image(out, base.spec))]
+
+
+def _op_border(st, arg, plus):
+    from ..ops import transform as tf
+
+    g = parse_geometry(arg)
+    bw = int(g.width or 0)
+    bh = int(g.height if g.height is not None else bw)
+    for li in st.images:
+        img = li.materialize()
+        data = tf.extent(img.data, -bw, -bh, img.width + 2 * bw,
+                         img.height + 2 * bh, background=st.bg()[: img.channels])
+        li.image = img.replace(data=data)
+
+
+def _op_fft(st, arg, plus):
+    from ..ops import fourier as ft
+
+    new_images = []
+    for li in st.images:
+        img = li.materialize()
+        mag, ph = ft.forward_fft(img.data, modulus=not plus)
+        new_images.append(LazyImage(Image(mag, img.spec)))
+        new_images.append(LazyImage(Image(ph, img.spec)))
+    st.images = new_images
+
+
+def _op_ift(st, arg, plus):
+    from ..ops import fourier as ft
+
+    if len(st.images) < 2:
+        raise CLIError("-ift needs a magnitude/phase image pair")
+    mag = st.images[0].materialize()
+    ph = st.images[1].materialize()
+    data = ft.inverse_fft(mag.data, ph.data, modulus=not plus)
+    st.images = [LazyImage(Image(data, mag.spec))]
+
+
+def _op_evaluate(st, arg, plus):
+    from ..ops import statistic as stx
+
+    parts = arg.split(None, 1)
+    op = parts[0]
+    val = float(parts[1]) if len(parts) > 1 else 0.0
+    # percent forms: "50%" -> 0.5
+    if len(parts) > 1 and parts[1].endswith("%"):
+        val = float(parts[1][:-1]) / 100.0
+
+    def make(li):
+        def run(x):
+            return stx.evaluate(x, op, val)
+
+        return run
+
+    _lazy_op(st, make)
+
+
+def _op_function(st, arg, plus):
+    from ..ops import statistic as stx
+
+    parts = arg.split(None, 1)
+    fname = parts[0]
+    params = [float(p) for p in parts[1].replace(",", " ").split()] if len(parts) > 1 else []
+
+    def make(li):
+        def run(x):
+            return stx.function(x, fname, params)
+
+        return run
+
+    _lazy_op(st, make)
+
+
+def _parse_level_arg(arg):
+    # "black,white,gamma" with % support: "10%,90%,1.5"
+    parts = [p.strip() for p in arg.replace(",", " ").split()]
+    def pv(p):
+        return float(p[:-1]) / 100.0 if p.endswith("%") else float(p)
+    black = pv(parts[0]) if parts else 0.0
+    white = pv(parts[1]) if len(parts) > 1 else 1.0
+    gamma = float(parts[2]) if len(parts) > 2 else 1.0
+    return black, white, gamma
+
+
+# handler table: name -> (n_args, handler)
+def _build_ops() -> Dict[str, Tuple[int, Callable]]:
+    from functools import partial
+
+    O: Dict[str, Tuple[int, Callable]] = {}
+
+    # --- resize family ---
+    O["resize"] = (1, partial(_op_resize, op="resize"))
+    O["adaptive-resize"] = (1, partial(_op_resize, op="adaptive-resize"))
+    O["scale"] = (1, partial(_op_resize, op="scale"))
+    O["sample"] = (1, partial(_op_resize, op="sample"))
+    O["thumbnail"] = (1, partial(_op_resize, op="thumbnail"))
+    O["magnify"] = (0, _op_simple("resize", "magnify", None))
+
+    # --- geometry ---
+    for name in ("crop", "chop", "extent", "shave", "splice", "roll"):
+        O[name] = (1, partial(_op_geometry_slice, op=name))
+    O["trim"] = (0, partial(_op_geometry_slice, op="trim"))
+    O["flip"] = (0, _op_simple("transform", "flip", None))
+    O["flop"] = (0, _op_simple("transform", "flop", None))
+    O["transpose"] = (0, _op_simple("transform", "transpose", None))
+    O["transverse"] = (0, _op_simple("transform", "transverse", None))
+    O["rotate"] = (1, _op_rotate)
+    O["border"] = (1, _op_border)
+
+    # --- blurs/convolutions ---
+    O["blur"] = (1, _op_simple("blur", "blur",
+        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
+    O["gaussian-blur"] = (1, _op_simple("blur", "gaussian_blur",
+        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
+    O["sharpen"] = (1, _op_simple("blur", "sharpen",
+        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
+    O["unsharp"] = (1, _op_simple("blur", "unsharp_mask",
+        lambda st, a, p: _unsharp_args(a)))
+    O["adaptive-blur"] = (1, _op_simple("blur", "adaptive_blur",
+        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
+    O["adaptive-sharpen"] = (1, _op_simple("blur", "adaptive_sharpen",
+        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
+    O["motion-blur"] = (1, _op_simple("blur", "motion_blur",
+        lambda st, a, p: _motion_args(a)))
+    O["rotational-blur"] = (1, _op_simple("blur", "rotational_blur",
+        lambda st, a, p: {"angle": float(a)}))
+    O["bilateral-blur"] = (1, _op_simple("blur", "bilateral_blur",
+        lambda st, a, p: _bilateral_args(a)))
+    O["kuwahara"] = (1, _op_simple("blur", "kuwahara",
+        lambda st, a, p: {"radius": _geom_args(a)[0] or 1.0}))
+    O["despeckle"] = (0, _op_simple("blur", "despeckle", None))
+    O["edge"] = (1, _op_simple("blur", "edge_image",
+        lambda st, a, p: {"radius": float(a)}))
+    O["emboss"] = (1, _op_simple("blur", "emboss",
+        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
+    O["shade"] = (1, _op_simple("blur", "shade",
+        lambda st, a, p: _shade_args(a)))
+    O["sketch"] = (1, _op_simple("visual_effects", "sketch",
+        lambda st, a, p: _motion_args(a)))
+    O["charcoal"] = (1, _op_simple("visual_effects", "charcoal",
+        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
+    O["spread"] = (1, _op_simple("blur", "spread",
+        lambda st, a, p: {"radius": float(a)}))
+    O["morphology"] = (2, _op_morphology)
+    O["statistic"] = (2, lambda st, a, p: _op_statistic(st, a, p))
+    O["median"] = (1, _op_simple("statistic", "statistic",
+        lambda st, a, p: {"stat": "median", "width": 2 * int(float(a)) + 1,
+                          "height": 2 * int(float(a)) + 1}))
+    O["wavelet-denoise"] = (1, _op_simple("visual_effects", "wavelet_denoise",
+        lambda st, a, p: {"threshold": _percent(a)}))
+
+    # --- color/levels ---
+    O["colorspace"] = (1, _op_colorspace)
+    O["grayscale"] = (1, _op_grayscale)
+    O["negate"] = (0, _op_simple("enhance", "negate",
+        lambda st, a, p: {"grayscale_only": p}))
+    O["gamma"] = (1, _op_simple("enhance", "gamma",
+        lambda st, a, p: {"value": float(a)}))
+    O["level"] = (1, _op_simple("enhance", "level",
+        lambda st, a, p: dict(zip(("black_point", "white_point", "gamma_"),
+                                  _parse_level_arg(a)))))
+    O["auto-level"] = (0, _op_simple("enhance", "auto_level", None))
+    O["auto-gamma"] = (0, _op_simple("enhance", "auto_gamma", None))
+    O["normalize"] = (0, _op_simple("enhance", "normalize", None))
+    O["equalize"] = (0, _op_simple("enhance", "equalize", None))
+    O["contrast-stretch"] = (1, _op_simple("enhance", "contrast_stretch",
+        lambda st, a, p: _stretch_args(a)))
+    O["linear-stretch"] = (1, _op_simple("enhance", "linear_stretch",
+        lambda st, a, p: _stretch_args(a)))
+    O["sigmoidal-contrast"] = (1, _op_simple("enhance", "sigmoidal_contrast",
+        lambda st, a, p: _sigmoidal_args(a, not p)))
+    O["brightness-contrast"] = (1, _op_simple("enhance", "brightness_contrast",
+        lambda st, a, p: _bc_args(a)))
+    O["modulate"] = (1, _op_simple("enhance", "modulate",
+        lambda st, a, p: _modulate_args(a)))
+    O["clahe"] = (1, _op_simple("enhance", "clahe",
+        lambda st, a, p: {}))
+    O["white-balance"] = (0, _op_simple("enhance", "white_balance", None))
+    O["enhance"] = (0, _op_simple("enhance", "enhance", None))
+    O["sepia-tone"] = (1, _op_simple("visual_effects", "sepia_tone",
+        lambda st, a, p: {"threshold": _percent(a)}))
+    O["solarize"] = (1, _op_simple("visual_effects", "solarize",
+        lambda st, a, p: {"threshold": _percent(a)}))
+    O["blue-shift"] = (1, _op_simple("visual_effects", "blue_shift",
+        lambda st, a, p: {"factor": float(a)}))
+    O["tint"] = (1, lambda st, a, p: _lazy_op(st, lambda li: (
+        lambda x: __import__("imagemagick_tpu.ops.visual_effects",
+                             fromlist=["tint"]).tint(x, st.fill()[:3], _percent(a)))))
+    O["vignette"] = (1, _op_simple("visual_effects", "vignette",
+        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
+    O["implode"] = (1, _op_simple("distort", "implode",
+        lambda st, a, p: {"amount": float(a)}))
+    O["swirl"] = (1, _op_simple("distort", "swirl",
+        lambda st, a, p: {"degrees": float(a)}))
+    O["wave"] = (1, _op_simple("distort", "wave",
+        lambda st, a, p: dict(zip(("amplitude", "wavelength"),
+                                  _geom_args(a)))))
+    O["posterize"] = (1, _op_simple("quantize", "posterize",
+        lambda st, a, p: {"levels": int(a)}))
+    O["kmeans"] = (1, lambda st, a, p: _op_kmeans(st, a, p))
+    O["colors"] = (1, lambda st, a, p: _op_kmeans(st, a, p))
+
+    # --- thresholds ---
+    O["threshold"] = (1, _op_simple("threshold", "bilevel",
+        lambda st, a, p: {"threshold": _percent(a)}))
+    O["black-threshold"] = (1, _op_simple("threshold", "black_threshold",
+        lambda st, a, p: {"threshold": _percent(a)}))
+    O["white-threshold"] = (1, _op_simple("threshold", "white_threshold",
+        lambda st, a, p: {"threshold": _percent(a)}))
+    O["auto-threshold"] = (1, lambda st, a, p: _op_auto_threshold(st, a, p))
+    O["ordered-dither"] = (1, _op_simple("threshold", "ordered_dither",
+        lambda st, a, p: _dither_args(a)))
+    O["random-threshold"] = (1, _op_simple("threshold", "random_threshold",
+        lambda st, a, p: _random_thresh_args(a)))
+    O["lat"] = (1, _op_simple("threshold", "adaptive_threshold",
+        lambda st, a, p: _lat_args(a)))
+    O["clamp"] = (0, _op_simple("threshold", "clamp", None))
+
+    # --- misc ---
+    O["noise"] = (1, _op_noise)
+    O["paint"] = (1, _op_simple("paint", "oil_paint",
+        lambda st, a, p: {"radius": float(a)}))
+    O["oil-paint"] = O["paint"]
+    O["evaluate"] = (2, _op_evaluate)
+    O["function"] = (2, _op_function)
+    O["fft"] = (0, _op_fft)
+    O["ift"] = (0, _op_ift)
+    O["separate"] = (0, _op_separate)
+    O["combine"] = (0, _op_combine)
+    O["alpha"] = (1, _op_alpha)
+    O["channel-fx"] = (1, lambda st, a, p: _op_channel_fx(st, a, p))
+    O["opaque"] = (1, lambda st, a, p: _op_opaque(st, a, p))
+    O["transparent"] = (1, lambda st, a, p: _op_transparent(st, a, p))
+    O["distort"] = (2, lambda st, a, p: _op_distort(st, a, p))
+
+    # --- list ops ---
+    O["append"] = (0, _op_append)
+    O["composite"] = (0, _op_composite_list)
+    O["flatten"] = (0, _op_flatten)
+    O["mosaic"] = (0, _op_flatten)
+
+    return O
+
+
+def _percent(a: str) -> float:
+    a = a.strip()
+    if a.endswith("%"):
+        return float(a[:-1]) / 100.0
+    v = float(a)
+    return v if v <= 1.0 else v / 100.0 if v <= 100.0 else v / 65535.0
+
+
+def _unsharp_args(a):
+    # radius x sigma + gain + threshold
+    g = parse_geometry(a)
+    return {"radius": g.width or 0.0, "sigma": g.height if g.height is not None else 1.0,
+            "gain": float(g.x) if g.x is not None else 1.0,
+            "threshold": float(g.y) / 100.0 if g.y is not None else 0.05}
+
+
+def _motion_args(a):
+    g = parse_geometry(a)
+    return {"radius": g.width or 0.0, "sigma": g.height if g.height is not None else 1.0,
+            "angle": float(g.x or 0)}
+
+
+def _bilateral_args(a):
+    g = parse_geometry(a)
+    w = int(g.width or 5)
+    h = int(g.height if g.height is not None else w)
+    return {"width": w, "height": h}
+
+
+def _shade_args(a):
+    g = parse_geometry(a)
+    return {"azimuth": g.width or 30.0,
+            "elevation": g.height if g.height is not None else 30.0}
+
+
+def _stretch_args(a):
+    parts = [p for p in a.replace(",", "x").split("x") if p]
+    bp = _percent(parts[0]) if parts else 0.0
+    wp = _percent(parts[1]) if len(parts) > 1 else None
+    return {"black_point": bp, "white_point": wp}
+
+
+def _sigmoidal_args(a, sharpen):
+    parts = [p for p in a.replace(",", "x").split("x") if p]
+    contrast = float(parts[0]) if parts else 3.0
+    mid = _percent(parts[1]) if len(parts) > 1 else 0.5
+    return {"sharpen": sharpen, "contrast": contrast, "midpoint": mid}
+
+
+def _bc_args(a):
+    parts = [p for p in a.replace(",", "x").split("x") if p]
+    return {"brightness": float(parts[0]) if parts else 0.0,
+            "contrast": float(parts[1]) if len(parts) > 1 else 0.0}
+
+
+def _modulate_args(a):
+    parts = [p for p in a.replace(",", " ").split() if p]
+    return {"brightness": float(parts[0]) if parts else 100.0,
+            "saturation": float(parts[1]) if len(parts) > 1 else 100.0,
+            "hue": float(parts[2]) if len(parts) > 2 else 100.0}
+
+
+def _dither_args(a):
+    name, _, lv = a.partition(",")
+    return {"map_name": name, "levels": int(lv) if lv else 2}
+
+
+def _random_thresh_args(a):
+    parts = [p for p in a.replace(",", "x").split("x") if p]
+    return {"low": _percent(parts[0]) if parts else 0.0,
+            "high": _percent(parts[1]) if len(parts) > 1 else 1.0}
+
+
+def _lat_args(a):
+    g = parse_geometry(a)
+    return {"width": int(g.width or 3), "height": int(g.height or g.width or 3),
+            "bias": (float(g.x) / 100.0) if g.x is not None else 0.0}
+
+
+def _op_statistic(st, arg, plus):
+    from ..ops import statistic as stx
+
+    parts = arg.split(None, 1)
+    stat = parts[0]
+    g = parse_geometry(parts[1]) if len(parts) > 1 else None
+    w = int(g.width or 3) if g else 3
+    h = int(g.height or w) if g else 3
+
+    def make(li):
+        def run(x):
+            return stx.statistic(x, stat, w, h)
+
+        return run
+
+    _lazy_op(st, make)
+
+
+def _op_kmeans(st, arg, plus):
+    from ..ops import quantize as qz
+
+    n = int(arg.split()[0])
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=qz.kmeans_quantize(img.data, n))
+
+
+def _op_auto_threshold(st, arg, plus):
+    from ..ops import threshold as th
+
+    for li in st.images:
+        img = li.materialize()
+        data = th.auto_threshold(img.data, arg)
+        li.image = Image(data, ImageSpec(colorspace="gray"), img.properties)
+
+
+def _op_channel_fx(st, arg, plus):
+    from ..ops import channel as chan
+
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=chan.channel_fx(img.data, arg, img.spec.alpha))
+
+
+def _op_opaque(st, arg, plus):
+    from ..ops import paint as pt
+
+    target = parse_color(arg)
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=pt.opaque_paint(
+            img.data, target[: img.channels], st.fill()[: img.channels],
+            fuzz=float(st.settings.get("fuzz", "0")) / 100.0, invert=plus))
+
+
+def _op_transparent(st, arg, plus):
+    from ..ops import paint as pt
+
+    target = parse_color(arg)
+    for li in st.images:
+        img = li.materialize()
+        if not img.spec.alpha:
+            img = img.set_alpha(True)
+        li.image = img.replace(data=pt.transparent_paint(
+            img.data, target[:3], 0.0,
+            fuzz=float(st.settings.get("fuzz", "0")) / 100.0, invert=plus))
+
+
+def _op_distort(st, arg, plus):
+    from ..ops import distort as dt
+
+    parts = arg.split(None, 1)
+    method = parts[0]
+    args = [float(x) for x in parts[1].replace(",", " ").split()] if len(parts) > 1 else []
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=dt.distort(
+            img.data, method, args, background=st.bg()[: img.channels]))
+
+
+_SETTINGS = {
+    "background", "fill", "gravity", "filter", "quality", "fuzz",
+    "virtual-pixel", "interpolate", "compose", "font", "pointsize",
+    "bordercolor", "mattecolor", "stroke", "strokewidth", "density",
+    "dispose", "delay", "loop", "channel", "intent", "interlace",
+    "sampling-factor", "attenuate", "seed",
+}
+
+OPS = None
+
+
+def _identify_text(img: Image, path: str, verbose=False) -> str:
+    h, w = img.height, img.width
+    fmt = path.rsplit(".", 1)[-1].upper() if "." in path else "MIFF"
+    base = f"{path} {fmt} {w}x{h} {w}x{h}+0+0 {img.spec.depth}-bit {img.spec.colorspace}"
+    if not verbose:
+        return base
+    from ..ops import statistic as stx
+
+    stats = stx.get_statistics(img.data)
+    lines = [base]
+    for i in range(img.channels):
+        lines.append(f"  channel {i}: min={float(stats['min'][i]):.4f} "
+                     f"max={float(stats['max'][i]):.4f} "
+                     f"mean={float(stats['mean'][i]):.4f} "
+                     f"std={float(stats['std'][i]):.4f}")
+    return "\n".join(lines)
+
+
+def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
+    """ProcessCommandOptions analog: sequential option interpreter."""
+    global OPS
+    if OPS is None:
+        OPS = _build_ops()
+    from .. import io as iio
+
+    st = st or CLIState()
+    args = list(args)
+    i = 0
+    output_written = False
+    while i < len(args):
+        tok = args[i]
+        i += 1
+        if tok == "(":
+            st.stack.append(st.images)
+            st.images = []
+            continue
+        if tok == ")":
+            if not st.stack:
+                raise CLIError("unbalanced parenthesis")
+            parent = st.stack.pop()
+            st.images = parent + st.images
+            continue
+        if not tok.startswith(("-", "+")) or tok == "-":
+            # image read (or implicit final write handled by caller)
+            is_last = i == len(args)
+            if is_last and st.images and _looks_like_output(tok):
+                _write_output(st, tok)
+                output_written = True
+            else:
+                for im in iio.read_images(tok, size=st.size):
+                    st.images.append(LazyImage(im))
+            continue
+
+        plus = tok.startswith("+")
+        name = tok[1:]
+        if name == "size":
+            st.size = args[i]; i += 1
+            continue
+        if name == "depth":
+            st.depth = int(args[i]); i += 1
+            continue
+        if name == "define":
+            kv = args[i]; i += 1
+            k, _, v = kv.partition("=")
+            st.defines[k] = v
+            continue
+        if name == "set":
+            k, v = args[i], args[i + 1]; i += 2
+            for li in st.images:
+                li.image.properties[k.lstrip("-+")] = v
+            continue
+        if name == "geometry":
+            st.settings["compose-geometry"] = args[i]; i += 1
+            continue
+        if name in _SETTINGS:
+            if plus and name in ("gravity", "compose"):
+                st.settings[name] = "undefined" if name == "gravity" else "over"
+            else:
+                st.settings[name] = args[i]; i += 1
+            continue
+        if name == "write":
+            target = args[i]; i += 1
+            _write_output(st, target)
+            continue
+        if name == "identify":
+            for li in st.images:
+                print(_identify_text(li.materialize(), "image"))
+            continue
+        if name == "verbose":
+            st.settings["verbose"] = "1"
+            continue
+        if name == "strip":
+            for li in st.images:
+                li.image.properties.clear()
+                li.image.profiles.clear()
+            continue
+        if name == "delete":
+            idx = args[i] if i < len(args) and not args[i].startswith("-") else "-1"
+            if idx == args[i:i + 1][0] if i < len(args) else False:
+                i += 1
+            sel = int(idx)
+            del st.images[sel]
+            continue
+        if name == "clone":
+            spec = args[i]; i += 1
+            sel = int(spec)
+            src = st.stack[-1] if st.stack else st.images
+            st.images.append(LazyImage(src[sel].materialize()))
+            continue
+        if name == "swap":
+            spec = args[i] if i < len(args) else "-2,-1"
+            if "," in spec or spec.lstrip("+-").isdigit():
+                i += 1
+            else:
+                spec = "-2,-1"
+            a, _, b = spec.partition(",")
+            ia, ib = int(a), int(b or -1)
+            st.images[ia], st.images[ib] = st.images[ib], st.images[ia]
+            continue
+        if name == "reverse":
+            st.images.reverse()
+            continue
+        if name in OPS:
+            n_args, handler = OPS[name]
+            arg = None
+            if n_args == 1:
+                arg = args[i]; i += 1
+            elif n_args == 2:
+                arg = args[i] + " " + args[i + 1]; i += 2
+            st.require_images("-" + name)
+            handler(st, arg, plus)
+            continue
+        raise CLIError(f"unrecognized option {tok!r}")
+    return st
+
+
+def _looks_like_output(tok: str) -> bool:
+    if ":" in tok:
+        prefix = tok.split(":", 1)[0].lower()
+        from ..io import supported_write_formats
+
+        return prefix in supported_write_formats()
+    return "." in tok or tok == "-"
+
+
+def _write_output(st: CLIState, target: str):
+    from .. import io as iio
+
+    imgs = [li.materialize() for li in st.images]
+    if not imgs:
+        raise CLIError("no image to write")
+    iio.write_image(imgs if len(imgs) > 1 else imgs[0], target,
+                    quality=int(st.settings["quality"]),
+                    depth=st.depth)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in ("convert", "mogrify", "identify", "compare",
+                            "composite", "montage"):
+        tool = argv.pop(0)
+    else:
+        tool = "magick"
+    try:
+        if tool == "identify":
+            return _identify_main(argv)
+        if tool == "compare":
+            return _compare_main(argv)
+        st = process(argv)
+        return st.exit_code
+    except (CLIError, FileNotFoundError, ValueError) as e:
+        print(f"tmagick: {e}", file=sys.stderr)
+        return 1
+
+
+def _identify_main(argv) -> int:
+    from .. import io as iio
+
+    verbose = "-verbose" in argv
+    paths = [a for a in argv if not a.startswith("-")]
+    for p in paths:
+        for im in iio.read_images(p):
+            print(_identify_text(im, p, verbose))
+    return 0
+
+
+def _compare_main(argv) -> int:
+    from .. import io as iio
+    from ..ops import compare as cmp_ops
+
+    metric = "rmse"
+    paths = []
+    i = 0
+    out_path = None
+    while i < len(argv):
+        if argv[i] == "-metric":
+            metric = argv[i + 1].lower()
+            i += 2
+        elif argv[i].startswith("-"):
+            i += 1
+        else:
+            paths.append(argv[i])
+            i += 1
+    if len(paths) < 2:
+        print("compare: need two images", file=sys.stderr)
+        return 2
+    a = iio.read_images(paths[0])[0]
+    b = iio.read_images(paths[1])[0]
+    if a.data.shape != b.data.shape:
+        print("compare: image sizes differ", file=sys.stderr)
+        return 2
+    d = float(cmp_ops.get_distortion(a.data, b.data, metric))
+    print(f"{d:.6g}", file=sys.stderr)
+    if len(paths) > 2:
+        vis, _ = cmp_ops.compare_images(a.data, b.data, metric)
+        iio.write_image(Image(vis, a.spec), paths[2])
+    # exit code: 0 similar, 1 dissimilar (reference semantics)
+    return 0 if d < 0.01 or metric in ("psnr", "ncc", "ssim") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

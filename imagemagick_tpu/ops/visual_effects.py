@@ -1,0 +1,250 @@
+"""Visual effects: noise, sepia, solarize, vignette, charcoal... (visual-effects.c).
+
+Re-implements /root/reference/MagickCore/visual-effects.c (3,782 LoC, 14 OMP
+loops).  Each effect composes the primitive families (warps from distort,
+convolutions from blur, color math from colorspace/enhance) — the same
+decomposition the reference uses, but fused by XLA instead of materializing
+intermediates through the pixel cache.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import blur as bl
+from . import colorspace as cs
+from . import enhance as en
+from .distort import implode, swirl, wave  # re-exported effect warps
+
+
+def add_noise(img: jnp.ndarray, noise_type: str = "gaussian",
+              attenuate: float = 1.0, key=None) -> jnp.ndarray:
+    """AddNoiseImage (visual-effects.c; generators in gem.c GenerateDifferentialNoise).
+
+    Noise amplitudes follow the reference's quantum-scaled constants:
+    SigmaUniform=4.0, SigmaGaussian=4.0, SigmaImpulse=0.10, SigmaLaplacian 10,
+    SigmaMultiplicativeGaussian=1.0, SigmaPoisson=0.05, TauGaussian=20
+    (gem.c:1604-1610 region).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    t = noise_type.lower()
+    a = attenuate
+    if t == "uniform":
+        return jnp.clip(img + a * (4.0 / 255.0) * (jax.random.uniform(key, img.shape) - 0.5), 0, 1)
+    if t == "gaussian":
+        k1, k2 = jax.random.split(key)
+        n = jax.random.normal(k1, img.shape)
+        tau = jax.random.normal(k2, img.shape)
+        noise = img * a * n * 4.0 / 255.0 + a * tau * (20.0 / 255.0)
+        return jnp.clip(img + noise, 0, 1)
+    if t in ("impulse", "saltandpepper", "salt-and-pepper"):
+        u = jax.random.uniform(key, img.shape)
+        thr = 0.5 * a * 0.10
+        return jnp.where(u < thr, 0.0, jnp.where(u > 1.0 - thr, 1.0, img))
+    if t == "laplacian":
+        u = jax.random.uniform(key, img.shape, minval=-0.4999, maxval=0.4999)
+        n = -jnp.sign(u) * jnp.log(1.0 - 2.0 * jnp.abs(u))
+        return jnp.clip(img + a * (10.0 / 255.0) * n / math.sqrt(2.0), 0, 1)
+    if t in ("multiplicative", "multiplicativegaussian"):
+        n = jax.random.normal(key, img.shape)
+        return jnp.clip(img + img * a * n * 0.5, 0, 1)
+    if t == "poisson":
+        lam = jnp.maximum(img * 255.0 / jnp.maximum(a, 1e-3), 1e-6)
+        p = jax.random.poisson(key, lam).astype(img.dtype)
+        return jnp.clip(p * jnp.maximum(a, 1e-3) / 255.0, 0, 1)
+    if t == "random":
+        return jax.random.uniform(key, img.shape)
+    raise ValueError(f"unknown noise type {noise_type!r}")
+
+
+def blue_shift(img: jnp.ndarray, factor: float = 1.5) -> jnp.ndarray:
+    """BlueShiftImage: simulate moonlight (visual-effects.c:234 region)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    quantum = jnp.max(img[..., :3], axis=-1)
+    mid = 0.5 * (jnp.min(img[..., :3], axis=-1) + quantum)
+    nr = 0.5 * (2.0 * r + mid) / 2.0
+    ng = 0.5 * (2.0 * g + mid) / 2.0
+    nb = 0.5 * (2.0 * b + quantum) / 2.0
+    shift = jnp.stack([nr, ng, nb], axis=-1)
+    t = (factor - 1.0)
+    out = img[..., :3] * (1.0 - t * 0.5) + shift * (t * 0.5) * jnp.asarray([0.8, 0.9, 1.2])
+    if img.shape[-1] > 3:
+        out = jnp.concatenate([out, img[..., 3:]], axis=-1)
+    return jnp.clip(out, 0, 1)
+
+
+def charcoal(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0) -> jnp.ndarray:
+    """CharcoalImage: edge -> blur -> normalize -> negate -> gray."""
+    e = bl.edge_image(img, radius)
+    b = bl.blur(e, radius, sigma)
+    n = en.normalize(b)
+    neg = 1.0 - n
+    return en.grayscale(neg).repeat(img.shape[-1], axis=-1)[..., : img.shape[-1]]
+
+
+def colorize(img: jnp.ndarray, color: Sequence[float],
+             amount: Sequence[float]) -> jnp.ndarray:
+    """ColorizeImage: per-channel blend toward a fill color."""
+    c = jnp.asarray(color, img.dtype)[: img.shape[-1]]
+    a = jnp.asarray(amount, img.dtype)
+    a = jnp.broadcast_to(a, (img.shape[-1],))[: img.shape[-1]]
+    return jnp.clip(img * (1.0 - a) + c * a, 0, 1)
+
+
+def color_matrix(img: jnp.ndarray, matrix: np.ndarray) -> jnp.ndarray:
+    """ColorMatrixImage: up to 6x6 affine channel mixing (visual-effects.c)."""
+    m = np.asarray(matrix, np.float32)
+    n = m.shape[0]
+    c = img.shape[-1]
+    # build input vector [r g b (k) a 1] padded
+    comps = [img[..., i] for i in range(min(c, n - 1))]
+    while len(comps) < n - 1:
+        comps.append(jnp.ones(img.shape[:-1], img.dtype))
+    comps.append(jnp.ones(img.shape[:-1], img.dtype))  # affine term
+    vec = jnp.stack(comps[:n], axis=-1)
+    out = jnp.einsum("...i,ji->...j", vec, jnp.asarray(m), precision="highest")
+    out = out[..., :c]
+    return jnp.clip(out, 0, 1)
+
+
+def sepia_tone(img: jnp.ndarray, threshold: float = 0.8) -> jnp.ndarray:
+    """SepiaToneImage (visual-effects.c): YIQ-based sepia."""
+    yiq = cs.rgb_to_yiq(img[..., :3])
+    y = yiq[..., 0]
+    intensity = y
+    tone = threshold
+    i_ch = jnp.full_like(y, 0.5 + 0.20 * tone * 0.2)
+    q_ch = jnp.full_like(y, 0.5 + 0.10 * tone * 0.2)
+    out = cs.yiq_to_rgb(jnp.stack([intensity, i_ch, q_ch], axis=-1))
+    if img.shape[-1] > 3:
+        out = jnp.concatenate([out, img[..., 3:]], axis=-1)
+    return jnp.clip(out, 0, 1)
+
+
+def solarize(img: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """SolarizeImage: negate above threshold."""
+    return jnp.where(img > threshold, 1.0 - img, img)
+
+
+def stegano(img: jnp.ndarray, watermark: jnp.ndarray, offset: int = 0) -> jnp.ndarray:
+    """SteganoImage: hide a watermark in the LSBs (visual-effects.c)."""
+    q = (img * 255.0 + 0.5).astype(jnp.int32)
+    wm_bit = (jnp.mean(watermark, axis=-1, keepdims=True) > 0.5).astype(jnp.int32)
+    h, w = watermark.shape[-3], watermark.shape[-2]
+    canvas_bits = jnp.zeros(img.shape[:-1] + (1,), jnp.int32)
+    canvas_bits = canvas_bits.at[..., :h, :w, :].set(wm_bit)
+    q = (q & ~1) | canvas_bits
+    return q.astype(img.dtype) / 255.0
+
+
+def stereo(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """StereoAnaglyphImage: red from left, green/blue from right."""
+    return jnp.stack([left[..., 0], right[..., 1], right[..., 2]], axis=-1)
+
+
+def tint(img: jnp.ndarray, color: Sequence[float], amount: float = 1.0) -> jnp.ndarray:
+    """TintImage: tint midtones toward a color (visual-effects.c)."""
+    c = jnp.asarray(color, img.dtype)[:3]
+    rgb = img[..., :3]
+    inten = jnp.mean(rgb, axis=-1, keepdims=True)
+    weight = inten - 0.5
+    sigmoid = 1.0 / (1.0 + jnp.exp(-10.0 * weight))
+    tint_amt = amount * (c - 0.5) * 0.5
+    out = rgb + tint_amt * (1.0 - 4.0 * (inten - 0.5) ** 2)
+    if img.shape[-1] > 3:
+        out = jnp.concatenate([out, img[..., 3:]], axis=-1)
+    return jnp.clip(out, 0, 1)
+
+
+def vignette(img: jnp.ndarray, radius: float = 0.0, sigma: float = 10.0,
+             x: int = 0, y: int = 0,
+             background: Sequence[float] = (0.0, 0.0, 0.0)) -> jnp.ndarray:
+    """VignetteImage: elliptical soft-edged mask to background."""
+    h, w = img.shape[-3], img.shape[-2]
+    cy, cx = h / 2.0, w / 2.0
+    ry = cy - y
+    rx = cx - x
+    yy = jnp.arange(h, dtype=img.dtype)[:, None]
+    xx = jnp.arange(w, dtype=img.dtype)[None, :]
+    d = ((xx - cx) / jnp.maximum(rx, 1.0)) ** 2 + ((yy - cy) / jnp.maximum(ry, 1.0)) ** 2
+    edge = jnp.sqrt(d)
+    soft = jnp.clip((1.0 - edge) / jnp.maximum(sigma / min(h, w) * 4.0, 1e-3) + 0.5, 0.0, 1.0)
+    mask = soft[..., None]
+    bg = jnp.asarray(background, img.dtype)[: img.shape[-1]]
+    return img * mask + bg * (1.0 - mask)
+
+
+def sketch(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+           angle: float = 0.0, key=None) -> jnp.ndarray:
+    """SketchImage: motion-blurred random noise modulated by edges."""
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    noise = add_noise(jnp.full_like(img, 0.5), "random", key=key)
+    streaks = bl.motion_blur(noise, radius, max(sigma, 1.0), angle)
+    gray = en.grayscale(img)
+    edges = bl.edge_image(gray, 1.0)
+    base = 1.0 - en.normalize(edges)
+    sk = jnp.clip(base * 0.6 + streaks[..., :1] * 0.4, 0, 1)
+    return jnp.repeat(sk, img.shape[-1], axis=-1)[..., : img.shape[-1]]
+
+
+def shadow(img_alpha: jnp.ndarray, alpha_pct: float = 80.0, sigma: float = 3.0,
+           x: int = 5, y: int = 5,
+           color: Sequence[float] = (0.0, 0.0, 0.0)) -> jnp.ndarray:
+    """ShadowImage: blurred, offset alpha silhouette in the shadow color."""
+    a = img_alpha[..., -1:]
+    sh = bl.blur(a, 0.0, sigma) * (alpha_pct / 100.0)
+    sh = jnp.roll(sh, (y, x), axis=(-3, -2))
+    c = jnp.asarray(color, img_alpha.dtype)[:3]
+    out = jnp.concatenate([jnp.broadcast_to(c, sh.shape[:-1] + (3,)), sh], axis=-1)
+    return out
+
+
+def polaroid(img: jnp.ndarray, angle: float = 0.0,
+             border: int = 8, caption_height: int = 24) -> jnp.ndarray:
+    """PolaroidImage: white border + bottom caption strip + rotation."""
+    from .transform import splice
+    from .distort import rotate
+
+    c = img.shape[-1]
+    white = [1.0] * c
+    h, w = img.shape[-3], img.shape[-2]
+    framed = jnp.ones(img.shape[:-3] + (h + 2 * border + caption_height,
+                                        w + 2 * border, c), img.dtype)
+    framed = framed.at[..., border:border + h, border:border + w, :].set(img)
+    if angle:
+        framed = rotate(framed, angle, background=[1.0] * c)
+    return framed
+
+
+def wavelet_denoise(img: jnp.ndarray, threshold: float = 0.05,
+                    softness: float = 0.0, levels: int = 4) -> jnp.ndarray:
+    """WaveletDenoiseImage (visual-effects.c): à-trous B3-spline wavelet shrink.
+
+    The reference runs 5 à-trous levels with a 1-5-8-5-1/20? kernel
+    (actually B3 spline 1,4,6,4,1 / 16) and soft-thresholds detail bands.
+    """
+    k1 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+    out = jnp.zeros_like(img)
+    current = img
+    for lvl in range(levels):
+        dil = 2 ** lvl
+        kd = np.zeros(4 * dil + 1, np.float32)
+        kd[::dil] = k1
+        smooth = bl._separable_conv(current, kd, "mirror")
+        detail = current - smooth
+        t = threshold / (2 ** lvl)
+        mag = jnp.abs(detail)
+        shrunk = jnp.sign(detail) * jnp.maximum(mag - t, 0.0)
+        keep = jnp.where(softness > 0,
+                         shrunk + softness * (detail - shrunk),
+                         shrunk)
+        out = out + keep
+        current = smooth
+    return jnp.clip(out + current, 0, 1)
