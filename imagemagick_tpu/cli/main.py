@@ -617,6 +617,16 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["transparent"] = (1, lambda st, a, p: _op_transparent(st, a, p))
     O["distort"] = (2, lambda st, a, p: _op_distort(st, a, p))
 
+    # --- analysis / expression ops ---
+    O["fx"] = (1, lambda st, a, p: _op_fx(st, a, p))
+    O["canny"] = (1, _op_simple("feature", "canny_edge",
+        lambda st, a, p: _canny_args(a)))
+    O["mean-shift"] = (1, _op_simple("feature", "mean_shift",
+        lambda st, a, p: _meanshift_args(a)))
+    O["connected-components"] = (1, lambda st, a, p: _op_ccl(st, a, p))
+    O["segment"] = (1, lambda st, a, p: _op_segment(st, a, p))
+    O["hough-lines"] = (1, lambda st, a, p: _op_hough(st, a, p))
+
     # --- list ops ---
     O["append"] = (0, _op_append)
     O["composite"] = (0, _op_composite_list)
@@ -783,6 +793,78 @@ def _op_distort(st, arg, plus):
         img = li.materialize()
         li.image = img.replace(data=dt.distort(
             img.data, method, args, background=st.bg()[: img.channels]))
+
+
+def _canny_args(a):
+    g = parse_geometry(a)
+    kw = {"radius": g.width or 0.0, "sigma": g.height if g.height is not None else 1.0}
+    if g.x is not None:
+        kw["lower_percent"] = abs(g.x) / 100.0
+    if g.y is not None:
+        kw["upper_percent"] = abs(g.y) / 100.0
+    return kw
+
+
+def _meanshift_args(a):
+    g = parse_geometry(a)
+    kw = {"width": int(g.width or 7), "height": int(g.height or g.width or 7)}
+    if g.x is not None:
+        kw["color_distance"] = abs(g.x) / 100.0
+    return kw
+
+
+def _op_fx(st, arg, plus):
+    from ..ops import fx as fxm
+
+    imgs = [li.materialize() for li in st.images]
+    data = fxm.fx([im.data for im in imgs], arg)
+    st.images = [LazyImage(Image(data, imgs[0].spec, imgs[0].properties))]
+
+
+def _op_ccl(st, arg, plus):
+    from ..ops import vision as vi
+
+    conn = int(arg) if arg and arg.strip().isdigit() else 4
+    verbose = st.defines.get("connected-components:verbose", "") == "true"
+    for li in st.images:
+        img = li.materialize()
+        labels = vi.connected_components(img.data, connectivity=conn,
+                                         fuzz=float(st.settings.get("fuzz", "0")) / 100.0)
+        if verbose:
+            for s in vi.component_statistics(img.data, labels):
+                bx, by, bw, bh = s["bbox"]
+                print(f"  {s['id']}: {bw}x{bh}+{bx}+{by} "
+                      f"{s['centroid'][0]:.1f},{s['centroid'][1]:.1f} "
+                      f"{s['area']} srgb{tuple(round(c, 3) for c in s['mean_color'])}")
+        import jax.numpy as jnp
+
+        norm = labels.astype(jnp.float32) / float(img.height * img.width)
+        li.image = Image(norm[..., None], ImageSpec(colorspace="gray"))
+
+
+def _op_segment(st, arg, plus):
+    from ..ops import segment as sg
+
+    parts = [p for p in arg.replace(",", "x").split("x") if p]
+    ct = float(parts[0]) if parts else 1.0
+    sm = float(parts[1]) if len(parts) > 1 else 1.5
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=sg.segment(img.data, cluster_threshold=ct,
+                                               smooth_threshold=sm))
+
+
+def _op_hough(st, arg, plus):
+    from ..ops import feature as ft
+
+    g = parse_geometry(arg)
+    w = int(g.width or 5)
+    h = int(g.height or w)
+    thr = int(g.x or 40)
+    for li in st.images:
+        img = li.materialize()
+        for rho, theta, count in ft.hough_lines(img.data, w, h, thr):
+            print(f"line: rho={rho:.1f} theta={theta:.3f} count={count:.0f}")
 
 
 _SETTINGS = {

@@ -1,0 +1,135 @@
+"""Connected components labeling + region statistics (vision.c).
+
+Re-implements ConnectedComponentsImage (/root/reference/MagickCore/
+vision.c:786): the reference runs union-find over the pixel array; on TPU
+labeling is iterative min-label propagation (each pixel takes the minimum
+label among fuzz-equal neighbors) inside a lax.while_loop — the standard
+accelerator CCL formulation.  Region statistics (area/centroid/bbox) are
+segment-id scatter-adds.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def connected_components(img: jnp.ndarray, connectivity: int = 4,
+                         fuzz: float = 0.0, max_iters: Optional[int] = None
+                         ) -> jnp.ndarray:
+    """Label fuzz-equal regions; returns int32 labels shaped (..., H, W).
+
+    Label values are the flat index of each region's top-left-most pixel
+    (deterministic, like the reference's object ids after relabeling).
+    """
+    h, w = img.shape[-3], img.shape[-2]
+    init = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    init = jnp.broadcast_to(init, img.shape[:-3] + (h, w))
+
+    def similar(a, b):
+        d2 = jnp.mean((a - b) ** 2, axis=-1)
+        return d2 <= fuzz * fuzz + 1e-12
+
+    def shifted(x, dy, dx, fill):
+        s = jnp.roll(x, (dy, dx), axis=(-2, -1))
+        if dy == 1:
+            s = s.at[..., 0, :].set(fill)
+        if dy == -1:
+            s = s.at[..., -1, :].set(fill)
+        if dx == 1:
+            s = s.at[..., :, 0].set(fill)
+        if dx == -1:
+            s = s.at[..., :, -1].set(fill)
+        return s
+
+    offs = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if connectivity == 8:
+        offs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+    # neighbor similarity masks are static w.r.t. the loop
+    sim_masks = []
+    for dy, dx in offs:
+        nb_img = jnp.roll(img, (dy, dx), axis=(-3, -2))
+        m = similar(img, nb_img)
+        if dy == 1:
+            m = m.at[..., 0, :].set(False)
+        if dy == -1:
+            m = m.at[..., -1, :].set(False)
+        if dx == 1:
+            m = m.at[..., :, 0].set(False)
+        if dx == -1:
+            m = m.at[..., :, -1].set(False)
+        sim_masks.append(m)
+
+    big = jnp.int32(h * w + 1)
+    iters = max_iters or (h + w)
+
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < iters)
+
+    def body(state):
+        labels, _, it = state
+        best = labels
+        for (dy, dx), m in zip(offs, sim_masks):
+            nb = shifted(labels, dy, dx, big)
+            best = jnp.minimum(best, jnp.where(m, nb, big))
+        # pointer-jumping: adopt the label of your current root pixel
+        flat = best.reshape(best.shape[:-2] + (h * w,))
+        best = jnp.take_along_axis(flat, flat, axis=-1).reshape(best.shape)
+        return best, jnp.any(best != labels), it + 1
+
+    labels, _, _ = lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    return labels
+
+
+def component_statistics(img: jnp.ndarray, labels: jnp.ndarray,
+                         min_area: int = 0) -> List[Dict]:
+    """Per-object area/bbox/centroid/mean-color (host-returning).
+
+    Mirrors the -define connected-components:verbose output
+    (vision.c CCObjectInfo).
+    """
+    lab = np.asarray(labels)
+    arr = np.asarray(img)
+    if lab.ndim == 3:
+        lab, arr = lab[0], arr[0]
+    h, w = lab.shape
+    flat = lab.reshape(-1)
+    uniq, inv, counts = np.unique(flat, return_inverse=True, return_counts=True)
+    ys, xs = np.mgrid[0:h, 0:w]
+    out = []
+    for k, (u, n) in enumerate(zip(uniq, counts)):
+        if n < min_area:
+            continue
+        mask = inv.reshape(h, w) == k
+        yy, xx = ys[mask], xs[mask]
+        color = arr[mask].mean(axis=0)
+        out.append({
+            "id": int(u),
+            "area": int(n),
+            "bbox": (int(xx.min()), int(yy.min()),
+                     int(xx.max() - xx.min() + 1), int(yy.max() - yy.min() + 1)),
+            "centroid": (float(xx.mean()), float(yy.mean())),
+            "mean_color": tuple(float(c) for c in color),
+        })
+    out.sort(key=lambda o: -o["area"])
+    return out
+
+
+def area_threshold(img: jnp.ndarray, labels: jnp.ndarray, min_area: int,
+                   background: float = 0.0) -> jnp.ndarray:
+    """Remove components smaller than min_area (connected-components:area-threshold)."""
+    h, w = labels.shape[-2], labels.shape[-1]
+    flat = labels.reshape(labels.shape[:-2] + (h * w,))
+    n = h * w
+    # per-label area by scatter-add, then gather back per pixel
+    cnt = jnp.zeros((n,), jnp.int32).at[flat.reshape(-1)].add(1)
+    area_of_pixel = cnt[flat].reshape(labels.shape)
+    keep = (area_of_pixel >= min_area)[..., None]
+    return jnp.where(keep, img, background)

@@ -172,3 +172,28 @@ def test_compare_tool(tmp_png, tmp_path, capsys):
 def test_error_handling(tmp_path):
     assert main(["/nonexistent/input.png", str(tmp_path / "o.png")]) == 1
     assert main(["xc:red", "-bogus-option", str(tmp_path / "o.png")]) == 1
+
+
+ANALYSIS_PIPELINES = [
+    "-fx u*0.5+0.2",
+    "-fx (u+v)/2",  # needs 2 images; guarded below
+    "-canny 0x1+10%+30%",
+    "-mean-shift 5x5+10%",
+    "-segment 1x1.5",
+    "-connected-components 4",
+]
+
+
+@pytest.mark.parametrize("pipeline", [p for p in ANALYSIS_PIPELINES
+                                      if "v" not in p.split()[1][:4]])
+def test_analysis_pipeline(tmp_png, tmp_path, pipeline):
+    out = str(tmp_path / "out.png")
+    process([tmp_png] + pipeline.split(None, 1)[0:1] +
+            [pipeline.split(None, 1)[1]] + [out])
+    assert os.path.exists(out)
+
+
+def test_fx_two_image_cli(tmp_png, tmp_path):
+    out = str(tmp_path / "out.png")
+    process([tmp_png, tmp_png, "-fx", "(u+v)/2", out])
+    assert os.path.exists(out)
