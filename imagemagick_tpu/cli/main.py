@@ -627,13 +627,113 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["segment"] = (1, lambda st, a, p: _op_segment(st, a, p))
     O["hough-lines"] = (1, lambda st, a, p: _op_hough(st, a, p))
 
+    # --- drawing / decoration ---
+    O["draw"] = (1, lambda st, a, p: _op_draw(st, a, p))
+    O["annotate"] = (2, lambda st, a, p: _op_annotate(st, a, p))
+    O["frame"] = (1, lambda st, a, p: _op_frame(st, a, p))
+    O["raise"] = (1, lambda st, a, p: _op_raise(st, a, not p))
+
     # --- list ops ---
     O["append"] = (0, _op_append)
     O["composite"] = (0, _op_composite_list)
     O["flatten"] = (0, _op_flatten)
-    O["mosaic"] = (0, _op_flatten)
+    O["mosaic"] = (0, _op_mosaic)
+    O["coalesce"] = (0, _op_coalesce)
+    O["deconstruct"] = (0, _op_deconstruct)
+    O["montage"] = (0, _op_montage)
 
     return O
+
+
+def _op_draw(st, arg, plus):
+    from ..ops import draw as dw
+
+    prelude = []
+    fill = st.settings.get("fill", "black")
+    stroke = st.settings.get("stroke")
+    swidth = st.settings.get("strokewidth")
+    psize = st.settings.get("pointsize")
+    font = st.settings.get("font")
+    prelude.append(f"fill '{fill}'")
+    if stroke:
+        prelude.append(f"stroke '{stroke}'")
+    if swidth:
+        prelude.append(f"stroke-width {swidth}")
+    if psize:
+        prelude.append(f"font-size {psize}")
+    if font:
+        prelude.append(f"font '{font}'")
+    mvg = " ".join(prelude) + " " + arg
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=dw.draw(img.data, mvg, img.spec.alpha))
+
+
+def _op_annotate(st, arg, plus):
+    from ..ops import draw as dw
+
+    geom, _, text = arg.partition(" ")
+    g = parse_geometry(geom)
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=dw.annotate(
+            img.data, text.strip("'\""), g.x or 0, g.y or 0,
+            color=st.fill(),
+            size=float(st.settings.get("pointsize", "12")),
+            font=st.settings.get("font"),
+            gravity=st.settings["gravity"]))
+
+
+def _op_frame(st, arg, plus):
+    from ..ops import decorate as dec
+
+    g = parse_geometry(arg)
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=dec.frame(
+            img.data, int(g.width or 6), int(g.height or g.width or 6),
+            outer_bevel=abs(g.x) if g.x is not None else 2,
+            inner_bevel=abs(g.y) if g.y is not None else 2))
+
+
+def _op_raise(st, arg, raised):
+    from ..ops import decorate as dec
+
+    g = parse_geometry(arg)
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=dec.raise_image(
+            img.data, int(g.width or 6), int(g.height or g.width or 6), raised))
+
+
+def _op_mosaic(st, arg, plus):
+    from ..ops import layer as ly
+
+    imgs = [li.materialize() for li in st.images]
+    st.images = [LazyImage(ly.mosaic(imgs))]
+
+
+def _op_coalesce(st, arg, plus):
+    from ..ops import layer as ly
+
+    imgs = [li.materialize() for li in st.images]
+    st.images = [LazyImage(im) for im in ly.coalesce(imgs)]
+
+
+def _op_deconstruct(st, arg, plus):
+    from ..ops import layer as ly
+
+    imgs = [li.materialize() for li in st.images]
+    st.images = [LazyImage(im) for im in ly.deconstruct(imgs)]
+
+
+def _op_montage(st, arg, plus):
+    from ..ops import montage as mo
+
+    imgs = [li.materialize() for li in st.images]
+    geom = st.settings.get("compose-geometry") or "120x120+4+3"
+    st.images = [LazyImage(mo.montage(imgs, tile=st.settings.get("tile", ""),
+                                      geometry=geom))]
 
 
 def _percent(a: str) -> float:

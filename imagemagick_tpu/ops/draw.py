@@ -1,0 +1,614 @@
+"""Vector drawing: MVG interpreter + analytic coverage rasterizer (draw.c).
+
+Re-implements the drawing engine (/root/reference/MagickCore/draw.c, 7,840
+LoC: DrawImage :4554, RenderMVGContent :2490, DrawPolygonPrimitive :4982,
+TracePath SVG grammar).  The reference rasterizes with a scanline
+active-edge algorithm; the TPU formulation computes *coverage for every
+pixel in parallel*:
+
+  * fills: even-odd / nonzero winding tests evaluated at a 4x4 subpixel
+    grid per pixel (supersampled coverage — branch-free, fuses with the
+    subsequent composite)
+  * strokes: exact distance-to-segment field, smooth-stepped at the
+    half-stroke-width boundary
+
+Curves (quadratic/cubic Bezier, elliptical arcs) are flattened host-side to
+polylines at trace time (static geometry), matching the reference's
+TraceBezier subdivision.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.color import parse_color
+
+_SS = 4  # supersampling grid per axis (16 samples/pixel)
+
+
+# ---------------------------------------------------------------------------
+# Geometry helpers (host-side flattening)
+# ---------------------------------------------------------------------------
+
+def _flatten_bezier(p0, p1, p2, p3, n=24):
+    ts = np.linspace(0.0, 1.0, n)
+    mt = 1.0 - ts
+    x = (mt ** 3 * p0[0] + 3 * mt ** 2 * ts * p1[0] +
+         3 * mt * ts ** 2 * p2[0] + ts ** 3 * p3[0])
+    y = (mt ** 3 * p0[1] + 3 * mt ** 2 * ts * p1[1] +
+         3 * mt * ts ** 2 * p2[1] + ts ** 3 * p3[1])
+    return list(zip(x, y))
+
+
+def _flatten_quad(p0, p1, p2, n=16):
+    ts = np.linspace(0.0, 1.0, n)
+    mt = 1.0 - ts
+    x = mt ** 2 * p0[0] + 2 * mt * ts * p1[0] + ts ** 2 * p2[0]
+    y = mt ** 2 * p0[1] + 2 * mt * ts * p1[1] + ts ** 2 * p2[1]
+    return list(zip(x, y))
+
+
+def _flatten_arc(p0, rx, ry, rot, large, sweep, p1, n=32):
+    """SVG elliptical arc -> polyline (W3C endpoint->center conversion)."""
+    if rx == 0 or ry == 0:
+        return [p0, p1]
+    phi = math.radians(rot)
+    cp, sp = math.cos(phi), math.sin(phi)
+    dx2, dy2 = (p0[0] - p1[0]) / 2.0, (p0[1] - p1[1]) / 2.0
+    x1p = cp * dx2 + sp * dy2
+    y1p = -sp * dx2 + cp * dy2
+    rx, ry = abs(rx), abs(ry)
+    lam = (x1p / rx) ** 2 + (y1p / ry) ** 2
+    if lam > 1:
+        s = math.sqrt(lam)
+        rx, ry = rx * s, ry * s
+    num = rx ** 2 * ry ** 2 - rx ** 2 * y1p ** 2 - ry ** 2 * x1p ** 2
+    den = rx ** 2 * y1p ** 2 + ry ** 2 * x1p ** 2
+    co = math.sqrt(max(num / den, 0.0))
+    if large == sweep:
+        co = -co
+    cxp = co * rx * y1p / ry
+    cyp = -co * ry * x1p / rx
+    cx = cp * cxp - sp * cyp + (p0[0] + p1[0]) / 2.0
+    cy = sp * cxp + cp * cyp + (p0[1] + p1[1]) / 2.0
+
+    def ang(ux, uy, vx, vy):
+        d = math.hypot(ux, uy) * math.hypot(vx, vy)
+        a = math.acos(max(-1.0, min(1.0, (ux * vx + uy * vy) / max(d, 1e-12))))
+        return a if ux * vy - uy * vx >= 0 else -a
+
+    th1 = ang(1, 0, (x1p - cxp) / rx, (y1p - cyp) / ry)
+    dth = ang((x1p - cxp) / rx, (y1p - cyp) / ry, (-x1p - cxp) / rx, (-y1p - cyp) / ry)
+    if not sweep and dth > 0:
+        dth -= 2 * math.pi
+    if sweep and dth < 0:
+        dth += 2 * math.pi
+    ts = np.linspace(0.0, 1.0, n)
+    th = th1 + dth * ts
+    x = cx + rx * np.cos(th) * cp - ry * np.sin(th) * sp
+    y = cy + rx * np.cos(th) * sp + ry * np.sin(th) * cp
+    return list(zip(x, y))
+
+
+def parse_svg_path(d: str) -> List[List[Tuple[float, float]]]:
+    """TracePath analog: SVG path data -> list of polylines (subpaths)."""
+    tokens = re.findall(r"[MmLlHhVvCcSsQqTtAaZz]|[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?\d+)?", d)
+    i = 0
+    subpaths: List[List[Tuple[float, float]]] = []
+    cur: List[Tuple[float, float]] = []
+    pos = (0.0, 0.0)
+    start = (0.0, 0.0)
+    last_ctrl = None
+    last_cmd = ""
+
+    def num():
+        nonlocal i
+        v = float(tokens[i])
+        i += 1
+        return v
+
+    while i < len(tokens):
+        t = tokens[i]
+        if re.match(r"[A-Za-z]", t):
+            cmd = t
+            i += 1
+        else:
+            cmd = last_cmd
+            # implicit repeat: M->L, m->l
+            if cmd in "Mm":
+                cmd = "L" if cmd == "M" else "l"
+        rel = cmd.islower()
+        C = cmd.upper()
+        if C == "M":
+            x, y = num(), num()
+            if rel:
+                x, y = pos[0] + x, pos[1] + y
+            if cur:
+                subpaths.append(cur)
+            cur = [(x, y)]
+            pos = start = (x, y)
+        elif C == "L":
+            x, y = num(), num()
+            if rel:
+                x, y = pos[0] + x, pos[1] + y
+            cur.append((x, y))
+            pos = (x, y)
+        elif C == "H":
+            x = num()
+            if rel:
+                x = pos[0] + x
+            cur.append((x, pos[1]))
+            pos = (x, pos[1])
+        elif C == "V":
+            y = num()
+            if rel:
+                y = pos[1] + y
+            cur.append((pos[0], y))
+            pos = (pos[0], y)
+        elif C in ("C", "S"):
+            if C == "C":
+                c1 = (num(), num())
+                if rel:
+                    c1 = (pos[0] + c1[0], pos[1] + c1[1])
+            else:
+                c1 = (2 * pos[0] - last_ctrl[0], 2 * pos[1] - last_ctrl[1]) \
+                    if last_ctrl and last_cmd.upper() in ("C", "S") else pos
+            c2 = (num(), num())
+            end = (num(), num())
+            if rel:
+                c2 = (pos[0] + c2[0], pos[1] + c2[1])
+                end = (pos[0] + end[0], pos[1] + end[1])
+            cur.extend(_flatten_bezier(pos, c1, c2, end)[1:])
+            last_ctrl = c2
+            pos = end
+        elif C in ("Q", "T"):
+            if C == "Q":
+                c1 = (num(), num())
+                if rel:
+                    c1 = (pos[0] + c1[0], pos[1] + c1[1])
+            else:
+                c1 = (2 * pos[0] - last_ctrl[0], 2 * pos[1] - last_ctrl[1]) \
+                    if last_ctrl and last_cmd.upper() in ("Q", "T") else pos
+            end = (num(), num())
+            if rel:
+                end = (pos[0] + end[0], pos[1] + end[1])
+            cur.extend(_flatten_quad(pos, c1, end)[1:])
+            last_ctrl = c1
+            pos = end
+        elif C == "A":
+            rx, ry, rot = num(), num(), num()
+            large, sweep = bool(num()), bool(num())
+            end = (num(), num())
+            if rel:
+                end = (pos[0] + end[0], pos[1] + end[1])
+            cur.extend(_flatten_arc(pos, rx, ry, rot, large, sweep, end)[1:])
+            pos = end
+        elif C == "Z":
+            if cur:
+                cur.append(start)
+                subpaths.append(cur)
+                cur = []
+            pos = start
+        last_cmd = cmd
+    if cur:
+        subpaths.append(cur)
+    return subpaths
+
+
+# ---------------------------------------------------------------------------
+# Device-side coverage rasterization
+# ---------------------------------------------------------------------------
+
+def _sample_grid(h: int, w: int, dtype=jnp.float32):
+    """Subpixel sample coordinates: (h, w, SS*SS) x and y."""
+    offs = (jnp.arange(_SS, dtype=dtype) + 0.5) / _SS - 0.5
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    ox = ox.reshape(-1)
+    oy = oy.reshape(-1)
+    ys = jnp.arange(h, dtype=dtype)[:, None, None] + oy[None, None, :]
+    xs = jnp.arange(w, dtype=dtype)[None, :, None] + ox[None, None, :]
+    ys = jnp.broadcast_to(ys, (h, w, _SS * _SS))
+    xs = jnp.broadcast_to(xs, (h, w, _SS * _SS))
+    return xs, ys
+
+
+def polygon_coverage(h: int, w: int, points: Sequence[Tuple[float, float]],
+                     fill_rule: str = "nonzero") -> jnp.ndarray:
+    """Supersampled polygon fill coverage in [0,1], shape (h, w)."""
+    pts = np.asarray(points, np.float64)
+    if len(pts) < 3:
+        return jnp.zeros((h, w), jnp.float32)
+    xs, ys = _sample_grid(h, w)
+    winding = jnp.zeros(xs.shape, jnp.int32)
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        # upward/downward crossing test at sample y
+        cond = ((ys >= min(y1, y2)) & (ys < max(y1, y2)))
+        t = (ys - y1) / (y2 - y1)
+        x_at = x1 + t * (x2 - x1)
+        crosses = cond & (xs < x_at)
+        direction = 1 if y2 > y1 else -1
+        winding = winding + jnp.where(crosses, direction, 0)
+    if fill_rule in ("evenodd", "even-odd"):
+        inside = (winding % 2) != 0
+    else:
+        inside = winding != 0
+    return jnp.mean(inside.astype(jnp.float32), axis=-1)
+
+
+def stroke_coverage(h: int, w: int, points: Sequence[Tuple[float, float]],
+                    width: float, closed: bool = False) -> jnp.ndarray:
+    """Distance-field stroke coverage for a polyline."""
+    pts = np.asarray(points, np.float64)
+    if len(pts) < 2:
+        return jnp.zeros((h, w), jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    d2min = jnp.full((h, w), 1e12, jnp.float32)
+    segs = list(zip(pts[:-1], pts[1:]))
+    if closed:
+        segs.append((pts[-1], pts[0]))
+    for (x1, y1), (x2, y2) in segs:
+        vx, vy = x2 - x1, y2 - y1
+        ln2 = vx * vx + vy * vy
+        if ln2 < 1e-12:
+            d2 = (xs - x1) ** 2 + (ys - y1) ** 2
+        else:
+            t = jnp.clip(((xs - x1) * vx + (ys - y1) * vy) / ln2, 0.0, 1.0)
+            d2 = (xs - (x1 + t * vx)) ** 2 + (ys - (y1 + t * vy)) ** 2
+        d2min = jnp.minimum(d2min, d2)
+    dist = jnp.sqrt(d2min)
+    r = width / 2.0
+    # analytic 1px anti-aliased edge
+    return jnp.clip(r + 0.5 - dist, 0.0, 1.0)
+
+
+def ellipse_coverage(h: int, w: int, cx: float, cy: float,
+                     rx: float, ry: float) -> jnp.ndarray:
+    xs, ys = _sample_grid(h, w)
+    d = ((xs - cx) / max(rx, 1e-6)) ** 2 + ((ys - cy) / max(ry, 1e-6)) ** 2
+    return jnp.mean((d <= 1.0).astype(jnp.float32), axis=-1)
+
+
+def _blend(img: jnp.ndarray, coverage: jnp.ndarray,
+           color: Sequence[float]) -> jnp.ndarray:
+    c = img.shape[-1]
+    col = jnp.asarray(color[:c], img.dtype)
+    a = (color[3] if len(color) > 3 else 1.0) * coverage[..., None]
+    if c == 4:
+        # src-over with alpha
+        src_a = a
+        dst_a = img[..., 3:4]
+        out_a = src_a + dst_a * (1 - src_a)
+        rgb = (col[:3] * src_a + img[..., :3] * dst_a * (1 - src_a)) / jnp.maximum(out_a, 1e-6)
+        return jnp.concatenate([rgb, out_a], axis=-1)
+    return img * (1.0 - a) + col * a
+
+
+# ---------------------------------------------------------------------------
+# MVG interpreter
+# ---------------------------------------------------------------------------
+
+class _GC:
+    """Graphic context (DrawInfo analog)."""
+
+    def __init__(self):
+        self.fill = (0.0, 0.0, 0.0, 1.0)
+        self.stroke = (0.0, 0.0, 0.0, 0.0)
+        self.stroke_width = 1.0
+        self.fill_opacity = 1.0
+        self.stroke_opacity = 1.0
+        self.fill_rule = "nonzero"
+        self.font_size = 12.0
+        self.font = None
+        self.affine = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        self.text_anchor = "start"
+
+    def copy(self):
+        g = _GC()
+        g.__dict__ = {}
+        for k in ("fill", "stroke", "stroke_width", "fill_opacity",
+                  "stroke_opacity", "fill_rule", "font_size", "font",
+                  "affine", "text_anchor"):
+            setattr(g, k, getattr(self, k))
+        return g
+
+    def xform(self, pts):
+        sx, rx, ry, sy, tx, ty = self.affine
+        return [(sx * x + ry * y + tx, rx * x + sy * y + ty) for x, y in pts]
+
+
+_MVG_TOKEN = re.compile(r"""'[^']*'|"[^"]*"|[^\s,]+""")
+
+
+def _tokenize_mvg(content: str) -> List[str]:
+    # strip comments
+    content = re.sub(r"#[^\n]*", " ", content)
+    return _MVG_TOKEN.findall(content)
+
+
+def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
+    """DrawImage (draw.c:4554): interpret MVG content over an image."""
+    h, w = img.shape[-3], img.shape[-2]
+    toks = _tokenize_mvg(mvg)
+    i = 0
+    gc = _GC()
+    stack: List[_GC] = []
+    out = img
+
+    def num():
+        nonlocal i
+        v = float(toks[i])
+        i += 1
+        return v
+
+    def color_arg():
+        nonlocal i
+        t = toks[i].strip("'\"")
+        i += 1
+        return parse_color(t)
+
+    while i < len(toks):
+        cmd = toks[i].lower()
+        i += 1
+        if cmd == "push":
+            what = toks[i]; i += 1
+            if what == "graphic-context":
+                stack.append(gc)
+                gc = gc.copy()
+        elif cmd == "pop":
+            what = toks[i]; i += 1
+            if what == "graphic-context" and stack:
+                gc = stack.pop()
+        elif cmd == "fill":
+            gc.fill = color_arg()
+        elif cmd == "stroke":
+            gc.stroke = color_arg()
+        elif cmd == "stroke-width":
+            gc.stroke_width = num()
+        elif cmd == "fill-opacity":
+            gc.fill_opacity = num()
+        elif cmd == "stroke-opacity":
+            gc.stroke_opacity = num()
+        elif cmd == "fill-rule":
+            gc.fill_rule = toks[i]; i += 1
+        elif cmd == "font-size":
+            gc.font_size = num()
+        elif cmd == "font" or cmd == "font-family":
+            gc.font = toks[i].strip("'\""); i += 1
+        elif cmd == "text-anchor":
+            gc.text_anchor = toks[i]; i += 1
+        elif cmd == "translate":
+            tx, ty = num(), num()
+            sx, rx, ry, sy, ax, ay = gc.affine
+            gc.affine = (sx, rx, ry, sy, ax + sx * tx + ry * ty, ay + rx * tx + sy * ty)
+        elif cmd == "scale":
+            fx_, fy_ = num(), num()
+            sx, rx, ry, sy, ax, ay = gc.affine
+            gc.affine = (sx * fx_, rx * fx_, ry * fy_, sy * fy_, ax, ay)
+        elif cmd == "rotate":
+            th = math.radians(num())
+            ct, st_ = math.cos(th), math.sin(th)
+            sx, rx, ry, sy, ax, ay = gc.affine
+            gc.affine = (sx * ct + ry * st_, rx * ct + sy * st_,
+                         -sx * st_ + ry * ct, -rx * st_ + sy * ct, ax, ay)
+        elif cmd == "affine":
+            gc.affine = (num(), num(), num(), num(), num(), num())
+        elif cmd in ("line",):
+            pts = gc.xform([(num(), num()), (num(), num())])
+            cov = stroke_coverage(h, w, pts, gc.stroke_width)
+            col = gc.stroke if gc.stroke[3] > 0 else gc.fill
+            out = _blend(out, cov * gc.stroke_opacity, col)
+        elif cmd in ("rectangle",):
+            x1, y1, x2, y2 = num(), num(), num(), num()
+            pts = gc.xform([(x1, y1), (x2, y1), (x2, y2), (x1, y2)])
+            out = _draw_shape(out, h, w, pts, gc, closed=True)
+        elif cmd == "roundrectangle":
+            x1, y1, x2, y2, rx, ry = num(), num(), num(), num(), num(), num()
+            pts = _roundrect_points(x1, y1, x2, y2, rx, ry)
+            out = _draw_shape(out, h, w, gc.xform(pts), gc, closed=True)
+        elif cmd == "circle":
+            cx, cy, px, py = num(), num(), num(), num()
+            r = math.hypot(px - cx, py - cy)
+            out = _draw_ellipse(out, h, w, cx, cy, r, r, gc)
+        elif cmd == "ellipse":
+            cx, cy, rx, ry, a0, a1 = num(), num(), num(), num(), num(), num()
+            out = _draw_ellipse(out, h, w, cx, cy, rx, ry, gc)
+        elif cmd == "arc":
+            x1, y1, x2, y2, a0, a1 = num(), num(), num(), num(), num(), num()
+            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+            rx, ry = abs(x2 - x1) / 2, abs(y2 - y1) / 2
+            th = np.linspace(math.radians(a0), math.radians(a1), 48)
+            pts = [(cx + rx * math.cos(t), cy + ry * math.sin(t)) for t in th]
+            out = _draw_shape(out, h, w, gc.xform(pts), gc, closed=False)
+        elif cmd in ("polyline", "polygon"):
+            pts = []
+            while i < len(toks) and re.match(r"^[-+0-9.]", toks[i]):
+                pts.append((num(), num()))
+            out = _draw_shape(out, h, w, gc.xform(pts), gc,
+                              closed=(cmd == "polygon"))
+        elif cmd == "bezier":
+            pts = []
+            while i < len(toks) and re.match(r"^[-+0-9.]", toks[i]):
+                pts.append((num(), num()))
+            if len(pts) >= 4:
+                flat = _flatten_bezier(pts[0], pts[1], pts[2], pts[3])
+                out = _draw_shape(out, h, w, gc.xform(flat), gc, closed=False)
+        elif cmd == "path":
+            d = toks[i].strip("'\""); i += 1
+            for sub in parse_svg_path(d):
+                out = _draw_shape(out, h, w, gc.xform(sub), gc,
+                                  closed=(len(sub) > 2 and sub[0] == sub[-1]))
+        elif cmd == "point":
+            x, y = num(), num()
+            (tx, ty), = gc.xform([(x, y)])
+            xi, yi = int(round(tx)), int(round(ty))
+            if 0 <= xi < w and 0 <= yi < h:
+                col = jnp.asarray(gc.fill[: out.shape[-1]], out.dtype)
+                out = out.at[..., yi, xi, :].set(col)
+        elif cmd == "text":
+            x, y = num(), num()
+            s = toks[i].strip("'\""); i += 1
+            out = draw_text(out, s, x, y, gc.fill, gc.font_size, gc.font)
+        elif cmd in ("color", "matte", "clip-path", "clip-rule", "decorate",
+                     "encoding", "gravity", "interline-spacing",
+                     "interword-spacing", "kerning", "stroke-linecap",
+                     "stroke-linejoin", "stroke-miterlimit",
+                     "stroke-dasharray", "stroke-dashoffset", "viewbox",
+                     "class", "use", "compliance"):
+            # consume one argument (or dasharray list)
+            if cmd == "viewbox":
+                i += 4
+            elif cmd == "stroke-dasharray":
+                while i < len(toks) and re.match(r"^[-+0-9.]", toks[i]):
+                    i += 1
+            elif cmd == "color":
+                i += 3  # x y method
+            else:
+                i += 1
+        else:
+            # unknown token: skip (MVG is forgiving)
+            pass
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def _roundrect_points(x1, y1, x2, y2, rx, ry, n=8):
+    pts = []
+    corners = [
+        (x2 - rx, y1 + ry, -math.pi / 2, 0),
+        (x2 - rx, y2 - ry, 0, math.pi / 2),
+        (x1 + rx, y2 - ry, math.pi / 2, math.pi),
+        (x1 + rx, y1 + ry, math.pi, 3 * math.pi / 2),
+    ]
+    for cx, cy, a0, a1 in corners:
+        for t in np.linspace(a0, a1, n):
+            pts.append((cx + rx * math.cos(t), cy + ry * math.sin(t)))
+    return pts
+
+
+def _draw_shape(img, h, w, pts, gc: _GC, closed: bool):
+    out = img
+    if closed and gc.fill[3] > 0 and gc.fill_opacity > 0:
+        cov = polygon_coverage(h, w, pts, gc.fill_rule)
+        out = _blend(out, cov * gc.fill_opacity, gc.fill)
+    if gc.stroke[3] > 0 and gc.stroke_opacity > 0 and gc.stroke_width > 0:
+        cov = stroke_coverage(h, w, pts, gc.stroke_width, closed)
+        out = _blend(out, cov * gc.stroke_opacity, gc.stroke)
+    return out
+
+
+def _draw_ellipse(img, h, w, cx, cy, rx, ry, gc: _GC):
+    out = img
+    if gc.fill[3] > 0 and gc.fill_opacity > 0:
+        cov = ellipse_coverage(h, w, cx, cy, rx, ry)
+        out = _blend(out, cov * gc.fill_opacity, gc.fill)
+    if gc.stroke[3] > 0 and gc.stroke_width > 0:
+        th = np.linspace(0, 2 * math.pi, 64)
+        pts = [(cx + rx * math.cos(t), cy + ry * math.sin(t)) for t in th]
+        cov = stroke_coverage(h, w, pts, gc.stroke_width, closed=True)
+        out = _blend(out, cov * gc.stroke_opacity, gc.stroke)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Text (annotate.c flow: host glyph rasterization + device composite)
+# ---------------------------------------------------------------------------
+
+def _load_font(font: Optional[str], size: float):
+    from PIL import ImageFont
+
+    candidates = []
+    if font:
+        candidates.append(font)
+    candidates += [
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "/usr/share/fonts/truetype/liberation/LiberationSans-Regular.ttf",
+        "/usr/share/fonts/TTF/DejaVuSans.ttf",
+    ]
+    for c in candidates:
+        try:
+            return ImageFont.truetype(c, int(round(size)))
+        except Exception:
+            continue
+    return ImageFont.load_default()
+
+
+def render_text_mask(text: str, font: Optional[str] = None,
+                     size: float = 12.0) -> np.ndarray:
+    """Host-side glyph rasterization -> float coverage mask (annotate.c
+    RenderFreetype analog via the same FreeType, through PIL)."""
+    from PIL import Image as PImage
+    from PIL import ImageDraw
+
+    f = _load_font(font, size)
+    probe = PImage.new("L", (4, 4))
+    dr = ImageDraw.Draw(probe)
+    bbox = dr.textbbox((0, 0), text, font=f)
+    tw = max(bbox[2] - bbox[0], 1)
+    th = max(bbox[3] - bbox[1], 1)
+    canvas = PImage.new("L", (tw + 4, th + 4), 0)
+    dr = ImageDraw.Draw(canvas)
+    dr.text((2 - bbox[0], 2 - bbox[1]), text, fill=255, font=f)
+    return np.asarray(canvas, np.float32) / 255.0, -bbox[1] + 2
+
+
+def draw_text(img: jnp.ndarray, text: str, x: float, y: float,
+              color: Sequence[float], size: float = 12.0,
+              font: Optional[str] = None) -> jnp.ndarray:
+    """AnnotateImage core: composite a glyph mask at the baseline point."""
+    mask, ascent = render_text_mask(text, font, size)
+    mh, mw = mask.shape
+    h, w = img.shape[-3], img.shape[-2]
+    x0 = int(round(x))
+    y0 = int(round(y)) - ascent
+    full = np.zeros((h, w), np.float32)
+    sx0, sy0 = max(-x0, 0), max(-y0, 0)
+    dx0, dy0 = max(x0, 0), max(y0, 0)
+    cw = min(mw - sx0, w - dx0)
+    ch = min(mh - sy0, h - dy0)
+    if cw > 0 and ch > 0:
+        full[dy0:dy0 + ch, dx0:dx0 + cw] = mask[sy0:sy0 + ch, sx0:sx0 + cw]
+    return _blend(img, jnp.asarray(full), color)
+
+
+def annotate(img: jnp.ndarray, text: str, x: float = 0, y: float = 0,
+             color=(0, 0, 0, 1), size: float = 12.0,
+             font: Optional[str] = None, gravity: str = "northwest") -> jnp.ndarray:
+    """AnnotateImage (annotate.c:229) with gravity placement."""
+    mask, ascent = render_text_mask(text, font, size)
+    mh, mw = mask.shape
+    h, w = img.shape[-3], img.shape[-2]
+    from .composite import gravity_offset
+
+    gx, gy = gravity_offset(gravity, w, h, mw, mh, int(x), int(y))
+    return draw_text(img, text, gx, gy + ascent, color, size, font)
+
+
+def get_type_metrics(text: str, font: Optional[str] = None,
+                     size: float = 12.0) -> Dict[str, float]:
+    """GetTypeMetrics (annotate.c:680) analog."""
+    from PIL import Image as PImage
+    from PIL import ImageDraw
+
+    f = _load_font(font, size)
+    probe = PImage.new("L", (4, 4))
+    dr = ImageDraw.Draw(probe)
+    bbox = dr.textbbox((0, 0), text, font=f)
+    try:
+        asc, desc = f.getmetrics()
+    except Exception:
+        asc, desc = int(size * 0.8), int(size * 0.2)
+    return {"width": float(bbox[2] - bbox[0]),
+            "height": float(bbox[3] - bbox[1]),
+            "ascent": float(asc), "descent": float(-desc),
+            "max_advance": float(size)}
