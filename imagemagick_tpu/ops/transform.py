@@ -28,7 +28,8 @@ def crop(img: jnp.ndarray, x: int, y: int, width: int, height: int,
     sx0, sy0 = max(x0, 0), max(y0, 0)
     sx1, sy1 = min(x0 + width, w), min(y0 + height, h)
     if sx0 >= sx1 or sy0 >= sy1:
-        fill = jnp.zeros((c,), img.dtype) if background is None else jnp.asarray(background, img.dtype)
+        fill = (jnp.zeros((c,), img.dtype) if background is None
+                else jnp.asarray(list(background)[:c], img.dtype))
         return jnp.broadcast_to(fill, img.shape[:-3] + (height, width, c))
     region = img[..., sy0:sy1, sx0:sx1, :]
     py0, px0 = sy0 - y0, sx0 - x0
@@ -59,7 +60,8 @@ def extent(img: jnp.ndarray, x: int, y: int, width: int, height: int,
            background: Optional[Sequence[float]] = None) -> jnp.ndarray:
     """ExtentImage: place the canvas inside a WxH field at -X-Y offset."""
     c = img.shape[-1]
-    fill = jnp.zeros((c,), img.dtype) if background is None else jnp.asarray(background, img.dtype)
+    fill = (jnp.zeros((c,), img.dtype) if background is None
+            else jnp.asarray(list(background)[:c], img.dtype))
     out = jnp.broadcast_to(fill, img.shape[:-3] + (height, width, c)).astype(img.dtype)
     h, w = img.shape[-3], img.shape[-2]
     # destination offsets (extent uses -x,-y semantics: crop from (x, y))
@@ -98,7 +100,8 @@ def splice(img: jnp.ndarray, x: int, y: int, width: int, height: int,
            background: Optional[Sequence[float]] = None) -> jnp.ndarray:
     """SpliceImage: insert a band of background at the offset."""
     c = img.shape[-1]
-    fill = jnp.zeros((c,), img.dtype) if background is None else jnp.asarray(background, img.dtype)
+    fill = (jnp.zeros((c,), img.dtype) if background is None
+            else jnp.asarray(list(background)[:c], img.dtype))
     h, w = img.shape[-3], img.shape[-2]
     rowband = jnp.broadcast_to(fill, img.shape[:-3] + (height, w, c)).astype(img.dtype)
     out = jnp.concatenate([img[..., :y, :, :], rowband, img[..., y:, :, :]], axis=-3)
