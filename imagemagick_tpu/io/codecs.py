@@ -83,6 +83,25 @@ def _pil_to_image(pim) -> Image:
 
 
 def decode(data: bytes, fmt: Optional[str] = None) -> List[Image]:
+    # native fast path (GIL-free libjpeg/libpng — see native/miniio.cpp)
+    if fmt in ("jpeg", "jpg", "png"):
+        from .. import native
+
+        if native.available():
+            if fmt in ("jpeg", "jpg"):
+                arr = native.decode_jpeg(data)
+                if arr is not None:
+                    return [Image(arr.astype(np.float32) / 255.0,
+                                  _infer_spec(arr.shape[-1]))]
+            else:
+                res = native.decode_png(data)
+                if res is not None:
+                    arr, depth = res
+                    scale = 65535.0 if depth == 16 else 255.0
+                    img = Image(arr.astype(np.float32) / scale,
+                                _infer_spec(arr.shape[-1]))
+                    img.spec = img.spec.with_(depth=min(depth, 16))
+                    return [img]
     if not HAVE_PIL:
         raise RuntimeError("Pillow unavailable for standard-format decode")
     pim = PILImage.open(_io.BytesIO(data))
@@ -114,10 +133,37 @@ def encodable_formats():
 
 
 def encode(images, fmt: str, quality: int = 92, depth: int = 8) -> bytes:
-    if not HAVE_PIL:
-        raise RuntimeError("Pillow unavailable for standard-format encode")
     if isinstance(images, Image):
         images = [images]
+    # native fast path: single frame, no embedded profile
+    if fmt.lower() in ("jpeg", "jpg", "png") and len(images) == 1 \
+            and not images[0].profiles:
+        from .. import native
+
+        if native.available():
+            img = images[0]
+            arr = img.to_numpy()
+            if arr.ndim == 3:
+                if fmt.lower() in ("jpeg", "jpg"):
+                    q = (np.clip(arr, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+                    if q.shape[-1] == 4:
+                        q = q[..., :3]
+                    elif q.shape[-1] == 2:
+                        q = q[..., :1]
+                    blob = native.encode_jpeg(q, quality)
+                    if blob is not None:
+                        return blob
+                elif arr.shape[-1] in (1, 2, 3, 4):
+                    if depth > 8:
+                        q16 = (np.clip(arr, 0, 1) * 65535.0 + 0.5).astype(np.uint16)
+                        blob = native.encode_png(q16, 16)
+                    else:
+                        q8 = (np.clip(arr, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+                        blob = native.encode_png(q8, 8)
+                    if blob is not None:
+                        return blob
+    if not HAVE_PIL:
+        raise RuntimeError("Pillow unavailable for standard-format encode")
     fmt_l = fmt.lower()
     pil_fmt = _PIL_FORMATS.get(fmt_l)
     if pil_fmt is None:

@@ -1,0 +1,172 @@
+"""Native codec runtime bindings (ctypes over miniio.cpp).
+
+Builds libminiio.so on first use (g++ against system libjpeg/libpng) and
+exposes GIL-free decode/encode.  Falls back cleanly to None when the
+toolchain or libraries are absent — callers (io/codecs.py, models/
+thumbnailer.py) probe ``available()`` and use PIL otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_HERE, "libminiio.so")
+_SRC = os.path.join(_HERE, "miniio.cpp")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-fPIC", "-shared", _SRC,
+           "-ljpeg", "-lpng", "-o", _SO_PATH]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_SO_PATH) or \
+                os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.miniio_decode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.miniio_decode_jpeg.restype = ctypes.c_int
+        lib.miniio_encode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(c_u8p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.miniio_encode_jpeg.restype = ctypes.c_int
+        lib.miniio_decode_png.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.miniio_decode_png.restype = ctypes.c_int
+        lib.miniio_encode_png.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(c_u8p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.miniio_encode_png.restype = ctypes.c_int
+        lib.miniio_free.argtypes = [ctypes.c_void_p]
+        lib.miniio_abi_version.restype = ctypes.c_int
+        if lib.miniio_abi_version() != 1:
+            _build_failed = True
+            return None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """Decode JPEG bytes -> (H, W, 3) uint8, or None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.miniio_decode_jpeg(data, len(data), ctypes.byref(out),
+                                ctypes.byref(w), ctypes.byref(h),
+                                ctypes.byref(c))
+    if rc != 0:
+        return None
+    n = w.value * h.value * c.value
+    arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    lib.miniio_free(out)
+    return arr.reshape(h.value, w.value, c.value)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 92) -> Optional[bytes]:
+    """Encode (H, W, 1|3) uint8 -> JPEG bytes."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w, c = arr.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = ctypes.c_size_t()
+    rc = lib.miniio_encode_jpeg(arr.ctypes.data_as(ctypes.c_char_p),
+                                w, h, c, quality,
+                                ctypes.byref(out), ctypes.byref(size))
+    if rc != 0:
+        return None
+    data = ctypes.string_at(out, size.value)
+    lib.miniio_free(out)
+    return data
+
+
+def decode_png(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode PNG bytes -> ((H, W, C) uint8|uint16 array, bit_depth)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    depth = ctypes.c_int()
+    rc = lib.miniio_decode_png(data, len(data), ctypes.byref(out),
+                               ctypes.byref(w), ctypes.byref(h),
+                               ctypes.byref(c), ctypes.byref(depth))
+    if rc != 0:
+        return None
+    nbytes = w.value * h.value * c.value * (depth.value // 8)
+    raw = np.ctypeslib.as_array(out, shape=(nbytes,)).copy()
+    lib.miniio_free(out)
+    if depth.value == 16:
+        arr = raw.view(">u2").reshape(h.value, w.value, c.value)
+    else:
+        arr = raw.reshape(h.value, w.value, c.value)
+    return arr, depth.value
+
+
+def encode_png(arr: np.ndarray, bit_depth: int = 8) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    if bit_depth == 16:
+        arr = np.ascontiguousarray(arr.astype(">u2"))
+        raw = arr.view(np.uint8)
+    else:
+        arr = np.ascontiguousarray(arr, np.uint8)
+        raw = arr
+    h, w, c = arr.shape[:3]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = ctypes.c_size_t()
+    rc = lib.miniio_encode_png(raw.ctypes.data_as(ctypes.c_char_p),
+                               w, h, c, bit_depth,
+                               ctypes.byref(out), ctypes.byref(size))
+    if rc != 0:
+        return None
+    data = ctypes.string_at(out, size.value)
+    lib.miniio_free(out)
+    return data
