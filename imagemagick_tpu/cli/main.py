@@ -1066,6 +1066,45 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
             for li in st.images:
                 print(_identify_text(li.materialize(), "image"))
             continue
+        if name == "format":
+            st.settings["format"] = args[i]; i += 1
+            continue
+        if name == "print":
+            from ..core.properties import interpret
+
+            fmt = args[i]; i += 1
+            img = st.images[-1].materialize() if st.images else None
+            print(interpret(fmt, img) if img is not None else fmt, end="")
+            continue
+        if name == "debug":
+            from ..core.log import log
+
+            log.set_log_event_mask(args[i]); i += 1
+            continue
+        if name == "monitor":
+            continue  # progress display is a no-op under batch execution
+        if name == "limit":
+            from ..core.resource import resources
+
+            res, val = args[i], args[i + 1]; i += 2
+            resources.set_limit(res, val)
+            continue
+        if name == "label":
+            val = args[i]; i += 1
+            for li in st.images:
+                li.image.properties["label"] = val
+            continue
+        if name == "comment":
+            val = args[i]; i += 1
+            for li in st.images:
+                li.image.properties["comment"] = val
+            continue
+        if name == "repage":
+            if i < len(args) and not args[i].startswith(("-", "+")):
+                i += 1
+            for li in st.images:
+                li.image.page = None
+            continue
         if name == "verbose":
             st.settings["verbose"] = "1"
             continue
@@ -1155,12 +1194,31 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
 def _identify_main(argv) -> int:
     from .. import io as iio
+    from ..io import identify as ident
+    from ..core.properties import interpret
 
     verbose = "-verbose" in argv
-    paths = [a for a in argv if not a.startswith("-")]
+    fmt = None
+    paths = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-format":
+            fmt = argv[i + 1]
+            i += 2
+        elif argv[i].startswith("-"):
+            i += 1
+        else:
+            paths.append(argv[i])
+            i += 1
     for p in paths:
-        for im in iio.read_images(p):
-            print(_identify_text(im, p, verbose))
+        frames = iio.read_images(p)
+        for idx, im in enumerate(frames):
+            if fmt:
+                print(interpret(fmt, im, p, idx, len(frames)), end="")
+            else:
+                print(ident.describe(im, p, verbose))
+    if fmt:
+        print()
     return 0
 
 

@@ -111,15 +111,23 @@ def read_image(filename: str, size: Optional[str] = None) -> Image:
 
 
 def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
+    from ..core.policy import policy
+    from ..core.resource import resources
+
     sniffed = detect_format(data)
     use = sniffed or (fmt.lower() if fmt else None)
     if use is None:
         raise ValueError("cannot determine image format")
+    policy.enforce("coder", use.upper(), "read")
     if use == "miff":
-        return miff.decode(data)
-    if use in ("pnm", "ppm", "pgm", "pbm", "pam", "pfm"):
-        return [pnm.decode(data)]
-    return codecs.decode(data, use)
+        images = miff.decode(data)
+    elif use in ("pnm", "ppm", "pgm", "pbm", "pam", "pfm"):
+        images = [pnm.decode(data)]
+    else:
+        images = codecs.decode(data, use)
+    for im in images:
+        resources.check_image_size(im.width, im.height)
+    return images
 
 
 def write_image(image: Union[Image, List[Image]], filename: str,
@@ -131,11 +139,42 @@ def write_image(image: Union[Image, List[Image]], filename: str,
         return
     if fmt in ("null",):
         return
+    if fmt in ("info", "json", "yaml", "txt"):
+        from . import identify as ident
+
+        for im in images:
+            if fmt == "json":
+                print(ident.to_json(im, rest))
+            elif fmt == "txt":
+                print(_enumerate_pixels(im))
+            else:
+                print(ident.describe(im, rest, verbose=True))
+        return
     if fmt is None:
         fmt = os.path.splitext(rest)[1].lstrip(".").lower()
+    from ..core.policy import policy as _policy
+
+    _policy.enforce("coder", fmt.upper(), "write")
     blob = image_to_blob(images, fmt, quality=quality, depth=depth)
     with open(rest, "wb") as f:
         f.write(blob)
+
+
+def _enumerate_pixels(im) -> str:
+    """txt: coder — pixel enumeration (coders/txt.c)."""
+    import numpy as np
+
+    arr = np.asarray(im.data)
+    if arr.ndim == 4:
+        arr = arr[0]
+    h, w, c = arr.shape
+    lines = [f"# ImageMagick pixel enumeration: {w},{h},255,srgb"]
+    for y in range(h):
+        for x in range(w):
+            px = arr[y, x]
+            rgb = ",".join(str(int(v * 255 + 0.5)) for v in px[:3])
+            lines.append(f"{x},{y}: ({rgb})")
+    return "\n".join(lines)
 
 
 def image_to_blob(image: Union[Image, List[Image]], fmt: str,

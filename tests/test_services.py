@@ -1,0 +1,129 @@
+"""Core services: resources, policy, logging, properties, profiles,
+attributes, identify."""
+
+import json
+
+import numpy as np
+import pytest
+
+from imagemagick_tpu.core.image import Image
+from imagemagick_tpu.core.resource import ResourceManager, ResourceLimitError
+from imagemagick_tpu.core.policy import PolicyManager, PolicyError
+from imagemagick_tpu.core.properties import interpret
+from imagemagick_tpu.ops import attribute as attr
+from imagemagick_tpu.io import identify as ident
+
+
+def test_resource_limits():
+    rm = ResourceManager()
+    rm.set_limit("width", 100)
+    rm.check_image_size(50, 50)
+    with pytest.raises(ResourceLimitError):
+        rm.check_image_size(200, 50)
+    rm.set_limit("area", "1kp")
+    with pytest.raises(ResourceLimitError):
+        rm.check_image_size(90, 90)  # 8100 > 1000
+    rm.set_limit("memory", "1mb")
+    rm.acquire("memory", 500_000)
+    with pytest.raises(ResourceLimitError):
+        rm.acquire("memory", 600_000)
+    rm.relinquish("memory", 500_000)
+    rep = rm.report()
+    assert rep["memory"]["peak"] == 500_000
+
+
+def test_policy_rules():
+    pm = PolicyManager()
+    assert pm.is_authorized("coder", "PNG", "read")  # open by default
+    pm.set_policy("coder", "PDF", "none")
+    assert not pm.is_authorized("coder", "PDF", "read")
+    pm.set_policy("coder", "PDF", "read")
+    assert pm.is_authorized("coder", "PDF", "read")
+    assert not pm.is_authorized("coder", "PDF", "write")
+    with pytest.raises(PolicyError):
+        pm.enforce("coder", "PDF", "write")
+
+
+def test_policy_xml():
+    pm = PolicyManager()
+    pm.load_xml('''<policymap>
+      <policy domain="delegate" rights="none" pattern="*"/>
+      <policy domain="coder" rights="read|write" pattern="PNG"/>
+      <policy domain="coder" rights="none" pattern="EPS"/>
+    </policymap>''')
+    assert not pm.is_authorized("delegate", "ghostscript", "execute")
+    assert pm.is_authorized("coder", "PNG", "write")
+    assert not pm.is_authorized("coder", "EPS", "read")
+
+
+def test_properties_interpreter(checker_rgb):
+    img = Image(checker_rgb)
+    img.properties["comment"] = "hello"
+    assert interpret("%wx%h", img) == "32x24"
+    assert interpret("%[width]x%[height]", img) == "32x24"
+    assert interpret("%[comment]", img) == "hello"
+    mean = float(interpret("%[mean]", img))
+    assert abs(mean - float(checker_rgb.mean())) < 0.01
+    assert interpret("%[colorspace]", img) == "srgb"
+    assert interpret("\\n", img) == "\n"
+    sig = interpret("%#", img)
+    assert len(sig) == 64
+    px = interpret("%[pixel:p{0,0}]", img)
+    assert px.startswith("srgb(")
+    fxv = float(interpret("%[fx:w/2]", img))
+    assert fxv == 16.0
+
+
+def test_attribute_type_depth(checker_rgb):
+    t = attr.image_type(checker_rgb)
+    assert t == "truecolor"
+    gray = np.repeat(checker_rgb.mean(-1, keepdims=True), 3, -1).astype(np.float32)
+    assert attr.image_type(gray) == "grayscale"
+    bil = (gray > 0.5).astype(np.float32)
+    assert attr.image_type(bil) == "bilevel"
+    assert attr.image_depth(bil) == 1
+    assert attr.image_depth(checker_rgb) > 1
+
+
+def test_convex_hull_and_mbb():
+    img = np.zeros((32, 32, 1), np.float32)
+    img[8:24, 8:24] = 1.0
+    hull = attr.convex_hull(img)
+    assert len(hull) >= 4
+    mbb = attr.minimum_bounding_box(img)
+    assert abs(mbb["width"] - 15) <= 1.5 and abs(mbb["height"] - 15) <= 1.5
+
+
+def test_identify_json(checker_rgb):
+    img = Image(checker_rgb)
+    payload = json.loads(ident.to_json(img, "test.png"))
+    assert payload["image"]["geometry"]["width"] == 32
+    assert "red" in payload["image"]["channelStatistics"]
+    s = payload["image"]["channelStatistics"]["red"]
+    assert 0.0 <= s["mean"] <= 1.0
+    text = ident.describe(img, "t.png", verbose=True)
+    assert "Channel statistics" in text
+
+
+def test_profile_roundtrip(checker_rgb):
+    from imagemagick_tpu.core import profile as prof
+
+    if not prof.HAVE_LCMS:
+        pytest.skip("no LCMS")
+    img = Image(checker_rgb)
+    srgb = prof.srgb_profile_bytes()
+    out = prof.profile_image(img, srgb, "perceptual")
+    assert "icc" in out.profiles
+    # sRGB -> sRGB should be near-identity
+    assert np.max(np.abs(out.to_numpy() - img.to_numpy())) < 0.05
+
+
+def test_cli_format_and_limit(tmp_path, checker_rgb, capsys):
+    from imagemagick_tpu.cli.main import main
+    from imagemagick_tpu import io as iio
+
+    p = str(tmp_path / "x.png")
+    iio.write_image(Image(checker_rgb), p)
+    assert main(["identify", "-format", "%wx%h", p]) == 0
+    out = capsys.readouterr().out
+    assert "32x24" in out
