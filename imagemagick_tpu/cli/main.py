@@ -1176,20 +1176,114 @@ def _write_output(st: CLIState, target: str):
 def main(argv: Optional[Sequence[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] in ("convert", "mogrify", "identify", "compare",
-                            "composite", "montage"):
+                            "composite", "montage", "conjure", "animate",
+                            "display", "stream", "import"):
         tool = argv.pop(0)
     else:
         tool = "magick"
     try:
+        from . import tools
+
         if tool == "identify":
             return _identify_main(argv)
         if tool == "compare":
             return _compare_main(argv)
+        if tool == "mogrify":
+            return tools.mogrify_main(argv)
+        if tool == "composite":
+            return tools.composite_main(argv)
+        if tool == "montage":
+            return tools.montage_main(argv)
+        if tool == "conjure":
+            return tools.conjure_main(argv)
+        if tool in ("animate", "display"):
+            # no X11 in this environment: render to a temp file and report
+            out = "/tmp/tmagick-display.png" if tool == "display" else \
+                "/tmp/tmagick-animate.gif"
+            process([a for a in argv if not a.startswith("-")] + [out])
+            print(f"{tool}: no X server; wrote {out}", file=sys.stderr)
+            return 0
+        if tool == "stream":
+            return _stream_main(argv)
+        # magick/convert dialect: -bench and -script handled here
+        if "-bench" in argv:
+            i = argv.index("-bench")
+            n = int(argv[i + 1])
+            rest = argv[:i] + argv[i + 2:]
+            rest = [a for a in rest if a != "-concurrent"]
+            return tools.bench_run(rest, n)
+        if "-script" in argv:
+            i = argv.index("-script")
+            with open(argv[i + 1]) as f:
+                script_args = _tokenize_script(f.read())
+            st = process(argv[:i])
+            process(script_args, st)
+            return 0
         st = process(argv)
         return st.exit_code
     except (CLIError, FileNotFoundError, ValueError) as e:
         print(f"tmagick: {e}", file=sys.stderr)
         return 1
+
+
+def _tokenize_script(text: str) -> List[str]:
+    """magick -script tokenizer (MagickWand/script-token.c): whitespace
+    separated, quotes and # comments honored."""
+    import shlex
+
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        out.extend(shlex.split(line))
+    return out
+
+
+def _stream_main(argv) -> int:
+    """stream tool: extract a raw region without full processing
+    (MagickWand/stream.c + MagickCore/stream.c analog)."""
+    from .. import io as iio
+
+    extract = None
+    storage = "char"
+    cmap = "rgb"
+    paths = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-extract":
+            extract = argv[i + 1]; i += 2
+        elif a == "-storage-type":
+            storage = argv[i + 1]; i += 2
+        elif a == "-map":
+            cmap = argv[i + 1]; i += 2
+        elif a.startswith("-"):
+            i += 1
+        else:
+            paths.append(a); i += 1
+    if len(paths) < 2:
+        print("stream: usage: stream input output", file=sys.stderr)
+        return 2
+    img = iio.read_images(paths[0])[0]
+    if extract:
+        from ..core.geometry import parse_page_geometry
+        from ..ops import transform as tf
+
+        w, h, x, y = parse_page_geometry(extract, img.width, img.height)
+        img = img.replace(data=tf.crop(img.data, x, y, w, h))
+    from ..io import extra_coders
+
+    depth = 16 if storage in ("short", "uint16") else 8
+    fmt = "rgba" if (img.spec.alpha and "a" in cmap.lower()) else \
+        ("gray" if cmap.lower() == "i" or img.channels == 1 else "rgb")
+    blob = extra_coders.encode_raw(img, fmt, depth)
+    if paths[1] == "-":
+        sys.stdout.buffer.write(blob)
+    else:
+        with open(paths[1], "wb") as f:
+            f.write(blob)
+    return 0
 
 
 def _identify_main(argv) -> int:

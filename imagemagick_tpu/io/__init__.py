@@ -19,7 +19,7 @@ from typing import List, Optional, Union
 import numpy as np
 
 from ..core.image import Image
-from . import codecs, miff, pnm, pseudo
+from . import codecs, delegates, extra_coders, miff, pnm, pseudo
 from ..core.geometry import parse_geometry
 
 __all__ = ["read_image", "read_images", "write_image", "image_from_blob",
@@ -62,7 +62,10 @@ _PSEUDO = {
 
 _NATIVE_EXT = {"miff": "miff", "mif": "miff",
                "ppm": "pnm", "pgm": "pnm", "pbm": "pnm", "pnm": "pnm",
-               "pam": "pnm", "pfm": "pnm"}
+               "pam": "pnm", "pfm": "pnm",
+               "ff": "ff", "farbfeld": "ff", "xbm": "xbm", "xpm": "xpm",
+               "svg": "svg", "sixel": "sixel", "six": "sixel",
+               "gray": "raw", "rgb": "raw", "rgba": "raw", "bgr": "raw"}
 
 # in-memory registry for mpr: (registry.c:457 SetImageRegistry analog)
 _MPR_REGISTRY = {}
@@ -76,6 +79,19 @@ def detect_format(data: bytes) -> Optional[str]:
             return fmt
     if data[4:12] in (b"ftypavif", b"ftypheic", b"ftypmif1"):
         return "avif" if b"avif" in data[4:12] else "heic"
+    if data[:8] == b"farbfeld":
+        return "ff"
+    head = data[:512].lstrip()
+    if head.startswith(b"/* XPM */"):
+        return "xpm"
+    if head.startswith(b"#define") and b"_bits[]" in data[:4096]:
+        return "xbm"
+    if head.startswith(b"<?xml") and b"<svg" in data[:4096] or head.startswith(b"<svg"):
+        return "svg"
+    if data[:4] == b"%PDF":
+        return "pdf"
+    if data[:2] == b"%!":
+        return "ps"
     return None
 
 
@@ -103,7 +119,10 @@ def read_images(filename: str, size: Optional[str] = None) -> List[Image]:
         return list(_MPR_REGISTRY[rest])
     with open(rest, "rb") as f:
         data = f.read()
-    return image_from_blob(data, fmt or os.path.splitext(rest)[1].lstrip(".").lower())
+    ext = fmt or os.path.splitext(rest)[1].lstrip(".").lower()
+    if ext in ("gray", "rgb", "rgba", "bgr", "bgra", "cmyk", "ycbcr") and w and h:
+        return [extra_coders.decode_raw(data, ext, w, h)]
+    return image_from_blob(data, ext)
 
 
 def read_image(filename: str, size: Optional[str] = None) -> Image:
@@ -123,6 +142,16 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = miff.decode(data)
     elif use in ("pnm", "ppm", "pgm", "pbm", "pam", "pfm"):
         images = [pnm.decode(data)]
+    elif use in ("ff", "farbfeld"):
+        images = [extra_coders.decode_farbfeld(data)]
+    elif use == "xbm":
+        images = [extra_coders.decode_xbm(data)]
+    elif use == "xpm":
+        images = [extra_coders.decode_xpm(data)]
+    elif use == "svg":
+        images = [extra_coders.decode_svg(data)]
+    elif use in ("pdf", "ps", "eps"):
+        images = delegates.decode_postscript(data, use)
     else:
         images = codecs.decode(data, use)
     for im in images:
@@ -186,6 +215,16 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return miff.encode(images, depth=16 if depth > 8 else 8, compression="zip")
     if fmt in ("ppm", "pgm", "pbm", "pnm", "pam", "pfm"):
         return pnm.encode(images[0], fmt, depth=depth)
+    if fmt in ("ff", "farbfeld"):
+        return extra_coders.encode_farbfeld(images[0])
+    if fmt == "xbm":
+        return extra_coders.encode_xbm(images[0])
+    if fmt == "xpm":
+        return extra_coders.encode_xpm(images[0])
+    if fmt in ("sixel", "six"):
+        return extra_coders.encode_sixel(images[0])
+    if fmt in ("gray", "rgb", "rgba", "bgr"):
+        return extra_coders.encode_raw(images[0], fmt, depth=depth or 8)
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
@@ -194,4 +233,5 @@ def supported_read_formats():
 
 
 def supported_write_formats():
-    return sorted(set(_NATIVE_EXT) | set(codecs._PIL_FORMATS) | {"mpr", "null"})
+    return sorted(set(_NATIVE_EXT) | set(codecs._PIL_FORMATS) |
+                  {"mpr", "null", "info", "json", "txt", "yaml"})

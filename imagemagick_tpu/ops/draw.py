@@ -332,8 +332,8 @@ _MVG_TOKEN = re.compile(r"""'[^']*'|"[^"]*"|[^\s,]+""")
 
 
 def _tokenize_mvg(content: str) -> List[str]:
-    # strip comments
-    content = re.sub(r"#[^\n]*", " ", content)
+    # strip line-start comments only (a bare # elsewhere is a hex color)
+    content = re.sub(r"(?m)^\s*#[^\n]*", " ", content)
     return _MVG_TOKEN.findall(content)
 
 
