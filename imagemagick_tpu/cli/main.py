@@ -616,6 +616,10 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["opaque"] = (1, lambda st, a, p: _op_opaque(st, a, p))
     O["transparent"] = (1, lambda st, a, p: _op_transparent(st, a, p))
     O["distort"] = (2, lambda st, a, p: _op_distort(st, a, p))
+    O["sparse-color"] = (2, lambda st, a, p: _op_sparse_color(st, a, p))
+    O["liquid-rescale"] = (1, lambda st, a, p: _op_liquid(st, a, p))
+    O["deskew"] = (1, lambda st, a, p: _op_deskew(st, a, p))
+    O["shear"] = (1, lambda st, a, p: _op_shear(st, a, p))
 
     # --- analysis / expression ops ---
     O["fx"] = (1, lambda st, a, p: _op_fx(st, a, p))
@@ -881,6 +885,54 @@ def _op_transparent(st, arg, plus):
         li.image = img.replace(data=pt.transparent_paint(
             img.data, target[:3], 0.0,
             fuzz=float(st.settings.get("fuzz", "0")) / 100.0, invert=plus))
+
+
+def _op_sparse_color(st, arg, plus):
+    from ..ops import distort as dt
+
+    parts = arg.split(None, 1)
+    method = parts[0]
+    toks = parts[1].replace(",", " ").split() if len(parts) > 1 else []
+    pts = []
+    i = 0
+    while i + 2 < len(toks) + 1 and i + 2 <= len(toks):
+        x, y = float(toks[i]), float(toks[i + 1])
+        col = parse_color(toks[i + 2])
+        pts.append((x, y, col))
+        i += 3
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=dt.sparse_color(img.data, method, pts))
+
+
+def _op_liquid(st, arg, plus):
+    from ..ops import distort as dt
+
+    for li in st.images:
+        img = li.materialize()
+        w, h, _, _ = parse_meta_geometry(arg, img.width, img.height)
+        li.image = img.replace(data=dt.liquid_rescale(img.data, w, h))
+
+
+def _op_deskew(st, arg, plus):
+    from ..ops import shear as sh
+
+    thr = _percent(arg) if arg else 0.4
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=sh.deskew(img.data, thr,
+                                              background=st.bg()[: img.channels]))
+
+
+def _op_shear(st, arg, plus):
+    from ..ops import shear as sh
+
+    g = parse_geometry(arg)
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=sh.shear(
+            img.data, g.width or 0.0, g.height or 0.0,
+            background=st.bg()[: img.channels]))
 
 
 def _op_distort(st, arg, plus):

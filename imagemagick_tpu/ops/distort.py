@@ -290,7 +290,197 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         v = cy + rad * jnp.sin(ang)
         return warp(img, u, v, background, sampler)
 
+    if method == "polynomial":
+        # args: order, then x,y,X,Y control points (distort.c Polynomial)
+        order = int(args[0])
+        pts = np.asarray(args[1:], np.float64).reshape(-1, 4)
+        src = pts[:, :2]
+        dst = pts[:, 2:]
+        terms = [(i, j) for i in range(order + 1) for j in range(order + 1 - i)]
+
+        def basis(p):
+            return np.stack([p[:, 0] ** i * p[:, 1] ** j for i, j in terms], 1)
+
+        A = basis(dst)  # inverse fit: dst -> src
+        cu, *_ = np.linalg.lstsq(A, src[:, 0], rcond=None)
+        cv, *_ = np.linalg.lstsq(A, src[:, 1], rcond=None)
+        u = sum(c * xx ** i * yy ** j for c, (i, j) in zip(cu, terms))
+        v = sum(c * xx ** i * yy ** j for c, (i, j) in zip(cv, terms))
+        return warp(img, u, v, background, sampler)
+
+    if method in ("shepards", "shepard"):
+        pts = np.asarray(args, np.float64).reshape(-1, 4)
+        src = jnp.asarray(pts[:, :2], img.dtype)   # (N, 2)
+        dst = jnp.asarray(pts[:, 2:], img.dtype)
+        # inverse Shepard's: displacement interpolated by 1/d² from dst points
+        disp = src - dst                            # (N, 2) source-dest deltas
+        dx2 = (xx[..., None] - dst[None, None, :, 0]) ** 2 + \
+              (yy[..., None] - dst[None, None, :, 1]) ** 2
+        wgt = 1.0 / jnp.maximum(dx2, 1.0)
+        wsum = jnp.sum(wgt, axis=-1)
+        u = xx + jnp.sum(wgt * disp[None, None, :, 0], -1) / wsum
+        v = yy + jnp.sum(wgt * disp[None, None, :, 1], -1) / wsum
+        return warp(img, u, v, background, sampler)
+
+    if method == "bilineardistortion" or method == "bilinear":
+        pts = np.asarray(args, np.float64).reshape(-1, 4)
+        # fit inverse u = a + b x + c y + d x y over 4 points
+        A = np.stack([np.ones(4), pts[:, 2], pts[:, 3],
+                      pts[:, 2] * pts[:, 3]], 1)
+        cu = np.linalg.solve(A, pts[:, 0])
+        cv = np.linalg.solve(A, pts[:, 1])
+        u = cu[0] + cu[1] * xx + cu[2] * yy + cu[3] * xx * yy
+        v = cv[0] + cv[1] * xx + cv[2] * yy + cv[3] * xx * yy
+        return warp(img, u, v, background, sampler)
+
+    if method in ("resize", "resizedistortion"):
+        from .resize import resize as rz_resize
+
+        nw, nh = int(args[0]), int(args[1] if len(args) > 1 else args[0])
+        return rz_resize(img, nh, nw, "robidoux")
+
+    if method == "cylinder2plane":
+        fov = math.radians(args[0]) if args else math.radians(90.0)
+        f = w / fov
+        ang = (xx - cx) / f
+        u = cx + f * jnp.tan(ang)
+        v = cy + (yy - cy) / jnp.cos(ang)
+        return warp(img, u, v, background, sampler)
+
+    if method == "plane2cylinder":
+        fov = math.radians(args[0]) if args else math.radians(90.0)
+        f = w / fov
+        u = cx + f * jnp.arctan((xx - cx) / f)
+        r = jnp.sqrt((xx - cx) ** 2 + f * f)
+        v = cy + (yy - cy) * f / r
+        return warp(img, u, v, background, sampler)
+
     raise ValueError(f"unsupported distort method {method!r}")
+
+
+def sparse_color(img: jnp.ndarray, method: str,
+                 points: Sequence[Tuple[float, float, Sequence[float]]],
+                 ) -> jnp.ndarray:
+    """SparseColorImage (distort.c SparseColorImage): interpolate scattered
+    color samples over the canvas.
+
+    methods: shepards (inverse-distance²), voronoi (nearest point),
+    inverse (1/d), barycentric (least-squares plane per channel),
+    bilinear (plane + xy term).
+    """
+    h, w = img.shape[-3], img.shape[-2]
+    yy, xx = _grid(h, w, img.dtype)
+    c = img.shape[-1]
+    px = jnp.asarray([p[0] for p in points], img.dtype)
+    py = jnp.asarray([p[1] for p in points], img.dtype)
+    pc = jnp.asarray([list(p[2])[:c] + [1.0] * max(0, c - len(p[2]))
+                      for p in points], img.dtype)  # (N, C)
+    m = method.lower()
+    if m in ("barycentric", "bilinear"):
+        n = len(points)
+        cols = [np.ones(n), np.asarray(px), np.asarray(py)]
+        if m == "bilinear":
+            cols.append(np.asarray(px) * np.asarray(py))
+        A = np.stack(cols, 1)
+        outs = []
+        for ch in range(c):
+            coef, *_ = np.linalg.lstsq(A, np.asarray(pc[:, ch]), rcond=None)
+            val = coef[0] + coef[1] * xx + coef[2] * yy
+            if m == "bilinear":
+                val = val + coef[3] * xx * yy
+            outs.append(val)
+        return jnp.clip(jnp.stack(outs, -1), 0.0, 1.0)
+    d2 = (xx[..., None] - px) ** 2 + (yy[..., None] - py) ** 2  # (H, W, N)
+    if m == "voronoi":
+        idx = jnp.argmin(d2, axis=-1)
+        return pc[idx]
+    if m in ("shepards", "shepard"):
+        wgt = 1.0 / jnp.maximum(d2, 1e-6)
+    elif m == "inverse":
+        wgt = 1.0 / jnp.maximum(jnp.sqrt(d2), 1e-6)
+    else:
+        raise ValueError(f"unknown sparse-color method {method!r}")
+    wsum = jnp.sum(wgt, axis=-1, keepdims=True)
+    out = jnp.einsum("hwn,nc->hwc", wgt / wsum, pc, precision="highest")
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def liquid_rescale(img: jnp.ndarray, width: int, height: int,
+                   delta_x: float = 1.0, rigidity: float = 0.0) -> jnp.ndarray:
+    """LiquidRescaleImage (resize.c via liblqr): content-aware seam carving.
+
+    Vertical seams are removed one at a time; per seam, the minimal-energy
+    path is a lax.scan DP over rows and removal is a vectorized gather.
+    Width reduction only carves columns; expansion falls back to resize
+    (as does height, matching common usage; liblqr does the same transposed).
+    """
+    from .blur import _depthwise_conv
+    from .resize import resize as rz_resize
+    import jax
+
+    h, w = img.shape[-3], img.shape[-2]
+    n_remove = w - width
+    if n_remove <= 0 or width <= 2:
+        return rz_resize(img, height, width)
+
+    sobel = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+
+    def energy(x):
+        gray = jnp.mean(x, axis=-1, keepdims=True)
+        gx = _depthwise_conv(gray, jnp.asarray(sobel), "edge")
+        gy = _depthwise_conv(gray, jnp.asarray(sobel.T), "edge")
+        return jnp.abs(gx[..., 0]) + jnp.abs(gy[..., 0])
+
+    def carve_one(x, cur_w):
+        e = energy(x)  # (h, w)
+        big = 1e9
+        col_idx = jnp.arange(w)
+        valid = col_idx < cur_w
+        e = jnp.where(valid, e, big)
+
+        def dp_row(prev, row):
+            left = jnp.concatenate([jnp.full((1,), big), prev[:-1]])
+            right = jnp.concatenate([prev[1:], jnp.full((1,), big)])
+            best = jnp.minimum(prev, jnp.minimum(left, right))
+            cum = row + best
+            return cum, cum
+
+        _, cums = jax.lax.scan(dp_row, e[0], e[1:])
+        cums = jnp.concatenate([e[:1], cums], axis=0)  # (h, w)
+
+        # backtrack from the bottom
+        def back_row(j, cum_row):
+            lo = jnp.maximum(j - 1, 0)
+            cand = jnp.stack([cum_row[lo], cum_row[j],
+                              cum_row[jnp.minimum(j + 1, w - 1)]])
+            off = jnp.argmin(cand) - 1 + (j == 0)
+            return jnp.clip(j + off, 0, w - 1)
+
+        j_bot = jnp.argmin(cums[-1])
+
+        def scan_back(j, cum_row):
+            nj = back_row(j, cum_row)
+            return nj, j
+
+        _, seam_rev = jax.lax.scan(scan_back, j_bot, cums[:-1][::-1])
+        seam = jnp.concatenate([seam_rev[::-1], jnp.asarray([j_bot])])
+
+        # remove seam: for each row, gather indices skipping seam[y]
+        idx = jnp.arange(w)
+        take = idx[None, :] + (idx[None, :] >= seam[:, None])
+        take = jnp.clip(take, 0, w - 1)
+        newx = jnp.take_along_axis(x, take[..., None], axis=-2)
+        return newx
+
+    out = img
+    cur = w
+    for _ in range(n_remove):
+        out = carve_one(out, cur)
+        cur -= 1
+    out = out[..., :width, :]
+    if height != h:
+        out = rz_resize(out, height, width)
+    return out
 
 
 def swirl(img: jnp.ndarray, degrees: float,

@@ -321,9 +321,16 @@ class MagickWand:
             w, h, _, _ = parse_meta_geometry(resize, img.width, img.height)
             self.resize_image(w, h)
 
-    def liquid_rescale_image(self, width, height, rigidity=0.0):
-        # seam carving approximated by resize (liblqr replacement TBD)
-        self.resize_image(width, height)
+    def liquid_rescale_image(self, width, height, delta_x=1.0, rigidity=0.0):
+        from ..ops import distort as dt
+
+        self._apply(lambda im: dt.liquid_rescale(im.data, width, height,
+                                                 delta_x, rigidity))
+
+    def sparse_color_image(self, method, points):
+        from ..ops import distort as dt
+
+        self._apply(lambda im: dt.sparse_color(im.data, method, points))
 
     # --- geometry ---
     def crop_image(self, width, height, x, y):

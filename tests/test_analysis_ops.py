@@ -142,3 +142,52 @@ def test_phash_similar_vs_different(checker_rgb, rng):
     d_close = float(statistic.phash_distance(checker_rgb, shifted))
     d_far = float(statistic.phash_distance(checker_rgb, noise))
     assert d_close < d_far
+
+
+def test_sparse_color_voronoi_and_shepards():
+    import jax.numpy as jnp
+    from imagemagick_tpu.ops import distort as dt
+
+    img = jnp.zeros((16, 16, 3), jnp.float32)
+    pts = [(0, 0, (1, 0, 0)), (15, 15, (0, 0, 1))]
+    vor = np.asarray(dt.sparse_color(img, "voronoi", pts))
+    assert vor[1, 1, 0] == 1.0 and vor[14, 14, 2] == 1.0
+    shep = np.asarray(dt.sparse_color(img, "shepards", pts))
+    assert shep[0, 0, 0] > 0.9 and shep[15, 15, 2] > 0.9
+    assert 0.2 < shep[8, 8, 0] < 0.8  # blended midway
+    bary = np.asarray(dt.sparse_color(img, "barycentric", pts))
+    assert bary.shape == (16, 16, 3)
+
+
+def test_distort_polynomial_identity(checker_rgb):
+    from imagemagick_tpu.ops import distort as dt
+
+    # identity control points -> image unchanged (interior)
+    pts = []
+    for x, y in [(0, 0), (31, 0), (0, 23), (31, 23), (16, 12)]:
+        pts += [x, y, x, y]
+    out = np.asarray(dt.distort(checker_rgb, "polynomial", [1.5] + pts,
+                                sampler="bilinear"))
+    assert np.abs(out[4:-4, 4:-4] - checker_rgb[4:-4, 4:-4]).max() < 1e-3
+
+
+def test_distort_shepards_identity(checker_rgb):
+    from imagemagick_tpu.ops import distort as dt
+
+    pts = [0, 0, 0, 0, 31, 23, 31, 23]
+    out = np.asarray(dt.distort(checker_rgb, "shepards", pts, sampler="bilinear"))
+    assert out.shape == checker_rgb.shape
+
+
+def test_liquid_rescale_carves():
+    import jax.numpy as jnp
+    from imagemagick_tpu.ops import distort as dt
+
+    # low-energy flat middle column band should be carved preferentially
+    img = np.zeros((12, 20, 3), np.float32)
+    img[:, :4] = 1.0   # high contrast edges at left
+    img[:, -4:] = 1.0  # and right
+    out = np.asarray(dt.liquid_rescale(jnp.asarray(img), 16, 12))
+    assert out.shape == (12, 16, 3)
+    # edge content preserved
+    assert out[6, 0, 0] > 0.9 and out[6, -1, 0] > 0.9
