@@ -19,7 +19,7 @@ from typing import List, Optional, Union
 import numpy as np
 
 from ..core.image import Image
-from . import codecs, delegates, extra_coders, miff, pnm, pseudo
+from . import codecs, delegates, exr, extra_coders, miff, pnm, pseudo
 from ..core.geometry import parse_geometry
 
 __all__ = ["read_image", "read_images", "write_image", "image_from_blob",
@@ -65,7 +65,8 @@ _NATIVE_EXT = {"miff": "miff", "mif": "miff",
                "pam": "pnm", "pfm": "pnm",
                "ff": "ff", "farbfeld": "ff", "xbm": "xbm", "xpm": "xpm",
                "svg": "svg", "sixel": "sixel", "six": "sixel",
-               "gray": "raw", "rgb": "raw", "rgba": "raw", "bgr": "raw"}
+               "gray": "raw", "rgb": "raw", "rgba": "raw", "bgr": "raw",
+               "exr": "exr", "hdr": "hdr"}
 
 # in-memory registry for mpr: (registry.c:457 SetImageRegistry analog)
 _MPR_REGISTRY = {}
@@ -81,6 +82,10 @@ def detect_format(data: bytes) -> Optional[str]:
         return "avif" if b"avif" in data[4:12] else "heic"
     if data[:8] == b"farbfeld":
         return "ff"
+    if data[:4] == b"\x76\x2f\x31\x01":
+        return "exr"
+    if data[:11] == b"#?RADIANCE\n" or data[:7] == b"#?RGBE\n":
+        return "hdr"
     head = data[:512].lstrip()
     if head.startswith(b"/* XPM */"):
         return "xpm"
@@ -150,6 +155,10 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [extra_coders.decode_xpm(data)]
     elif use == "svg":
         images = [extra_coders.decode_svg(data)]
+    elif use == "exr":
+        images = [exr.decode(data)]
+    elif use == "hdr":
+        images = [_decode_hdr(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -225,6 +234,10 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return extra_coders.encode_sixel(images[0])
     if fmt in ("gray", "rgb", "rgba", "bgr"):
         return extra_coders.encode_raw(images[0], fmt, depth=depth or 8)
+    if fmt == "exr":
+        return exr.encode(images[0])
+    if fmt == "hdr":
+        return _encode_hdr(images[0])
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
@@ -235,3 +248,39 @@ def supported_read_formats():
 def supported_write_formats():
     return sorted(set(_NATIVE_EXT) | set(codecs._PIL_FORMATS) |
                   {"mpr", "null", "info", "json", "txt", "yaml"})
+
+
+def _decode_hdr(data: bytes) -> Image:
+    """Radiance HDR via OpenCV (coders/hdr.c analog)."""
+    import os as _os
+
+    _os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+    import cv2
+    import numpy as _np
+
+    arr = cv2.imdecode(_np.frombuffer(data, _np.uint8), cv2.IMREAD_UNCHANGED)
+    if arr is None:
+        raise ValueError("HDR decode failed")
+    if arr.ndim == 3 and arr.shape[-1] >= 3:
+        arr = arr[..., [2, 1, 0] + list(range(3, arr.shape[-1]))]  # BGR->RGB
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    from ..core.spec import ImageSpec as _Spec
+
+    return Image(arr.astype("float32"), _Spec(colorspace="rgb", depth=16))
+
+
+def _encode_hdr(image: Image) -> bytes:
+    import cv2
+    import numpy as _np
+
+    arr = image.to_numpy().astype(_np.float32)
+    if arr.ndim == 4:
+        arr = arr[0]
+    if arr.shape[-1] == 1:
+        arr = _np.repeat(arr, 3, -1)
+    bgr = arr[..., [2, 1, 0]]
+    ok, buf = cv2.imencode(".hdr", bgr)
+    if not ok:
+        raise ValueError("HDR encode failed")
+    return buf.tobytes()

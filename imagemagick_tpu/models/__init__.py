@@ -1,0 +1,3 @@
+from . import pipelines, thumbnailer
+
+__all__ = ["pipelines", "thumbnailer"]

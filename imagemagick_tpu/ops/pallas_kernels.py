@@ -41,9 +41,10 @@ def _blur_kernel(x_hbm, out_ref, scratch, mid, sem, *, taps, tile_h, w, c, r,
     n = pl.program_id(0)
     t = pl.program_id(1)
     wc = w * c
-    # DMA the tile + vertical halo: rows [t*tile_h, t*tile_h + tile_h + 2r)
+    rows_dma = scratch.shape[0]  # tile_h + 2r rounded up to sublane tiling
+    # DMA the tile + vertical halo: rows [t*tile_h, t*tile_h + rows_dma)
     copy = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(t * tile_h, tile_h + 2 * r), :],
+        x_hbm.at[n, pl.ds(t * tile_h, rows_dma), :],
         scratch,
         sem,
     )
@@ -76,6 +77,7 @@ def _build_blur(n: int, h: int, w: int, c: int, taps: tuple, tile_h: int):
     grid = (n, -(-h // tile_h))
     wc_pad = _round_up((w + 2 * r) * c, 128)  # DMA slices must be lane-aligned
     out_wc = _round_up(w * c, 128)
+    rows_dma = _round_up(tile_h + 2 * r, 8)  # DMA rows: sublane-aligned
     kernel = functools.partial(_blur_kernel, taps=taps, tile_h=tile_h,
                                w=w, c=c, r=r, out_wc=out_wc)
     return pl.pallas_call(
@@ -88,7 +90,7 @@ def _build_blur(n: int, h: int, w: int, c: int, taps: tuple, tile_h: int):
         out_shape=jax.ShapeDtypeStruct((n, -(-h // tile_h) * tile_h, out_wc),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * r, wc_pad), jnp.float32),
+            pltpu.VMEM((rows_dma, wc_pad), jnp.float32),
             pltpu.VMEM((tile_h, wc_pad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -122,10 +124,12 @@ def fused_separable_blur(img: jnp.ndarray, taps: np.ndarray,
     if (4 * tile_h + 2 * r) * wc_pad * 4 > budget:
         return None
     h_pad_to = -(-h // tile_h) * tile_h
-    # edge-pad: r rows/cols of halo + bottom padding to a tile multiple
-    x = jnp.pad(img, ((0, 0), (r, r + (h_pad_to - h)), (r, r), (0, 0)),
+    rows_dma = _round_up(tile_h + 2 * r, 8)
+    # edge-pad: r top halo rows; bottom pad to tile multiple + DMA alignment
+    bottom = (h_pad_to - h) + r + (rows_dma - tile_h - 2 * r)
+    x = jnp.pad(img, ((0, 0), (r, bottom), (r, r), (0, 0)),
                 mode="edge")
-    x = x.reshape(n, h_pad_to + 2 * r, (w + 2 * r) * c)
+    x = x.reshape(n, h + r + bottom, (w + 2 * r) * c)
     wc_pad = _round_up((w + 2 * r) * c, 128)
     out_wc = _round_up(w * c, 128)
     if wc_pad > x.shape[-1]:

@@ -158,3 +158,48 @@ def test_identify_json_format(tmp_png, capsys):
 
     payload = json.loads(out)
     assert payload["image"]["geometry"]["width"] == 32
+
+
+def test_exr_roundtrip_hdri(rng):
+    """EXR keeps out-of-gamut HDRI values (half and float32)."""
+    from imagemagick_tpu.io import exr
+
+    arr = rng.uniform(0, 2.5, (33, 30, 3)).astype(np.float32)
+    img = Image(arr)
+    for comp in ("none", "zips", "zip"):
+        blob = exr.encode(img, half=True, compression=comp)
+        back = exr.decode(blob)
+        ref = arr.astype(np.float16).astype(np.float32)
+        assert np.array_equal(back.to_numpy(), ref), comp
+    blob32 = exr.encode(img, half=False)
+    assert np.array_equal(exr.decode(blob32).to_numpy(), arr)
+
+
+def test_exr_rgba_and_gray(rng):
+    from imagemagick_tpu.io import exr
+    from imagemagick_tpu.core.spec import ImageSpec
+
+    arr = rng.uniform(0, 1, (10, 12, 4)).astype(np.float32)
+    img = Image(arr, ImageSpec(colorspace="rgb", alpha=True))
+    back = exr.decode(exr.encode(img))
+    assert back.spec.alpha and back.data.shape == (10, 12, 4)
+    gray = Image(arr[..., :1], ImageSpec(colorspace="linear_gray"))
+    back = exr.decode(exr.encode(gray))
+    assert back.data.shape == (10, 12, 1)
+
+
+def test_exr_through_io(rng, tmp_path):
+    arr = rng.uniform(0, 2.0, (16, 16, 3)).astype(np.float32)
+    p = str(tmp_path / "x.exr")
+    iio.write_image(Image(arr), p)
+    back = iio.read_images(p)[0]
+    assert np.abs(back.to_numpy() - arr).max() < 2e-3  # half precision
+
+
+def test_hdr_roundtrip(rng, tmp_path):
+    arr = rng.uniform(0.1, 2.0, (16, 16, 3)).astype(np.float32)
+    p = str(tmp_path / "x.hdr")
+    iio.write_image(Image(arr), p)
+    back = iio.read_images(p)[0]
+    rel = np.abs(back.to_numpy() / arr - 1).mean()
+    assert rel < 0.05  # RGBE shared exponent is lossy
