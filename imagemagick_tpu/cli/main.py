@@ -15,6 +15,7 @@ vs list ops, parenthesized image stacks, -clone/-swap/-delete, +opt forms.
 from __future__ import annotations
 
 import json
+import re
 import sys
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
@@ -193,8 +194,36 @@ def _lazy_op(st, make_fn, spec_update=None):
         li.push(make_fn(li), spec_update)
 
 
+_CHANNEL_LETTERS = {"r": 0, "g": 1, "b": 2, "c": 0, "m": 1, "y": 2,
+                    "k": 3, "a": -1, "o": -1}
+
+
+def _channel_indices(setting: str, nch: int):
+    """Parse a -channel setting ('RGB', 'Red,Green', 'All', ...) to indices."""
+    s = (setting or "default").strip().lower()
+    if s in ("default", "all", "sync", ""):
+        return None  # apply to everything
+    idx = set()
+    for name in re.split(r"[,|\s]+", s):
+        name = name.strip()
+        if not name:
+            continue
+        if name in ("red", "green", "blue", "cyan", "magenta", "yellow",
+                    "black", "alpha", "opacity", "gray"):
+            i = _CHANNEL_LETTERS[name[0]]
+        elif all(ch in _CHANNEL_LETTERS for ch in name):
+            for ch in name:
+                i = _CHANNEL_LETTERS[ch]
+                idx.add(nch - 1 if i == -1 else i)
+            continue
+        else:
+            continue
+        idx.add(nch - 1 if i == -1 else i)
+    return sorted(i for i in idx if i < nch) or None
+
+
 def _op_simple(module: str, fname: str, argmap):
-    """Build a lazy per-pixel/neighborhood op handler."""
+    """Build a lazy per-pixel/neighborhood op handler (honors -channel)."""
 
     def handler(st, arg, plus):
         import importlib
@@ -202,12 +231,22 @@ def _op_simple(module: str, fname: str, argmap):
         mod = importlib.import_module(f"imagemagick_tpu.ops.{module}")
         fn = getattr(mod, fname)
         kwargs_builder = argmap
+        channel_setting = st.settings.get("channel", "default")
 
         def make(li):
             kwargs = kwargs_builder(st, arg, plus) if kwargs_builder else {}
 
             def run(x):
-                return fn(x, **kwargs)
+                out = fn(x, **kwargs)
+                if out.shape == x.shape:
+                    sel = _channel_indices(channel_setting, x.shape[-1])
+                    if sel is not None:
+                        import jax.numpy as jnp
+
+                        mask = jnp.zeros((x.shape[-1],), bool).at[
+                            jnp.asarray(sel)].set(True)
+                        out = jnp.where(mask, out, x)
+                return out
 
             return run
 
@@ -1118,6 +1157,15 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
             for li in st.images:
                 print(_identify_text(li.materialize(), "image"))
             continue
+        if name == "list":
+            _list_main(args[i]); i += 1
+            continue
+        if name == "version":
+            from .. import __version__
+
+            print(f"Version: imagemagick_tpu {__version__} (tmagick, "
+                  f"ImageMagick-compatible, JAX/TPU)")
+            continue
         if name == "format":
             st.settings["format"] = args[i]; i += 1
             continue
@@ -1203,6 +1251,90 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
             continue
         raise CLIError(f"unrecognized option {tok!r}")
     return st
+
+
+def _list_main(what: str) -> None:
+    """-list: enumerate registry contents (option.c MagickList analog)."""
+    w = what.lower()
+    if w == "format":
+        from ..io import supported_read_formats, supported_write_formats
+
+        reads = set(supported_read_formats())
+        writes = set(supported_write_formats())
+        for fmt in sorted(reads | writes):
+            mode = ("r" if fmt in reads else "-") + ("w" if fmt in writes else "-")
+            print(f"{fmt.upper():12s} {mode}")
+    elif w == "colorspace":
+        from ..ops.colorspace import supported_colorspaces
+
+        print("\n".join(supported_colorspaces()))
+    elif w == "filter":
+        from ..ops.resize import supported_filters
+
+        print("\n".join(supported_filters()))
+    elif w == "metric":
+        from ..ops.compare import _METRICS
+
+        print("\n".join(sorted(_METRICS)))
+    elif w == "color":
+        from ..core.color import color_names
+
+        print("\n".join(color_names()))
+    elif w == "kernel":
+        print("\n".join(["unity", "gaussian", "dog", "log", "blur", "comet",
+                         "laplacian", "sobel", "roberts", "prewitt", "compass",
+                         "kirsch", "freichen", "diamond", "square", "octagon",
+                         "disk", "plus", "cross", "ring", "rectangle",
+                         "corners", "lineends", "linejunctions", "edges",
+                         "peaks", "skeleton", "chebyshev", "manhattan",
+                         "euclidean"]))
+    elif w == "threshold":
+        from ..ops.threshold import threshold_map_names
+
+        print("\n".join(threshold_map_names()))
+    elif w == "morphology":
+        print("\n".join(["convolve", "correlate", "erode", "dilate",
+                         "erodeintensity", "dilateintensity", "open", "close",
+                         "openintensity", "closeintensity", "smooth", "edge",
+                         "edgein", "edgeout", "tophat", "bottomhat",
+                         "hitandmiss", "thinning", "thicken", "distance"]))
+    elif w == "delegate":
+        from ..io.delegates import list_delegates
+
+        for k, v in list_delegates().items():
+            print(f"{k}: {'available' if v else 'missing'}")
+    elif w == "resource":
+        from ..core.resource import resources
+
+        for k, v in resources.report().items():
+            lim = "unlimited" if v["limit"] == float("inf") else f"{v['limit']:.0f}"
+            print(f"{k}: limit={lim}")
+    elif w == "policy":
+        from ..core.policy import policy as pol
+
+        for d, pat, rights in pol.rules:
+            print(f"domain={d} pattern={pat} rights={','.join(sorted(rights))}")
+        if not pol.rules:
+            print("(open policy: no restrictions)")
+    elif w == "gravity":
+        from ..ops.composite import GRAVITIES
+
+        print("\n".join(GRAVITIES))
+    elif w == "compose":
+        from ..ops.composite import _BLEND_FNS
+
+        base = ["over", "dstover", "in", "dstin", "out", "dstout", "atop",
+                "dstatop", "xor", "plus", "copy", "dst", "clear", "dissolve",
+                "blend", "mathematics", "threshold", "changemask", "stereo",
+                "bumpmap", "copyred", "copygreen", "copyblue", "copyalpha",
+                "hue", "saturate", "luminize", "colorize",
+                "lightenintensity", "darkenintensity"]
+        print("\n".join(sorted(base + list(_BLEND_FNS))))
+    elif w == "noise":
+        print("\n".join(["uniform", "gaussian", "impulse", "laplacian",
+                         "multiplicative", "poisson", "random"]))
+    else:
+        raise CLIError(f"unknown list type {what!r}")
 
 
 def _looks_like_output(tok: str) -> bool:

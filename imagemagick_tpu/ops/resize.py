@@ -354,8 +354,9 @@ def _resample_axis(img: jnp.ndarray, axis: int, out_size: int,
     if in_size * out_size <= _DENSE_LIMIT:
         mat = jnp.asarray(resize_matrix(in_size, out_size, filter_name, blur))
         moved = jnp.moveaxis(img, axis, -1)
+        # bf16x3 ("high") keeps >100dB fidelity vs f32 at ~3x the MXU rate
         out = jnp.einsum("...i,io->...o", moved, mat,
-                         precision="highest",
+                         precision="high",
                          preferred_element_type=jnp.float32)
         return jnp.moveaxis(out, -1, axis)
     # Windowed gather path for huge axes: contiguous windows.
@@ -367,7 +368,7 @@ def _resample_axis(img: jnp.ndarray, axis: int, out_size: int,
     gathered = jnp.take(moved, idx.reshape(-1), axis=0)       # (out*n, ...)
     gathered = gathered.reshape((out_size, n) + moved.shape[1:])
     out = jnp.einsum("on,on...->o...", w, gathered,
-                     precision="highest",
+                     precision="high",
                      preferred_element_type=jnp.float32)
     return jnp.moveaxis(out, 0, axis)
 

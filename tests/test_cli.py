@@ -197,3 +197,14 @@ def test_fx_two_image_cli(tmp_png, tmp_path):
     out = str(tmp_path / "out.png")
     process([tmp_png, tmp_png, "-fx", "(u+v)/2", out])
     assert os.path.exists(out)
+
+
+def test_channel_setting(tmp_png, tmp_path):
+    out = str(tmp_path / "o.png")
+    # negate only the red channel
+    process([tmp_png, "-channel", "R", "-negate", out])
+    a = np.asarray(iio.read_images(tmp_png)[0].data)
+    b = np.asarray(iio.read_images(out)[0].data)
+    assert np.allclose(b[..., 0], 1.0 - a[..., 0], atol=0.02)
+    assert np.allclose(b[..., 1], a[..., 1], atol=0.02)
+    assert np.allclose(b[..., 2], a[..., 2], atol=0.02)
