@@ -296,6 +296,24 @@ def composite(dst: jnp.ndarray, src: jnp.ndarray, operator: str = "over",
         inten = jnp.mean(sc, axis=-1, keepdims=True)
         return unpack(inten * dca, da)
 
+    if op in ("displace", "distort"):
+        # overlay is a displacement map: red -> X shift, green -> Y shift,
+        # scaled by args (percent of overlay size); sample dst at the
+        # displaced position (CompositeImage Displace/Distort cases).
+        from .distort import sample_bilinear
+
+        h, w = dc.shape[-3], dc.shape[-2]
+        xscale = (args[0] if args else 20.0) / 100.0 * w
+        yscale = (args[1] if len(args) > 1 else (args[0] if args else 20.0)) / 100.0 * h
+        yy = jnp.arange(h, dtype=dc.dtype)[:, None] * jnp.ones((1, w), dc.dtype)
+        xx = jnp.ones((h, 1), dc.dtype) * jnp.arange(w, dtype=dc.dtype)[None, :]
+        dx = (sc[..., 0] - 0.5) * xscale
+        dy = (sc[..., min(1, sc.shape[-1] - 1)] - 0.5) * yscale
+        out = sample_bilinear(dc, xx + dx, yy + dy)
+        # outside the overlay's support (sa==0) keep dst
+        out = jnp.where(sa > 0, out, dc)
+        return unpack(out * da, da)
+
     # --- SVG blend modes through the general alpha formula ---
     if op in _BLEND_FNS:
         f = _BLEND_FNS[op](sc, dc)

@@ -281,8 +281,21 @@ def ellipse_coverage(h: int, w: int, cx: float, cy: float,
 
 
 def _blend(img: jnp.ndarray, coverage: jnp.ndarray,
-           color: Sequence[float]) -> jnp.ndarray:
+           color) -> jnp.ndarray:
+    """Blend a coverage mask with a solid color or an (H, W, 4) color field."""
     c = img.shape[-1]
+    if isinstance(color, jnp.ndarray) and color.ndim >= 3:
+        col = color[..., :c]
+        alpha_field = color[..., 3] if color.shape[-1] > 3 else 1.0
+        a = (alpha_field * coverage)[..., None]
+        if c == 4:
+            src_a = a
+            dst_a = img[..., 3:4]
+            out_a = src_a + dst_a * (1 - src_a)
+            rgb = (col[..., :3] * src_a + img[..., :3] * dst_a * (1 - src_a)) / \
+                jnp.maximum(out_a, 1e-6)
+            return jnp.concatenate([rgb, out_a], axis=-1)
+        return img * (1.0 - a) + col * a
     col = jnp.asarray(color[:c], img.dtype)
     a = (color[3] if len(color) > 3 else 1.0) * coverage[..., None]
     if c == 4:
@@ -304,6 +317,7 @@ class _GC:
 
     def __init__(self):
         self.fill = (0.0, 0.0, 0.0, 1.0)
+        self.fill_gradient = None  # name of gradient for url(#...) fills
         self.stroke = (0.0, 0.0, 0.0, 0.0)
         self.stroke_width = 1.0
         self.fill_opacity = 1.0
@@ -319,7 +333,7 @@ class _GC:
         g.__dict__ = {}
         for k in ("fill", "stroke", "stroke_width", "fill_opacity",
                   "stroke_opacity", "fill_rule", "font_size", "font",
-                  "affine", "text_anchor"):
+                  "affine", "text_anchor", "fill_gradient"):
             setattr(g, k, getattr(self, k))
         return g
 
@@ -344,6 +358,8 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
     i = 0
     gc = _GC()
     stack: List[_GC] = []
+    gradients: Dict[str, dict] = {}
+    pending_gradient: Optional[dict] = None
     out = img
 
     def num():
@@ -366,12 +382,37 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
             if what == "graphic-context":
                 stack.append(gc)
                 gc = gc.copy()
+            elif what == "gradient":
+                # push gradient NAME linear x1,y1 x2,y2   (draw.c gradients)
+                gname = toks[i]; i += 1
+                gtype = toks[i]; i += 1
+                coords = [num(), num(), num(), num()]
+                pending_gradient = {"type": gtype, "coords": coords,
+                                    "stops": []}
+                gradients[gname] = pending_gradient
+            elif what == "defs":
+                pass
         elif cmd == "pop":
             what = toks[i]; i += 1
             if what == "graphic-context" and stack:
                 gc = stack.pop()
+            elif what == "gradient":
+                pending_gradient = None
+        elif cmd == "stop-color":
+            col = color_arg()
+            off = num() if i < len(toks) and re.match(r"^[0-9.]", toks[i]) else None
+            if pending_gradient is not None:
+                pending_gradient["stops"].append((off, col))
         elif cmd == "fill":
-            gc.fill = color_arg()
+            raw = toks[i]
+            m_url = re.match(r"^'?url\(#([^)]+)\)'?$", raw)
+            if m_url:
+                i += 1
+                gc.fill_gradient = m_url.group(1)
+                gc.fill = (0, 0, 0, 1)
+            else:
+                gc.fill_gradient = None
+                gc.fill = color_arg()
         elif cmd == "stroke":
             gc.stroke = color_arg()
         elif cmd == "stroke-width":
@@ -412,11 +453,11 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
         elif cmd in ("rectangle",):
             x1, y1, x2, y2 = num(), num(), num(), num()
             pts = gc.xform([(x1, y1), (x2, y1), (x2, y2), (x1, y2)])
-            out = _draw_shape(out, h, w, pts, gc, closed=True)
+            out = _draw_shape(out, h, w, pts, gc, closed=True, gradients=gradients)
         elif cmd == "roundrectangle":
             x1, y1, x2, y2, rx, ry = num(), num(), num(), num(), num(), num()
             pts = _roundrect_points(x1, y1, x2, y2, rx, ry)
-            out = _draw_shape(out, h, w, gc.xform(pts), gc, closed=True)
+            out = _draw_shape(out, h, w, gc.xform(pts), gc, closed=True, gradients=gradients)
         elif cmd == "circle":
             cx, cy, px, py = num(), num(), num(), num()
             r = math.hypot(px - cx, py - cy)
@@ -430,25 +471,27 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
             rx, ry = abs(x2 - x1) / 2, abs(y2 - y1) / 2
             th = np.linspace(math.radians(a0), math.radians(a1), 48)
             pts = [(cx + rx * math.cos(t), cy + ry * math.sin(t)) for t in th]
-            out = _draw_shape(out, h, w, gc.xform(pts), gc, closed=False)
+            out = _draw_shape(out, h, w, gc.xform(pts), gc, closed=False, gradients=gradients)
         elif cmd in ("polyline", "polygon"):
             pts = []
             while i < len(toks) and re.match(r"^[-+0-9.]", toks[i]):
                 pts.append((num(), num()))
             out = _draw_shape(out, h, w, gc.xform(pts), gc,
-                              closed=(cmd == "polygon"))
+                              closed=(cmd == "polygon"), gradients=gradients)
         elif cmd == "bezier":
             pts = []
             while i < len(toks) and re.match(r"^[-+0-9.]", toks[i]):
                 pts.append((num(), num()))
             if len(pts) >= 4:
                 flat = _flatten_bezier(pts[0], pts[1], pts[2], pts[3])
-                out = _draw_shape(out, h, w, gc.xform(flat), gc, closed=False)
+                out = _draw_shape(out, h, w, gc.xform(flat), gc,
+                                  closed=False, gradients=gradients)
         elif cmd == "path":
             d = toks[i].strip("'\""); i += 1
             for sub in parse_svg_path(d):
                 out = _draw_shape(out, h, w, gc.xform(sub), gc,
-                                  closed=(len(sub) > 2 and sub[0] == sub[-1]))
+                                  closed=(len(sub) > 2 and sub[0] == sub[-1]),
+                                  gradients=gradients)
         elif cmd == "point":
             x, y = num(), num()
             (tx, ty), = gc.xform([(x, y)])
@@ -496,9 +539,41 @@ def _roundrect_points(x1, y1, x2, y2, rx, ry, n=8):
     return pts
 
 
-def _draw_shape(img, h, w, pts, gc: _GC, closed: bool):
+def _gradient_field(h, w, grad: dict, dtype=jnp.float32) -> jnp.ndarray:
+    """Evaluate a two-(or multi-)stop gradient over the canvas -> (H,W,4)."""
+    x1, y1, x2, y2 = grad["coords"]
+    yy = jnp.arange(h, dtype=dtype)[:, None] * jnp.ones((1, w), dtype)
+    xx = jnp.ones((h, 1), dtype) * jnp.arange(w, dtype=dtype)[None, :]
+    if grad["type"].startswith("radial"):
+        r = math.hypot(x2 - x1, y2 - y1) or 1.0
+        t = jnp.sqrt((xx - x1) ** 2 + (yy - y1) ** 2) / r
+    else:
+        dx, dy = x2 - x1, y2 - y1
+        d2 = dx * dx + dy * dy or 1.0
+        t = ((xx - x1) * dx + (yy - y1) * dy) / d2
+    t = jnp.clip(t, 0.0, 1.0)
+    stops = grad["stops"] or [(0.0, (0, 0, 0, 1)), (1.0, (1, 1, 1, 1))]
+    n = len(stops)
+    offs = [s_[0] if s_[0] is not None else (k / max(n - 1, 1))
+            for k, s_ in enumerate(stops)]
+    cols = [jnp.asarray(s_[1], dtype) for s_ in stops]
+    field = jnp.broadcast_to(cols[0], (h, w, 4)).astype(dtype)
+    for k in range(1, n):
+        lo, hi = offs[k - 1], offs[k]
+        seg = jnp.clip((t - lo) / max(hi - lo, 1e-6), 0.0, 1.0)[..., None]
+        local = cols[k - 1] * (1 - seg) + cols[k] * seg
+        field = jnp.where((t >= lo)[..., None], local, field)
+    return field
+
+
+def _draw_shape(img, h, w, pts, gc: _GC, closed: bool, gradients=None):
     out = img
-    if closed and gc.fill[3] > 0 and gc.fill_opacity > 0:
+    if closed and gc.fill_gradient and gradients and \
+            gc.fill_gradient in gradients and gc.fill_opacity > 0:
+        cov = polygon_coverage(h, w, pts, gc.fill_rule)
+        field = _gradient_field(h, w, gradients[gc.fill_gradient], img.dtype)
+        out = _blend(out, cov * gc.fill_opacity, field)
+    elif closed and gc.fill[3] > 0 and gc.fill_opacity > 0:
         cov = polygon_coverage(h, w, pts, gc.fill_rule)
         out = _blend(out, cov * gc.fill_opacity, gc.fill)
     if gc.stroke[3] > 0 and gc.stroke_opacity > 0 and gc.stroke_width > 0:

@@ -146,6 +146,70 @@ def floyd_steinberg(img: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
     return rows
 
 
+def _hilbert_order(order: int) -> np.ndarray:
+    """Flat visit order of a 2^order x 2^order Hilbert curve (host-side)."""
+    n = 1 << order
+    # iterative d2xy conversion
+    idx = np.arange(n * n)
+    rx = np.zeros_like(idx)
+    ry = np.zeros_like(idx)
+    x = np.zeros_like(idx)
+    y = np.zeros_like(idx)
+    t = idx.copy()
+    s = 1
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        # rotate
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f, y_f = x.copy(), y.copy()
+        x[swap], y[swap] = y_f[swap], x_f[swap]
+        x[flip] = s - 1 - x[flip]
+        y[flip] = s - 1 - y[flip]
+        x = x + s * rx
+        y = y + s * ry
+        t //= 4
+        s *= 2
+    return y * n + x
+
+
+def riemersma(img: jnp.ndarray, palette: jnp.ndarray,
+              history: int = 16) -> jnp.ndarray:
+    """Riemersma Hilbert-curve dithering (quantize.c:391 region).
+
+    Pixels are visited in Hilbert order; quantization error decays
+    exponentially along the curve (the reference's weighted history).  The
+    traversal order is precomputed host-side; the error-carrying walk is a
+    single lax.scan over the curve — sequential like the reference, but one
+    fused on-device program.
+    """
+    if img.ndim == 4:
+        return jax.vmap(lambda im: riemersma(im, palette, history))(img)
+    h, w, c = img.shape
+    side_order = max(int(np.ceil(np.log2(max(h, w, 2)))), 1)
+    side = 1 << side_order
+    order = _hilbert_order(side_order)
+    ys, xs = np.divmod(order, side)
+    keep = (ys < h) & (xs < w)
+    ys, xs = ys[keep], xs[keep]
+    flat_idx = jnp.asarray(ys * w + xs, jnp.int32)
+    pixels = img.reshape(-1, c)[flat_idx]  # pixels in Hilbert order
+    pal = palette.reshape(-1, c)
+    decay = float(np.exp(np.log(1.0 / history) / max(history - 1, 1)))
+
+    def step(err, px):
+        v = jnp.clip(px + err, 0.0, 1.0)
+        d2 = jnp.sum((pal - v[None, :]) ** 2, axis=1)
+        new = pal[jnp.argmin(d2)]
+        err_new = (v - new) + err * decay
+        return err_new, new
+
+    _, out_seq = lax.scan(step, jnp.zeros((c,), img.dtype), pixels)
+    out = img.reshape(-1, c).at[flat_idx].set(out_seq)
+    return out.reshape(h, w, c)
+
+
 def ordered_posterize(img: jnp.ndarray, levels: int = 2,
                       map_name: str = "o8x8") -> jnp.ndarray:
     from .threshold import ordered_dither

@@ -151,3 +151,33 @@ def test_cli_draw_annotate(tmp_path, checker_rgb):
     assert os.path.exists(out)
     process([p, "-frame", "4x4", out])
     assert iio.read_images(out)[0].width == 32 + 8
+
+
+def test_mvg_gradient_fill(white):
+    mvg = ("push defs push gradient g1 linear 0,0 31,0 "
+           "stop-color 'red' 0 stop-color 'blue' 1 pop gradient pop defs "
+           "fill 'url(#g1)' rectangle 0,0 31,31")
+    out = np.asarray(dw.draw(white, mvg))
+    assert out[16, 1, 0] > 0.9 and out[16, 30, 2] > 0.9
+
+
+def test_composite_displace():
+    from imagemagick_tpu.ops import composite as comp
+
+    dst = jnp.asarray(np.tile(np.linspace(0, 1, 32, dtype=np.float32)
+                              [None, :, None], (32, 1, 3)))
+    # constant 0.5 map = no displacement
+    dmap = jnp.full((32, 32, 3), 0.5, jnp.float32)
+    out = np.asarray(comp.composite_at(dst, dmap, "displace", args=(50.0,)))
+    assert np.allclose(out[..., :3], np.asarray(dst), atol=1e-3)
+
+
+def test_riemersma_dither():
+    from imagemagick_tpu.ops import quantize as qz
+
+    gray = np.tile(np.linspace(0, 1, 24, dtype=np.float32)[None, :, None],
+                   (24, 1, 1))
+    pal = jnp.asarray([[0.0], [1.0]], jnp.float32)
+    out = np.asarray(qz.riemersma(jnp.asarray(gray), pal))
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    assert abs(out.mean() - gray.mean()) < 0.03
