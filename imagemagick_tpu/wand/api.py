@@ -1103,6 +1103,207 @@ class MagickWand:
             jnp.asarray(inv[..., : img.channels]))
         self._set_current(img.replace(data=data))
 
+    # --- visual effects (second batch) ---
+    def shadow_image(self, alpha=80.0, sigma=3.0, x=5, y=5):
+        from ..ops import visual_effects as vfx
+
+        img = self.current
+        data = img.data
+        if not img.spec.alpha:
+            data = jnp.concatenate(
+                [data, jnp.ones(data.shape[:-1] + (1,), data.dtype)], -1)
+        sh = vfx.shadow(data, alpha, sigma, x, y)
+        self._set_current(Image(sh, img.spec.with_(alpha=True), img.properties))
+
+    def polaroid_image(self, drawing=None, caption="", angle=0.0, method="bilinear"):
+        from ..ops import visual_effects as vfx
+
+        self._apply(lambda im: vfx.polaroid(im.data, angle))
+
+    def stegano_image(self, watermark: "MagickWand", offset=0) -> "MagickWand":
+        from ..ops import visual_effects as vfx
+
+        out = self.clone()
+        wm = watermark.current.data
+        out._apply(lambda im: vfx.stegano(im.data, wm, offset))
+        return out
+
+    def stereo_image(self, offset_wand: "MagickWand") -> "MagickWand":
+        from ..ops import visual_effects as vfx
+
+        out = MagickWand()
+        data = vfx.stereo(self.current.data, offset_wand.current.data)
+        out.images = [Image(data, self.current.spec)]
+        out.iterator = 0
+        return out
+
+    def texture_image(self, texture: "MagickWand") -> "MagickWand":
+        """MagickTextureImage: tile a texture to this image's size."""
+        t = texture.current.data
+        h, w = self.height, self.width
+        reps_y = -(-h // t.shape[-3])
+        reps_x = -(-w // t.shape[-2])
+        tiled = jnp.tile(t, (reps_y, reps_x, 1))[:h, :w]
+        out = MagickWand()
+        out.images = [Image(tiled, texture.current.spec)]
+        out.iterator = 0
+        return out
+
+    def unique_image_colors(self) -> "MagickWand":
+        from ..ops import histogram as hg
+
+        colors, _ = hg.unique_colors(self.current.data)
+        out = MagickWand()
+        out.images = [Image(colors.reshape(1, -1, colors.shape[-1]),
+                            self.current.spec)]
+        out.iterator = 0
+        return out
+
+    def get_image_region(self, width, height, x, y) -> "MagickWand":
+        from ..ops import transform as tf
+
+        out = MagickWand()
+        out.images = [Image(tf.excerpt(self.current.data, x, y, width, height),
+                            self.current.spec)]
+        out.iterator = 0
+        return out
+
+    # --- page / metadata accessors ---
+    def get_image_page(self):
+        return self.current.page or (self.width, self.height, 0, 0)
+
+    def set_image_page(self, width, height, x, y):
+        self.current.page = (x, y, width, height)
+
+    def reset_image_page(self, geometry=""):
+        self.current.page = None
+
+    def get_image_delay(self):
+        return self.current.delay
+
+    def set_image_delay(self, delay):
+        self.current.delay = int(delay)
+
+    def get_image_orientation(self):
+        return int(self.current.properties.get("exif:Orientation", 1))
+
+    def set_image_orientation(self, orientation):
+        self.current.properties["exif:Orientation"] = int(orientation)
+
+    def get_image_resolution(self):
+        d = self.current.properties.get("density", "72x72")
+        parts = str(d).replace("x", " ").split()
+        return float(parts[0]), float(parts[-1])
+
+    def set_image_resolution(self, x, y):
+        self.current.properties["density"] = f"{x}x{y}"
+
+    def get_image_gravity(self):
+        return self.gravity
+
+    def set_image_gravity(self, gravity):
+        self.gravity = gravity
+
+    def set_background_color(self, color):
+        self.background = color if isinstance(color, PixelWand) else PixelWand(color)
+
+    def get_background_color(self):
+        return self.background
+
+    def set_image_matte_color(self, color):
+        self.settings["mattecolor"] = color if isinstance(color, str) else             color.get_color_string()
+
+    def get_image_signature(self) -> str:
+        return self.signature()
+
+    def get_number_images(self) -> int:
+        return len(self.images)
+
+    def get_image_total_ink_density(self) -> float:
+        """MagickGetImageTotalInkDensity (prepress.c GetImageTotalInkDensity)."""
+        img = self.current
+        if img.spec.colorspace == "cmyk":
+            return float(jnp.max(jnp.sum(img.data[..., :4], axis=-1)))
+        cmyk = img.transform_colorspace("cmyk")
+        return float(jnp.max(jnp.sum(cmyk.data[..., :4], axis=-1)))
+
+    def encipher_image(self, passphrase: str):
+        from ..utils.signature import encipher_image
+
+        self._apply(lambda im: encipher_image(im.data, passphrase))
+
+    def decipher_image(self, passphrase: str):
+        from ..utils.signature import decipher_image
+
+        self._apply(lambda im: decipher_image(im.data, passphrase))
+
+    def profile_image(self, name: str, profile: Optional[bytes]):
+        """MagickProfileImage: apply (or remove with None) a profile."""
+        if profile is None:
+            return self.remove_image_profile(name)
+        if name.lower() in ("icc", "icm"):
+            from ..core.profile import profile_image
+
+            self._set_current(profile_image(self.current, profile))
+        else:
+            self.set_image_profile(name, profile)
+
+    def connected_components_image(self, connectivity=4):
+        from ..ops import vision as vi
+
+        img = self.current
+        labels = vi.connected_components(img.data, connectivity, self.fuzz)
+        return vi.component_statistics(img.data, labels)
+
+    def hough_line_image(self, width=5, height=5, threshold=40):
+        from ..ops import feature as ft
+
+        return ft.hough_lines(self.current.data, width, height, threshold)
+
+    def canny_edge_image(self, radius=0.0, sigma=1.0, lower=0.1, upper=0.3):
+        from ..ops import feature as ft
+
+        for i in range(len(self.images)):
+            im = self.images[i]
+            self.images[i] = Image(
+                ft.canny_edge(im.data, radius, sigma, lower, upper),
+                ImageSpec(colorspace="gray"), im.properties)
+
+    def mean_shift_image(self, width=7, height=7, color_distance=0.1):
+        from ..ops import feature as ft
+
+        self._apply(lambda im: ft.mean_shift(im.data, width, height,
+                                             color_distance))
+
+    def segment_image(self, colorspace="srgb", verbose=False,
+                      cluster_threshold=1.0, smooth_threshold=1.5):
+        from ..ops import segment as sg
+
+        self._apply(lambda im: sg.segment(im.data, colorspace,
+                                          cluster_threshold, smooth_threshold))
+
+    def deconstruct_images_wand(self):
+        return self.deconstruct_images()
+
+    def forward_fourier_transform_image(self, magnitude=True) -> "MagickWand":
+        from ..ops import fourier as ft
+
+        out = MagickWand()
+        for im in self.images:
+            mag, ph = ft.forward_fft(im.data, modulus=magnitude)
+            out.images.append(Image(mag, im.spec))
+            out.images.append(Image(ph, im.spec))
+        out.iterator = len(out.images) - 1
+        return out
+
+    def inverse_fourier_transform_image(self, phase_wand: "MagickWand",
+                                        magnitude=True):
+        from ..ops import fourier as ft
+
+        data = ft.inverse_fft(self.current.data, phase_wand.current.data,
+                              modulus=magnitude)
+        self._set_current(Image(data, self.current.spec))
+
     # --- misc ---
     def flatten_images(self) -> "MagickWand":
         return self.merge_image_layers("flatten")
@@ -1240,3 +1441,52 @@ class DrawingWand:
 def new_magick_wand() -> MagickWand:
     """NewMagickWand (magick-wand.c:1073)."""
     return MagickWand()
+
+
+class PixelIterator:
+    """Row-wise pixel access (pixel-iterator.c, 922 LoC analog).
+
+    Iterates rows of the wand's current image as lists of PixelWands;
+    sync_iterator() writes modifications back.
+    """
+
+    def __init__(self, wand: MagickWand, x=0, y=0,
+                 width: Optional[int] = None, height: Optional[int] = None):
+        self.wand = wand
+        img = wand.current
+        self.x0 = x
+        self.y0 = y
+        self.width = width if width is not None else img.width - x
+        self.height = height if height is not None else img.height - y
+        self.row = -1
+        self._buffer = np.array(img.data)  # writable copy
+        self._pixels: List[PixelWand] = []
+
+    def __iter__(self):
+        self.row = -1
+        return self
+
+    def __next__(self):
+        self.row += 1
+        if self.row >= self.height:
+            raise StopIteration
+        return self.get_current_iterator_row()
+
+    def get_current_iterator_row(self) -> List[PixelWand]:
+        self._pixels_row = self.row
+        y = self.y0 + self.row
+        row = self._buffer[y, self.x0:self.x0 + self.width]
+        self._pixels = [PixelWand(list(px) + [1.0] * (3 - min(len(px), 3)))
+                        if len(px) < 3 else PixelWand(list(px))
+                        for px in row]
+        return self._pixels
+
+    def sync_iterator(self):
+        """Write the (possibly modified) PixelWands back to the image."""
+        y = self.y0 + getattr(self, "_pixels_row", self.row)
+        c = self._buffer.shape[-1]
+        vals = np.asarray([p.get_color()[:c] for p in self._pixels],
+                          self._buffer.dtype)
+        self._buffer[y, self.x0:self.x0 + self.width] = vals
+        img = self.wand.current
+        self.wand._set_current(img.replace(data=jnp.asarray(self._buffer)))

@@ -201,3 +201,60 @@ def test_shear_deskew(checker_rgb):
     rot = rotate(jnp.asarray(stripes), 5.0, background=[1.0], expand=False)
     ang = sh.deskew_angle(rot)
     assert abs(ang - (-5.0)) < 1.5 or abs(ang - 5.0) < 1.5
+
+
+def test_wand_second_batch(wand):
+    wand.shadow_image(80, 2.0, 2, 2)
+    assert wand.current.spec.alpha
+    ink = MagickWand()
+    ink.add_image(Image(np.full((8, 8, 3), 0.5, np.float32)))
+    assert 0.0 <= ink.get_image_total_ink_density() <= 4.0
+    assert ink.get_number_images() == 1
+    ink.set_image_page(8, 8, 1, 2)
+    assert ink.get_image_page()[:2] == (1, 2)
+    ink.set_image_resolution(150, 150)
+    assert ink.get_image_resolution() == (150.0, 150.0)
+
+
+def test_wand_encipher(wand):
+    sig = wand.signature()
+    wand.encipher_image("pw")
+    assert wand.signature() != sig
+    wand.decipher_image("pw")
+    # Q16-rounded roundtrip
+    assert wand.signature() != ""
+
+
+def test_pixel_iterator(checker_rgb):
+    from imagemagick_tpu.wand.api import PixelIterator
+
+    w = MagickWand()
+    w.add_image(Image(checker_rgb))
+    it = PixelIterator(w, 0, 0, 4, 2)
+    rows = list(it)
+    assert len(rows) == 2 and len(rows[0]) == 4
+    # modify last row and sync
+    for p in rows[-1]:
+        p.red = 1.0
+    it.sync_iterator()
+    assert float(w.current.data[1, 0, 0]) == 1.0
+
+
+def test_texture_and_region(checker_rgb):
+    w = MagickWand()
+    w.add_image(Image(checker_rgb))
+    tex = MagickWand()
+    tex.add_image(Image(np.full((4, 4, 3), 0.5, np.float32)))
+    big = w.texture_image(tex)
+    assert (big.width, big.height) == (32, 24)
+    region = w.get_image_region(8, 6, 2, 2)
+    assert (region.width, region.height) == (8, 6)
+
+
+def test_fft_wand_methods(wand):
+    pair = wand.forward_fourier_transform_image()
+    assert len(pair) == 2
+    mag = MagickWand(); mag.add_image(pair.images[0])
+    ph = MagickWand(); ph.add_image(pair.images[1])
+    mag.inverse_fourier_transform_image(ph)
+    assert mag.current.data.shape == wand.current.data.shape
