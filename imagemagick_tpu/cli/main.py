@@ -1118,7 +1118,19 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
                 _write_output(st, tok)
                 output_written = True
             else:
-                for im in iio.read_images(tok, size=st.size):
+                frames = iio.read_images(tok, size=st.size)
+                extract = st.settings.pop("extract", None)
+                if extract:
+                    from ..ops import transform as tf3
+
+                    cut = []
+                    for im in frames:
+                        w3, h3, x3, y3 = parse_page_geometry(
+                            extract, im.width, im.height)
+                        cut.append(im.replace(
+                            data=tf3.excerpt(im.data, x3, y3, w3, h3)))
+                    frames = cut
+                for im in frames:
                     st.images.append(LazyImage(im))
             continue
 
@@ -1126,6 +1138,32 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
         name = tok[1:]
         if name == "size":
             st.size = args[i]; i += 1
+            continue
+        if name == "extract":
+            st.settings["extract"] = args[i]; i += 1
+            continue
+        if name == "texture":
+            tex_path = args[i]; i += 1
+            from .. import io as iio2
+
+            tex = iio2.read_images(tex_path)[0]
+            import jax.numpy as jnp
+
+            for li in st.images:
+                img = li.materialize()
+                ry = -(-img.height // tex.height)
+                rx = -(-img.width // tex.width)
+                tiled = jnp.tile(tex.data, (ry, rx, 1))[:img.height, :img.width]
+                li.image = Image(tiled[..., : img.channels], img.spec)
+            continue
+        if name == "region":
+            geom = args[i]; i += 1
+            from ..ops import transform as tf2
+
+            for li in st.images:
+                img = li.materialize()
+                w2, h2, x2, y2 = parse_page_geometry(geom, img.width, img.height)
+                li.image = img.replace(data=tf2.excerpt(img.data, x2, y2, w2, h2))
             continue
         if name == "depth":
             st.depth = int(args[i]); i += 1

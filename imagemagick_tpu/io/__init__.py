@@ -19,7 +19,7 @@ from typing import List, Optional, Union
 import numpy as np
 
 from ..core.image import Image
-from . import codecs, delegates, exr, extra_coders, miff, pnm, pseudo
+from . import codecs, delegates, exr, extra_coders, miff, mpc, pnm, pseudo
 from ..core.geometry import parse_geometry
 
 __all__ = ["read_image", "read_images", "write_image", "image_from_blob",
@@ -66,7 +66,7 @@ _NATIVE_EXT = {"miff": "miff", "mif": "miff",
                "ff": "ff", "farbfeld": "ff", "xbm": "xbm", "xpm": "xpm",
                "svg": "svg", "sixel": "sixel", "six": "sixel",
                "gray": "raw", "rgb": "raw", "rgba": "raw", "bgr": "raw",
-               "exr": "exr", "hdr": "hdr"}
+               "exr": "exr", "hdr": "hdr", "mpc": "mpc"}
 
 # in-memory registry for mpr: (registry.c:457 SetImageRegistry analog)
 _MPR_REGISTRY = {}
@@ -122,6 +122,8 @@ def read_images(filename: str, size: Optional[str] = None) -> List[Image]:
         if rest not in _MPR_REGISTRY:
             raise FileNotFoundError(f"no mpr registry entry {rest!r}")
         return list(_MPR_REGISTRY[rest])
+    if (fmt == "mpc" or rest.lower().endswith(".mpc")) and os.path.exists(rest):
+        return mpc.read_mpc(rest)
     with open(rest, "rb") as f:
         data = f.read()
     ext = fmt or os.path.splitext(rest)[1].lstrip(".").lower()
@@ -176,6 +178,9 @@ def write_image(image: Union[Image, List[Image]], filename: str,
         _MPR_REGISTRY[rest] = list(images)
         return
     if fmt in ("null",):
+        return
+    if fmt == "mpc" or (fmt is None and rest.lower().endswith(".mpc")):
+        mpc.write_mpc(images, rest)
         return
     if fmt in ("info", "json", "yaml", "txt"):
         from . import identify as ident

@@ -203,3 +203,41 @@ def test_hdr_roundtrip(rng, tmp_path):
     back = iio.read_images(p)[0]
     rel = np.abs(back.to_numpy() / arr - 1).mean()
     assert rel < 0.05  # RGBE shared exponent is lossy
+
+
+def test_mpc_checkpoint(img, tmp_path):
+    """MPC: zero-decode checkpoint roundtrip, exact float32."""
+    p = str(tmp_path / "state.mpc")
+    img.properties["comment"] = "ckpt"
+    iio.write_image(img, p)
+    back = iio.read_images(p)[0]
+    assert np.array_equal(back.to_numpy(), img.to_numpy())
+    assert back.properties["comment"] == "ckpt"
+
+
+def test_extract_on_read(tmp_png, tmp_path):
+    out = str(tmp_path / "o.png")
+    process(["-extract", "8x6+2+2", tmp_png, out])
+    assert iio.read_images(out)[0].data.shape[:2] == (6, 8)
+
+
+def test_region_and_texture(tmp_png, tmp_path):
+    out = str(tmp_path / "o.png")
+    process([tmp_png, "-region", "10x10+0+0", out])
+    assert iio.read_images(out)[0].width == 10
+
+
+def test_gif_animation_pipeline(tmp_path, checker_rgb):
+    """Multi-frame GIF: write, read, coalesce, optimize, rewrite."""
+    frames = []
+    for i in range(3):
+        f = Image(np.roll(checker_rgb, i * 4, axis=1))
+        f.delay = 10
+        frames.append(f)
+    p = str(tmp_path / "anim.gif")
+    iio.write_image(frames, p)
+    back = iio.read_images(p)
+    assert len(back) == 3
+    out = str(tmp_path / "opt.gif")
+    process([p, "-coalesce", "-deconstruct", out])
+    assert os.path.exists(out)
