@@ -670,6 +670,12 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["segment"] = (1, lambda st, a, p: _op_segment(st, a, p))
     O["hough-lines"] = (1, lambda st, a, p: _op_hough(st, a, p))
 
+    O["preview"] = (1, lambda st, a, p: _op_preview(st, a, p))
+    O["unique-colors"] = (0, lambda st, a, p: _op_unique_colors(st, a, p))
+    O["map"] = (1, lambda st, a, p: _op_map(st, a, p))
+    O["orient"] = (1, lambda st, a, p: _op_orient(st, a, p))
+    O["auto-orient"] = (0, lambda st, a, p: _op_auto_orient(st, a, p))
+
     # --- drawing / decoration ---
     O["draw"] = (1, lambda st, a, p: _op_draw(st, a, p))
     O["annotate"] = (2, lambda st, a, p: _op_annotate(st, a, p))
@@ -686,6 +692,80 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["montage"] = (0, _op_montage)
 
     return O
+
+
+def _op_auto_orient(st, arg, plus):
+    from ..ops import transform as tf
+
+    for li in st.images:
+        img = li.materialize()
+        o = int(img.properties.get("exif:Orientation", 1))
+        li.image = img.replace(data=tf.auto_orient(img.data, o))
+        img.properties["exif:Orientation"] = 1
+
+
+def _op_preview(st, arg, plus):
+    """-preview TYPE: grid of parameter variations (PreviewImage, effect.c)."""
+    from ..ops import montage as mo
+    from ..ops import enhance as en
+    from ..ops import blur as bl
+
+    t = arg.lower()
+    variants = []
+    for li in st.images[:1]:
+        img = li.materialize()
+        for k in range(9):
+            f = (k + 1) / 3.0
+            if t == "gamma":
+                data = en.gamma(img.data, 0.3 + 0.3 * k)
+            elif t == "blur":
+                data = bl.blur(img.data, 0.0, 0.2 + 0.4 * k)
+            elif t == "brightness":
+                data = en.brightness_contrast(img.data, -40 + 10 * k, 0)
+            elif t == "saturation":
+                data = en.modulate(img.data, 100, 40 + 15 * k, 100)
+            elif t == "hue":
+                data = en.modulate(img.data, 100, 100, 60 + 10 * k)
+            else:
+                data = en.gamma(img.data, 0.3 + 0.3 * k)
+            variants.append(Image(data, img.spec))
+    st.images = [LazyImage(mo.montage(variants, tile="3x3",
+                                      geometry="120x120+2+2"))]
+
+
+def _op_unique_colors(st, arg, plus):
+    from ..ops import histogram as hg
+    import jax.numpy as jnp
+
+    for li in st.images:
+        img = li.materialize()
+        colors, _ = hg.unique_colors(img.data)
+        li.image = Image(jnp.asarray(colors.reshape(1, -1, colors.shape[-1])),
+                         img.spec)
+
+
+def _op_map(st, arg, plus):
+    from .. import io as iio_map
+    from ..ops import quantize as qz
+
+    pal_img = iio_map.read_images(arg)[0]
+    pal = pal_img.data.reshape(-1, pal_img.channels)
+    dither = st.settings.get("dither", "none").lower() not in ("none", "false", "")
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=qz.remap(img.data, pal[:, : img.channels],
+                                             dither))
+
+
+def _op_orient(st, arg, plus):
+    from ..ops import transform as tf
+
+    names = {"topleft": 1, "topright": 2, "bottomright": 3, "bottomleft": 4,
+             "lefttop": 5, "righttop": 6, "rightbottom": 7, "leftbottom": 8}
+    o = names.get(arg.lower().replace("-", ""), 1)
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=tf.auto_orient(img.data, o))
 
 
 def _op_draw(st, arg, plus):
@@ -1059,7 +1139,8 @@ def _op_hough(st, arg, plus):
 
 
 _SETTINGS = {
-    "background", "fill", "gravity", "filter", "quality", "fuzz",
+    "background", "fill", "gravity", "filter", "quality", "fuzz", "dither",
+    "page", "tile", "texture-setting", "units", "weight", "style",
     "virtual-pixel", "interpolate", "compose", "font", "pointsize",
     "bordercolor", "mattecolor", "stroke", "strokewidth", "density",
     "dispose", "delay", "loop", "channel", "intent", "interlace",

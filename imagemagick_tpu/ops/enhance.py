@@ -155,8 +155,9 @@ _NBINS = 65536  # Q16 histogram resolution (MaxMap analog)
 
 
 def _channel_histogram(ch: jnp.ndarray, bins: int = _NBINS) -> jnp.ndarray:
-    idx = jnp.clip((ch * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
-    return jnp.zeros((bins,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+    from .histogram import _histogram_fixed
+
+    return _histogram_fixed(ch, bins)
 
 
 def equalize(img: jnp.ndarray, bins: int = 4096) -> jnp.ndarray:

@@ -20,11 +20,32 @@ import numpy as np
 def channel_histogram(img: jnp.ndarray, bins: int = 256) -> jnp.ndarray:
     """Fixed-bin per-channel histogram: returns (bins, C)."""
     c = img.shape[-1]
-    idx = jnp.clip((img * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
-    outs = []
-    for ch in range(c):
-        outs.append(jnp.zeros((bins,), jnp.float32).at[idx[..., ch].reshape(-1)].add(1.0))
+    outs = [_histogram_fixed(img[..., ch], bins) for ch in range(c)]
     return jnp.stack(outs, axis=-1)
+
+def _histogram_fixed(values: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """TPU-friendly fixed-bin histogram.
+
+    Scatter-adds serialize on TPU; a broadcasted compare + sum streams on
+    the VPU and XLA fuses the (N, bins) intermediate away.  values in [0,1].
+    """
+    idx = jnp.clip((values.reshape(-1) * (bins - 1) + 0.5).astype(jnp.int32),
+                   0, bins - 1)
+    n = idx.shape[0]
+    # chunk the pixel axis so the fused compare tile stays small
+    chunk = 1 << 16
+    pad = (-n) % chunk
+    idx = jnp.pad(idx, (0, pad), constant_values=-1)
+    idx = idx.reshape(-1, chunk)
+    bins_iota = jnp.arange(bins, dtype=jnp.int32)
+
+    def body(carry, row):
+        eq = (row[:, None] == bins_iota[None, :]).astype(jnp.float32)
+        return carry + jnp.sum(eq, axis=0), None
+
+    hist, _ = jax.lax.scan(body, jnp.zeros((bins,), jnp.float32), idx)
+    return hist
+
 
 
 def _pack_colors(img: jnp.ndarray, bits: int = 8) -> jnp.ndarray:

@@ -23,9 +23,10 @@ _NBINS = 256  # reference histograms auto-thresholds at 256 bins (threshold.c)
 
 
 def _intensity_histogram(img: jnp.ndarray, bins: int = _NBINS) -> jnp.ndarray:
+    from .histogram import _histogram_fixed
+
     inten = grayscale(img)[..., 0] if img.shape[-1] >= 3 else img[..., 0]
-    idx = jnp.clip((inten * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
-    return jnp.zeros((bins,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+    return _histogram_fixed(inten, bins)
 
 
 def otsu_threshold_value(img: jnp.ndarray) -> jnp.ndarray:

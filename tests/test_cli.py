@@ -208,3 +208,18 @@ def test_channel_setting(tmp_png, tmp_path):
     assert np.allclose(b[..., 0], 1.0 - a[..., 0], atol=0.02)
     assert np.allclose(b[..., 1], a[..., 1], atol=0.02)
     assert np.allclose(b[..., 2], a[..., 2], atol=0.02)
+
+
+def test_preview_map_unique(tmp_png, tmp_path):
+    out = str(tmp_path / "o.png")
+    process([tmp_png, "-preview", "gamma", out])
+    img = iio.read_images(out)[0]
+    assert img.width > 100  # 3x3 grid of thumbnails
+    # -map to a 2-color palette image
+    pal = str(tmp_path / "pal.png")
+    process(["-size", "2x1", "gradient:black-white", pal])
+    process([tmp_png, "-map", pal, out])
+    arr = np.asarray(iio.read_images(out)[0].data)
+    assert len(np.unique((arr * 255).astype(np.uint8))) <= 4
+    process([tmp_png, "-unique-colors", out])
+    assert iio.read_images(out)[0].height == 1
