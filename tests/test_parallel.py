@@ -76,3 +76,27 @@ def test_batch_parallel_pipeline(mesh, batch):
     out = np.asarray(jax.jit(pipe)(xs))
     ref = np.asarray(pipe(batch))
     assert np.max(np.abs(out - ref)) < 1e-5
+
+
+def test_gigapixel_sharded_pipeline(mesh, rng):
+    """Sharded blur+unsharp pipeline matches unsharded reference math."""
+    from imagemagick_tpu.models import gigapixel as gp
+    from imagemagick_tpu.ops import blur as bl
+
+    img = rng.uniform(0, 1, (2, 32, 64, 3)).astype(np.float32)
+    out, stats = gp.process_gigapixel(img, mesh=mesh, sigma=1.5)
+    # reference: single-device same math
+    blurred = np.asarray(bl._separable_conv(jnp.asarray(img),
+                                            bl.gaussian_kernel_1d(0.0, 1.5),
+                                            "edge"))
+    ref = np.clip(img + 1.0 * (img - blurred), 0, 1)
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-5
+    assert np.allclose(stats["mean"], ref.mean(axis=(0, 1, 2)), atol=1e-5)
+
+
+def test_gigapixel_grayscale(mesh, rng):
+    from imagemagick_tpu.models import gigapixel as gp
+
+    img = rng.uniform(0, 1, (2, 32, 64, 3)).astype(np.float32)
+    out, _ = gp.process_gigapixel(img, mesh=mesh, sigma=1.0, to_gray=True)
+    assert out.shape == (2, 32, 64, 1)
