@@ -688,6 +688,9 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["flatten"] = (0, _op_flatten)
     O["mosaic"] = (0, _op_mosaic)
     O["coalesce"] = (0, _op_coalesce)
+    O["duplicate"] = (1, lambda st, a, p: _op_duplicate(st, a, p))
+    O["insert"] = (1, lambda st, a, p: _op_insert(st, a, p))
+    O["smush"] = (1, lambda st, a, p: _op_smush(st, a, p))
     O["deconstruct"] = (0, _op_deconstruct)
     O["montage"] = (0, _op_montage)
 
@@ -834,6 +837,38 @@ def _op_mosaic(st, arg, plus):
 
     imgs = [li.materialize() for li in st.images]
     st.images = [LazyImage(ly.mosaic(imgs))]
+
+
+def _op_duplicate(st, arg, plus):
+    n = int(arg) if arg and arg.lstrip("+-").isdigit() else 1
+    last = st.images[-1]
+    for _ in range(n):
+        st.images.append(LazyImage(last.materialize()))
+
+
+def _op_insert(st, arg, plus):
+    idx = int(arg)
+    img = st.images.pop()
+    st.images.insert(idx if idx >= 0 else len(st.images) + idx + 1, img)
+
+
+def _op_smush(st, arg, plus):
+    import jax.numpy as jnp
+
+    offset = int(arg) if arg else 0
+    imgs = [li.materialize() for li in st.images]
+    datas = [im.data for im in imgs]
+    axis = -2 if plus else -3
+    if plus:
+        hh = max(d.shape[-3] for d in datas)
+        datas = [jnp.pad(d, [(0, hh - d.shape[-3]), (0, 0), (0, 0)],
+                         mode="edge") for d in datas]
+    else:
+        ww = max(d.shape[-2] for d in datas)
+        datas = [jnp.pad(d, [(0, 0), (0, ww - d.shape[-2]), (0, 0)],
+                         mode="edge") for d in datas]
+    st.images = [LazyImage(Image(jnp.concatenate(datas, axis=axis),
+                                 imgs[0].spec))]
 
 
 def _op_coalesce(st, arg, plus):

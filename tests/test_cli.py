@@ -223,3 +223,9 @@ def test_preview_map_unique(tmp_png, tmp_path):
     assert len(np.unique((arr * 255).astype(np.uint8))) <= 4
     process([tmp_png, "-unique-colors", out])
     assert iio.read_images(out)[0].height == 1
+
+
+def test_duplicate_insert_smush(tmp_png, tmp_path):
+    out = str(tmp_path / "o.png")
+    process([tmp_png, "-duplicate", "2", "-smush", "0", out])
+    assert iio.read_images(out)[0].height == 3 * 24

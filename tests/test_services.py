@@ -127,3 +127,16 @@ def test_cli_format_and_limit(tmp_path, checker_rgb, capsys):
     assert main(["identify", "-format", "%wx%h", p]) == 0
     out = capsys.readouterr().out
     assert "32x24" in out
+
+
+def test_compress_codecs():
+    from imagemagick_tpu.utils.compress import (ascii85_decode, ascii85_encode,
+                                                packbits_decode, packbits_encode)
+
+    data = b"Hello, ImageMagick on TPU! \x00\x00\x00\x00 run run run"
+    assert ascii85_decode(ascii85_encode(data)) == data
+    assert packbits_decode(packbits_encode(data)) == data
+    rng = np.random.default_rng(0)
+    blob = bytes(rng.integers(0, 4, 4096, dtype=np.uint8))  # runs likely
+    assert packbits_decode(packbits_encode(blob)) == blob
+    assert ascii85_decode(ascii85_encode(blob)) == blob
