@@ -359,7 +359,9 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
     gc = _GC()
     stack: List[_GC] = []
     gradients: Dict[str, dict] = {}
+    patterns: Dict[str, dict] = {}
     pending_gradient: Optional[dict] = None
+    pattern_capture: Optional[dict] = None
     out = img
 
     def num():
@@ -382,6 +384,26 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
             if what == "graphic-context":
                 stack.append(gc)
                 gc = gc.copy()
+            elif what == "pattern":
+                pname = toks[i]; i += 1
+                px, py, pw, ph = num(), num(), num(), num()
+                pattern_capture = {"name": pname, "x": px, "y": py,
+                                   "w": int(pw), "h": int(ph), "start": i}
+                # skip tokens until 'pop pattern' (rendered lazily)
+                depth = 1
+                j = i
+                while j < len(toks) - 1:
+                    if toks[j] == "push" and toks[j + 1] == "pattern":
+                        depth += 1
+                    if toks[j] == "pop" and toks[j + 1] == "pattern":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                pattern_capture["mvg"] = " ".join(toks[i:j])
+                patterns[pname] = pattern_capture
+                pattern_capture = None
+                i = j + 2  # past 'pop pattern'
             elif what == "gradient":
                 # push gradient NAME linear x1,y1 x2,y2   (draw.c gradients)
                 gname = toks[i]; i += 1
@@ -396,6 +418,26 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
             what = toks[i]; i += 1
             if what == "graphic-context" and stack:
                 gc = stack.pop()
+            elif what == "pattern":
+                pname = toks[i]; i += 1
+                px, py, pw, ph = num(), num(), num(), num()
+                pattern_capture = {"name": pname, "x": px, "y": py,
+                                   "w": int(pw), "h": int(ph), "start": i}
+                # skip tokens until 'pop pattern' (rendered lazily)
+                depth = 1
+                j = i
+                while j < len(toks) - 1:
+                    if toks[j] == "push" and toks[j + 1] == "pattern":
+                        depth += 1
+                    if toks[j] == "pop" and toks[j + 1] == "pattern":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                pattern_capture["mvg"] = " ".join(toks[i:j])
+                patterns[pname] = pattern_capture
+                pattern_capture = None
+                i = j + 2  # past 'pop pattern'
             elif what == "gradient":
                 pending_gradient = None
         elif cmd == "stop-color":
@@ -410,6 +452,21 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
                 i += 1
                 gc.fill_gradient = m_url.group(1)
                 gc.fill = (0, 0, 0, 1)
+                if m_url.group(1) in patterns and m_url.group(1) not in gradients:
+                    pat = patterns[m_url.group(1)]
+                    if "field" not in pat:
+                        tile = draw(jnp.ones((pat["h"], pat["w"], img.shape[-1]),
+                                             img.dtype), pat["mvg"])
+                        ry = -(-h // pat["h"])
+                        rx = -(-w // pat["w"])
+                        fld = jnp.tile(tile, (ry, rx, 1))[:h, :w]
+                        if fld.shape[-1] < 4:
+                            fld = jnp.concatenate(
+                                [fld, jnp.ones(fld.shape[:-1] + (4 - fld.shape[-1],),
+                                               fld.dtype)], -1)
+                        pat["field"] = fld
+                    gradients[m_url.group(1)] = {"type": "pattern",
+                                                 "field": pat["field"]}
             else:
                 gc.fill_gradient = None
                 gc.fill = color_arg()
@@ -541,6 +598,8 @@ def _roundrect_points(x1, y1, x2, y2, rx, ry, n=8):
 
 def _gradient_field(h, w, grad: dict, dtype=jnp.float32) -> jnp.ndarray:
     """Evaluate a two-(or multi-)stop gradient over the canvas -> (H,W,4)."""
+    if grad.get("type") == "pattern":
+        return grad["field"][:h, :w]
     x1, y1, x2, y2 = grad["coords"]
     yy = jnp.arange(h, dtype=dtype)[:, None] * jnp.ones((1, w), dtype)
     xx = jnp.ones((h, 1), dtype) * jnp.arange(w, dtype=dtype)[None, :]

@@ -1443,6 +1443,44 @@ def new_magick_wand() -> MagickWand:
     return MagickWand()
 
 
+class WandView:
+    """Region-callback processing (wand-view.c / image-view.c analog).
+
+    update(fn) applies fn(region_array) -> region_array over the view's
+    rectangle; the reference iterates rows with OpenMP callbacks, here the
+    whole region is one device op.
+    """
+
+    def __init__(self, wand: MagickWand, x=0, y=0,
+                 width: Optional[int] = None, height: Optional[int] = None):
+        self.wand = wand
+        img = wand.current
+        self.x = x
+        self.y = y
+        self.width = width if width is not None else img.width - x
+        self.height = height if height is not None else img.height - y
+
+    def get(self) -> jnp.ndarray:
+        img = self.wand.current
+        return img.data[..., self.y:self.y + self.height,
+                        self.x:self.x + self.width, :]
+
+    def update(self, fn) -> None:
+        img = self.wand.current
+        region = self.get()
+        new = fn(region)
+        data = img.data.at[..., self.y:self.y + self.height,
+                           self.x:self.x + self.width, :].set(new)
+        self.wand._set_current(img.replace(data=data))
+
+    def transfer(self, other: "WandView", fn=None) -> None:
+        """DuplexTransferWandView analog: combine two views."""
+        a = self.get()
+        b = other.get()
+        out = fn(a, b) if fn else b
+        self.update(lambda _: out)
+
+
 class PixelIterator:
     """Row-wise pixel access (pixel-iterator.c, 922 LoC analog).
 

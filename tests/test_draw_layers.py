@@ -181,3 +181,25 @@ def test_riemersma_dither():
     out = np.asarray(qz.riemersma(jnp.asarray(gray), pal))
     assert set(np.unique(out)) <= {0.0, 1.0}
     assert abs(out.mean() - gray.mean()) < 0.03
+
+
+def test_mvg_pattern_fill(white):
+    mvg = ("push defs push pattern pat0 0 0 4 4 "
+           "fill 'red' rectangle 0,0 1,3 fill 'blue' rectangle 2,0 3,3 "
+           "pop pattern pop defs "
+           "fill 'url(#pat0)' rectangle 0,0 31,31")
+    out = np.asarray(dw.draw(white, mvg))
+    # alternating red/blue columns tiled
+    assert out[10, 0, 0] > 0.8 and out[10, 2, 2] > 0.8
+
+
+def test_wand_view(checker_rgb):
+    from imagemagick_tpu.wand import MagickWand
+    from imagemagick_tpu.wand.api import WandView
+
+    w = MagickWand()
+    w.add_image(Image(checker_rgb))
+    view = WandView(w, 4, 4, 8, 8)
+    view.update(lambda r: r * 0.0)
+    arr = np.asarray(w.current.data)
+    assert arr[8, 8].max() == 0.0 and arr[0, 0].max() > 0.0
