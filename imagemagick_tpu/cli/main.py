@@ -531,12 +531,14 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["border"] = (1, _op_border)
 
     # --- blurs/convolutions ---
-    O["blur"] = (1, _op_simple("blur", "blur",
-        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
-    O["gaussian-blur"] = (1, _op_simple("blur", "gaussian_blur",
-        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
-    O["sharpen"] = (1, _op_simple("blur", "sharpen",
-        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
+    def _rs_vp(st, a, p):
+        kw = dict(zip(("radius", "sigma"), _geom_args(a)))
+        kw["virtual_pixel"] = st.settings["virtual-pixel"]
+        return kw
+
+    O["blur"] = (1, _op_simple("blur", "blur", _rs_vp))
+    O["gaussian-blur"] = (1, _op_simple("blur", "gaussian_blur", _rs_vp))
+    O["sharpen"] = (1, _op_simple("blur", "sharpen", _rs_vp))
     O["unsharp"] = (1, _op_simple("blur", "unsharp_mask",
         lambda st, a, p: _unsharp_args(a)))
     O["adaptive-blur"] = (1, _op_simple("blur", "adaptive_blur",
@@ -995,9 +997,19 @@ def _op_kmeans(st, arg, plus):
     from ..ops import quantize as qz
 
     n = int(arg.split()[0])
+    dither = st.settings.get("dither", "none").lower() in (
+        "floydsteinberg", "fs", "true", "riemersma")
     for li in st.images:
         img = li.materialize()
-        li.image = img.replace(data=qz.kmeans_quantize(img.data, n))
+        if dither:
+            pal, _ = qz.kmeans(img.data, n)
+            if st.settings.get("dither", "").lower() == "riemersma":
+                data = qz.riemersma(img.data, pal)
+            else:
+                data = qz.floyd_steinberg(img.data, pal)
+            li.image = img.replace(data=data)
+        else:
+            li.image = img.replace(data=qz.kmeans_quantize(img.data, n))
 
 
 def _op_auto_threshold(st, arg, plus):

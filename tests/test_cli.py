@@ -229,3 +229,18 @@ def test_duplicate_insert_smush(tmp_png, tmp_path):
     out = str(tmp_path / "o.png")
     process([tmp_png, "-duplicate", "2", "-smush", "0", out])
     assert iio.read_images(out)[0].height == 3 * 24
+
+
+def test_dithered_kmeans(tmp_png, tmp_path):
+    out = str(tmp_path / "o.png")
+    process([tmp_png, "-dither", "FloydSteinberg", "-kmeans", "4", out])
+    arr = np.asarray(iio.read_images(out)[0].data)
+    # at most 4 distinct colors (+compression rounding)
+    uniq = np.unique((arr * 255).astype(np.uint8).reshape(-1, 3), axis=0)
+    assert len(uniq) <= 8
+
+
+def test_virtual_pixel_setting(tmp_png, tmp_path):
+    out = str(tmp_path / "o.png")
+    process([tmp_png, "-virtual-pixel", "mirror", "-blur", "0x2", out])
+    assert os.path.exists(out)
