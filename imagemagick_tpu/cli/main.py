@@ -677,6 +677,9 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["map"] = (1, lambda st, a, p: _op_map(st, a, p))
     O["orient"] = (1, lambda st, a, p: _op_orient(st, a, p))
     O["auto-orient"] = (0, lambda st, a, p: _op_auto_orient(st, a, p))
+    O["type"] = (1, lambda st, a, p: _op_type(st, a, p))
+    O["evaluate-sequence"] = (1, lambda st, a, p: _op_eval_seq(st, a, p))
+    O["average"] = (0, lambda st, a, p: _op_eval_seq(st, "mean", p))
 
     # --- drawing / decoration ---
     O["draw"] = (1, lambda st, a, p: _op_draw(st, a, p))
@@ -760,6 +763,30 @@ def _op_map(st, arg, plus):
         img = li.materialize()
         li.image = img.replace(data=qz.remap(img.data, pal[:, : img.channels],
                                              dither))
+
+
+def _op_type(st, arg, plus):
+    from ..ops import attribute as at
+
+    t = arg.lower()
+    for li in st.images:
+        img = li.materialize()
+        data = at.set_image_type(img.data, t, img.spec.alpha)
+        spec = img.spec
+        if t.startswith(("bilevel", "grayscale")):
+            spec = spec.with_(colorspace="gray")
+        elif data.shape[-1] >= 3 and spec.color_channels == 1:
+            spec = spec.with_(colorspace="srgb")
+        li.image = Image(data, spec, img.properties, img.profiles)
+
+
+def _op_eval_seq(st, arg, plus):
+    import jax.numpy as jnp
+    from ..ops import statistic as stx
+
+    imgs = [li.materialize() for li in st.images]
+    stack = jnp.stack([im.data for im in imgs])
+    st.images = [LazyImage(Image(stx.evaluate_images(stack, arg), imgs[0].spec))]
 
 
 def _op_orient(st, arg, plus):
@@ -1188,6 +1215,8 @@ def _op_hough(st, arg, plus):
 _SETTINGS = {
     "background", "fill", "gravity", "filter", "quality", "fuzz", "dither",
     "page", "tile", "texture-setting", "units", "weight", "style",
+    "endian", "antialias", "transparent-color", "interlace",
+    "colors-setting", "treedepth", "kerning", "direction",
     "virtual-pixel", "interpolate", "compose", "font", "pointsize",
     "bordercolor", "mattecolor", "stroke", "strokewidth", "density",
     "dispose", "delay", "loop", "channel", "intent", "interlace",

@@ -244,3 +244,13 @@ def test_virtual_pixel_setting(tmp_png, tmp_path):
     out = str(tmp_path / "o.png")
     process([tmp_png, "-virtual-pixel", "mirror", "-blur", "0x2", out])
     assert os.path.exists(out)
+
+
+def test_type_and_eval_sequence(tmp_png, tmp_path):
+    out = str(tmp_path / "o.png")
+    process([tmp_png, "-type", "grayscale", out])
+    assert iio.read_images(out)[0].channels == 1
+    process([tmp_png, tmp_png, "-evaluate-sequence", "mean", out])
+    assert iio.read_images(out)[0].width == 32
+    process([tmp_png, tmp_png, "-average", out])
+    assert os.path.exists(out)
