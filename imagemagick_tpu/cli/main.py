@@ -115,22 +115,6 @@ def _geom_args(arg: str) -> Tuple[float, float]:
     return radius, sigma
 
 
-def _spec_cs(cs_name):
-    def upd(spec):
-        return spec.with_(colorspace=cs_name)
-
-    return upd
-
-
-def _spec_ch(alpha=None):
-    def upd(spec):
-        if alpha is None:
-            return spec
-        return spec.with_(alpha=alpha)
-
-    return upd
-
-
 # ---------------------------------------------------------------------------
 # Option implementations.  Each handler: (state, arg, plus_form) -> None.
 # n_args mirrors option.c's CommandOptions[] arg counts.
@@ -1349,8 +1333,11 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
             _write_output(st, target)
             continue
         if name == "identify":
+            from ..io import identify as ident_mod
+
+            verbose = st.settings.get("verbose") == "1"
             for li in st.images:
-                print(_identify_text(li.materialize(), "image"))
+                print(ident_mod.describe(li.materialize(), "image", verbose))
             continue
         if name == "list":
             _list_main(args[i]); i += 1

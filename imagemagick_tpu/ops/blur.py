@@ -159,10 +159,6 @@ def convolve(img: jnp.ndarray, kernel, bias: float = 0.0,
     return jnp.clip(out, 0.0, 1.0)
 
 
-def _mix_alpha(img, out, channels_only: bool):
-    return out
-
-
 # ---------------------------------------------------------------------------
 # The effect family
 # ---------------------------------------------------------------------------

@@ -28,10 +28,6 @@ import numpy as np
 from .blur import _depthwise_conv, gaussian_kernel_1d
 
 
-def _flatten_stats(d):
-    return d
-
-
 def _reduce(x):
     """Mean over all but channel axis."""
     axes = tuple(range(x.ndim - 1))
