@@ -241,10 +241,11 @@ def wavelet_denoise(img: jnp.ndarray, threshold: float = 0.05,
         detail = current - smooth
         t = threshold / (2 ** lvl)
         mag = jnp.abs(detail)
-        shrunk = jnp.sign(detail) * jnp.maximum(mag - t, 0.0)
-        keep = jnp.where(softness > 0,
-                         shrunk + softness * (detail - shrunk),
-                         shrunk)
+        # hard threshold (kill sub-threshold detail) blended toward soft
+        # shrinkage by `softness` — hard keeps surviving edges unbiased
+        hard = jnp.where(mag > t, detail, 0.0)
+        soft = jnp.sign(detail) * jnp.maximum(mag - t, 0.0)
+        keep = hard * (1.0 - softness) + soft * softness
         out = out + keep
         current = smooth
     return jnp.clip(out + current, 0, 1)
