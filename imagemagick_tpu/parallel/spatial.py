@@ -38,6 +38,12 @@ def _exchange_halo_1d(block: jnp.ndarray, axis_name: str, spatial_axis: int,
         pad = [(0, 0)] * block.ndim
         pad[spatial_axis] = (halo, halo)
         return jnp.pad(block, pad, mode="edge")
+    if block.shape[spatial_axis] < halo:
+        raise ValueError(
+            f"halo width {halo} exceeds the per-device shard extent "
+            f"{block.shape[spatial_axis]} along {axis_name!r}; a one-hop "
+            f"ppermute cannot provide a halo wider than one shard — use "
+            f"fewer devices on this axis or a smaller kernel radius")
 
     # slices to send
     lo = lax.slice_in_dim(block, 0, halo, axis=spatial_axis)

@@ -140,3 +140,75 @@ def test_pipeline_jits(img):
     # second call hits the cache
     out2 = pipeline(img.data)
     assert np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def _miff_header(**kv):
+    head = "id=ImageMagick  version=1.0\n"
+    for k, v in kv.items():
+        head += f"{k}={v}\n"
+    head += "\x0c\n:\x1a"
+    return head.encode()
+
+
+def test_miff_pseudoclass_decode():
+    """PseudoClass MIFF: colormap + index pixels (miff.c:1226-1318)."""
+    from imagemagick_tpu.io import miff
+    cmap = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]],
+                    np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], np.uint8)
+    blob = _miff_header(**{"class": "PseudoClass", "colors": 4,
+                           "columns": 4, "rows": 2, "depth": 8,
+                           "colorspace": "sRGB", "compression": "None"})
+    blob += cmap.tobytes() + idx.tobytes()
+    img = miff.decode(blob)[0]
+    expect = cmap[idx].astype(np.float32) / 255.0
+    np.testing.assert_allclose(np.asarray(img.data), expect, atol=1e-6)
+
+
+def test_miff_rle_decode():
+    """RLE MIFF: <samples><count-1> packets (miff.c WriteRLEPixels)."""
+    from imagemagick_tpu.io import miff
+    # 4x2 gray8 image: row0 = [10,10,10,20], row1 = [30,30,30,30]
+    packets = bytes([10, 2, 20, 0, 30, 3])
+    blob = _miff_header(**{"class": "DirectClass", "columns": 4, "rows": 2,
+                           "depth": 8, "colorspace": "Gray",
+                           "compression": "RLE"})
+    blob += packets
+    img = miff.decode(blob)[0]
+    expect = np.array([[10, 10, 10, 20], [30, 30, 30, 30]],
+                      np.float32)[..., None] / 255.0
+    np.testing.assert_allclose(np.asarray(img.data), expect, atol=1e-6)
+
+
+def test_miff_profile_payload(img):
+    """Binary profile blobs: MSB-u32 length + payload (miff.c:1184-1223)."""
+    from imagemagick_tpu.io import miff
+    icc = b"\x00fake-icc-profile-bytes\x01\x02"
+    plain = miff.encode(img, depth=8)
+    head, _, pixels = plain.partition(b":\x1a")
+    head = head.replace(b"columns=", b"profile=icc\ncolumns=")
+    blob = (head + b":\x1a" + len(icc).to_bytes(4, "big") + icc + pixels)
+    back = miff.decode(blob)[0]
+    assert back.profiles["icc"] == icc
+    np.testing.assert_allclose(np.asarray(back.data), np.asarray(img.data),
+                               atol=1.0 / 255.0)
+
+
+@pytest.mark.parametrize("compression", ["zip", "bzip"])
+def test_miff_framed_compression_roundtrip(img, compression):
+    """version>=1 zip/bzip streams are MSB-u32 length-prefixed row chunks
+    (miff.c:1573 read / :2710 write)."""
+    from imagemagick_tpu.io import miff
+    blob = miff.encode(img, depth=16, compression=compression)
+    back = miff.decode(blob)[0]
+    np.testing.assert_allclose(np.asarray(back.data), np.asarray(img.data),
+                               atol=1.0 / 65535.0 + 1e-6)
+
+
+def test_miff_unsupported_compression_raises():
+    from imagemagick_tpu.io import miff
+    blob = _miff_header(**{"class": "DirectClass", "columns": 2, "rows": 2,
+                           "depth": 8, "colorspace": "Gray",
+                           "compression": "LZMA"}) + b"\x00" * 4
+    with pytest.raises(ValueError, match="compression"):
+        miff.decode(blob)

@@ -140,3 +140,54 @@ def test_compress_codecs():
     blob = bytes(rng.integers(0, 4, 4096, dtype=np.uint8))  # runs likely
     assert packbits_decode(packbits_encode(blob)) == blob
     assert ascii85_decode(ascii85_encode(blob)) == blob
+
+
+def test_aes_fips197_vectors():
+    """FIPS-197 appendix C test vectors for the AES core used by -encipher."""
+    import numpy as np
+    from imagemagick_tpu.utils.aes import aes_encrypt_blocks
+
+    pt = np.frombuffer(bytes.fromhex("00112233445566778899aabbccddeeff"),
+                       np.uint8).reshape(1, 16)
+    for klen, expect in [(16, "69c4e0d86a7b0430d8cdb78070b4c55a"),
+                         (24, "dda97ca4864cdfe06eaf70a0ec0d7191"),
+                         (32, "8ea2b7ca516745bfeafc49904b496089")]:
+        ct = aes_encrypt_blocks(pt, bytes(range(klen)))
+        assert ct.tobytes().hex() == expect
+
+
+def test_encipher_ctr_construction(checker_rgb):
+    """Encipher matches an independent evaluation of cipher.c's CTR scheme:
+    counter0 = SHA256(nonce || u64le(w*h))[:16], key = 2nd passphrase half
+    zero-padded, keystream consumed ceil(row_bytes/16) blocks per row."""
+    import hashlib
+    import struct
+    import numpy as np
+    from imagemagick_tpu.utils.aes import aes_encrypt_blocks
+    from imagemagick_tpu.utils.signature import encipher_image, decipher_image
+
+    h, w, c = checker_rgb.shape
+    passphrase = "correct horse battery"
+    pp = passphrase.encode()
+    nonce, keyhalf = pp[:len(pp) // 2], pp[len(pp) // 2:]
+    key = keyhalf[:16].ljust(16, b"\0")
+    counter0 = int.from_bytes(
+        hashlib.sha256(nonce + struct.pack("<Q", w * h)).digest()[:16],
+        "little")
+
+    q = (np.clip(checker_rgb, 0, 1) * 65535.0 + 0.5).astype(">u2")
+    row_bytes = w * c * 2
+    nb = -(-row_bytes // 16)
+    blocks = np.array([[(counter0 + k) >> (8 * b) & 0xFF for b in range(16)]
+                       for k in range(h * nb)], np.uint8)
+    ks = aes_encrypt_blocks(blocks, key).reshape(h, nb * 16)[:, :row_bytes]
+    raw = np.frombuffer(q.tobytes(), np.uint8).reshape(h, row_bytes)
+    expect = np.frombuffer((raw ^ ks).tobytes(), ">u2").reshape(h, w, c)
+
+    enc = np.asarray(encipher_image(checker_rgb, passphrase))
+    got = (enc * 65535.0 + 0.5).astype(np.uint16)
+    np.testing.assert_array_equal(got, expect.astype(np.uint16))
+
+    dec = np.asarray(decipher_image(enc, passphrase))
+    np.testing.assert_allclose(dec, np.asarray(q, np.float32).reshape(h, w, c)
+                               / 65535.0, atol=1e-6)
