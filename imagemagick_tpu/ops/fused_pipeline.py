@@ -1,0 +1,376 @@
+"""Fused separable-linear pipelines as two banded block matmuls (Pallas TPU).
+
+The thumbnail pipeline — resize (any filter), separable Gaussian blur, and
+any per-pixel linear channel mix (e.g. sRGB->Gray luma) — is a composition
+of LINEAR maps along H, along W, and across C.  Instead of running each op
+as its own XLA program stage (each materializing an HBM intermediate, the
+way the reference materializes a full Image between ops,
+magick-cli.c:587's sequential interpreter), we compile the whole chain
+host-side into
+
+    out[n] = clip( WV @ x[n] @ G )
+
+where WV is the (Hout, Hin) vertical resize*blur operator and
+G the (Win*C, Wout*Cout) horizontal resize*blur*channel-mix operator —
+both BANDED (a Lanczos/Gaussian window touches ~2*support*scale rows), so
+each output row tile only needs a thin input band.  The Pallas kernel
+streams input bands HBM->VMEM through a 4-deep DMA pipeline (measured
+~600 GB/s vs ~380 GB/s for double buffering on v5e) and does two MXU
+matmuls per tile against weight blocks resident in VMEM.  One kernel, one
+HBM read of the input, one HBM write of the output — the fusion the
+reference can never do.
+
+Boundary semantics are exact: edge clipping/renormalization
+(resize.c:3389-3440) and the blur's edge-replicate padding are baked into
+the host-built matrices, so no in-kernel edge cases exist.
+
+Precision: f32 weights/data with the matmuls run as a manual 3-pass bf16
+split (hi*hi + hi*lo + lo*hi — the AlBl term is ~2^-16 relative and
+dropped), measured >=100dB vs float64; "highest" (6-pass) is available for
+fidelity-critical paths.
+
+Reference parity: ResizeImage (/root/reference/MagickCore/resize.c:3761),
+GaussianBlurImage (effect.c:1709), GrayscaleImage luma
+(colorspace.c:886-901).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+from .resize import resize_matrix
+
+_NSLOTS = 4          # DMA pipeline depth (measured best on v5e)
+_VMEM_BUDGET = 11 * 1024 * 1024  # nominal bytes across scratch + blocks
+
+
+def _align(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def blur_band_matrix(n: int, sigma: float, radius: float = 0.0) -> np.ndarray:
+    """(n, n) banded separable-Gaussian operator with edge-replicate pads.
+
+    Same taps as ops.blur.gaussian_blur (effect.c:1709 sigma->width rules);
+    rows are exact including the clamped edge windows.
+    """
+    from .blur import optimal_kernel_width_2d
+
+    width = optimal_kernel_width_2d(radius, sigma)
+    j = (width - 1) // 2
+    xs = np.arange(-j, j + 1, dtype=np.float64)
+    k = np.exp(-(xs * xs) / (2.0 * max(sigma, 1e-12) ** 2))
+    k /= k.sum()
+    B = np.zeros((n, n), np.float64)
+    for o in range(n):
+        for t, kv in zip(range(o - j, o + j + 1), k):
+            B[o, min(max(t, 0), n - 1)] += kv
+    return B
+
+
+@functools.lru_cache(maxsize=64)
+def _axis_operator(in_size: int, out_size: int, filt: str, blur_sigma: float
+                   ) -> np.ndarray:
+    """(out, in) combined resize (+ optional blur) operator for one axis."""
+    M = resize_matrix(in_size, out_size, filt).astype(np.float64).T
+    if blur_sigma > 0.0:
+        M = blur_band_matrix(out_size, blur_sigma) @ M
+    return M
+
+
+def _v_blocks(Mv: np.ndarray, Hin: int, TO: int
+              ) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Slice the vertical operator into per-tile (TO, BAND) blocks."""
+    Hout = Mv.shape[0]
+    ntiles = -(-Hout // TO)
+    r0s, spans = [], []
+    for t in range(ntiles):
+        rows = Mv[t * TO:min((t + 1) * TO, Hout)]
+        nz = np.nonzero(np.abs(rows).sum(0) > 0)[0]
+        lo, hi = (int(nz[0]), int(nz[-1]) + 1) if len(nz) else (0, 1)
+        r0s.append((lo // 8) * 8)
+        spans.append(hi - (lo // 8) * 8)
+    BAND = min(_align(max(spans), 8), _align(Hin, 8))
+    if BAND > Hin:
+        BAND = Hin - Hin % 8 if Hin % 8 else Hin
+    r0s = [max(0, min(r0, Hin - BAND)) for r0 in r0s]
+    WV = np.zeros((ntiles, TO, BAND), np.float32)
+    for t, r0 in enumerate(r0s):
+        rows = Mv[t * TO:min((t + 1) * TO, Hout)]
+        WV[t, :rows.shape[0]] = rows[:, r0:r0 + BAND]
+    return WV, np.asarray(r0s, np.int32), BAND, ntiles
+
+
+def _h_blocks(Mw: np.ndarray, C: int, mix: np.ndarray, WINC: int
+              ) -> Tuple[np.ndarray, Tuple[int, ...], int, int, int]:
+    """Expand the horizontal operator across channels and block by 128 lanes.
+
+    G[w*C+c, o*Cout+c'] = Mw[o, w] * mix[c', c]; blocks cover 128 output
+    lanes each with a 128-aligned input-lane window.
+    """
+    Wout, Win = Mw.shape
+    Cout = mix.shape[0]
+    OUT = Wout * Cout
+    OUTP = _align(OUT, 128)
+    G = np.zeros((WINC, OUTP), np.float64)
+    MwT = Mw.T  # (Win, Wout)
+    for c in range(C):
+        for cp in range(Cout):
+            if mix[cp, c] == 0.0:
+                continue
+            G[c:Win * C:C, cp:OUT:Cout] += mix[cp, c] * MwT
+    nb = OUTP // 128
+    c0s, spans = [], []
+    for b in range(nb):
+        cols = G[:, b * 128:(b + 1) * 128]
+        nz = np.nonzero(np.abs(cols).sum(1) > 0)[0]
+        lo, hi = (int(nz[0]), int(nz[-1]) + 1) if len(nz) else (0, 128)
+        c0s.append((lo // 128) * 128)
+        spans.append(hi - (lo // 128) * 128)
+    SPAN = min(_align(max(spans), 128), WINC)
+    c0s = [max(0, min(c0, WINC - SPAN)) for c0 in c0s]
+    GB = np.zeros((nb, SPAN, 128), np.float32)
+    for b, c0 in enumerate(c0s):
+        GB[b] = G[c0:c0 + SPAN, b * 128:(b + 1) * 128]
+    return GB, tuple(c0s), SPAN, OUT, OUTP
+
+
+def _split(a):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= a exactly to bf16^2."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    return ah, al
+
+
+def _mm(a, b, precision):
+    """(M,K)@(K,N) f32 matmul; 'b3' = manual 3-pass bf16 split (~f32 fidelity
+    at ~2x the speed of Mosaic's 6-pass HIGHEST).  a/b may be pre-split
+    (hi, lo) bf16 pairs when precision='b3'."""
+    dn = (((1,), (0,)), ((), ()))
+    if precision == "b3":
+        ah, al = a if isinstance(a, tuple) else _split(a)
+        bh, bl = b if isinstance(b, tuple) else _split(b)
+        out = jax.lax.dot_general(ah, bh, dn,
+                                  preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(ah, bl, dn,
+                                   preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(al, bh, dn,
+                                   preferred_element_type=jnp.float32)
+        return out
+    if isinstance(a, tuple):
+        a = a[0].astype(jnp.float32) + a[1].astype(jnp.float32)
+    if isinstance(b, tuple):
+        b = b[0].astype(jnp.float32) + b[1].astype(jnp.float32)
+    return jax.lax.dot_general(a, b, dn, precision=precision,
+                               preferred_element_type=jnp.float32)
+
+
+def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
+            *, TO, BAND, c0s, SPAN, precision, clip, nprog, ntiles):
+    """One program per (image, row-tile), flattened to a 1-D grid.
+
+    Two measured structural rules shape this kernel:
+    * flat 1-D grid + absolute precomputed row offsets — a 2-D
+      (batch, tile) grid with an in-kernel batch index measured ~5us/step
+      slower (dynamic leading-axis memref slicing defeats Mosaic's cheap
+      DMA descriptor path);
+    * ALL weight blocks live in persistent scratch, copied once at step 0
+      and indexed dynamically — a BlockSpec whose index_map uses rem()
+      (non-affine) stalls Mosaic's block prefetch for ~10us every step,
+      which alone made the kernel 3.5x slower.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        gcopy = pltpu.make_async_copy(gb_hbm, gb, gsem)
+        gcopy.start()
+        gcopy.wait()
+        wcopy = pltpu.make_async_copy(wv_hbm, wv, gsem)
+        wcopy.start()
+        wcopy.wait()
+
+    def band_dma(s, which):
+        r0 = pl.multiple_of(r0_ref[which], 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(r0, BAND), :], band.at[s], sem.at[s])
+
+    # 4-deep DMA pipeline: prime NSLOTS copies on step 0 (steps 0..NSLOTS-1),
+    # then each later step issues the copy for step+NSLOTS-1, keeping
+    # NSLOTS-1 transfers in flight ahead of the consumer.
+    @pl.when(step == 0)
+    def _():
+        for k in range(min(_NSLOTS, nprog)):
+            band_dma(k, k).start()
+
+    nxt = step + _NSLOTS - 1
+
+    @pl.when((step > 0) & (nxt < nprog))
+    def _():
+        band_dma(nxt % _NSLOTS, nxt).start()
+
+    slot = step % _NSLOTS
+    band_dma(slot, step).wait()
+
+    # Horizontal pass FIRST: (BAND, SPAN) @ (SPAN, 128) per block — deep-K,
+    # narrow-N matmuls run ~3.5x more MACs/s on the MXU than the skinny-K
+    # wide-N shape the vertical-first order produces.  The vertical pass
+    # then contracts the small (TO, BAND) @ (BAND, OUTP) mid — ~5% of MACs.
+    if precision == "b3":
+        bsplit = _split(band[slot])
+    else:
+        bsplit = band[slot]
+    mids = []
+    for b, c0 in enumerate(c0s):
+        bnd = (bsplit[0][:, c0:c0 + SPAN], bsplit[1][:, c0:c0 + SPAN]) \
+            if precision == "b3" else bsplit[:, c0:c0 + SPAN]
+        mids.append(_mm(bnd, gb[b], precision))         # (BAND, 128)
+    mid = jnp.concatenate(mids, axis=1)                  # (BAND, OUTP)
+    tt = jax.lax.rem(step, ntiles)
+    out = _mm(wv[tt], mid, precision)                    # (TO, OUTP)
+    if clip:
+        out = jnp.clip(out, 0.0, 1.0)
+    out_ref[:, :] = out
+
+
+@functools.lru_cache(maxsize=64)
+def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
+                precision, clip, interpret=False):
+    nprog = N * ntiles
+    kern = functools.partial(_kernel, TO=TO, BAND=BAND, c0s=c0s, SPAN=SPAN,
+                             precision=precision, clip=clip, nprog=nprog,
+                             ntiles=ntiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((TO, OUTP), lambda i, r0: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_NSLOTS, BAND, WINC), jnp.float32),
+            pltpu.VMEM((ntiles, TO, BAND), jnp.float32),
+            pltpu.VMEM((nb, SPAN, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((_NSLOTS,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nprog * TO, OUTP), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+
+
+def _plan(Hin, Win, C, Hout, Wout, filt, sigma, mix_key, TO):
+    mix = np.asarray(mix_key, np.float64)
+    Mv = _axis_operator(Hin, Hout, filt, sigma)
+    Mw = _axis_operator(Win, Wout, filt, sigma)
+    WV, r0s, BAND, ntiles = _v_blocks(Mv, Hin, TO)
+    GB, c0s, SPAN, OUT, OUTP = _h_blocks(Mw, C, mix, Win * C)
+    return WV, r0s, BAND, ntiles, GB, c0s, SPAN, OUT, OUTP
+
+
+def fused_resize_pipeline(x: jnp.ndarray, Hout: int, Wout: int,
+                          filt: str = "lanczos", sigma: float = 0.0,
+                          mix: Optional[np.ndarray] = None,
+                          precision: str = "b3",
+                          clip: bool = True,
+                          TO: int = 64,
+                          in_shape: Optional[Tuple[int, int, int, int]] = None,
+                          interpret: bool = False) -> Optional[jnp.ndarray]:
+    """Fused resize [+ separable blur] [+ linear channel mix], one kernel.
+
+    x: (N, Hin, Win, C) f32, or — the fast path — pre-flattened
+    (N*Hin, Win*C) with ``in_shape=(N, Hin, Win, C)``.  Feeding a value
+    computed in NHWC layout costs a one-time ~full-copy relayout at the
+    kernel boundary (XLA retiles the merged W*C lane dim); batch pipelines
+    should device_put / decode straight into the flat wire layout.
+    Returns (N, Hout, Wout, Cout) or None when the shape doesn't meet the
+    kernel's constraints (caller falls back to the XLA op path).
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (any
+    backend) — used by the CPU test suite to validate kernel math.
+    """
+    if not HAVE_PALLAS:
+        return None
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        return None
+    if x.dtype != jnp.float32:
+        return None
+    if x.ndim == 2:
+        if in_shape is None:
+            return None
+        N, Hin, Win, C = in_shape
+        if x.shape != (N * Hin, Win * C):
+            raise ValueError(f"flat input {x.shape} != {(N*Hin, Win*C)}")
+    elif x.ndim == 4:
+        N, Hin, Win, C = x.shape
+    else:
+        return None
+    WINC = Win * C
+    if WINC % 128 != 0 or Hin % 8 != 0 or Hout < 1 or Wout < 1:
+        return None
+    if Hout > Hin or Wout > Win:      # upscales: dense path is fine
+        return None
+    if mix is None:
+        mix = np.eye(C)
+    mix = np.asarray(mix, np.float64)
+    mix_key = tuple(map(tuple, mix.tolist()))
+    WV, r0s, BAND, ntiles, GB, c0s, SPAN, OUT, OUTP = _plan(
+        Hin, Win, C, Hout, Wout, filt, float(sigma), mix_key, TO)
+    # VMEM accounting: DMA slots + G blocks + all WV tiles + out block (x2)
+    vmem = (_NSLOTS * BAND * WINC + GB.size + WV.size +
+            2 * TO * OUTP + TO * WINC) * 4
+    if vmem > _VMEM_BUDGET:
+        if TO > 16:
+            return fused_resize_pipeline(x, Hout, Wout, filt, sigma, mix,
+                                         precision, clip, TO=TO // 2,
+                                         in_shape=in_shape,
+                                         interpret=interpret)
+        return None
+    call = _build_call(N, Hin, WINC, TO, BAND, ntiles, GB.shape[0], SPAN,
+                       OUTP, c0s, precision, clip, interpret)
+    # flat absolute row offsets: program i = image i//ntiles, tile i%ntiles
+    r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hin, ntiles) +
+               np.tile(r0s.astype(np.int64), N)).astype(np.int32)
+    out = call(jnp.asarray(r0_flat), x.reshape(N * Hin, WINC),
+               jnp.asarray(WV), jnp.asarray(GB))
+    out = out.reshape(N, ntiles * TO, OUTP)
+    return out[:, :Hout, :OUT].reshape(N, Hout, Wout, mix.shape[0])
+
+
+def reference_pipeline_f64(x: np.ndarray, Hout: int, Wout: int,
+                           filt: str = "lanczos", sigma: float = 0.0,
+                           mix: Optional[np.ndarray] = None,
+                           clip: bool = True) -> np.ndarray:
+    """float64 reference of the same fused math (for fidelity gating)."""
+    N, Hin, Win, C = x.shape
+    if mix is None:
+        mix = np.eye(C)
+    Mv = _axis_operator(Hin, Hout, filt, float(sigma))
+    Mw = _axis_operator(Win, Wout, filt, float(sigma))
+    y = np.einsum("oh,nhwc->nowc", Mv, np.asarray(x, np.float64))
+    y = np.einsum("pw,nowc->nopc", Mw, y)
+    y = np.einsum("dc,nopc->nopd", np.asarray(mix, np.float64), y)
+    return np.clip(y, 0.0, 1.0) if clip else y

@@ -1,0 +1,95 @@
+"""Fused Pallas pipeline kernel: math validated on CPU via interpret mode.
+
+The kernel compiles resize+blur+channel-mix into two banded block matmuls
+(ops/fused_pipeline.py).  These tests run the identical kernel code in the
+Pallas interpreter against an independent float64 evaluation of the same
+operators — boundary rows/cols included (resize.c:3389 clipped windows,
+edge-replicate blur pads are baked into the host-built matrices).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imagemagick_tpu.ops.fused_pipeline import (
+    blur_band_matrix, fused_resize_pipeline, reference_pipeline_f64)
+
+GRAY = np.array([[0.212656, 0.715158, 0.072186]])
+
+
+def _psnr(a, b):
+    rms = float(np.sqrt(((np.asarray(a, np.float64) - b) ** 2).mean()))
+    return 20 * math.log10(1.0 / max(rms, 1e-12))
+
+
+@pytest.fixture
+def batch(rng):
+    return jnp.asarray(rng.uniform(0, 1, (2, 64, 128, 3)).astype(np.float32))
+
+
+def test_fused_resize_only(batch):
+    out = fused_resize_pipeline(batch, 32, 32, "lanczos", 0.0,
+                                interpret=True, TO=16)
+    assert out is not None and out.shape == (2, 32, 32, 3)
+    ref = reference_pipeline_f64(np.asarray(batch), 32, 32, "lanczos", 0.0)
+    assert _psnr(out, ref) >= 100.0
+
+
+def test_fused_resize_blur_gray(batch):
+    out = fused_resize_pipeline(batch, 32, 32, "lanczos", 1.5, GRAY,
+                                interpret=True, TO=16)
+    assert out is not None and out.shape == (2, 32, 32, 1)
+    ref = reference_pipeline_f64(np.asarray(batch), 32, 32, "lanczos", 1.5,
+                                 GRAY)
+    assert _psnr(out, ref) >= 100.0
+
+
+def test_fused_matches_op_composition(batch):
+    """Against the independent per-op implementations (not the same
+    matrices): resize + gaussian_blur + gray, interior-dominated."""
+    from imagemagick_tpu.ops import blur as bl
+    from imagemagick_tpu.ops import colorspace as cs
+    from imagemagick_tpu.ops import resize as rz
+
+    out = fused_resize_pipeline(batch, 32, 64, "triangle", 1.0, GRAY,
+                                interpret=True, TO=16)
+    ops = cs.convert(bl.gaussian_blur(
+        rz.resize(batch, 32, 64, "triangle"), 0.0, 1.0), "srgb", "gray")
+    # resize() clips before blur (Q16-style); fused is linear end-to-end —
+    # compare where no mid-pipeline clipping occurred
+    diff = np.abs(np.asarray(out) - np.asarray(ops))
+    assert float(np.median(diff)) < 1e-4
+    assert float(np.mean(diff < 5e-3)) > 0.98
+
+
+def test_fused_flat_input(batch):
+    n, h, w, c = batch.shape
+    flat = batch.reshape(n * h, w * c)
+    out = fused_resize_pipeline(flat, 32, 32, "lanczos", 0.0,
+                                in_shape=(n, h, w, c),
+                                interpret=True, TO=16)
+    out4 = fused_resize_pipeline(batch, 32, 32, "lanczos", 0.0,
+                                 interpret=True, TO=16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out4))
+
+
+def test_fused_declines_bad_shapes(batch):
+    # lanes not %128
+    x = jnp.zeros((2, 64, 100, 3), jnp.float32)
+    assert fused_resize_pipeline(x, 32, 32, interpret=True) is None
+    # upscale declined
+    assert fused_resize_pipeline(batch, 128, 256, interpret=True) is None
+    # flat without in_shape declined
+    assert fused_resize_pipeline(batch.reshape(128, 384), 32, 32,
+                                 interpret=True) is None
+
+
+def test_blur_band_matrix_rows_normalized():
+    B = blur_band_matrix(33, 2.0)
+    np.testing.assert_allclose(B.sum(axis=1), 1.0, atol=1e-12)
+    # edge rows accumulate clamped taps (edge-replicate policy)
+    assert B[0, 0] > B[16, 16] - 0.5  # mass concentrates at the clamp
