@@ -671,6 +671,71 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["frame"] = (1, lambda st, a, p: _op_frame(st, a, p))
     O["raise"] = (1, lambda st, a, p: _op_raise(st, a, not p))
 
+    # --- round-2 additions (option.c:620 coverage) ---
+    O["layers"] = (1, _op_layers)
+    O["hald-clut"] = (0, _op_hald_clut)
+    O["clut"] = (0, _op_clut)
+    O["polaroid"] = (1, _op_polaroid)
+    O["shadow"] = ("?", _op_shadow)
+    O["stegano"] = (1, _op_stegano)
+    O["stereo"] = (1, _op_stereo)
+    O["encipher"] = (1, partial(_op_encipher, decipher=False))
+    O["decipher"] = (1, partial(_op_encipher, decipher=True))
+    O["complex"] = (1, _op_complex)
+    O["poly"] = (1, _op_poly)
+    O["compare"] = (0, _op_compare_list)
+    O["colorize"] = (1, _op_colorize)
+    O["color-matrix"] = (1, _op_color_matrix)
+    O["recolor"] = O["color-matrix"]
+    O["contrast"] = (0, _op_contrast)
+    O["local-contrast"] = (1, _op_simple("enhance", "local_contrast",
+        lambda st, a, p: dict(zip(("radius", "strength"), _geom_args(a)))))
+    O["range-threshold"] = (1, _op_range_threshold)
+    O["perceptible"] = (1, _op_simple("threshold", "perceptible",
+        lambda st, a, p: {"epsilon": float(a)}))
+    O["cdl"] = (1, _op_cdl)
+    O["remap"] = (1, lambda st, a, p: _op_map(st, a, p))
+    O["resample"] = (1, _op_resample)
+    O["interpolative-resize"] = (1, _op_interpolative_resize)
+    O["monochrome"] = (0, _op_monochrome)
+    O["gaussian"] = O["gaussian-blur"]
+    O["levelize"] = (1, _op_simple("enhance", "levelize",
+        lambda st, a, p: dict(zip(("black_point", "white_point", "gamma_"),
+                                  _parse_level_arg(a)))))
+    O["level-colors"] = (1, _op_level_colors)
+    O["profile"] = (1, _op_profile)
+    O["features"] = (1, _op_features)
+    O["moments"] = (0, _op_moments)
+    O["transform"] = (0, _op_transform)
+    O["matte"] = (0, lambda st, a, p: _op_alpha(st, "off" if p else "set", False))
+    O["noop"] = (0, lambda st, a, p: None)
+
+    def _op_convolve(st, a, p):
+        vals = [float(v) for v in a.replace(",", " ").split()]
+        n = int(round(len(vals) ** 0.5))
+        if n * n != len(vals):
+            raise CLIError("-convolve needs a square kernel")
+        kern = np.asarray(vals, np.float32).reshape(n, n)
+        vp = st.settings["virtual-pixel"]
+        for li in st.images:
+            li.push(lambda x, k=kern, v=vp: __import__(
+                "imagemagick_tpu.ops.morphology",
+                fromlist=["convolve_kernel"]).convolve_kernel(
+                    x, k, normalize=True, virtual_pixel=v))
+
+    O["convolve"] = (1, _op_convolve)
+
+    def _op_cycle(st, a, p):
+        """-cycle: colormap rotate; on DirectClass data this is a modular
+        intensity shift (the reference quantizes first, colormap.c)."""
+        amount = float(a) / 256.0
+        import jax.numpy as jnp
+
+        for li in st.images:
+            li.push(lambda x, d=amount: jnp.mod(x + d, 1.0))
+
+    O["cycle"] = (1, _op_cycle)
+
     # --- list ops ---
     O["append"] = (0, _op_append)
     O["composite"] = (0, _op_composite_list)
@@ -1196,6 +1261,367 @@ def _op_hough(st, arg, plus):
             print(f"line: rho={rho:.1f} theta={theta:.3f} count={count:.0f}")
 
 
+# ---------------------------------------------------------------------------
+# Round-2 option surface expansion (option.c:620 CommandOptions order).
+# ---------------------------------------------------------------------------
+
+def _op_layers(st, arg, plus):
+    """-layers METHOD (layer.c; OptimizeImageLayers et al.)."""
+    from ..ops import layer as ly
+
+    method = arg.lower().replace("_", "-")
+    frames = [li.materialize() for li in st.images]
+    fuzz = _percent(st.settings.get("fuzz", "0")) if st.settings.get("fuzz") else 0.0
+    if method == "coalesce":
+        out = ly.coalesce(frames)
+    elif method in ("optimize", "optimize-frame", "optimize-image",
+                    "optimize-plus"):
+        out = ly.optimize_layers(frames, fuzz)
+    elif method == "optimize-transparency":
+        out = ly.optimize_transparency(frames, fuzz)
+    elif method in ("remove-dups", "removedups"):
+        out = ly.remove_duplicate_layers(frames, fuzz)
+    elif method in ("remove-zero", "removezero"):
+        out = ly.remove_zero_delay_layers(frames)
+    elif method in ("compare-any", "compare-clear", "compare-overlay"):
+        out = ly.deconstruct(frames, fuzz)
+    elif method in ("flatten", "merge"):
+        out = [ly.flatten(frames, background=st.bg())]
+    elif method in ("mosaic", "trim-bounds"):
+        out = [ly.mosaic(frames)]
+    elif method == "dispose":
+        out = ly.dispose_images(frames)
+    elif method == "composite":
+        raise CLIError("-layers composite requires two image stacks")
+    else:
+        raise CLIError(f"unknown -layers method {arg!r}")
+    st.images = [LazyImage(im) for im in out]
+
+
+def jnp_zeros_like(x):
+    import jax.numpy as jnp
+
+    return jnp.zeros_like(x)
+
+
+def _op_hald_clut(st, arg, plus):
+    """-hald-clut list op: last image is the Hald CLUT (enhance.c HaldClut)."""
+    from ..ops import enhance as eh
+
+    if len(st.images) < 2:
+        raise CLIError("-hald-clut needs an image and a Hald CLUT image")
+    hald = st.images.pop().materialize()
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=eh.hald_clut(img.data, hald.data))
+
+
+def _op_clut(st, arg, plus):
+    from ..ops import enhance as eh
+
+    if len(st.images) < 2:
+        raise CLIError("-clut needs an image and a lookup image")
+    lut = st.images.pop().materialize()
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=eh.clut(img.data, lut.data))
+
+
+def _op_polaroid(st, arg, plus):
+    from ..ops import visual_effects as vfx
+
+    angle = 0.0 if plus or arg is None else float(arg)
+    for li in st.images:
+        img = li.materialize()
+        out = vfx.polaroid(img.data, angle)
+        li.image = Image(out, img.spec)
+
+
+def _op_shadow(st, arg, plus):
+    from ..ops import visual_effects as vfx
+
+    g = parse_geometry(arg or "80x3+5+5")
+    for li in st.images:
+        img = li.materialize()
+        data = img.data
+        if not img.spec.alpha:
+            import jax.numpy as jnp
+
+            data = jnp.concatenate([data, jnp.ones_like(data[..., :1])], -1)
+        out = vfx.shadow(data, g.width or 80.0, g.height or 3.0,
+                         int(g.x or 5), int(g.y or 5), color=st.bg()[:3])
+        li.image = Image(out, img.spec.with_(alpha=True))
+
+
+def _op_stegano(st, arg, plus):
+    from ..ops import visual_effects as vfx
+
+    if len(st.images) < 2:
+        raise CLIError("-stegano needs an image and a watermark")
+    wm = st.images.pop().materialize()
+    offset = int(arg or 0)
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=vfx.stegano(img.data, wm.data, offset))
+
+
+def _op_stereo(st, arg, plus):
+    from ..ops import visual_effects as vfx
+
+    if len(st.images) < 2:
+        raise CLIError("-stereo needs two images")
+    right = st.images.pop().materialize()
+    left = st.images[-1].materialize()
+    st.images[-1].image = left.replace(
+        data=vfx.stereo(left.data, right.data))
+
+
+def _read_passphrase(arg: str) -> str:
+    import os
+
+    if os.path.isfile(arg):
+        with open(arg, "r") as f:
+            return f.read()
+    return arg
+
+
+def _op_encipher(st, arg, plus, decipher=False):
+    from ..utils.signature import decipher_image, encipher_image
+
+    pp = _read_passphrase(arg)
+    fn = decipher_image if decipher else encipher_image
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=fn(img.data, pp, depth=img.spec.depth))
+
+
+def _op_complex(st, arg, plus):
+    """-complex OP over (real, imag) image pairs (fourier.c ComplexImages)."""
+    from ..ops import fourier as ff
+
+    if len(st.images) < 2:
+        raise CLIError("-complex needs image pairs")
+    op = arg.lower()
+    imgs = [li.materialize() for li in st.images]
+    a_r, a_i = imgs[0], imgs[1]
+    b_r = imgs[2].data if len(imgs) > 2 else jnp_zeros_like(a_r.data)
+    b_i = imgs[3].data if len(imgs) > 3 else jnp_zeros_like(a_i.data)
+    out_r, out_i = ff.complex_images(a_r.data, a_i.data, b_r, b_i, op)
+    st.images = [LazyImage(a_r.replace(data=out_r)),
+                 LazyImage(a_i.replace(data=out_i))]
+
+
+def _op_poly(st, arg, plus):
+    """-poly "w1,e1 w2,e2 ..." (statistic.c PolynomialImage)."""
+    from ..ops import statistic as stx
+
+    terms = []
+    for part in arg.replace(",", " ").split():
+        terms.append(float(part))
+    if len(terms) % 2:
+        raise CLIError("-poly needs weight,exponent pairs")
+    pairs = [(terms[j], terms[j + 1]) for j in range(0, len(terms), 2)]
+    imgs = [li.materialize() for li in st.images]
+    out = stx.polynomial_images([im.data for im in imgs], pairs)
+    st.images = [LazyImage(imgs[0].replace(data=out))]
+
+
+def _op_compare_list(st, arg, plus):
+    """-compare list op: difference visualization + distortion on stderr."""
+    from ..ops import compare as cmx
+
+    if len(st.images) < 2:
+        raise CLIError("-compare needs two images")
+    b = st.images.pop().materialize()
+    a = st.images[-1].materialize()
+    metric = st.settings.get("metric", "rmse")
+    dist = float(cmx.get_distortion(a.data, b.data, metric))
+    diff = cmx.compare_images(a.data, b.data, metric)[0]
+    print(f"{dist:g}", file=sys.stderr)
+    st.images[-1].image = a.replace(data=diff)
+
+
+def _op_colorize(st, arg, plus):
+    from ..ops import visual_effects as vfx
+
+    parts = [float(p) / 100.0 for p in arg.split(",")]
+    if len(parts) == 1:
+        parts = parts * 3
+    import jax.numpy as jnp
+
+    for li in st.images:
+        img = li.materialize()
+        amounts = jnp.asarray(parts[:img.spec.color_channels], jnp.float32)
+        fill = st.fill()[:img.spec.color_channels]
+        color = img.data[..., :img.spec.color_channels]
+        out = color * (1 - amounts) + jnp.asarray(fill) * amounts
+        if img.spec.alpha:
+            out = jnp.concatenate([out, img.data[..., -1:]], -1)
+        li.image = img.replace(data=out)
+
+
+def _op_color_matrix(st, arg, plus):
+    from ..ops import visual_effects as vfx
+
+    vals = [float(v) for v in arg.replace(",", " ").split()]
+    n = int(round(len(vals) ** 0.5))
+    if n * n != len(vals):
+        raise CLIError("-color-matrix needs a square matrix")
+    mat = np.asarray(vals, np.float32).reshape(n, n)
+    for li in st.images:
+        li.push(lambda x, m=mat: __import__(
+            "imagemagick_tpu.ops.visual_effects",
+            fromlist=["color_matrix"]).color_matrix(x, m))
+
+
+def _op_contrast(st, arg, plus):
+    for li in st.images:
+        li.push(lambda x, s=not plus: __import__(
+            "imagemagick_tpu.ops.enhance",
+            fromlist=["contrast"]).contrast(x, s))
+
+
+def _op_range_threshold(st, arg, plus):
+    from ..ops import threshold as th
+
+    vals = [_percent(v) for v in arg.split(",")]
+    while len(vals) < 4:
+        vals.append(vals[-1])
+    for li in st.images:
+        li.push(lambda x, v=vals: th.range_threshold(x, *v[:4]))
+
+
+def _op_cdl(st, arg, plus):
+    """-cdl "slope,offset,power{:saturation}" ASC CDL (enhance.c)."""
+    from ..ops import enhance as eh
+
+    body, _, sat = arg.partition(":")
+    nums = [float(v) for v in body.replace(",", " ").split()]
+    if len(nums) == 3:
+        slope, offset, power = ([nums[0]] * 3, [nums[1]] * 3, [nums[2]] * 3)
+    elif len(nums) >= 9:
+        slope, offset, power = nums[0:3], nums[3:6], nums[6:9]
+    else:
+        raise CLIError("-cdl needs 3 or 9 numbers")
+    s = float(sat) if sat else 1.0
+    for li in st.images:
+        li.push(lambda x, a=slope, b=offset, c=power, d=s:
+                eh.color_decision_list(x, tuple(a), tuple(b), tuple(c), d))
+
+
+def _op_resample(st, arg, plus):
+    """-resample XxY: resize by density ratio (resize.c ResampleImage)."""
+    g = parse_geometry(arg)
+    dx = g.width or 72.0
+    dy = g.height or dx
+    cur = st.settings.get("density", "72")
+    cg = parse_geometry(cur)
+    cdx, cdy = cg.width or 72.0, (cg.height or cg.width or 72.0)
+    from ..ops import resize as rz
+
+    for li in st.images:
+        img = li.materialize()
+        w = max(int(img.width * dx / cdx + 0.5), 1)
+        h = max(int(img.height * dy / cdy + 0.5), 1)
+        li.image = img.replace(data=rz.resize(
+            img.data, h, w, st.settings.get("filter", "undefined")))
+
+
+def _op_interpolative_resize(st, arg, plus):
+    from ..ops import resize as rz
+
+    for li in st.images:
+        img = li.materialize()
+        w, h, _, _ = parse_meta_geometry(arg, img.width, img.height)
+        li.image = img.replace(data=rz.interpolative_resize(
+            img.data, h, w, st.settings.get("interpolate", "bilinear")))
+
+
+def _op_monochrome(st, arg, plus):
+    """-monochrome: gray + bilevel Floyd-Steinberg dither (SetImageType)."""
+    import jax.numpy as jnp
+
+    from ..ops import colorspace as cs
+    from ..ops import quantize as qz
+
+    palette = jnp.asarray([[0.0], [1.0]], jnp.float32)
+    for li in st.images:
+        img = li.materialize()
+        gray = cs.convert(img.data[..., :img.spec.color_channels],
+                          img.spec.colorspace, "gray")
+        li.image = Image(qz.floyd_steinberg(gray, palette),
+                         img.spec.with_(colorspace="gray", alpha=False))
+
+
+def _op_level_colors(st, arg, plus):
+    """-level-colors black,white: map the color range to full range."""
+    import jax.numpy as jnp
+
+    lo_s, _, hi_s = arg.partition(",")
+    lo = np.asarray(parse_color(lo_s or "black")[:3], np.float32)
+    hi = np.asarray(parse_color(hi_s or "white")[:3], np.float32)
+    for li in st.images:
+        def fn(x, lo=lo, hi=hi, inv=plus):
+            c = x[..., :3]
+            if inv:   # +level-colors: map full range INTO the colors
+                out = lo + c * (hi - lo)
+            else:
+                out = (c - lo) / jnp.maximum(hi - lo, 1e-12)
+            out = jnp.clip(out, 0.0, 1.0)
+            return jnp.concatenate([out, x[..., 3:]], -1) if x.shape[-1] > 3 else out
+        li.push(fn)
+
+
+def _op_profile(st, arg, plus):
+    from ..core import profile as prof
+
+    if plus:  # +profile pattern: remove matching profiles
+        import fnmatch
+
+        for li in st.images:
+            li.image.profiles = {
+                k: v for k, v in li.image.profiles.items()
+                if not fnmatch.fnmatch(k.lower(), arg.lower())}
+        return
+    with open(arg, "rb") as f:
+        blob = f.read()
+    for li in st.images:
+        img = li.materialize()
+        li.image = prof.profile_image(img, blob)
+
+
+def _op_features(st, arg, plus):
+    from ..ops import feature as ft
+
+    dist = int(float(arg or 1))
+    for li in st.images:
+        img = li.materialize()
+        feats = ft.glcm_features(img.data, offset=(0, dist))
+        for k, v in feats.items():
+            print(f"  {k}: {np.asarray(v).ravel()[:4]}")
+
+
+def _op_moments(st, arg, plus):
+    from ..ops import statistic as stx
+
+    for li in st.images:
+        img = li.materialize()
+        mom = stx.get_moments(img.data)
+        for k, v in mom.items():
+            print(f"  {k}: {np.asarray(v).ravel()[:8]}")
+
+
+def _op_transform(st, arg, plus):
+    """-transform: apply the -affine matrix (AffineTransformImage)."""
+    from ..ops import distort as dt
+
+    aff = st.settings.get("affine", "1,0,0,1,0,0")
+    vals = [float(v) for v in aff.replace(",", " ").split()]
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=dt.affine_transform(img.data, vals))
+
+
 _SETTINGS = {
     "background", "fill", "gravity", "filter", "quality", "fuzz", "dither",
     "page", "tile", "texture-setting", "units", "weight", "style",
@@ -1205,6 +1631,21 @@ _SETTINGS = {
     "bordercolor", "mattecolor", "stroke", "strokewidth", "density",
     "dispose", "delay", "loop", "channel", "intent", "interlace",
     "sampling-factor", "attenuate", "seed",
+    # round 2: accepted + stored settings (option.c:620 table order)
+    "affine", "authenticate", "blue-primary", "green-primary",
+    "red-primary", "white-point", "undercolor", "box", "compress",
+    "encoding", "family", "intensity", "metric", "mode", "path",
+    "precision", "quantize", "scene", "stretch", "tile-offset", "title",
+    "view", "render", "black-point-compensation", "highlight-color",
+    "lowlight-color", "gravity-setting", "blend", "displace", "dissolve",
+    "watermark", "modulate-setting", "remap-setting", "caption-setting",
+}
+
+# zero-argument flag options: accepted, recorded, no further effect needed
+_FLAGS = {
+    "quiet", "regard-warnings", "respect-parentheses", "synchronize",
+    "taint", "ping", "antialias-flag", "render-flag", "concurrent",
+    "flicker", "unique", "precision-flag",
 }
 
 OPS = None
@@ -1365,6 +1806,17 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
             continue
         if name == "monitor":
             continue  # progress display is a no-op under batch execution
+        if name in _FLAGS:
+            st.settings[name] = "0" if plus else "1"
+            continue
+        if name == "distribute-cache":
+            # DPC server (distribute-cache.c:939) is obsolete here: sharded
+            # device arrays + XLA collectives replace remote pixel storage.
+            print("tmagick: -distribute-cache is a no-op (spatially sharded "
+                  "device arrays replace the distributed pixel cache)",
+                  file=sys.stderr)
+            i += 1  # consume the port argument
+            continue
         if name == "limit":
             from ..core.resource import resources
 
@@ -1424,7 +1876,11 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
         if name in OPS:
             n_args, handler = OPS[name]
             arg = None
-            if n_args == 1:
+            if n_args == "?":   # optional single arg (e.g. montage -shadow)
+                if i < len(args) and not args[i].startswith(("-", "+")) \
+                        and not _looks_like_output(args[i]):
+                    arg = args[i]; i += 1
+            elif n_args == 1:
                 arg = args[i]; i += 1
             elif n_args == 2:
                 arg = args[i] + " " + args[i + 1]; i += 2

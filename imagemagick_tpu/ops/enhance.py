@@ -434,3 +434,44 @@ def enhance(img: jnp.ndarray) -> jnp.ndarray:
             den = den + wgt
     out = jnp.where(den > 0, num / jnp.maximum(den, _EPS), x)
     return out.reshape(img.shape)
+
+
+def contrast(img: jnp.ndarray, sharpen: bool = True) -> jnp.ndarray:
+    """ContrastImage (enhance.c:1392): sinusoid on HSB brightness.
+
+    b += 0.5*sign*(0.5*(sin(pi*(b-0.5))+1) - b), clamped (enhance.c:1370).
+    """
+    from .colorspace import convert
+
+    sign = 1.0 if sharpen else -1.0
+    color = img[..., :3] if img.shape[-1] >= 3 else img
+    if color.shape[-1] == 1:
+        b = color[..., 0]
+        b = b + 0.5 * sign * (0.5 * (jnp.sin(jnp.pi * (b - 0.5)) + 1.0) - b)
+        out = jnp.clip(b, 0.0, 1.0)[..., None]
+    else:
+        hsb = convert(color, "srgb", "hsb")
+        b = hsb[..., 2]
+        b = b + 0.5 * sign * (0.5 * (jnp.sin(jnp.pi * (b - 0.5)) + 1.0) - b)
+        hsb = hsb.at[..., 2].set(jnp.clip(b, 0.0, 1.0))
+        out = convert(hsb, "hsb", "srgb")
+    if img.shape[-1] > color.shape[-1]:
+        out = jnp.concatenate([out, img[..., color.shape[-1]:]], axis=-1)
+    return out
+
+
+def local_contrast(img: jnp.ndarray, radius: float = 10.0,
+                   strength: float = 10.0) -> jnp.ndarray:
+    """LocalContrastImage (effect.c:2013): unsharp against a wide blur.
+
+    radius is a PERCENTAGE — 100%% means a blur radius of 20%% of the
+    largest dimension (effect.c:2005); out = src + (src - blur) *
+    strength/100 (effect.c mult at the scanline loop).
+    """
+    from .blur import gaussian_blur
+
+    h, w = img.shape[-3], img.shape[-2]
+    r_px = max((radius / 100.0) * 0.20 * max(h, w), 1.0)
+    blurred = gaussian_blur(img, 0.0, r_px / 2.0)
+    out = img + (img - blurred) * (strength / 100.0)
+    return jnp.clip(out, 0.0, 1.0)

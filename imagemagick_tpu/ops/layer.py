@@ -138,3 +138,22 @@ def dispose_images(frames: List[Image]) -> List[Image]:
     coalesce (the common GIF case).
     """
     return coalesce(frames)
+
+
+def optimize_transparency(frames: List[Image], fuzz: float = 0.0) -> List[Image]:
+    """OptimizeImageTransparency (layer.c): zero out pixels identical to the
+    previous coalesced frame so inter-frame compression sees constants."""
+    if len(frames) < 2:
+        return list(frames)
+    co = coalesce(frames)
+    out = [co[0]]
+    for prev, cur in zip(co, co[1:]):
+        same = jnp.all(jnp.abs(cur.data[..., :3] - prev.data[..., :3])
+                       <= fuzz + 1e-6, axis=-1, keepdims=True)
+        a = cur.data[..., 3:4] if cur.spec.alpha else jnp.ones_like(
+            cur.data[..., :1])
+        data = jnp.concatenate(
+            [cur.data[..., :3], jnp.where(same, 0.0, a)], axis=-1)
+        out.append(Image(data, cur.spec.with_(alpha=True), cur.properties,
+                         cur.profiles, cur.page, cur.delay))
+    return out
