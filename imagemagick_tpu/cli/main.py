@@ -1700,7 +1700,8 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
                 _write_output(st, tok)
                 output_written = True
             else:
-                frames = iio.read_images(tok, size=st.size)
+                frames = iio.read_images(tok, size=st.size,
+                                         settings=st.settings)
                 extract = st.settings.pop("extract", None)
                 if extract:
                     from ..ops import transform as tf3

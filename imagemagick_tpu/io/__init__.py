@@ -19,7 +19,8 @@ from typing import List, Optional, Union
 import numpy as np
 
 from ..core.image import Image
-from . import codecs, delegates, exr, extra_coders, miff, mpc, pnm, pseudo
+from . import (codecs, delegates, exr, extra_coders, formats2, miff, mpc,
+               pnm, pseudo)
 from ..core.geometry import parse_geometry
 
 __all__ = ["read_image", "read_images", "write_image", "image_from_blob",
@@ -42,6 +43,15 @@ _MAGIC = [
     (b"qoif", "qoi"),
     (b"8BPS", "psd"),
     (b"\x00\x00\x01\x00", "ico"),
+    (b"SDPX", "dpx"),
+    (b"XPDS", "dpx"),
+    (b"\x80\x2a\x5f\xd7", "cin"),
+    (b"\xd7\x5f\x2a\x80", "cin"),
+    (b"gimp xcf ", "xcf"),
+    (b"SIMPLE", "fits"),
+    (b"L32F", "fl32"),
+    (b"LBLSIZE=", "vicar"),
+    (b"\x59\xa6\x6a\x95", "sun"),
 ]
 
 _PSEUDO = {
@@ -58,7 +68,19 @@ _PSEUDO = {
     "granite": lambda arg, w, h: pseudo.granite(),
     "netscape": lambda arg, w, h: pseudo.netscape(),
     "null": lambda arg, w, h: pseudo.xc("transparent", w or 1, h or 1),
+    "label": lambda arg, w, h: pseudo.label(arg or "", w, h, _CURRENT_SETTINGS),
+    "caption": lambda arg, w, h: pseudo.caption(arg or "", w, h,
+                                                _CURRENT_SETTINGS),
+    "tile": lambda arg, w, h: pseudo.tile_file(arg, w, h, _CURRENT_SETTINGS),
+    "histogram": lambda arg, w, h: pseudo.histogram_file(arg, w, h,
+                                                         _CURRENT_SETTINGS),
+    "thumbnail": lambda arg, w, h: pseudo.thumbnail_file(arg, w, h,
+                                                         _CURRENT_SETTINGS),
 }
+
+# settings context for pseudo-coders (pointsize/font/fill/background);
+# set per read_images call — the image_info analog label.c reads from.
+_CURRENT_SETTINGS: dict = {}
 
 _NATIVE_EXT = {"miff": "miff", "mif": "miff",
                "ppm": "pnm", "pgm": "pnm", "pbm": "pnm", "pnm": "pnm",
@@ -97,6 +119,8 @@ def detect_format(data: bytes) -> Optional[str]:
         return "pdf"
     if data[:2] == b"%!":
         return "ps"
+    if data[128:132] == b"DICM":
+        return "dcm"
     return None
 
 
@@ -104,12 +128,15 @@ def _split_filename(filename: str):
     """'fmt:rest' prefix split (SetImageInfo filename syntax)."""
     m = re.match(r"^([A-Za-z][A-Za-z0-9_+-]*):(.*)$", filename)
     if m and (m.group(1).lower() in _PSEUDO or m.group(1).lower() in
-              set(_NATIVE_EXT) | set(codecs._PIL_FORMATS) | {"mpr", "info", "txt", "json"}):
+              set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
+              | _FORMATS2_READ | _FORMATS2_WRITE
+              | {"mpr", "info", "txt", "json"}):
         return m.group(1).lower(), m.group(2)
     return None, filename
 
 
-def read_images(filename: str, size: Optional[str] = None) -> List[Image]:
+def read_images(filename: str, size: Optional[str] = None,
+                settings: Optional[dict] = None) -> List[Image]:
     fmt, rest = _split_filename(str(filename))
     w = h = None
     if size:
@@ -117,7 +144,13 @@ def read_images(filename: str, size: Optional[str] = None) -> List[Image]:
         w = int(g.width) if g.width else None
         h = int(g.height) if g.height else None
     if fmt in _PSEUDO:
-        return [_PSEUDO[fmt](rest, w, h)]
+        global _CURRENT_SETTINGS
+        prev = _CURRENT_SETTINGS
+        _CURRENT_SETTINGS = settings or prev
+        try:
+            return [_PSEUDO[fmt](rest, w, h)]
+        finally:
+            _CURRENT_SETTINGS = prev
     if fmt == "mpr":
         if rest not in _MPR_REGISTRY:
             raise FileNotFoundError(f"no mpr registry entry {rest!r}")
@@ -161,6 +194,28 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [exr.decode(data)]
     elif use == "hdr":
         images = [_decode_hdr(data)]
+    elif use == "dpx":
+        images = [formats2.decode_dpx(data)]
+    elif use == "cin":
+        images = [formats2.decode_cin(data)]
+    elif use in ("dcm", "dicom"):
+        images = [formats2.decode_dcm(data)]
+    elif use == "xcf":
+        images = [formats2.decode_xcf(data)]
+    elif use == "fits" or use == "fts":
+        images = [formats2.decode_fits(data)]
+    elif use == "wbmp":
+        images = [formats2.decode_wbmp(data)]
+    elif use == "avs":
+        images = [formats2.decode_avs(data)]
+    elif use == "mtv":
+        images = [formats2.decode_mtv(data)]
+    elif use == "fl32":
+        images = [formats2.decode_fl32(data)]
+    elif use in ("vicar", "vic"):
+        images = [formats2.decode_vicar(data)]
+    elif use == "otb":
+        images = [formats2.decode_otb(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -237,22 +292,63 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return extra_coders.encode_xpm(images[0])
     if fmt in ("sixel", "six"):
         return extra_coders.encode_sixel(images[0])
-    if fmt in ("gray", "rgb", "rgba", "bgr"):
+    if fmt in ("gray", "rgb", "rgba", "bgr", "bgra", "cmyk", "ycbcr", "uyvy"):
         return extra_coders.encode_raw(images[0], fmt, depth=depth or 8)
+    if fmt == "otb":
+        return formats2.encode_otb(images[0])
+    if fmt == "mono":
+        return formats2.encode_mono(images[0])
     if fmt == "exr":
         return exr.encode(images[0])
     if fmt == "hdr":
         return _encode_hdr(images[0])
+    if fmt == "dpx":
+        return formats2.encode_dpx(images[0], bits=10 if depth > 8 else 8)
+    if fmt == "psd":
+        # 8-bit by default for maximum reader interop (16-bit available
+        # via formats2.encode_psd directly)
+        return formats2.encode_psd(images[0], depth=8)
+    if fmt == "pdf":
+        return formats2.encode_pdf(images)
+    if fmt in ("fits", "fts"):
+        return formats2.encode_fits(images[0])
+    if fmt == "wbmp":
+        return formats2.encode_wbmp(images[0])
+    if fmt == "avs":
+        return formats2.encode_avs(images[0])
+    if fmt == "mtv":
+        return formats2.encode_mtv(images[0])
+    if fmt == "fl32":
+        return formats2.encode_fl32(images[0])
+    if fmt in ("vicar", "vic"):
+        return formats2.encode_vicar(images[0])
+    if fmt == "sun":
+        return formats2.encode_sun(images[0])
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
+# native round-2 coders (io/formats2.py)
+_FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
+                  "wbmp", "avs", "mtv", "fl32", "vicar", "vic", "otb"}
+_FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
+                   "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
+                   "cmyk", "ycbcr", "uyvy"}
+# PIL auto-detects these read-only formats from the blob (codecs.decode
+# falls through to PIL.Image.open)
+_PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",
+                   "pixar", "pxr", "spider", "wal", "gbr", "mpo", "blp",
+                   "icns", "ftc", "ftu"}
+
+
 def supported_read_formats():
-    return sorted(set(_PSEUDO) | set(_NATIVE_EXT) | set(codecs._PIL_FORMATS) | {"mpr"})
+    return sorted(set(_PSEUDO) | set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
+                  | _FORMATS2_READ | _PIL_READ_EXTRA | {"mpr"})
 
 
 def supported_write_formats():
-    return sorted(set(_NATIVE_EXT) | set(codecs._PIL_FORMATS) |
-                  {"mpr", "null", "info", "json", "txt", "yaml"})
+    return sorted(set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
+                  | _FORMATS2_WRITE
+                  | {"mpr", "null", "info", "json", "txt", "yaml"})
 
 
 def _decode_hdr(data: bytes) -> Image:

@@ -74,7 +74,8 @@ def decode_raw(data: bytes, fmt: str, width: int, height: int,
 
 def encode_raw(img: Image, fmt: str, depth: int = 8) -> bytes:
     arr = img.to_numpy()
-    nch = {"gray": 1, "rgb": 3, "rgba": 4, "bgr": 3}[fmt]
+    nch = {"gray": 1, "rgb": 3, "rgba": 4, "bgr": 3, "bgra": 4,
+           "cmyk": 4, "ycbcr": 3, "uyvy": 3}[fmt]
     if fmt == "gray" and arr.shape[-1] > 1:
         arr = arr.mean(-1, keepdims=True)
     if arr.shape[-1] < nch:
@@ -83,6 +84,29 @@ def encode_raw(img: Image, fmt: str, depth: int = 8) -> bytes:
     arr = arr[..., :nch]
     if fmt == "bgr":
         arr = arr[..., ::-1]
+    elif fmt == "bgra":
+        arr = np.concatenate([arr[..., 2::-1], arr[..., 3:4]], -1)
+    elif fmt == "cmyk":
+        from ..ops.colorspace import rgb_to_cmyk
+        arr = np.asarray(rgb_to_cmyk(arr[..., :3].astype(np.float32)))
+    elif fmt in ("ycbcr", "uyvy"):
+        from ..ops.colorspace import rgb_to_ycbcr
+        arr = np.asarray(rgb_to_ycbcr(arr[..., :3].astype(np.float32)))
+        if fmt == "uyvy":
+            # 4:2:2: pairs of pixels share chroma -> U Y0 V Y1 bytes
+            h2, w2, _ = arr.shape
+            if w2 % 2:
+                arr = arr[:, :w2 - 1]
+                w2 -= 1
+            y = arr[..., 0]
+            cb = arr[:, 0::2, 1]
+            cr = arr[:, 0::2, 2]
+            out = np.zeros((h2, w2 * 2), np.float32)
+            out[:, 0::4] = cb
+            out[:, 1::4] = y[:, 0::2]
+            out[:, 2::4] = cr
+            out[:, 3::4] = y[:, 1::2]
+            return (np.clip(out, 0, 1) * 255.0 + 0.5).astype(np.uint8).tobytes()
     if depth == 16:
         return (np.clip(arr, 0, 1) * 65535.0 + 0.5).astype(">u2").tobytes()
     return (np.clip(arr, 0, 1) * 255.0 + 0.5).astype(np.uint8).tobytes()

@@ -182,3 +182,103 @@ def netscape() -> Image:
     data = jnp.stack([r, g, b], axis=-1).reshape(6, 36, 3)
     data = jnp.repeat(jnp.repeat(data, 8, axis=0), 6, axis=1)
     return Image(data, ImageSpec(colorspace="srgb"))
+
+
+def label(text: str, width=None, height=None, settings=None) -> Image:
+    """label: pseudo-coder (coders/label.c): render text on a canvas sized
+    to the text metrics, honoring pointsize/font/fill/background settings."""
+    from ..core.color import parse_color
+    from ..ops.draw import render_text_mask
+    import jax.numpy as jnp
+
+    s = settings or {}
+    size = float(s.get("pointsize", 12) or 12)
+    font = s.get("font") or None
+    fill = parse_color(s.get("fill", "black"))
+    bg = parse_color(s.get("background", "white"))
+    mask, _ = render_text_mask(text, font, size)
+    mh, mw = mask.shape
+    w = width or mw
+    h = height or mh
+    canvas = np.ones((h, w, 3), np.float32) * np.asarray(bg[:3], np.float32)
+    m = np.zeros((h, w), np.float32)
+    m[:min(mh, h), :min(mw, w)] = mask[:min(mh, h), :min(mw, w)]
+    out = canvas * (1 - m[..., None]) + np.asarray(fill[:3]) * m[..., None]
+    img = Image(out, ImageSpec(colorspace="srgb", depth=8))
+    img.properties["label"] = text
+    return img
+
+
+def caption(text: str, width=None, height=None, settings=None) -> Image:
+    """caption: pseudo-coder (coders/caption.c): word-wrapped label."""
+    from ..ops.draw import get_type_metrics
+
+    s = settings or {}
+    size = float(s.get("pointsize", 12) or 12)
+    font = s.get("font") or None
+    w = width or 256
+    # greedy word wrap to the canvas width
+    words = text.split()
+    lines, cur = [], ""
+    for word in words:
+        probe = (cur + " " + word).strip()
+        if get_type_metrics(probe, font, size)["width"] > w and cur:
+            lines.append(cur)
+            cur = word
+        else:
+            cur = probe
+    if cur:
+        lines.append(cur)
+    return label("\n".join(lines), width, height, settings)
+
+
+def tile_file(filename: str, width=None, height=None, settings=None) -> Image:
+    """tile: pseudo-coder (coders/tile.c): tile a file to the -size canvas."""
+    from . import read_images
+
+    base = read_images(filename)[0]
+    w = width or base.width
+    h = height or base.height
+    arr = base.to_numpy()
+    ry = -(-h // base.height)
+    rx = -(-w // base.width)
+    tiled = np.tile(arr, (ry, rx, 1))[:h, :w]
+    return Image(tiled, base.spec)
+
+
+def histogram_file(filename: str, width=None, height=None, settings=None) -> Image:
+    """histogram: pseudo-coder (coders/histogram.c): 256x200 channel graph."""
+    from . import read_images
+
+    base = read_images(filename)[0]
+    arr = np.clip(base.to_numpy(), 0, 1)
+    if arr.ndim == 4:
+        arr = arr[0]
+    h_out, w_out = height or 200, width or 256
+    c = min(arr.shape[-1], 3)
+    canvas = np.zeros((h_out, w_out, 3), np.float32)
+    for ci in range(c):
+        hist, _ = np.histogram(arr[..., ci], bins=w_out, range=(0.0, 1.0))
+        peak = max(hist.max(), 1)
+        heights = (hist / peak * (h_out - 1)).astype(np.int64)
+        color = np.zeros(3, np.float32)
+        color[ci if c == 3 else slice(None)] = 1.0
+        for x in range(w_out):
+            if heights[x]:
+                canvas[h_out - heights[x]:, x, :] = np.maximum(
+                    canvas[h_out - heights[x]:, x, :], color)
+    img = Image(canvas, ImageSpec(colorspace="srgb", depth=8))
+    img.properties["comment"] = "histogram"
+    return img
+
+
+def thumbnail_file(filename: str, width=None, height=None, settings=None) -> Image:
+    """thumbnail: pseudo-coder (coders/thumbnail.c): read + ThumbnailImage."""
+    from . import read_images
+    from ..ops.resize import thumbnail as thumb_op
+
+    base = read_images(filename)[0]
+    w = width or 106
+    h = height or int(round(w * base.height / base.width))
+    return base.replace(data=thumb_op(base.data, h, w,
+                                      has_alpha=base.spec.alpha))

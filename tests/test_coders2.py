@@ -1,0 +1,250 @@
+"""Round-2 coder breadth: film/print/interchange formats + pseudo-coders.
+
+Round-trip and decode tests for io/formats2.py, modeled on
+ValidateImageFormatsInMemory (/root/reference/tests/validate.c:1032):
+write a reference image, read it back, gate RMSE per-format.
+"""
+
+import io as _io
+import struct
+
+import numpy as np
+import pytest
+
+from imagemagick_tpu import Image
+from imagemagick_tpu.io import (formats2, image_from_blob, image_to_blob,
+                                read_images)
+
+
+@pytest.fixture
+def img(checker_rgb):
+    return Image(checker_rgb)
+
+
+def _rmse(a, b):
+    return float(np.sqrt(((np.asarray(a, np.float64) -
+                           np.asarray(b, np.float64)) ** 2).mean()))
+
+
+@pytest.mark.parametrize("fmt,tol", [
+    ("dpx", 1.5 / 1023),      # 10-bit
+    ("avs", 1.5 / 255),
+    ("mtv", 1.5 / 255),
+    ("fl32", 1e-6),           # float, lossless
+    ("fits", 1.5 / 255),
+])
+def test_formats2_roundtrip(img, fmt, tol):
+    blob = image_to_blob(img, fmt)
+    back = image_from_blob(blob, fmt)[0]
+    assert back.width == img.width and back.height == img.height
+    assert _rmse(back.data[..., :3], img.data) <= tol, fmt
+
+
+def test_dpx_16bit_roundtrip(img):
+    blob = formats2.encode_dpx(img, bits=16)
+    back = formats2.decode_dpx(blob)
+    assert _rmse(back.data, img.data) <= 1.0 / 65535 + 1e-6
+
+
+def test_wbmp_roundtrip(img):
+    blob = image_to_blob(img, "wbmp")
+    back = image_from_blob(blob, "wbmp")[0]
+    expect = (np.asarray(img.data).mean(-1) >= 0.5).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(back.data)[..., 0], expect)
+
+
+def test_vicar_roundtrip(img):
+    blob = image_to_blob(img, "vicar")
+    back = image_from_blob(blob, "vicar")[0]
+    gray = np.asarray(img.data).mean(-1)
+    assert _rmse(back.data[..., 0], gray) <= 1.5 / 255
+
+
+def test_psd_write_pil_reads(img):
+    from PIL import Image as PImage
+
+    blob = image_to_blob(img, "psd")
+    pim = PImage.open(_io.BytesIO(blob))
+    arr = np.asarray(pim.convert("RGB"), np.float32) / 255.0
+    assert _rmse(arr, img.data) <= 1.5 / 255
+
+
+def test_sun_write_pil_reads(img):
+    from PIL import Image as PImage
+
+    blob = image_to_blob(img, "sun")
+    pim = PImage.open(_io.BytesIO(blob))
+    arr = np.asarray(pim.convert("RGB"), np.float32) / 255.0
+    assert _rmse(arr, img.data) <= 1.5 / 255
+
+
+def test_pdf_write_structure(img):
+    blob = image_to_blob([img, img], "pdf")
+    assert blob.startswith(b"%PDF-1.4")
+    assert blob.rstrip().endswith(b"%%EOF")
+    assert blob.count(b"/Type /Page ") == 2 or blob.count(b"/Type /Page\n") + \
+        blob.count(b"/Type /Page /") == 2
+    assert b"/FlateDecode" in blob
+    # decodable by PIL? PIL has no PDF reader; verify the embedded stream
+    start = blob.index(b"stream\n", blob.index(b"/FlateDecode")) + 7
+    end = blob.index(b"\nendstream", start)
+    import zlib
+
+    raw = zlib.decompress(blob[start:end])
+    assert len(raw) == img.width * img.height * 3
+
+
+def test_cin_decode_synthetic(img):
+    """Build a Cineon header + 10-bit filled payload by hand and decode."""
+    arr = np.clip(np.asarray(img.data), 0, 1)
+    h, w, _ = arr.shape
+    head = bytearray(2048)
+    head[0:4] = b"\x80\x2a\x5f\xd7"
+    struct.pack_into(">I", head, 4, 2048)      # image offset
+    head[193] = 3                              # channels
+    off = 194
+    for _c in range(3):
+        head[off + 3] = 10
+        struct.pack_into(">I", head, off + 4, w)
+        struct.pack_into(">I", head, off + 8, h)
+        off += 28
+    q = (arr.reshape(-1) * 1023.0 + 0.5).astype(np.uint32)
+    pad = (-len(q)) % 3
+    q = np.concatenate([q, np.zeros(pad, np.uint32)]).reshape(-1, 3)
+    words = (q[:, 0] << 22) | (q[:, 1] << 12) | (q[:, 2] << 2)
+    blob = bytes(head) + words.astype(">u4").tobytes()
+    back = formats2.decode_cin(blob)
+    assert _rmse(back.data, arr) <= 1.0 / 1023 + 1e-6
+
+
+def test_dcm_decode_synthetic():
+    """Minimal explicit-VR little-endian DICOM with 16-bit MONOCHROME2."""
+    rows, cols = 8, 12
+    px = (np.arange(rows * cols, dtype=np.uint16) * 37 % 4096)
+
+    def elem(group, el, vr, value):
+        if vr in (b"OB", b"OW"):
+            return (struct.pack("<HH2sHI", group, el, vr, 0, len(value))
+                    + value)
+        return struct.pack("<HH2sH", group, el, vr, len(value)) + value
+
+    body = b"\0" * 128 + b"DICM"
+    body += elem(0x0028, 0x0002, b"US", struct.pack("<H", 1))
+    body += elem(0x0028, 0x0004, b"CS", b"MONOCHROME2 ")
+    body += elem(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += elem(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += elem(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += elem(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    body += elem(0x7FE0, 0x0010, b"OW", px.astype("<u2").tobytes())
+    img = formats2.decode_dcm(body)
+    assert img.width == cols and img.height == rows
+    expect = px.astype(np.float64).reshape(rows, cols)
+    expect = (expect - expect.min()) / (expect.max() - expect.min())
+    assert _rmse(img.data[..., 0], expect) < 1e-6
+
+
+def test_xcf_decode_synthetic():
+    """Hand-built XCF v1: one RGB layer, RLE tiles."""
+    w, h = 70, 40
+    rng = np.random.default_rng(3)
+    rgb = (rng.uniform(0, 1, (h, w, 3)) * 255).astype(np.uint8)
+
+    def rle_channel(vals: np.ndarray) -> bytes:
+        # encode everything as literal runs of <=127 bytes
+        out = bytearray()
+        flat = vals.tobytes()
+        for i in range(0, len(flat), 127):
+            chunk = flat[i:i + 127]
+            out.append(256 - len(chunk))
+            out += chunk
+        return bytes(out)
+
+    buf = bytearray()
+    buf += b"gimp xcf v001\0"
+    buf += struct.pack(">III", w, h, 0)
+    buf += struct.pack(">II", 0, 0)              # PROP_END
+    layer_ptr_pos = len(buf)
+    buf += struct.pack(">II", 0xDEAD, 0)         # layer ptr + terminator
+    layer_off = len(buf)
+    struct.pack_into(">I", buf, layer_ptr_pos, layer_off)
+    buf += struct.pack(">III", w, h, 0)          # RGB layer
+    name = b"bg\0"
+    buf += struct.pack(">I", len(name)) + name
+    buf += struct.pack(">II", 0, 0)              # PROP_END
+    hier_ptr_pos = len(buf)
+    buf += struct.pack(">II", 0, 0)              # hierarchy + mask ptrs
+    hier_off = len(buf)
+    struct.pack_into(">I", buf, hier_ptr_pos, hier_off)
+    buf += struct.pack(">III", w, h, 3)
+    lvl_ptr_pos = len(buf)
+    buf += struct.pack(">II", 0, 0)              # level ptr + terminator
+    lvl_off = len(buf)
+    struct.pack_into(">I", buf, lvl_ptr_pos, lvl_off)
+    buf += struct.pack(">II", w, h)
+    ntx, nty = -(-w // 64), -(-h // 64)
+    tile_ptr_pos = len(buf)
+    buf += b"\0" * (4 * (ntx * nty + 1))
+    tiles = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            sub = rgb[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+            tile = b"".join(rle_channel(sub[..., c].reshape(-1))
+                            for c in range(3))
+            tiles.append(tile)
+    for k, tile in enumerate(tiles):
+        struct.pack_into(">I", buf, tile_ptr_pos + 4 * k, len(buf))
+        buf += tile
+    img = formats2.decode_xcf(bytes(buf))
+    assert img.width == w and img.height == h
+    got = (np.asarray(img.data)[..., :3] * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(got, rgb)
+
+
+def test_pseudo_label_caption():
+    img = read_images("label:Hello", settings={"pointsize": "16"})[0]
+    assert img.width > 10 and img.height > 8
+    arr = np.asarray(img.data)
+    assert arr.min() < 0.5 < arr.max()   # text ink on background
+    cap = read_images("caption:the quick brown fox jumps over the dog",
+                      size="80x")[0]
+    assert cap.width >= 40
+
+
+def test_pseudo_tile_histogram_thumbnail(tmp_path, img):
+    from imagemagick_tpu.io import write_image
+
+    p = tmp_path / "base.png"
+    write_image(img, str(p))
+    tiled = read_images(f"tile:{p}", size="100x90")[0]
+    assert (tiled.width, tiled.height) == (100, 90)
+    hist = read_images(f"histogram:{p}")[0]
+    assert (hist.width, hist.height) == (256, 200)
+    th = read_images(f"thumbnail:{p}", size="16x12")[0]
+    assert (th.width, th.height) == (16, 12)
+
+
+def test_format_lists_grew():
+    from imagemagick_tpu.io import supported_read_formats, supported_write_formats
+
+    reads, writes = supported_read_formats(), supported_write_formats()
+    assert len(reads) >= 75, len(reads)
+    assert len(writes) >= 60, len(writes)
+    for f in ("dpx", "cin", "dcm", "xcf", "fits", "label", "caption",
+              "tile", "histogram", "thumbnail"):
+        assert f in reads, f
+    for f in ("dpx", "psd", "pdf", "fits", "wbmp", "sun"):
+        assert f in writes, f
+
+
+def test_otb_roundtrip(img):
+    blob = image_to_blob(img, "otb")
+    back = image_from_blob(blob, "otb")[0]
+    expect = (np.asarray(img.data).mean(-1) >= 0.5).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(back.data)[..., 0], expect)
+
+
+def test_mono_raw_roundtrip(img):
+    blob = image_to_blob(img, "mono")
+    back = formats2.decode_mono(blob, img.width, img.height)
+    expect = (np.asarray(img.data).mean(-1) >= 0.5).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(back.data)[..., 0], expect)
