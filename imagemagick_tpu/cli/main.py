@@ -758,7 +758,7 @@ def _op_auto_orient(st, arg, plus):
         img = li.materialize()
         o = int(img.properties.get("exif:Orientation", 1))
         li.image = img.replace(data=tf.auto_orient(img.data, o))
-        img.properties["exif:Orientation"] = 1
+        li.image.properties["exif:Orientation"] = 1
 
 
 def _op_preview(st, arg, plus):

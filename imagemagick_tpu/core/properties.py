@@ -128,6 +128,17 @@ def interpret(fmt: str, image, filename: str = "", index: int = 0,
                 px = np.asarray(img.data[..., y, x, :]).reshape(-1)
                 return "#" + "".join(f"{int(v * 255 + 0.5):02X}" for v in px[:3])
             return ""
+        # EXIF/IPTC/XMP namespaces are case-insensitive in the reference
+        # (%[EXIF:DateTime] — property.c GetMagickProperty dispatch)
+        for ns in ("exif:", "iptc:", "xmp:"):
+            if low.startswith(ns):
+                want = low[len(ns):].replace(" ", "").replace("-", "")
+                for k, v in img.properties.items():
+                    kl = k.lower()
+                    if kl.startswith(ns) and \
+                            kl[len(ns):].replace(" ", "").replace("-", "") == want:
+                        return str(v)
+                return ""
         # stored property
         return str(img.properties.get(e, ""))
 

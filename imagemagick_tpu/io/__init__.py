@@ -220,6 +220,13 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = delegates.decode_postscript(data, use)
     else:
         images = codecs.decode(data, use)
+    if use in ("jpeg", "jpg", "png", "tiff", "tif"):
+        from ..core.metadata import extract_metadata
+
+        meta = extract_metadata(data, use)
+        for im in images:
+            for k, v in meta.items():
+                im.properties.setdefault(k, v)
     for im in images:
         resources.check_image_size(im.width, im.height)
     return images
