@@ -34,16 +34,33 @@ class CLIError(Exception):
 
 
 class LazyImage:
-    """An image plus a queue of pending device ops (for whole-chain fusion)."""
+    """An image plus a queue of pending device ops (for whole-chain fusion).
 
-    __slots__ = ("image", "pending")
+    Shape-changing ops (resize/crop/extent/...) stay lazy too: they pass
+    their statically-known output (h, w) to push(), so later options can
+    compute geometry against the *pending* dimensions without forcing a
+    materialization — the whole chain compiles as one XLA program.
+    """
+
+    __slots__ = ("image", "pending", "_shape")
 
     def __init__(self, image: Image, pending=None):
         self.image = image
         self.pending = list(pending or [])
+        self._shape = None  # (h, w) after pending ops; None = unchanged
 
-    def push(self, fn, spec_update=None):
+    @property
+    def height(self) -> int:
+        return self._shape[0] if self._shape else self.image.height
+
+    @property
+    def width(self) -> int:
+        return self._shape[1] if self._shape else self.image.width
+
+    def push(self, fn, spec_update=None, new_shape=None):
         self.pending.append((fn, spec_update))
+        if new_shape is not None:
+            self._shape = new_shape
 
     def materialize(self) -> Image:
         if not self.pending:
@@ -66,6 +83,7 @@ class LazyImage:
                     self.image.page, self.image.delay)
         self.image = out
         self.pending = []
+        self._shape = None
         return out
 
 
@@ -121,53 +139,70 @@ def _geom_args(arg: str) -> Tuple[float, float]:
 # ---------------------------------------------------------------------------
 
 def _op_resize(st, arg, plus, op="resize"):
+    """Resize stays LAZY: output dims are static, so the op joins the
+    pending chain and the whole pipeline compiles as one XLA program."""
     from ..ops import resize as rz
 
     filt = st.settings["filter"]
     for li in st.images:
-        img = li.materialize()
-        w, h, _, _ = parse_meta_geometry(arg, img.width, img.height)
-        if op == "resize" or op == "adaptive-resize":
-            data = rz.resize(img.data, h, w, filt, has_alpha=img.spec.alpha)
+        alpha = li.image.spec.alpha
+        w, h, _, _ = parse_meta_geometry(arg, li.width, li.height)
+        if op in ("resize", "adaptive-resize"):
+            fn = lambda x, h=h, w=w: rz.resize(x, h, w, filt, has_alpha=alpha)
         elif op == "scale":
-            data = rz.scale(img.data, h, w)
+            fn = lambda x, h=h, w=w: rz.scale(x, h, w)
         elif op == "sample":
-            data = rz.sample(img.data, h, w)
+            fn = lambda x, h=h, w=w: rz.sample(x, h, w)
         elif op == "thumbnail":
-            data = rz.thumbnail(img.data, h, w, has_alpha=img.spec.alpha)
-        li.image = img.replace(data=data)
+            fn = lambda x, h=h, w=w: rz.thumbnail(x, h, w, has_alpha=alpha)
+        li.push(fn, new_shape=(h, w))
 
 
 def _op_geometry_slice(st, arg, plus, op):
+    """Geometry slices stay LAZY (static output shapes) except trim,
+    whose bounding box is data-dependent (host readback required)."""
     from ..ops import transform as tf
 
     for li in st.images:
-        img = li.materialize()
+        cw, ch = li.width, li.height
+        nch = li.image.channels
         if op == "crop":
-            w, h, x, y = parse_page_geometry(arg, img.width, img.height)
-            data = tf.crop(img.data, x, y, w, h)
+            w, h, x, y = parse_page_geometry(arg, cw, ch)
+            li.push(lambda d, a=(x, y, w, h): tf.crop(d, *a),
+                    new_shape=(h, w))
         elif op == "chop":
-            w, h, x, y = parse_page_geometry(arg, img.width, img.height)
-            data = tf.chop(img.data, x, y, w, h)
+            w, h, x, y = parse_page_geometry(arg, cw, ch)
+            out_h = ch - (min(y + h, ch) - max(y, 0))
+            out_w = cw - (min(x + w, cw) - max(x, 0))
+            li.push(lambda d, a=(x, y, w, h): tf.chop(d, *a),
+                    new_shape=(out_h, out_w))
         elif op == "extent":
-            w, h, x, y = parse_page_geometry(arg, img.width, img.height)
+            w, h, x, y = parse_page_geometry(arg, cw, ch)
             from ..ops.composite import gravity_offset
 
             gx, gy = gravity_offset(st.settings["gravity"], w, h,
-                                    img.width, img.height, -x, -y)
-            data = tf.extent(img.data, -gx, -gy, w, h, background=st.bg()[: img.channels])
+                                    cw, ch, -x, -y)
+            bgc = st.bg()[:nch]
+            li.push(lambda d, a=(-gx, -gy, w, h), b=bgc:
+                    tf.extent(d, *a, background=b), new_shape=(h, w))
         elif op == "shave":
             g = parse_geometry(arg)
-            data = tf.shave(img.data, int(g.width or 0), int(g.height or g.width or 0))
+            sx = int(g.width or 0)
+            sy = int(g.height or g.width or 0)
+            li.push(lambda d, a=(sx, sy): tf.shave(d, *a),
+                    new_shape=(max(ch - 2 * sy, 1), max(cw - 2 * sx, 1)))
         elif op == "splice":
-            w, h, x, y = parse_page_geometry(arg, img.width, img.height)
-            data = tf.splice(img.data, x, y, w, h, background=st.bg()[: img.channels])
+            w, h, x, y = parse_page_geometry(arg, cw, ch)
+            bgc = st.bg()[:nch]
+            li.push(lambda d, a=(x, y, w, h), b=bgc:
+                    tf.splice(d, *a, background=b),
+                    new_shape=(ch + h, cw + w))
         elif op == "roll":
             g = parse_geometry(arg)
-            data = tf.roll(img.data, g.x or 0, g.y or 0)
+            li.push(lambda d, a=(g.x or 0, g.y or 0): tf.roll(d, *a))
         elif op == "trim":
-            data = tf.trim(img.data)
-        li.image = img.replace(data=data)
+            img = li.materialize()
+            li.image = img.replace(data=tf.trim(img.data))
 
 
 def _lazy_op(st, make_fn, spec_update=None):
@@ -1744,9 +1779,9 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
             from ..ops import transform as tf2
 
             for li in st.images:
-                img = li.materialize()
-                w2, h2, x2, y2 = parse_page_geometry(geom, img.width, img.height)
-                li.image = img.replace(data=tf2.excerpt(img.data, x2, y2, w2, h2))
+                w2, h2, x2, y2 = parse_page_geometry(geom, li.width, li.height)
+                li.push(lambda d, a=(x2, y2, w2, h2): tf2.excerpt(d, *a),
+                        new_shape=(h2, w2))
             continue
         if name == "depth":
             st.depth = int(args[i]); i += 1

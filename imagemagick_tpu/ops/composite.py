@@ -147,7 +147,57 @@ def _f_modulus_subtract(s, d):
     return jnp.mod(s - d + 1.0, 1.0 + _EPS)
 
 
+def _f_freeze(s, d):
+    """Freeze (composite.c:3017): 1 - (1-Sc)^2/Dc, clamped at 0."""
+    return jnp.maximum(1.0 - _div((1.0 - s) ** 2, d), 0.0)
+
+
+def _f_interpolate(s, d):
+    """Interpolate (composite.c:3178 region): cosine interpolation."""
+    return 0.5 - 0.25 * jnp.cos(jnp.pi * s) - 0.25 * jnp.cos(jnp.pi * d)
+
+
+def _f_negate(s, d):
+    """Negate (composite.c:3299): 1 - |1 - Sc - Dc|."""
+    return 1.0 - jnp.abs(1.0 - s - d)
+
+
+def _f_reflect(s, d):
+    """Reflect (composite.c:3379): Sc^2/(1-Dc), clamped at 1."""
+    return jnp.minimum(_div(s * s, 1.0 - d), 1.0)
+
+
+def _f_soft_burn(s, d):
+    """SoftBurn (composite.c:3462)."""
+    return jnp.where(s + d < 1.0, 0.5 * _div(d, 1.0 - s),
+                     1.0 - 0.5 * _div(1.0 - s, d))
+
+
+def _f_soft_dodge(s, d):
+    """SoftDodge (composite.c:3472)."""
+    return jnp.where(s + d < 1.0, 0.5 * _div(s, 1.0 - d),
+                     1.0 - 0.5 * _div(1.0 - d, s))
+
+
+def _f_stamp(s, d):
+    """Stamp (composite.c:3501): Sc + Dc^2 - 1."""
+    return s + d * d - 1.0
+
+
+def _f_pegtop_light(s, d):
+    """PegtopLight (composite.c:3328): Dc^2*(1-2Sc) + 2*Sc*Dc."""
+    return d * d * (1.0 - 2.0 * s) + 2.0 * s * d
+
+
 _BLEND_FNS = {
+    "freeze": _f_freeze,
+    "interpolate": _f_interpolate,
+    "negate": _f_negate,
+    "reflect": _f_reflect,
+    "softburn": _f_soft_burn,
+    "softdodge": _f_soft_dodge,
+    "stamp": _f_stamp,
+    "pegtoplight": _f_pegtop_light,
     "multiply": _f_multiply,
     "screen": _f_screen,
     "overlay": _f_overlay_correct,
@@ -201,8 +251,8 @@ def composite(dst: jnp.ndarray, src: jnp.ndarray, operator: str = "over",
     introduces it (over with alpha src etc. — caller tracks spec).
     """
     op = operator.lower().replace("-", "").replace("_", "")
-    sc, sa = _split_rgba(src, src_alpha)
-    dc, da = _split_rgba(dst, dst_alpha)
+    sc, sa = _split_rgba(jnp.asarray(src), src_alpha)
+    dc, da = _split_rgba(jnp.asarray(dst), dst_alpha)
     nc = max(sc.shape[-1], dc.shape[-1])
     if sc.shape[-1] < nc:
         sc = jnp.repeat(sc, nc, axis=-1)
@@ -295,6 +345,42 @@ def composite(dst: jnp.ndarray, src: jnp.ndarray, operator: str = "over",
     if op in ("bumpmap",):
         inten = jnp.mean(sc, axis=-1, keepdims=True)
         return unpack(inten * dca, da)
+    if op in ("alpha",):
+        # AlphaComposite (composite.c:2544): colors from dst, alpha := Sa
+        new_a = sa if src_alpha else jnp.mean(sc, -1, keepdims=True)
+        return jnp.concatenate([dc, jnp.clip(new_a, 0.0, 1.0)], axis=-1)
+    if op in ("no",):
+        return unpack(dca, da)
+    if op in ("rmse",):
+        # RMSEComposite (composite.c:3387): per-pixel color distance as gray
+        # (the reference's literal expression divides only the blue term
+        # by 3 — reproduced for parity)
+        n3 = min(3, sc.shape[-1])
+        diff = dc[..., :n3] - sc[..., :n3]
+        terms = diff * diff
+        if n3 == 3:
+            gray = jnp.sqrt(terms[..., 0] + terms[..., 1]
+                            + terms[..., 2] / 3.0)[..., None]
+        else:
+            gray = jnp.sqrt(jnp.sum(terms, -1, keepdims=True))
+        out = jnp.repeat(gray, dc.shape[-1], axis=-1)
+        return unpack(out * da, da)
+    if op in ("modulate",):
+        # ModulateComposite (composite.c:3226): shift dst luma by the src
+        # intensity around midpoint, scale chroma; args = (luma%, chroma%)
+        from . import colorspace as cs
+
+        pl = (args[0] if args else 100.0)
+        pc = (args[1] if len(args) > 1 else 100.0)
+        si = jnp.mean(sc, axis=-1, keepdims=True)
+        hcl = cs.rgb_to_hcl(dc[..., :3])
+        luma = hcl[..., 2:3] + (0.01 * pl * (si - 0.5)) / 0.5
+        chroma = hcl[..., 1:2] * 0.01 * pc
+        out = cs.hcl_to_rgb(jnp.concatenate([hcl[..., :1], chroma, luma], -1))
+        out = jnp.where(jnp.abs(si - 0.5) < 1e-6, dc[..., :3], out)
+        if dc.shape[-1] > 3:
+            out = jnp.concatenate([out, dc[..., 3:]], -1)
+        return unpack(out * da, da)
 
     if op in ("displace", "distort"):
         # overlay is a displacement map: red -> X shift, green -> Y shift,

@@ -46,6 +46,43 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host DCN initialization — the replacement for the DPC server.
+
+    The reference's only multi-host mechanism is the distributed pixel
+    cache (/root/reference/MagickCore/distribute-cache.c:939): remote
+    TCP servers holding pixel *storage*, every access a socket round
+    trip.  Here multi-host means a multi-process JAX runtime: call this
+    once per host before any jax use; every host then sees the global
+    device set and `make_mesh` lays a (dp, sy, sx) mesh across hosts —
+    batch parallelism rides DCN, spatial halos ride ICI within each
+    host's slice.  No custom wire protocol; XLA's collectives do the
+    communication.
+
+    With no arguments, uses the JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID environment (or single-process
+    defaults).  Returns the global device count.  Safe to call in a
+    single-process session: it is a no-op if distribution is already
+    initialized or no coordinator is configured.
+    """
+    import os
+
+    coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord is not None:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=num_processes or
+                int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+                process_id=process_id if process_id is not None else
+                int(os.environ.get("JAX_PROCESS_ID", "0")))
+        except RuntimeError:
+            pass  # already initialized
+    return len(jax.devices())
+
+
 def auto_mesh(batch: int = 1) -> Mesh:
     """Pick a sensible mesh for the current device count.
 

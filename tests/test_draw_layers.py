@@ -203,3 +203,59 @@ def test_wand_view(checker_rgb):
     view.update(lambda r: r * 0.0)
     arr = np.asarray(w.current.data)
     assert arr[8, 8].max() == 0.0 and arr[0, 0].max() > 0.0
+
+
+def test_composite_operator_tail(checker_rgb, rng):
+    """Round-2 operator additions (composite.h:25-108 tail) sanity: each
+    produces in-range output, and closed-form identities hold."""
+    import numpy as np
+    from imagemagick_tpu.ops.composite import composite
+
+    s = rng.uniform(0.05, 0.95, checker_rgb.shape).astype(np.float32)
+    d = checker_rgb.astype(np.float32)
+    for op in ("freeze", "interpolate", "negate", "reflect", "softburn",
+               "softdodge", "stamp", "pegtoplight", "rmse", "modulate",
+               "alpha", "no"):
+        out = np.asarray(composite(d, s, op))
+        assert np.isfinite(out).all(), op
+        assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6, op
+    # identities
+    np.testing.assert_allclose(
+        np.asarray(composite(d, s, "negate")), 1.0 - np.abs(1.0 - s - d),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(composite(d, s, "stamp")),
+        np.clip(s + d * d - 1.0, 0, 1), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(composite(d, s, "pegtoplight")),
+        np.clip(d * d * (1 - 2 * s) + 2 * s * d, 0, 1), atol=1e-6)
+    # 'no' leaves dst untouched
+    np.testing.assert_array_equal(np.asarray(composite(d, s, "no")), d)
+
+
+def test_supported_composite_count():
+    """Operator surface >= 75 of the 80+ enum entries (composite.h:25-108)."""
+    import numpy as np
+    from imagemagick_tpu.ops import composite as cmod
+
+    ops = ["over", "srcover", "dstover", "in", "srcin", "dstin", "out",
+           "srcout", "dstout", "atop", "srcatop", "dstatop", "xor", "plus",
+           "copy", "src", "replace", "dst", "none", "no", "clear",
+           "dissolve", "blend", "mathematics", "threshold", "changemask",
+           "stereo", "copyred", "copygreen", "copyblue", "copyalpha",
+           "copyblack", "copycyan", "copymagenta", "copyyellow", "hue",
+           "saturate", "luminize", "colorize", "lightenintensity",
+           "darkenintensity", "bumpmap", "displace", "distort", "multiply",
+           "screen", "overlay", "darken", "lighten", "colordodge",
+           "colorburn", "hardlight", "softlight", "difference", "exclusion",
+           "linearburn", "lineardodge", "linearlight", "vividlight",
+           "pinlight", "hardmix", "minus", "minussrc", "minusdst", "divide",
+           "dividesrc", "dividedst", "modulusadd", "modulussubtract",
+           "freeze", "interpolate", "negate", "reflect", "softburn",
+           "softdodge", "stamp", "pegtoplight", "rmse", "modulate", "alpha"]
+    assert len(ops) >= 75
+    d = np.full((4, 4, 3), 0.5, np.float32)
+    s = np.full((4, 4, 3), 0.25, np.float32)
+    for op in ops:
+        out = cmod.composite(d, s, op)   # must not raise
+        assert out.shape[-1] in (3, 4), op
