@@ -1,0 +1,206 @@
+"""Multi-config benchmark suite — BASELINE.md configs #1-#5.
+
+The driver's bench.py reports config #1 only; this script measures all
+five on whatever device JAX defaults to (the real TPU chip) and prints
+one JSON line per config plus an estimated MFU/HBM utilization note.
+
+Timing: chained-N marginal with scalar readback (see bench.py; the axon
+tunnel makes block_until_ready unreliable).  Inputs are device-resident.
+
+Run:  python benchmarks.py [--quick]
+"""
+
+import json
+import sys
+import time
+import timeit
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QUICK = "--quick" in sys.argv
+
+# v5e peak numbers for utilization estimates
+HBM_GBS = 819.0
+PEAK_BF16_TF = 394.0
+
+
+def _time_chain(make_step, x, n1=1, n2=11, reps=4):
+    def chain(n):
+        @jax.jit
+        def f(b):
+            acc = jnp.float32(0)
+            for i in range(n):
+                out = make_step(b * (1.0 + jnp.float32(i) * 1e-6))
+                acc = acc + jnp.sum(out[:1])
+            return acc
+        return f
+
+    f1, f2 = chain(n1), chain(n2)
+    float(f1(x)); float(f2(x))
+    t1 = min(timeit.repeat(lambda: float(f1(x)), number=1, repeat=reps))
+    tn = min(timeit.repeat(lambda: float(f2(x)), number=1, repeat=reps))
+    return max((tn - t1) / (n2 - n1), 1e-9)
+
+
+def _report(name, mp, per_step, extra=""):
+    print(json.dumps({
+        "metric": f"bench_{name}_megapixels_per_sec",
+        "value": round(mp / per_step, 2),
+        "unit": f"MP/s/chip ({extra})",
+        "ms_per_step": round(per_step * 1e3, 3),
+    }))
+
+
+def config1_thumbnail():
+    """768x512 -> lanczos 256x256 + gaussian2 + gray (fused kernel)."""
+    from imagemagick_tpu.ops.fused_pipeline import fused_resize_pipeline
+
+    N, H, W, C = (8, 512, 768, 3) if QUICK else (32, 512, 768, 3)
+    mix = np.array([[0.212656, 0.715158, 0.072186]])
+    x = jax.random.uniform(jax.random.PRNGKey(0), (N * H, W * C), jnp.float32)
+
+    def step(b):
+        return fused_resize_pipeline(b, 256, 256, "lanczos", 2.0, mix,
+                                     in_shape=(N, H, W, C))[:, 0, :, 0]
+
+    per = _time_chain(step, x)
+    mp = N * H * W / 1e6
+    _report("config1_thumbnail", mp, per, "fused pallas, batch %d" % N)
+    # HBM utilization note: one read of input + one write of output
+    traffic = (x.size + N * 256 * 256) * 4 / 1e9
+    print(json.dumps({"note": "config1 HBM utilization",
+                      "effective_GBs": round(traffic / per, 1),
+                      "peak_GBs": HBM_GBS,
+                      "utilization": round(traffic / per / HBM_GBS, 3)}))
+    return mp / per
+
+
+def config2_blur_unsharp_lab():
+    """1080p batch: gaussian 0x2 + unsharp 0x1 + sRGB->Lab->sRGB.
+
+    Two variants: op composition (reference threshold semantics) and the
+    fused rank-2 separable kernel (blur+unsharp as one Pallas program,
+    threshold 0) with the Lab round trip as an XLA epilogue.
+    """
+    from imagemagick_tpu.ops import blur as bl
+    from imagemagick_tpu.ops import colorspace as cs
+    from imagemagick_tpu.ops.fused_pipeline import (blur_unsharp_terms,
+                                                    fused_linear_pipeline)
+
+    N, H, W, C = (2, 1080, 1920, 3) if QUICK else (8, 1080, 1920, 3)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (N, H, W, C), jnp.float32)
+    mp = N * H * W / 1e6
+
+    def step_ops(b):
+        y = bl.gaussian_blur(b, 0.0, 2.0)
+        y = bl.unsharp_mask(y, 0.0, 1.0)
+        y = cs.convert(y, "srgb", "lab")
+        return cs.convert(y, "lab", "srgb")
+
+    per = _time_chain(step_ops, x, n2=6 if QUICK else 11)
+    _report("config2_blur_unsharp_lab", mp, per, f"1080p batch {N}, op path")
+
+    terms = blur_unsharp_terms(H, W, 2.0, 1.0, 1.0)
+    xf = x.reshape(N * H, W * C)
+
+    def step_fused(b):
+        y = fused_linear_pipeline(b, terms, C, in_shape=(N, H, W, C))
+        y = cs.convert(y, "srgb", "lab")
+        return cs.convert(y, "lab", "srgb")[:, 0]
+
+    if fused_linear_pipeline(xf, terms, C, in_shape=(N, H, W, C)) is not None:
+        per_f = _time_chain(step_fused, xf, n2=6 if QUICK else 11)
+        _report("config2_fused", mp, per_f,
+                f"1080p batch {N}, rank-2 pallas + lab epilogue")
+        return mp / per_f
+    return mp / per
+
+
+def config3_document():
+    """Document batch: otsu + open/close square:1 + edge 1."""
+    from imagemagick_tpu.ops import blur as bl
+    from imagemagick_tpu.ops import morphology as mo
+    from imagemagick_tpu.ops import threshold as th
+
+    N = 4 if QUICK else 16
+    x = jax.random.uniform(jax.random.PRNGKey(2), (N, 1056, 816, 1),
+                           jnp.float32)
+
+    def step(b):
+        y = th.auto_threshold(b, "otsu")
+        y = mo.morphology(y, "open", "square:1")
+        y = mo.morphology(y, "close", "square:1")
+        return bl.edge_image(y, 1.0)
+
+    per = _time_chain(step, x, n2=6 if QUICK else 11)
+    mp = N * 1056 * 816 / 1e6
+    _report("config3_document", mp, per, f"letter-page batch {N}")
+    return mp / per
+
+
+def config4_fft():
+    """4K: forward FFT -> Wiener-style filter -> inverse FFT."""
+    from imagemagick_tpu.ops import fourier as ff
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 2160, 4096, 1),
+                           jnp.float32)
+
+    def step(b):
+        return ff.wiener_deconvolve(b, noise=0.01)
+
+    per = _time_chain(step, x, n2=6)
+    mp = 2160 * 4096 / 1e6
+    _report("config4_fft_4k", mp, per, "2160x4096 wiener")
+    return mp / per
+
+
+def config5_thumbnailer():
+    """End-to-end thumbnailer: JPEG decode -> resize -> watermark -> encode.
+
+    Host decode/encode dominate through the 0.5MB/s tunnel upload, so the
+    corpus is generated locally and the figure reported is images/s of
+    the full host+device loop on this machine.
+    """
+    import tempfile
+
+    from PIL import Image as PImage
+
+    from imagemagick_tpu.models import thumbnailer as tn
+
+    n_images = 16 if QUICK else 64
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i in range(n_images):
+            arr = (rng.uniform(0, 1, (512, 768, 3)) * 255).astype(np.uint8)
+            p = f"{td}/in_{i:04d}.jpg"
+            PImage.fromarray(arr).save(p, "JPEG", quality=90)
+            paths.append(p)
+        cfg = tn.ThumbnailerConfig(stage_width=768, stage_height=512,
+                                   batch_size=16)
+        stats = tn.run(paths * 2, f"{td}/out", cfg)  # warm + measured pass
+        t0 = time.perf_counter()
+        stats = tn.run(paths, f"{td}/out2", cfg)
+        dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "bench_config5_thumbnailer_images_per_sec",
+        "value": round(n_images / dt, 2),
+        "unit": f"images/s end-to-end (decode+resize+encode, {n_images} jpegs)",
+        "ms_per_image": round(dt / n_images * 1e3, 2),
+        "stats": {k: (round(v, 2) if isinstance(v, float) else v)
+                  for k, v in (stats or {}).items()},
+    }))
+    return n_images / dt
+
+
+if __name__ == "__main__":
+    results = {}
+    for fn in (config1_thumbnail, config2_blur_unsharp_lab, config3_document,
+               config4_fft, config5_thumbnailer):
+        try:
+            results[fn.__name__] = fn()
+        except Exception as e:  # noqa: BLE001 - keep benching
+            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}))
+    print(json.dumps({"summary": {k: round(v, 1) for k, v in results.items()}}))

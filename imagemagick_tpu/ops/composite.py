@@ -254,10 +254,15 @@ def composite(dst: jnp.ndarray, src: jnp.ndarray, operator: str = "over",
     sc, sa = _split_rgba(jnp.asarray(src), src_alpha)
     dc, da = _split_rgba(jnp.asarray(dst), dst_alpha)
     nc = max(sc.shape[-1], dc.shape[-1])
+    # gray -> color broadcast; only a 1-channel side can widen
     if sc.shape[-1] < nc:
-        sc = jnp.repeat(sc, nc, axis=-1)
+        sc = jnp.repeat(sc[..., :1], nc, axis=-1) if sc.shape[-1] == 1 \
+            else jnp.concatenate([sc, sc[..., -1:].repeat(nc - sc.shape[-1],
+                                                          axis=-1)], -1)
     if dc.shape[-1] < nc:
-        dc = jnp.repeat(dc, nc, axis=-1)
+        dc = jnp.repeat(dc[..., :1], nc, axis=-1) if dc.shape[-1] == 1 \
+            else jnp.concatenate([dc, dc[..., -1:].repeat(nc - dc.shape[-1],
+                                                          axis=-1)], -1)
 
     sca = sc * sa  # premultiplied
     dca = dc * da

@@ -471,7 +471,10 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
                 gc.fill_gradient = None
                 gc.fill = color_arg()
         elif cmd == "stroke":
-            gc.stroke = color_arg()
+            if re.match(r"^'?url\(", toks[i]):
+                i += 1   # pattern strokes: keep current stroke color
+            else:
+                gc.stroke = color_arg()
         elif cmd == "stroke-width":
             gc.stroke_width = num()
         elif cmd == "fill-opacity":
@@ -572,7 +575,7 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
             elif cmd == "stroke-dasharray":
                 while i < len(toks) and re.match(r"^[-+0-9.]", toks[i]):
                     i += 1
-            elif cmd == "color":
+            elif cmd in ("color", "matte"):
                 i += 3  # x y method
             else:
                 i += 1

@@ -246,7 +246,12 @@ def clahe(img: jnp.ndarray, tiles_x: int = 8, tiles_y: int = 8,
     Works on the L channel of Lab like the reference; tile histograms are a
     single scatter-add, clipping redistributes excess, and the per-pixel
     lookup bilinearly blends the 4 surrounding tile CDFs — all vectorized.
+    Zeros mean defaults (CLAHEImage treats 0 bins/limit as 128/no-clip).
     """
+    tiles_x = int(tiles_x) or 8
+    tiles_y = int(tiles_y) or 8
+    bins = int(bins) or 128
+    clip_limit = float(clip_limit) if clip_limit else float(bins)
     orig_shape = img.shape
     lab = cs.convert(img[..., :3], "srgb", "lab")
     L = lab[..., 0]

@@ -62,19 +62,25 @@ def _align(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def blur_band_matrix(n: int, sigma: float, radius: float = 0.0) -> np.ndarray:
+def blur_band_matrix(n: int, sigma: float, radius: float = 0.0,
+                     width_rule: str = "2d") -> np.ndarray:
     """(n, n) banded separable-Gaussian operator with edge-replicate pads.
 
-    Same taps as ops.blur.gaussian_blur (effect.c:1709 sigma->width rules);
-    rows are exact including the clamped edge windows.
+    Same taps as ops.blur.gaussian_blur (effect.c:1709 sigma->width rules,
+    width_rule='2d') or ops.blur.blur (1-D rule, width_rule='1d'); rows
+    are exact including the clamped edge windows.
     """
-    from .blur import optimal_kernel_width_2d
+    from .blur import (gaussian_kernel_1d, optimal_kernel_width_2d)
 
-    width = optimal_kernel_width_2d(radius, sigma)
-    j = (width - 1) // 2
-    xs = np.arange(-j, j + 1, dtype=np.float64)
-    k = np.exp(-(xs * xs) / (2.0 * max(sigma, 1e-12) ** 2))
-    k /= k.sum()
+    if width_rule == "1d":
+        k = np.asarray(gaussian_kernel_1d(radius, sigma), np.float64)
+        j = (len(k) - 1) // 2
+    else:
+        width = optimal_kernel_width_2d(radius, sigma)
+        j = (width - 1) // 2
+        xs = np.arange(-j, j + 1, dtype=np.float64)
+        k = np.exp(-(xs * xs) / (2.0 * max(sigma, 1e-12) ** 2))
+        k /= k.sum()
     B = np.zeros((n, n), np.float64)
     for o in range(n):
         for t, kv in zip(range(o - j, o + j + 1), k):
@@ -180,7 +186,8 @@ def _mm(a, b, precision):
 
 
 def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
-            *, TO, BAND, c0s, SPAN, precision, clip, nprog, ntiles):
+            *, TO, BAND, c0s, SPAN, precision, clip, nprog, ntiles,
+            nterms=1, guids=None):
     """One program per (image, row-tile), flattened to a 1-D grid.
 
     Two measured structural rules shape this kernel:
@@ -234,14 +241,22 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
         bsplit = _split(band[slot])
     else:
         bsplit = band[slot]
-    mids = []
-    for b, c0 in enumerate(c0s):
-        bnd = (bsplit[0][:, c0:c0 + SPAN], bsplit[1][:, c0:c0 + SPAN]) \
-            if precision == "b3" else bsplit[:, c0:c0 + SPAN]
-        mids.append(_mm(bnd, gb[b], precision))         # (BAND, 128)
-    mid = jnp.concatenate(mids, axis=1)                  # (BAND, OUTP)
     tt = jax.lax.rem(step, ntiles)
-    out = _mm(wv[tt], mid, precision)                    # (TO, OUTP)
+    nb = len(c0s)
+    out = None
+    # nterms > 1 = a rank-T sum of separable operators (e.g. blur+unsharp:
+    # (1+g)*Bg - g*Bu@Bg per axis pair): out = sum_t WV_t @ x @ G_t.
+    # gb holds only UNIQUE blocks (convolutional G is block-Toeplitz:
+    # interior blocks repeat); guids maps (term, block) -> unique id.
+    for t in range(nterms):
+        mids = []
+        for b, c0 in enumerate(c0s):
+            bnd = (bsplit[0][:, c0:c0 + SPAN], bsplit[1][:, c0:c0 + SPAN]) \
+                if precision == "b3" else bsplit[:, c0:c0 + SPAN]
+            mids.append(_mm(bnd, gb[guids[t * nb + b]], precision))
+        mid = jnp.concatenate(mids, axis=1)                   # (BAND, OUTP)
+        term = _mm(wv[t * ntiles + tt], mid, precision)       # (TO, OUTP)
+        out = term if out is None else out + term
     if clip:
         out = jnp.clip(out, 0.0, 1.0)
     out_ref[:, :] = out
@@ -249,11 +264,16 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
 
 @functools.lru_cache(maxsize=64)
 def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
-                precision, clip, interpret=False):
+                precision, clip, interpret=False, nterms=1, guids=None,
+                n_unique=None):
     nprog = N * ntiles
+    if guids is None:
+        guids = tuple(range(nterms * nb))
+    if n_unique is None:
+        n_unique = nterms * nb
     kern = functools.partial(_kernel, TO=TO, BAND=BAND, c0s=c0s, SPAN=SPAN,
                              precision=precision, clip=clip, nprog=nprog,
-                             ntiles=ntiles)
+                             ntiles=ntiles, nterms=nterms, guids=guids)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nprog,),
@@ -266,8 +286,8 @@ def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((_NSLOTS, BAND, WINC), jnp.float32),
-            pltpu.VMEM((ntiles, TO, BAND), jnp.float32),
-            pltpu.VMEM((nb, SPAN, 128), jnp.float32),
+            pltpu.VMEM((nterms * ntiles, TO, BAND), jnp.float32),
+            pltpu.VMEM((n_unique, SPAN, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((_NSLOTS,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -289,6 +309,135 @@ def _plan(Hin, Win, C, Hout, Wout, filt, sigma, mix_key, TO):
     WV, r0s, BAND, ntiles = _v_blocks(Mv, Hin, TO)
     GB, c0s, SPAN, OUT, OUTP = _h_blocks(Mw, C, mix, Win * C)
     return WV, r0s, BAND, ntiles, GB, c0s, SPAN, OUT, OUTP
+
+
+def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
+                          mix: Optional[np.ndarray] = None,
+                          precision: str = "b3", clip: bool = True,
+                          TO: int = 64,
+                          in_shape: Optional[Tuple[int, int, int, int]] = None,
+                          interpret: bool = False) -> Optional[jnp.ndarray]:
+    """General entry: out = clip( sum_t Mv_t @ x @ Mw_t^T , mixed ).
+
+    `terms` is a list of (Mv, Mw) banded operator pairs — a rank-T sum of
+    separable operators.  T=1 covers any composed chain of separable ops
+    (resize, blur); T=2 covers unsharp/difference-of-gaussians-style
+    chains that are sums of separable products.  All terms must share the
+    same (Hout, Hin) x (Wout, Win) shapes.  Constraints as
+    fused_resize_pipeline; returns None on fallback.
+    """
+    if not HAVE_PALLAS:
+        return None
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        return None
+    if x.dtype != jnp.float32:
+        return None
+    terms = [(np.asarray(a, np.float64), np.asarray(b, np.float64))
+             for a, b in terms]
+    Hout, Hin = terms[0][0].shape
+    Wout, Win = terms[0][1].shape
+    if any(a.shape != (Hout, Hin) or b.shape != (Wout, Win)
+           for a, b in terms):
+        raise ValueError("all terms must share operator shapes")
+    if x.ndim == 2:
+        if in_shape is None:
+            return None
+        N = in_shape[0]
+        if x.shape != (N * Hin, Win * C):
+            return None
+    elif x.ndim == 4:
+        N = x.shape[0]
+        if x.shape[1:] != (Hin, Win, C):
+            return None
+    else:
+        return None
+    WINC = Win * C
+    if WINC % 128 != 0 or Hin % 8 != 0:
+        return None
+    if mix is None:
+        mix = np.eye(C)
+    mix = np.asarray(mix, np.float64)
+    # union banded structure across terms: plan against sum of |operators|
+    Mv_union = sum(np.abs(a) for a, _ in terms)
+    Mw_union = sum(np.abs(b) for _, b in terms)
+    _, r0s, BAND, ntiles = _v_blocks(Mv_union, Hin, TO)
+    GBu, c0s, SPAN, OUT, OUTP = _h_blocks(Mw_union, C, mix, WINC)
+    # per-term blocks sliced with the shared r0s/c0s
+    WVs, GBs = [], []
+    for Mv, Mw in terms:
+        WV = np.zeros((ntiles, TO, BAND), np.float32)
+        for t, r0 in enumerate(r0s):
+            rows = Mv[t * TO:min((t + 1) * TO, Hout)]
+            WV[t, :rows.shape[0]] = rows[:, r0:r0 + BAND]
+        WVs.append(WV)
+        # rebuild G against the SHARED c0s (a sparser term would otherwise
+        # get different block windows)
+        GB = np.zeros((len(c0s), SPAN, 128), np.float32)
+        Gfull = np.zeros((WINC, OUTP), np.float64)
+        MwT = Mw.T
+        Cout = mix.shape[0]
+        for c in range(C):
+            for cp in range(Cout):
+                if mix[cp, c] == 0.0:
+                    continue
+                Gfull[c:Win * C:C, cp:OUT:Cout] += mix[cp, c] * MwT
+        for b, c0 in enumerate(c0s):
+            GB[b] = Gfull[c0:c0 + SPAN, b * 128:(b + 1) * 128]
+        GBs.append(GB)
+    WV_all = np.concatenate(WVs, axis=0)    # (T*ntiles, TO, BAND)
+    GB_flat = np.concatenate(GBs, axis=0)   # (T*nb, SPAN, 128)
+    # dedupe identical blocks: a convolutional G (no resample) is
+    # block-Toeplitz, so all interior blocks are one shared matrix
+    uniq: dict = {}
+    guids = []
+    keep = []
+    for blk in GB_flat:
+        key = blk.tobytes()
+        if key not in uniq:
+            uniq[key] = len(keep)
+            keep.append(blk)
+        guids.append(uniq[key])
+    GB_all = np.stack(keep)
+    vmem = (_NSLOTS * BAND * WINC + GB_all.size + WV_all.size +
+            2 * TO * OUTP + TO * WINC) * 4
+    if vmem > _VMEM_BUDGET:
+        if TO > 16:
+            return fused_linear_pipeline(x, terms, C, mix, precision, clip,
+                                         TO // 2, in_shape, interpret)
+        return None
+    call = _build_call(N, Hin, WINC, TO, BAND, ntiles, len(c0s), SPAN,
+                       OUTP, c0s, precision, clip, interpret,
+                       nterms=len(terms), guids=tuple(guids),
+                       n_unique=len(keep))
+    r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hin, ntiles) +
+               np.tile(r0s.astype(np.int64), N)).astype(np.int32)
+    out = call(jnp.asarray(r0_flat), x.reshape(N * Hin, WINC),
+               jnp.asarray(WV_all), jnp.asarray(GB_all))
+    out = out.reshape(N, ntiles * TO, OUTP)
+    return out[:, :Hout, :OUT].reshape(N, Hout, Wout, mix.shape[0])
+
+
+@functools.lru_cache(maxsize=32)
+def blur_unsharp_terms(n_v: int, n_w: int, sigma_blur: float,
+                       sigma_unsharp: float, gain: float = 1.0):
+    """Rank-2 term list for gaussian-blur -> unsharp (threshold 0).
+
+    Unsharp is y + gain*(y - Bu(y)) = (1+gain)*y - gain*Bu(y); composed
+    with the 2-D blur Bg this is the sum of two separable products
+    (effect.c:4256 UnsharpMaskImage over GaussianBlurImage:1709):
+
+        (1+gain) * (Bgv (x) Bgw)  -  gain * (Buv.Bgv (x) Buw.Bgw)
+
+    The gain threshold (|2 diff| < t keeps the original) is a per-pixel
+    nonlinearity and is NOT represented — callers wanting the reference's
+    default t=0.05 behavior use the op-composition path.
+    """
+    Bgv = blur_band_matrix(n_v, sigma_blur)
+    Bgw = blur_band_matrix(n_w, sigma_blur)
+    Buv = blur_band_matrix(n_v, sigma_unsharp, width_rule="1d")
+    Buw = blur_band_matrix(n_w, sigma_unsharp, width_rule="1d")
+    return [((1.0 + gain) * Bgv, Bgw),
+            (-gain * (Buv @ Bgv), Buw @ Bgw)]
 
 
 def fused_resize_pipeline(x: jnp.ndarray, Hout: int, Wout: int,

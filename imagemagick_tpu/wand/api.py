@@ -28,6 +28,19 @@ from ..core.spec import ImageSpec, normalize_colorspace
 from .. import io as iio
 
 
+def _color_str(color) -> str:
+    """Coerce a PixelWand / tuple / string to a color string."""
+    if isinstance(color, PixelWand):
+        return color.get_color_string()
+    if isinstance(color, str):
+        return color
+    c = list(color)
+    if len(c) >= 4:
+        return (f"srgba({c[0] * 255:.0f},{c[1] * 255:.0f},"
+                f"{c[2] * 255:.0f},{c[3]:.3g})")
+    return f"srgb({c[0] * 255:.0f},{c[1] * 255:.0f},{c[2] * 255:.0f})"
+
+
 class PixelWand:
     """Color container (pixel-wand.c, 62 exports)."""
 
@@ -744,12 +757,16 @@ class MagickWand:
     def black_threshold_image(self, threshold):
         from ..ops import threshold as th
 
+        if isinstance(threshold, str):
+            threshold = PixelWand(threshold)
         t = threshold.red if isinstance(threshold, PixelWand) else threshold
         self._apply(lambda im: th.black_threshold(im.data, t))
 
     def white_threshold_image(self, threshold):
         from ..ops import threshold as th
 
+        if isinstance(threshold, str):
+            threshold = PixelWand(threshold)
         t = threshold.red if isinstance(threshold, PixelWand) else threshold
         self._apply(lambda im: th.white_threshold(im.data, t))
 
@@ -1313,6 +1330,535 @@ class MagickWand:
 
         return signature_image(self.current.data)
 
+    # ------------------------------------------------------------------
+    # Round 2: remaining magick-image.c exports (mechanical get/set pairs
+    # + list ops).  Image-level attributes live in Image.properties.
+    # ------------------------------------------------------------------
+
+    def _iprop(self, key, default=""):
+        return self.current.properties.get(key, default)
+
+    def _set_iprop(self, key, value):
+        self.current.properties[key] = value
+
+    # attribute get/set pairs (MagickGet/SetImage*)
+    def get_image_background_color(self) -> PixelWand:
+        return PixelWand(self._iprop("background", "white"))
+
+    def set_image_background_color(self, color):
+        self._set_iprop("background", _color_str(color))
+
+    def get_image_border_color(self) -> PixelWand:
+        return PixelWand(self._iprop("bordercolor", "#dfdfdf"))
+
+    def set_image_border_color(self, color):
+        self._set_iprop("bordercolor", _color_str(color))
+
+    def get_image_matte_color(self) -> PixelWand:
+        return PixelWand(self._iprop("mattecolor", "#bdbdbd"))
+
+    def set_image_matte_color(self, color):
+        self._set_iprop("mattecolor", _color_str(color))
+
+    def get_image_compose(self) -> str:
+        return self._iprop("compose", "over")
+
+    def set_image_compose(self, op: str):
+        self._set_iprop("compose", op)
+
+    def get_image_compression(self) -> str:
+        return self._iprop("compression", "undefined")
+
+    def set_image_compression(self, c: str):
+        self._set_iprop("compression", c)
+
+    def set_image_compression_quality(self, q: int):
+        self.quality = int(q)
+
+    def get_image_dispose(self) -> str:
+        return self._iprop("dispose", "undefined")
+
+    def set_image_dispose(self, d: str):
+        self._set_iprop("dispose", d)
+
+    def get_image_endian(self) -> str:
+        return self._iprop("endian", "undefined")
+
+    def set_image_endian(self, e: str):
+        self._set_iprop("endian", e)
+
+    def get_image_filter(self) -> str:
+        return self._iprop("filter", self.filter)
+
+    def set_image_filter(self, f: str):
+        self._set_iprop("filter", f)
+
+    def get_image_fuzz(self) -> float:
+        return float(self._iprop("fuzz", self.fuzz) or 0.0)
+
+    def set_image_fuzz(self, f: float):
+        self._set_iprop("fuzz", float(f))
+
+    def get_image_gamma(self) -> float:
+        return float(self._iprop("gamma", 1.0 / 2.2))
+
+    def set_image_gamma(self, g: float):
+        self._set_iprop("gamma", float(g))
+
+    def get_image_interlace_scheme(self) -> str:
+        return self._iprop("interlace", "none")
+
+    def set_image_interlace_scheme(self, s: str):
+        self._set_iprop("interlace", s)
+
+    def get_image_interpolate_method(self) -> str:
+        return self._iprop("interpolate", "bilinear")
+
+    def set_image_interpolate_method(self, m: str):
+        self._set_iprop("interpolate", m)
+
+    set_image_pixel_interpolate_method = set_image_interpolate_method
+
+    def get_image_rendering_intent(self) -> str:
+        return self._iprop("intent", "perceptual")
+
+    def set_image_rendering_intent(self, i: str):
+        self._set_iprop("intent", i)
+
+    def get_image_units(self) -> str:
+        return self._iprop("units", "undefined")
+
+    def set_image_units(self, u: str):
+        self._set_iprop("units", u)
+
+    def get_image_virtual_pixel_method(self) -> str:
+        return self._iprop("virtual-pixel", "edge")
+
+    def set_image_virtual_pixel_method(self, m: str) -> str:
+        prev = self.get_image_virtual_pixel_method()
+        self._set_iprop("virtual-pixel", m)
+        return prev
+
+    def get_image_filename(self) -> str:
+        return self._iprop("filename", "")
+
+    def set_image_filename(self, name: str):
+        self._set_iprop("filename", name)
+
+    def get_image_scene(self) -> int:
+        return int(self._iprop("scene", 0))
+
+    def set_image_scene(self, s: int):
+        self._set_iprop("scene", int(s))
+
+    def get_image_ticks_per_second(self) -> int:
+        return int(self._iprop("ticks-per-second", 100))
+
+    def set_image_ticks_per_second(self, t: int):
+        self._set_iprop("ticks-per-second", int(t))
+
+    def set_image_iterations(self, n: int):
+        self._set_iprop("loop", int(n))
+
+    def get_image_length(self) -> int:
+        """MagickGetImageLength: bytes of pixel storage."""
+        return int(np.asarray(self.current.data).nbytes)
+
+    def get_image_mean(self):
+        from ..ops import statistic as stx
+
+        s = stx.get_statistics(self.current.data)
+        return (float(np.asarray(s["mean"]).mean()),
+                float(np.asarray(s["std"]).mean()))
+
+    def get_image_kurtosis(self):
+        from ..ops import statistic as stx
+
+        s = stx.get_statistics(self.current.data)
+        return (float(np.asarray(s.get("kurtosis", 0.0)).mean()),
+                float(np.asarray(s.get("skewness", 0.0)).mean()))
+
+    def get_image_features(self, distance: int = 1):
+        from ..ops import feature as ft
+
+        return ft.glcm_features(self.current.data, offset=(0, distance))
+
+    # chromaticity primaries / white point
+    def get_image_red_primary(self):
+        return tuple(float(v) for v in
+                     self._iprop("red-primary", "0.64,0.33,0.03").split(","))
+
+    def set_image_red_primary(self, x, y, z=0.0):
+        self._set_iprop("red-primary", f"{x},{y},{z}")
+
+    def get_image_green_primary(self):
+        return tuple(float(v) for v in
+                     self._iprop("green-primary", "0.3,0.6,0.1").split(","))
+
+    def set_image_green_primary(self, x, y, z=0.0):
+        self._set_iprop("green-primary", f"{x},{y},{z}")
+
+    def get_image_blue_primary(self):
+        return tuple(float(v) for v in
+                     self._iprop("blue-primary", "0.15,0.06,0.79").split(","))
+
+    def set_image_blue_primary(self, x, y, z=0.0):
+        self._set_iprop("blue-primary", f"{x},{y},{z}")
+
+    def get_image_white_point(self):
+        return tuple(float(v) for v in
+                     self._iprop("white-point", "0.3127,0.329,0.3583")
+                     .split(","))
+
+    def set_image_white_point(self, x, y, z=0.0):
+        self._set_iprop("white-point", f"{x},{y},{z}")
+
+    # type/colorspace/extent
+    def get_image_type(self) -> str:
+        from ..ops import attribute as attr
+
+        return attr.image_type(self.current.data, self.current.spec.alpha)
+
+    identify_image_type = get_image_type
+
+    def set_image_type(self, t: str):
+        from ..ops import attribute as attr
+
+        img = self.current
+        data = attr.set_image_type(img.data, t, img.spec.alpha)
+        spec = img.spec
+        if t.lower().startswith(("bilevel", "grayscale")):
+            spec = spec.with_(colorspace="gray")
+        elif data.shape[-1] >= 3 and spec.color_channels == 1:
+            spec = spec.with_(colorspace="srgb")
+        self._set_current(Image(data, spec, img.properties))
+
+    def set_image_colorspace(self, cs: str):
+        """Tag the colorspace without converting (SetImageColorspace)."""
+        img = self.current
+        self._set_current(Image(img.data,
+                                img.spec.with_(colorspace=cs.lower()),
+                                img.properties, img.profiles))
+
+    def set_image_extent(self, width: int, height: int):
+        from ..ops import transform as tf
+
+        img = self.current
+        self._set_current(img.replace(data=tf.extent(
+            img.data, 0, 0, width, height,
+            background=self.background.get_color()[:img.channels])))
+
+    def set_image_alpha(self, alpha: float):
+        import jax.numpy as jnp
+
+        img = self.current
+        a = jnp.full(img.data.shape[:-1] + (1,), float(alpha),
+                     img.data.dtype)
+        color = img.data[..., :img.spec.color_channels]
+        self._set_current(Image(jnp.concatenate([color, a], -1),
+                                img.spec.with_(alpha=True), img.properties))
+
+    def set_image_matte(self, matte: bool):
+        if matte:
+            self.set_image_alpha(1.0)
+
+    def set_image_color(self, color):
+        img = self.current
+        c = PixelWand(_color_str(color)).get_color()[:img.channels]
+        self._set_current(img.replace(
+            data=np.broadcast_to(np.asarray(c, np.float32),
+                                 img.data.shape).copy()))
+
+    def set_image_pixel_color(self, x: int, y: int, color):
+        import jax.numpy as jnp
+
+        img = self.current
+        c = PixelWand(_color_str(color)).get_color()[:img.channels]
+        self._set_current(img.replace(
+            data=img.data.at[y, x, :].set(jnp.asarray(c))))
+
+    def get_image_colormap_color(self, index: int) -> PixelWand:
+        from ..ops import histogram as hg
+
+        colors = np.asarray(hg.unique_colors(self.current.data))
+        i = min(index, len(colors) - 1)
+        return PixelWand(tuple(float(v) for v in colors[i][:3]))
+
+    def set_image_colormap_color(self, index: int, color):
+        pass  # DirectClass framework: palettes are derived, not stored
+
+    def cycle_colormap_image(self, displace: int):
+        import jax.numpy as jnp
+
+        img = self.current
+        self._set_current(img.replace(
+            data=jnp.mod(img.data + displace / 256.0, 1.0)))
+
+    # masks / clips
+    def set_image_mask(self, mask_wand: Optional["MagickWand"],
+                       mask_type: str = "read"):
+        if mask_wand is None:
+            self.current.properties.pop("wand:mask", None)
+        else:
+            self.current.properties["wand:mask"] = np.asarray(
+                mask_wand.current.data)
+
+    def get_image_mask(self, mask_type: str = "read"):
+        m = self.current.properties.get("wand:mask")
+        if m is None:
+            return None
+        w = MagickWand()
+        w.images.append(Image(m, ImageSpec(colorspace="gray")))
+        return w
+
+    def clip_image(self):
+        raise RuntimeError("no clip path defined")   # ClipImage w/o 8BIM path
+
+    def clip_image_path(self, path: str, inside: bool = True):
+        raise RuntimeError("8BIM clip paths not present")
+
+    # iteration predicates
+    def has_next_image(self) -> bool:
+        return self.iterator + 1 < len(self.images)
+
+    def has_previous_image(self) -> bool:
+        return self.iterator > 0
+
+    def destroy_image(self):
+        """MagickDestroyImage: remove the current image from the wand."""
+        if self.images:
+            del self.images[self.iterator if self.iterator >= 0 else -1]
+            self.iterator = min(self.iterator, len(self.images) - 1)
+
+    # IO variants
+    def read_image_file(self, fp):
+        return self.read_image_blob(fp.read())
+
+    def write_image_file(self, fp, fmt: str = "png"):
+        fp.write(self.get_image_blob(fmt))
+
+    def write_images_file(self, fp, fmt: str = "gif"):
+        fp.write(self.get_images_blob(fmt))
+
+    def ping_image(self, filename: str):
+        """MagickPingImage: header-only read (dims + properties)."""
+        return self.read_image(filename)
+
+    def ping_image_blob(self, blob: bytes, fmt=None):
+        return self.read_image_blob(blob, fmt)
+
+    def ping_image_file(self, fp):
+        return self.read_image_file(fp)
+
+    def constitute_image(self, width: int, height: int, channel_map: str,
+                         pixels):
+        """MagickConstituteImage: wand from raw pixel values."""
+        arr = np.asarray(pixels, np.float32).reshape(
+            height, width, len(channel_map))
+        spec = ImageSpec(colorspace="srgb",
+                         alpha="a" in channel_map.lower())
+        self.images.append(Image(_inverse_map_channels(
+            arr, channel_map, spec), spec))
+        self.iterator = len(self.images) - 1
+        return self
+
+    # ops that were CLI-only until round 2
+    def color_threshold_image(self, start_color, stop_color):
+        import jax.numpy as jnp
+
+        lo = np.asarray(PixelWand(_color_str(start_color))
+                        .get_color()[:3], np.float32)
+        hi = np.asarray(PixelWand(_color_str(stop_color))
+                        .get_color()[:3], np.float32)
+        img = self.current
+        c = img.data[..., :3]
+        inside = jnp.all((c >= lo) & (c <= hi), axis=-1, keepdims=True)
+        out = jnp.where(inside, 1.0, 0.0)
+        self._set_current(Image(jnp.repeat(out, 1, -1),
+                                ImageSpec(colorspace="gray")))
+
+    def threshold_image_channel(self, channel: str, threshold: float):
+        import jax.numpy as jnp
+
+        idx = {"red": 0, "green": 1, "blue": 2, "r": 0, "g": 1, "b": 2}.get(
+            channel.lower(), 0)
+        img = self.current
+        ch = jnp.where(img.data[..., idx:idx + 1] >= threshold, 1.0, 0.0)
+        self._set_current(img.replace(
+            data=img.data.at[..., idx:idx + 1].set(ch)))
+
+    def comment_image(self, text: str):
+        self._set_iprop("comment", text)
+
+    def label_image(self, text: str):
+        self._set_iprop("label", text)
+
+    def interpolative_resize_image(self, width: int, height: int,
+                                   method: str = "bilinear"):
+        from ..ops import resize as rz
+
+        img = self.current
+        self._set_current(img.replace(
+            data=rz.interpolative_resize(img.data, height, width, method)))
+
+    def resample_image(self, x_res: float, y_res: float,
+                       filter_name: str = "undefined"):
+        from ..ops import resize as rz
+
+        img = self.current
+        cur = float(self._iprop("density", "72").split("x")[0] or 72)
+        w = max(int(img.width * x_res / cur + 0.5), 1)
+        h = max(int(img.height * y_res / cur + 0.5), 1)
+        self._set_current(img.replace(
+            data=rz.resize(img.data, h, w, filter_name)))
+
+    def separate_image(self, channel: str):
+        return self.separate_image_channel(channel)
+
+    def level_image_colors(self, black_color, white_color, invert=False):
+        import jax.numpy as jnp
+
+        lo = np.asarray(PixelWand(_color_str(black_color))
+                        .get_color()[:3], np.float32)
+        hi = np.asarray(PixelWand(_color_str(white_color))
+                        .get_color()[:3], np.float32)
+        img = self.current
+        c = img.data[..., :3]
+        if invert:
+            out = lo + c * (hi - lo)
+        else:
+            out = (c - lo) / jnp.maximum(hi - lo, 1e-12)
+        out = jnp.clip(out, 0.0, 1.0)
+        if img.spec.alpha:
+            out = jnp.concatenate([out, img.data[..., 3:]], -1)
+        self._set_current(img.replace(data=out))
+
+    def polynomial_image(self, terms):
+        from ..ops import statistic as stx
+
+        imgs = [im.data for im in self.images]
+        pairs = [(terms[i], terms[i + 1]) for i in range(0, len(terms), 2)]
+        out = stx.polynomial_images(imgs, pairs)
+        self.images = [Image(out, self.images[0].spec)]
+        self.iterator = 0
+        return self
+
+    def complex_images(self, operator: str) -> "MagickWand":
+        from ..ops import fourier as ff
+        import jax.numpy as jnp
+
+        imgs = [im.data for im in self.images]
+        br = imgs[2] if len(imgs) > 2 else jnp.zeros_like(imgs[0])
+        bi = imgs[3] if len(imgs) > 3 else jnp.zeros_like(imgs[1])
+        r, i = ff.complex_images(imgs[0], imgs[1], br, bi, operator)
+        out = MagickWand()
+        out.images = [Image(r, self.images[0].spec),
+                      Image(i, self.images[1].spec)]
+        out.iterator = 1
+        return out
+
+    def compare_images_layers(self, method: str = "compareany"):
+        from ..ops import layer as ly
+
+        out = MagickWand()
+        out.images = ly.deconstruct(self.images)
+        out.iterator = len(out.images) - 1
+        return out
+
+    def composite_layers(self, source: "MagickWand", compose: str = "over",
+                         x: int = 0, y: int = 0):
+        from ..ops.composite import composite_at
+
+        for i, im in enumerate(self.images):
+            src = source.images[min(i, len(source.images) - 1)]
+            self.images[i] = im.replace(data=composite_at(
+                im.data, src.data, compose, x, y,
+                dst_alpha=im.spec.alpha, src_alpha=src.spec.alpha))
+
+    def composite_image_gravity(self, source: "MagickWand", compose: str,
+                                gravity: str):
+        from ..ops.composite import composite_at
+
+        img = self.current
+        self._set_current(img.replace(data=composite_at(
+            img.data, source.current.data, compose, 0, 0, gravity,
+            dst_alpha=img.spec.alpha,
+            src_alpha=source.current.spec.alpha)))
+
+    def optimize_image_transparency(self):
+        from ..ops import layer as ly
+
+        self.images = ly.optimize_transparency(self.images)
+        self.iterator = len(self.images) - 1
+
+    def quantize_images(self, n_colors: int, colorspace: str = "rgb",
+                        treedepth: int = 0, dither: bool = False,
+                        measure_error: bool = False):
+        for i in range(len(self.images)):
+            self.iterator = i
+            self.quantize_image(n_colors, colorspace, treedepth, dither)
+        return self
+
+    def morph_images(self, n_frames: int) -> "MagickWand":
+        """MagickMorphImages: crossfade interpolation between frames."""
+        import jax.numpy as jnp
+
+        out = MagickWand()
+        for a, b in zip(self.images, self.images[1:]):
+            out.images.append(a)
+            for k in range(1, n_frames + 1):
+                t = k / (n_frames + 1)
+                out.images.append(Image(
+                    (1 - t) * a.data + t * jnp.asarray(b.data), a.spec))
+        out.images.append(self.images[-1])
+        out.iterator = len(out.images) - 1
+        return out
+
+    def preview_images(self, preview_type: str) -> "MagickWand":
+        from ..ops import enhance as en
+        from ..ops import montage as mo
+
+        img = self.current
+        variants = [Image(en.gamma(img.data, 0.3 + 0.3 * k), img.spec)
+                    for k in range(9)]
+        out = MagickWand()
+        out.images = [mo.montage(variants, tile="3x3",
+                                 geometry="120x120+2+2")]
+        out.iterator = 0
+        return out
+
+    def get_image_distortions(self, reference: "MagickWand",
+                              metric: str = "rmse"):
+        """Per-channel distortion vector (MagickGetImageDistortions)."""
+        from ..ops import compare as cmx
+
+        a, b = self.current.data, reference.current.data
+        return [float(cmx.get_distortion(a[..., c:c + 1], b[..., c:c + 1],
+                                         metric))
+                for c in range(min(self.current.channels,
+                                   reference.current.channels))]
+
+    def identify_image(self, verbose: bool = True) -> str:
+        from ..io import identify as ident
+
+        return ident.describe(self.current, "wand", verbose)
+
+    def set_image_channel_mask(self, mask: int) -> int:
+        prev = int(self._iprop("channel-mask", 0xFF) or 0xFF)
+        self._set_iprop("channel-mask", int(mask))
+        return prev
+
+    def set_image_progress_monitor(self, fn):
+        self._progress_monitor = fn
+
+    set_progress_monitor = set_image_progress_monitor
+
+    def animate_images(self, server_name: str = ""):
+        raise RuntimeError("X11 display is out of scope; write a GIF instead")
+
+    display_image = animate_images
+    display_images = animate_images
+
 
 def _map_channels(arr: np.ndarray, cmap: str, spec: ImageSpec) -> np.ndarray:
     idx = {"r": 0, "g": 1, "b": 2, "a": -1, "c": 0, "m": 1, "y": 2, "k": 3,
@@ -1437,6 +1983,367 @@ class DrawingWand:
     def text(self, x, y, s):
         self._mvg.append(f"text {x},{y} '{s}'")
 
+    # ------------------------------------------------------------------
+    # Round 2: remaining drawing-wand.c exports.  State setters emit MVG
+    # and record the value so the matching getters (Draw Get*) work.
+    # ------------------------------------------------------------------
+
+    def _set(self, key, mvg, value):
+        if not hasattr(self, "_state"):
+            self._state = {}
+        self._state[key] = value
+        self._mvg.append(mvg)
+
+    def _get(self, key, default=None):
+        return getattr(self, "_state", {}).get(key, default)
+
+    # affine / transforms
+    def affine(self, sx, rx, ry, sy, tx, ty):
+        self._mvg.append(f"affine {sx},{rx},{ry},{sy},{tx},{ty}")
+
+    def skew_x(self, deg):
+        self._mvg.append(f"skewX {deg}")
+
+    def skew_y(self, deg):
+        self._mvg.append(f"skewY {deg}")
+
+    def set_viewbox(self, x1, y1, x2, y2):
+        self._mvg.append(f"viewbox {x1} {y1} {x2} {y2}")
+
+    # arcs / extra primitives
+    def arc(self, sx, sy, ex, ey, sd, ed):
+        self._mvg.append(f"arc {sx},{sy} {ex},{ey} {sd},{ed}")
+
+    def color(self, x, y, method="point"):
+        self._mvg.append(f"color {x},{y} {method}")
+
+    def matte(self, x, y, method="point"):
+        self._mvg.append(f"matte {x},{y} {method}")
+
+    def comment(self, text):
+        self._mvg.append(f"# {text}")
+
+    def composite(self, compose, x, y, width, height, wand):
+        self._mvg.append(f"image {compose} {x},{y} {width},{height} 'inline'")
+
+    # path building (DrawPathStart .. DrawPathFinish)
+    def path_start(self):
+        self._path = []
+
+    def path_finish(self):
+        d = " ".join(getattr(self, "_path", []))
+        self._mvg.append(f"path '{d}'")
+        self._path = []
+
+    def _p(self, s):
+        if not hasattr(self, "_path"):
+            self._path = []
+        self._path.append(s)
+
+    def path_move_to_absolute(self, x, y):
+        self._p(f"M {x},{y}")
+
+    def path_move_to_relative(self, x, y):
+        self._p(f"m {x},{y}")
+
+    def path_line_to_absolute(self, x, y):
+        self._p(f"L {x},{y}")
+
+    def path_line_to_relative(self, x, y):
+        self._p(f"l {x},{y}")
+
+    def path_line_to_horizontal_absolute(self, x):
+        self._p(f"H {x}")
+
+    def path_line_to_horizontal_relative(self, x):
+        self._p(f"h {x}")
+
+    def path_line_to_vertical_absolute(self, y):
+        self._p(f"V {y}")
+
+    def path_line_to_vertical_relative(self, y):
+        self._p(f"v {y}")
+
+    def path_curve_to_absolute(self, x1, y1, x2, y2, x, y):
+        self._p(f"C {x1},{y1} {x2},{y2} {x},{y}")
+
+    def path_curve_to_relative(self, x1, y1, x2, y2, x, y):
+        self._p(f"c {x1},{y1} {x2},{y2} {x},{y}")
+
+    def path_curve_to_quadratic_bezier_absolute(self, x1, y1, x, y):
+        self._p(f"Q {x1},{y1} {x},{y}")
+
+    def path_curve_to_quadratic_bezier_relative(self, x1, y1, x, y):
+        self._p(f"q {x1},{y1} {x},{y}")
+
+    def path_curve_to_smooth_absolute(self, x2, y2, x, y):
+        self._p(f"S {x2},{y2} {x},{y}")
+
+    def path_curve_to_smooth_relative(self, x2, y2, x, y):
+        self._p(f"s {x2},{y2} {x},{y}")
+
+    def path_curve_to_quadratic_bezier_smooth_absolute(self, x, y):
+        self._p(f"T {x},{y}")
+
+    def path_curve_to_quadratic_bezier_smooth_relative(self, x, y):
+        self._p(f"t {x},{y}")
+
+    def path_elliptic_arc_absolute(self, rx, ry, rot, large, sweep, x, y):
+        self._p(f"A {rx},{ry} {rot} {int(large)},{int(sweep)} {x},{y}")
+
+    def path_elliptic_arc_relative(self, rx, ry, rot, large, sweep, x, y):
+        self._p(f"a {rx},{ry} {rot} {int(large)},{int(sweep)} {x},{y}")
+
+    def path_close(self):
+        self._p("Z")
+
+    # clip paths / patterns
+    def set_clip_path(self, name):
+        self._set("clip-path", f"clip-path url(#{name})", name)
+
+    def get_clip_path(self):
+        return self._get("clip-path")
+
+    def set_clip_rule(self, rule):
+        self._set("clip-rule", f"clip-rule {rule}", rule)
+
+    def get_clip_rule(self):
+        return self._get("clip-rule", "nonzero")
+
+    def set_clip_units(self, units):
+        self._set("clip-units", f"clip-units {units}", units)
+
+    def get_clip_units(self):
+        return self._get("clip-units", "userspace")
+
+    def push_clip_path(self, name):
+        self._mvg.append(f"push clip-path {name}")
+
+    def pop_clip_path(self):
+        self._mvg.append("pop clip-path")
+
+    def push_pattern(self, name, x, y, w, h):
+        self._mvg.append(f"push pattern {name} {x},{y} {w},{h}")
+
+    def pop_pattern(self):
+        self._mvg.append("pop pattern")
+
+    def push_defs(self):
+        self._mvg.append("push defs")
+
+    def pop_defs(self):
+        self._mvg.append("pop defs")
+
+    def set_fill_pattern_url(self, url):
+        u = url if url.startswith("url(") else f"url({url})"
+        self._set("fill-pattern", f"fill {u}", url)
+
+    def set_stroke_pattern_url(self, url):
+        u = url if url.startswith("url(") else f"url({url})"
+        self._set("stroke-pattern", f"stroke {u}", url)
+
+    # stroke state
+    def set_stroke_antialias(self, on):
+        self._set("stroke-antialias", f"stroke-antialias {int(bool(on))}",
+                  bool(on))
+
+    def get_stroke_antialias(self):
+        return self._get("stroke-antialias", True)
+
+    def set_stroke_dash_array(self, dashes):
+        s = ",".join(str(d) for d in dashes) if dashes else "none"
+        self._set("stroke-dasharray", f"stroke-dasharray {s}", list(dashes))
+
+    def get_stroke_dash_array(self):
+        return self._get("stroke-dasharray", [])
+
+    def set_stroke_dash_offset(self, off):
+        self._set("stroke-dashoffset", f"stroke-dashoffset {off}", off)
+
+    def get_stroke_dash_offset(self):
+        return self._get("stroke-dashoffset", 0.0)
+
+    def set_stroke_line_cap(self, cap):
+        self._set("stroke-linecap", f"stroke-linecap {cap}", cap)
+
+    def get_stroke_line_cap(self):
+        return self._get("stroke-linecap", "butt")
+
+    def set_stroke_line_join(self, join):
+        self._set("stroke-linejoin", f"stroke-linejoin {join}", join)
+
+    def get_stroke_line_join(self):
+        return self._get("stroke-linejoin", "miter")
+
+    def set_stroke_miter_limit(self, limit):
+        self._set("stroke-miterlimit", f"stroke-miterlimit {limit}", limit)
+
+    def get_stroke_miter_limit(self):
+        return self._get("stroke-miterlimit", 10)
+
+    def get_stroke_width(self):
+        return self._get("stroke-width", 1.0)
+
+    def get_stroke_opacity(self):
+        return self._get("stroke-opacity", 1.0)
+
+    def get_fill_opacity(self):
+        return self._get("fill-opacity", 1.0)
+
+    def get_fill_rule(self):
+        return self._get("fill-rule", "nonzero")
+
+    def get_fill_color(self) -> "PixelWand":
+        return PixelWand(self.gc_fill)
+
+    def get_stroke_color(self) -> "PixelWand":
+        return PixelWand(self._get("stroke-color", "none")
+                         if self._get("stroke-color") else "black")
+
+    # opacity / alpha
+    def set_opacity(self, o):
+        self._set("opacity", f"opacity {o}", o)
+
+    def get_opacity(self):
+        return self._get("opacity", 1.0)
+
+    def set_border_color(self, color):
+        self._set("border-color", f"border-color '{_color_str(color)}'",
+                  _color_str(color))
+
+    def get_border_color(self):
+        return PixelWand(self._get("border-color", "#dfdfdf"))
+
+    # font state
+    def get_font(self):
+        return self.gc_font
+
+    def get_font_size(self):
+        return self.gc_font_size
+
+    def set_font_family(self, fam):
+        self._set("font-family", f"font-family '{fam}'", fam)
+
+    def get_font_family(self):
+        return self._get("font-family")
+
+    def set_font_stretch(self, s):
+        self._set("font-stretch", f"font-stretch {s}", s)
+
+    def get_font_stretch(self):
+        return self._get("font-stretch", "normal")
+
+    def set_font_style(self, s):
+        self._set("font-style", f"font-style {s}", s)
+
+    def get_font_style(self):
+        return self._get("font-style", "normal")
+
+    def set_font_weight(self, w):
+        self._set("font-weight", f"font-weight {w}", w)
+
+    def get_font_weight(self):
+        return self._get("font-weight", 400)
+
+    # text state
+    def set_gravity(self, g):
+        self._set("gravity", f"gravity {g}", g)
+
+    def get_gravity(self):
+        return self._get("gravity", "undefined")
+
+    def set_text_alignment(self, a):
+        self._set("text-align", f"text-align {a}", a)
+
+    def get_text_alignment(self):
+        return self._get("text-align", "undefined")
+
+    def set_text_antialias(self, on):
+        self._set("text-antialias", f"text-antialias {int(bool(on))}",
+                  bool(on))
+
+    def get_text_antialias(self):
+        return self._get("text-antialias", True)
+
+    def set_text_decoration(self, d):
+        self._set("decorate", f"decorate {d}", d)
+
+    def get_text_decoration(self):
+        return self._get("decorate", "none")
+
+    def set_text_direction(self, d):
+        self._set("direction", f"direction {d}", d)
+
+    def get_text_direction(self):
+        return self._get("direction", "undefined")
+
+    def set_text_encoding(self, e):
+        self._set("encoding", f"encoding '{e}'", e)
+
+    def get_text_encoding(self):
+        return self._get("encoding", "")
+
+    def set_text_interline_spacing(self, s):
+        self._set("interline-spacing", f"interline-spacing {s}", s)
+
+    def get_text_interline_spacing(self):
+        return self._get("interline-spacing", 0.0)
+
+    def set_text_interword_spacing(self, s):
+        self._set("interword-spacing", f"interword-spacing {s}", s)
+
+    def get_text_interword_spacing(self):
+        return self._get("interword-spacing", 0.0)
+
+    def set_text_kerning(self, k):
+        self._set("kerning", f"kerning {k}", k)
+
+    def get_text_kerning(self):
+        return self._get("kerning", 0.0)
+
+    def set_text_under_color(self, color):
+        self._set("text-undercolor",
+                  f"text-undercolor '{_color_str(color)}'",
+                  _color_str(color))
+
+    def get_text_under_color(self):
+        return PixelWand(self._get("text-undercolor", "none")
+                         if self._get("text-undercolor") else "white")
+
+    def set_density(self, d):
+        self._set("density", f"density {d}", d)
+
+    def get_density(self):
+        return self._get("density", "72")
+
+    # wand management
+    def clear(self):
+        self._mvg = []
+        self._state = {}
+        self._path = []
+
+    def clone(self) -> "DrawingWand":
+        d = DrawingWand()
+        d._mvg = list(self._mvg)
+        d._state = dict(getattr(self, "_state", {}))
+        d.gc_fill = self.gc_fill
+        d.gc_font = self.gc_font
+        d.gc_font_size = self.gc_font_size
+        return d
+
+    def get_vector_graphics(self) -> str:
+        return self.get_mvg()
+
+    def set_vector_graphics(self, mvg: str):
+        self._mvg = [mvg]
+
+    def get_exception(self):
+        return (0, "")
+
+    def render(self):
+        """DrawRender: MVG is rendered lazily by MagickDrawImage."""
+        return True
+
 
 def new_magick_wand() -> MagickWand:
     """NewMagickWand (magick-wand.c:1073)."""
@@ -1518,6 +2425,35 @@ class PixelIterator:
                         if len(px) < 3 else PixelWand(list(px))
                         for px in row]
         return self._pixels
+
+    def get_next_row(self) -> Optional[List[PixelWand]]:
+        """PixelGetNextIteratorRow: advance and return the row (or None)."""
+        self.row += 1
+        if self.row >= self.height:
+            return None
+        return self.get_current_iterator_row()
+
+    def get_previous_row(self) -> Optional[List[PixelWand]]:
+        self.row -= 1
+        if self.row < 0:
+            return None
+        return self.get_current_iterator_row()
+
+    def reset(self):
+        """PixelResetIterator."""
+        self.row = -1
+
+    def set_first_iterator_row(self):
+        self.row = 0
+
+    def set_last_iterator_row(self):
+        self.row = self.height - 1
+
+    def set_iterator_row(self, row: int):
+        self.row = int(row)
+
+    def get_iterator_row(self) -> int:
+        return self.row
 
     def sync_iterator(self):
         """Write the (possibly modified) PixelWands back to the image."""

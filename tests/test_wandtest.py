@@ -1,0 +1,339 @@
+"""wandtest.c-style sequential exercise of the MagickWand surface.
+
+Mirrors /root/reference/tests/wandtest.c: walk a long sequence of wand
+methods on built-in images and assert nothing raises and shapes/values
+stay sane.  The count assertion at the end is the VERDICT round-1 "done"
+criterion: >= 250 distinct wand-layer methods exercised.
+"""
+
+import io as _io
+
+import numpy as np
+import pytest
+
+from imagemagick_tpu.wand.api import (DrawingWand, MagickWand, PixelIterator,
+                                      PixelWand, WandView, new_magick_wand)
+
+CALLED = set()
+
+
+def call(obj, name, *args, **kw):
+    CALLED.add(f"{type(obj).__name__}.{name}")
+    return getattr(obj, name)(*args, **kw)
+
+
+@pytest.fixture(scope="module")
+def wand():
+    w = new_magick_wand()
+    w.read_image("rose:")
+    return w
+
+
+def test_pixelwand_surface():
+    p = PixelWand("navy")
+    for name, args in [("get_color", ()), ("get_color_string", ()),
+                       ("set_color", ("red",))]:
+        call(p, name, *args)
+    for ch in ("red", "green", "blue", "alpha"):
+        CALLED.add(f"PixelWand.{ch}")
+        setattr(p, ch, 0.5)
+        assert getattr(p, ch) == 0.5
+
+
+def test_wand_lifecycle(wand):
+    w = wand.clone()
+    CALLED.add("MagickWand.clone")
+    for name, args in [
+        ("reset_iterator", ()), ("set_first_iterator", ()),
+        ("set_last_iterator", ()), ("next_image", ()),
+        ("previous_image", ()), ("has_next_image", ()),
+        ("has_previous_image", ()),
+    ]:
+        call(w, name, *args)
+    assert len(w) == 1
+    call(w, "get_image_blob", "png")
+    call(w, "get_images_blob", "gif")
+    buf = _io.BytesIO()
+    call(w, "write_image_file", buf, "png")
+    w2 = MagickWand()
+    call(w2, "read_image_blob", buf.getvalue())
+    call(w2, "ping_image_blob", buf.getvalue())
+    buf.seek(0)
+    call(w2, "read_image_file", buf)
+    call(w2, "destroy_image")
+    call(w2, "clear")
+
+
+def test_image_ops_sequence(wand):
+    """The long op walk (wandtest.c's main body analog)."""
+    w = wand.clone()
+    seq = [
+        ("resize_image", (40, 30)), ("adaptive_resize_image", (38, 28)),
+        ("scale_image", (36, 26)), ("sample_image", (34, 24)),
+        ("thumbnail_image", (32, 22)), ("liquid_rescale_image", (30, 22)),
+        ("crop_image", (20, 16, 2, 2)), ("chop_image", (2, 2, 0, 0)),
+        ("extent_image", (24, 20, 0, 0)), ("shave_image", (1, 1)),
+        ("splice_image", (2, 2, 1, 1)), ("roll_image", (2, 2)),
+        ("flip_image", ()), ("flop_image", ()), ("transpose_image", ()),
+        ("transverse_image", ()), ("rotate_image", ("white", 5.0)),
+        ("shear_image", ("white", 2.0, 2.0)), ("deskew_image", (0.4,)),
+        ("trim_image", (0.0,)),
+        ("blur_image", (0.0, 0.6)), ("gaussian_blur_image", (0.0, 0.6)),
+        ("adaptive_blur_image", (0.0, 0.6)), ("motion_blur_image", (0.0, 0.6, 10.0)),
+        ("rotational_blur_image", (2.0,)), ("sharpen_image", (0.0, 0.6)),
+        ("adaptive_sharpen_image", (0.0, 0.6)), ("unsharp_mask_image", (0.0, 0.6, 1.0, 0.02)),
+        ("emboss_image", (0.0, 0.6)), ("shade_image", (True, 30.0, 30.0)),
+        ("edge_image", (1.0,)), ("charcoal_image", (0.0, 0.6)),
+        ("despeckle_image", ()), ("enhance_image", ()),
+        ("kuwahara_image", (1.0, 0.5)), ("spread_image", (1.0,)),
+        ("negate_image", (False,)), ("auto_gamma_image", ()),
+        ("auto_level_image", ()), ("normalize_image", ()),
+        ("equalize_image", ()), ("gamma_image", (1.2,)),
+        ("level_image", (0.05, 1.0, 0.95)), ("levelize_image", (0.0, 1.0, 1.0)),
+        ("brightness_contrast_image", (5.0, 5.0)),
+        ("modulate_image", (100.0, 95.0, 100.0)),
+        ("sigmoidal_contrast_image", (True, 3.0, 0.5)),
+        ("contrast_image", (True,)), ("contrast_stretch_image", (0.02, 0.98)),
+        ("linear_stretch_image", (0.02, 0.98)), ("clahe_image", (8, 8, 0, 0)),
+        ("white_balance_image", ()),
+        ("solarize_image", (0.6,)), ("sepia_tone_image", (0.8,)),
+        ("blue_shift_image", (1.1,)), ("tint_image", ("red", 0.2)),
+        ("colorize_image", ("blue", 0.1)), ("vignette_image", (0.0, 10.0, 0, 0)),
+        ("implode_image", (0.2,)), ("swirl_image", (30.0,)),
+        ("wave_image", (2.0, 30.0)), ("sketch_image", (0.0, 0.5, 0.0)),
+        ("oil_paint_image", (1.0,)), ("add_noise_image", ("gaussian", 0.2)),
+        ("blur_image", (0.0, 0.4)),
+        ("posterize_image", (8, False)), ("threshold_image", (0.5,)),
+    ]
+    for name, args in seq:
+        if hasattr(w, name):
+            call(w, name, *args)
+    assert w.current.width >= 1 and w.current.height >= 1
+
+    w2 = wand.clone()
+    seq2 = [
+        ("black_threshold_image", ("gray25",)),
+        ("white_threshold_image", ("gray75",)),
+        ("random_threshold_image", (0.3, 0.7)),
+        ("ordered_dither_image", ("o4x4",)),
+        ("adaptive_threshold_image", (8, 8, 0.0)),
+        ("auto_threshold_image", ("otsu",)),
+        ("range_threshold_image", (0.0, 0.1, 0.9, 1.0)),
+        ("clamp_image", ()), ("clip_image_safe", ()),
+        ("quantize_image", (16,)), ("posterize_image", (4, True)),
+        ("kmeans_image", (8, 5, 0.01)),
+        ("cycle_colormap_image", (10,)),
+        ("transform_image_colorspace", ("lab",)),
+        ("transform_image_colorspace", ("srgb",)),
+        ("separate_image_channel", ("r",)),
+    ]
+    for name, args in seq2:
+        if hasattr(w2, name):
+            call(w2, name, *args)
+
+    w3 = wand.clone()
+    for name, args in [
+        ("get_image_width", ()), ("get_image_height", ()),
+        ("get_image_depth", ()), ("get_image_colors", ()),
+        ("get_image_colorspace", ()), ("get_image_format", ()),
+        ("get_image_signature", ()), ("get_image_histogram", ()),
+        ("get_image_type", ()), ("identify_image_type", ()),
+        ("get_image_mean", ()), ("get_image_kurtosis", ()),
+        ("get_image_length", ()), ("get_image_page", ()),
+        ("get_image_pixel_color", (1, 1)),
+        ("get_image_region", (8, 8, 0, 0)),
+        ("get_image_features", (1,)), ("identify_image", (False,)),
+    ]:
+        if hasattr(w3, name):
+            call(w3, name, *args)
+
+
+def test_attribute_pairs(wand):
+    w = wand.clone()
+    pairs = [
+        ("compose", "multiply"), ("compression", "zip"),
+        ("dispose", "background"), ("endian", "lsb"), ("filter", "catrom"),
+        ("interlace_scheme", "plane"), ("interpolate_method", "bicubic"),
+        ("rendering_intent", "relative"), ("units", "pixelsperinch"),
+        ("virtual_pixel_method", "mirror"), ("filename", "x.png"),
+        ("scene", 3), ("ticks_per_second", 60), ("gamma", 0.6),
+        ("fuzz", 0.01),
+    ]
+    for key, val in pairs:
+        call(w, f"set_image_{key}", val)
+        got = call(w, f"get_image_{key}")
+        if isinstance(val, (int, float)):
+            assert float(got) == pytest.approx(float(val))
+        else:
+            assert str(got).lower() == str(val).lower()
+    for key in ("background", "border", "matte"):
+        call(w, f"set_image_{key}_color", "wheat")
+        assert isinstance(call(w, f"get_image_{key}_color"), PixelWand)
+    for prim in ("red", "green", "blue"):
+        call(w, f"set_image_{prim}_primary", 0.6, 0.3)
+        assert call(w, f"get_image_{prim}_primary")[0] == pytest.approx(0.6)
+    call(w, "set_image_white_point", 0.31, 0.32)
+    call(w, "get_image_white_point")
+    call(w, "set_image_alpha", 0.8)
+    call(w, "set_image_matte", True)
+    call(w, "set_image_extent", 80, 50)
+    call(w, "set_image_color", "beige")
+    call(w, "set_image_pixel_color", 0, 0, "red")
+    call(w, "set_image_type", "grayscale")
+    call(w, "set_image_colorspace", "gray")
+    call(w, "comment_image", "hi")
+    call(w, "label_image", "rose")
+    call(w, "set_image_channel_mask", 7)
+    call(w, "set_image_progress_monitor", lambda *a: True)
+
+
+def test_list_and_multiframe_ops(wand):
+    w = MagickWand()
+    w.read_image("rose:")
+    h, wd = w.current.height, w.current.width
+    w.settings["size"] = f"{wd}x{h}"
+    w.read_image("gradient:red-blue")
+    del w.settings["size"]
+    CALLED.add("MagickWand.read_image")
+    for name, args in [
+        ("coalesce_images", ()), ("deconstruct_images", ()),
+        ("compare_images_layers", ()), ("morph_images", (1,)),
+        ("append_images", (False,)), ("smush_images", (False, 2)),
+        ("evaluate_images", ("mean",)),
+    ]:
+        if hasattr(w, name):
+            out = call(w, name, *args)
+    w2 = MagickWand()
+    w2.read_image("rose:")
+    w2.read_image("rose:")
+    call(w2, "polynomial_image", [0.5, 1.0, 0.5, 1.0])
+    w3 = MagickWand()
+    w3.read_image("rose:")
+    w3.read_image("rose:")
+    call(w3, "complex_images", "magnitude-phase")
+    w4 = MagickWand()
+    w4.read_image("rose:")
+    call(w4, "preview_images", "gamma")
+    w5 = MagickWand()
+    w5.read_image("rose:")
+    w5.read_image("xc:gray50")
+    src = MagickWand()
+    src.read_image("xc:red")
+    call(w5, "composite_layers", src, "over", 0, 0)
+    call(w5, "composite_image_gravity", src, "over", "center")
+    call(w5, "optimize_image_transparency")
+    call(w5, "quantize_images", 8)
+    ref = MagickWand()
+    ref.read_image("rose:")
+    call(w4, "get_image_distortions", ref, "rmse")
+
+
+def test_drawingwand_surface(wand):
+    d = DrawingWand()
+    ops = [
+        ("set_fill_color", ("red",)), ("get_fill_color", ()),
+        ("set_stroke_color", ("blue",)), ("get_stroke_color", ()),
+        ("set_stroke_width", (2,)), ("get_stroke_width", ()),
+        ("set_fill_opacity", (0.9,)), ("get_fill_opacity", ()),
+        ("set_stroke_opacity", (0.8,)), ("get_stroke_opacity", ()),
+        ("set_fill_rule", ("evenodd",)), ("get_fill_rule", ()),
+        ("set_font", ("Helvetica",)), ("get_font", ()),
+        ("set_font_size", (14,)), ("get_font_size", ()),
+        ("set_font_family", ("sans",)), ("get_font_family", ()),
+        ("set_font_stretch", ("condensed",)), ("get_font_stretch", ()),
+        ("set_font_style", ("italic",)), ("get_font_style", ()),
+        ("set_font_weight", (700,)), ("get_font_weight", ()),
+        ("set_gravity", ("center",)), ("get_gravity", ()),
+        ("set_opacity", (0.95,)), ("get_opacity", ()),
+        ("set_border_color", ("gray",)), ("get_border_color", ()),
+        ("set_clip_path", ("p1",)), ("get_clip_path", ()),
+        ("set_clip_rule", ("nonzero",)), ("get_clip_rule", ()),
+        ("set_clip_units", ("userspace",)), ("get_clip_units", ()),
+        ("set_stroke_antialias", (True,)), ("get_stroke_antialias", ()),
+        ("set_stroke_dash_array", ([2, 1],)), ("get_stroke_dash_array", ()),
+        ("set_stroke_dash_offset", (1.0,)), ("get_stroke_dash_offset", ()),
+        ("set_stroke_line_cap", ("round",)), ("get_stroke_line_cap", ()),
+        ("set_stroke_line_join", ("bevel",)), ("get_stroke_line_join", ()),
+        ("set_stroke_miter_limit", (4,)), ("get_stroke_miter_limit", ()),
+        ("set_text_alignment", ("center",)), ("get_text_alignment", ()),
+        ("set_text_antialias", (True,)), ("get_text_antialias", ()),
+        ("set_text_decoration", ("underline",)), ("get_text_decoration", ()),
+        ("set_text_direction", ("left-to-right",)), ("get_text_direction", ()),
+        ("set_text_encoding", ("UTF-8",)), ("get_text_encoding", ()),
+        ("set_text_interline_spacing", (1.0,)), ("get_text_interline_spacing", ()),
+        ("set_text_interword_spacing", (1.0,)), ("get_text_interword_spacing", ()),
+        ("set_text_kerning", (0.5,)), ("get_text_kerning", ()),
+        ("set_text_under_color", ("yellow",)), ("get_text_under_color", ()),
+        ("set_density", ("90",)), ("get_density", ()),
+        ("set_viewbox", (0, 0, 100, 100)),
+        ("push", ()), ("translate", (5, 5)), ("rotate", (10,)),
+        ("scale", (1.1, 1.1)), ("skew_x", (2,)), ("skew_y", (2,)),
+        ("affine", (1, 0, 0, 1, 0, 0)), ("pop", ()),
+        ("push_defs", ()), ("pop_defs", ()),
+        ("push_clip_path", ("c1",)), ("pop_clip_path", ()),
+        ("push_pattern", ("pat", 0, 0, 8, 8)), ("pop_pattern", ()),
+        ("set_fill_pattern_url", ("#pat",)),
+        ("set_stroke_pattern_url", ("#pat",)),
+        ("comment", ("scene",)),
+        ("line", (0, 0, 10, 10)), ("rectangle", (1, 1, 8, 8)),
+        ("round_rectangle", (1, 1, 9, 9, 2, 2)), ("circle", (5, 5, 8, 5)),
+        ("ellipse", (5, 5, 4, 3)), ("arc", (0, 0, 10, 10, 0, 90)),
+        ("polygon", ([(0, 0), (4, 0), (2, 3)],)),
+        ("polyline", ([(0, 0), (4, 1), (8, 0)],)),
+        ("bezier", ([(0, 0), (3, 5), (6, 0)],)),
+        ("point", (3, 3)), ("text", (2, 8, "hi")),
+        ("color", (1, 1, "point")), ("matte", (1, 1, "point")),
+        ("path_start", ()), ("path_move_to_absolute", (0, 0)),
+        ("path_move_to_relative", (1, 1)),
+        ("path_line_to_absolute", (5, 5)), ("path_line_to_relative", (1, 0)),
+        ("path_line_to_horizontal_absolute", (7,)),
+        ("path_line_to_horizontal_relative", (1,)),
+        ("path_line_to_vertical_absolute", (7,)),
+        ("path_line_to_vertical_relative", (1,)),
+        ("path_curve_to_absolute", (1, 1, 2, 2, 3, 3)),
+        ("path_curve_to_relative", (1, 1, 2, 2, 3, 3)),
+        ("path_curve_to_quadratic_bezier_absolute", (1, 1, 2, 2)),
+        ("path_curve_to_quadratic_bezier_relative", (1, 1, 2, 2)),
+        ("path_curve_to_smooth_absolute", (2, 2, 3, 3)),
+        ("path_curve_to_smooth_relative", (2, 2, 3, 3)),
+        ("path_curve_to_quadratic_bezier_smooth_absolute", (4, 4)),
+        ("path_curve_to_quadratic_bezier_smooth_relative", (1, 1)),
+        ("path_elliptic_arc_absolute", (3, 3, 0, 0, 1, 6, 6)),
+        ("path_elliptic_arc_relative", (3, 3, 0, 0, 1, 1, 1)),
+        ("path_close", ()), ("path_finish", ()),
+        ("get_vector_graphics", ()), ("render", ()),
+        ("get_exception", ()), ("clone", ()),
+    ]
+    for name, args in ops:
+        call(d, name, *args)
+    mvg = d.get_mvg()
+    CALLED.add("DrawingWand.get_mvg")
+    assert "rectangle" in mvg and "path" in mvg
+    # render through an image
+    w = wand.clone()
+    w.draw_image(d)
+    CALLED.add("MagickWand.draw_image")
+    d.clear()
+    CALLED.add("DrawingWand.clear")
+    d.set_vector_graphics("circle 10,10 14,10")
+    CALLED.add("DrawingWand.set_vector_graphics")
+
+
+def test_views_and_iterators(wand):
+    w = wand.clone()
+    it = PixelIterator(w)
+    CALLED.add("PixelIterator.__init__")
+    row = it.get_next_row()
+    CALLED.add("PixelIterator.get_next_row")
+    assert row
+    it.reset()
+    CALLED.add("PixelIterator.reset")
+    view = WandView(w, 0, 0, 16, 16)
+    CALLED.add("WandView.__init__")
+    view.update(lambda region: region * 0.5)
+    CALLED.add("WandView.update")
+
+
+def test_zz_surface_count():
+    """>= 250 distinct wand-layer methods exercised across this module."""
+    assert len(CALLED) >= 250, (len(CALLED), sorted(CALLED)[:20])
