@@ -216,6 +216,8 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [formats2.decode_vicar(data)]
     elif use == "otb":
         images = [formats2.decode_otb(data)]
+    elif use in ("fax", "g3"):
+        images = [formats2.decode_fax(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -305,6 +307,8 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats2.encode_otb(images[0])
     if fmt == "mono":
         return formats2.encode_mono(images[0])
+    if fmt in ("fax", "g3"):
+        return formats2.encode_fax(images[0])
     if fmt == "exr":
         return exr.encode(images[0])
     if fmt == "hdr":
@@ -336,10 +340,10 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
 
 # native round-2 coders (io/formats2.py)
 _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
-                  "wbmp", "avs", "mtv", "fl32", "vicar", "vic", "otb"}
+                  "wbmp", "avs", "mtv", "fl32", "vicar", "vic", "otb", "fax", "g3"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
-                   "cmyk", "ycbcr", "uyvy"}
+                   "cmyk", "ycbcr", "uyvy", "fax", "g3"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

@@ -59,13 +59,9 @@ def decode_raw(data: bytes, fmt: str, width: int, height: int,
            "cmyk": 4, "ycbcr": 3}[fmt]
     if depth is None:  # infer from payload size
         depth = 16 if len(data) >= width * height * nch * 2 else 8
-    if depth == 16:
-        arr = np.frombuffer(data, ">u2", count=width * height * nch)
-        f = arr.astype(np.float32) / 65535.0
-    else:
-        arr = np.frombuffer(data, np.uint8, count=width * height * nch)
-        f = arr.astype(np.float32) / 255.0
-    f = f.reshape(height, width, nch)
+    from ..utils.quantum import import_quantum
+
+    f = import_quantum(data, width, height, nch, depth)
     if fmt in ("bgr", "bgra"):
         f = f[..., [2, 1, 0] + ([3] if nch == 4 else [])]
     cs = {"gray": "gray", "cmyk": "cmyk", "ycbcr": "ycbcr"}.get(fmt, "srgb")
@@ -107,9 +103,10 @@ def encode_raw(img: Image, fmt: str, depth: int = 8) -> bytes:
             out[:, 2::4] = cr
             out[:, 3::4] = y[:, 1::2]
             return (np.clip(out, 0, 1) * 255.0 + 0.5).astype(np.uint8).tobytes()
-    if depth == 16:
-        return (np.clip(arr, 0, 1) * 65535.0 + 0.5).astype(">u2").tobytes()
-    return (np.clip(arr, 0, 1) * 255.0 + 0.5).astype(np.uint8).tobytes()
+    from ..utils.quantum import export_quantum
+
+    # full quantum wire-format breadth: 1/2/4/8/16/32-bit, MSB default
+    return export_quantum(arr, depth)
 
 
 # ---------------------------------------------------------------------------

@@ -789,3 +789,26 @@ def encode_mono(img: Image) -> bytes:
     gray = arr.mean(-1) if arr.shape[-1] > 1 else arr[..., 0]
     bits = (gray >= 0.5).astype(np.uint8)
     return np.packbits(bits, axis=1, bitorder="little").tobytes()
+
+
+# ---------------------------------------------------------------------------
+# FAX (raw CCITT Group 3 MH stream, coders/fax.c; codec in utils/fax.py)
+# ---------------------------------------------------------------------------
+
+def decode_fax(data: bytes, width: int = 1728) -> Image:
+    from ..utils.fax import decode_g3
+
+    bits = decode_g3(data, width)
+    # fax: 1 = black
+    return Image((1.0 - bits).astype(np.float32)[..., None],
+                 ImageSpec(colorspace="gray", depth=1))
+
+
+def encode_fax(img: Image) -> bytes:
+    from ..utils.fax import encode_g3
+
+    arr = np.clip(img.to_numpy(), 0.0, 1.0)
+    if arr.ndim == 4:
+        arr = arr[0]
+    gray = arr.mean(-1) if arr.shape[-1] > 1 else arr[..., 0]
+    return encode_g3((gray < 0.5).astype(np.uint8))

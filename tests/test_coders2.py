@@ -248,3 +248,12 @@ def test_mono_raw_roundtrip(img):
     back = formats2.decode_mono(blob, img.width, img.height)
     expect = (np.asarray(img.data).mean(-1) >= 0.5).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(back.data)[..., 0], expect)
+
+
+def test_fax_g3_roundtrip(img):
+    """CCITT G3 MH round trip (compress.c:1299 HuffmanEncode/DecodeImage)."""
+    blob = image_to_blob(img, "fax")
+    back = formats2.decode_fax(blob, img.width)
+    expect = (np.asarray(img.data).mean(-1) >= 0.5).astype(np.float32)
+    got = np.asarray(back.data)[:img.height, :, 0]
+    np.testing.assert_array_equal(got, expect)

@@ -191,3 +191,35 @@ def test_encipher_ctr_construction(checker_rgb):
     dec = np.asarray(decipher_image(enc, passphrase))
     np.testing.assert_allclose(dec, np.asarray(q, np.float32).reshape(h, w, c)
                                / 65535.0, atol=1e-6)
+
+
+def test_quantum_wire_formats():
+    """quantum-import.c:4846 breadth: sub-byte depths, bit order, endian,
+    float formats — exact round trips at every depth."""
+    import numpy as np
+    from imagemagick_tpu.utils.quantum import (export_quantum, import_quantum,
+                                               quantum_extent)
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 1, (5, 7, 3)).astype(np.float32)
+    for depth in (1, 2, 4, 8, 16, 32):
+        for order in ("msb", "lsb"):
+            blob = export_quantum(x, depth, endian=order, bit_order=order)
+            assert len(blob) == quantum_extent(7, 5, 3, depth), (depth, order)
+            back = import_quantum(blob, 7, 5, 3, depth, endian=order,
+                                  bit_order=order)
+            scale = (1 << depth) - 1
+            expect = np.round(x * scale) / scale
+            np.testing.assert_allclose(back, expect, atol=0.5 / scale + 1e-7,
+                                       err_msg=f"depth={depth} {order}")
+    # floating-point samples are bit-exact at f32
+    blob = export_quantum(x, 32, sample_format="floating-point")
+    back = import_quantum(blob, 7, 5, 3, 32, sample_format="floating-point")
+    np.testing.assert_array_equal(back, x)
+    # MSB vs LSB bit packing genuinely differ on the wire
+    a = export_quantum(x, 1, bit_order="msb")
+    b = export_quantum(x, 1, bit_order="lsb")
+    assert a != b
+    # endianness differs for 16-bit
+    assert export_quantum(x, 16, endian="msb") != export_quantum(
+        x, 16, endian="lsb")
