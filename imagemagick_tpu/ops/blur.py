@@ -114,6 +114,30 @@ def _depthwise_conv(img: jnp.ndarray, kernel: jnp.ndarray,
     h, w, c = img.shape[-3:]
     x = img.reshape((-1, h, w, c))
     x = pad_spatial(x, (ph, kh - 1 - ph), (pw, kw - 1 - pw), virtual_pixel)
+    import jax as _jax
+
+    static_kernel = not isinstance(kernel, _jax.core.Tracer)
+    knp = np.asarray(kernel, np.float64) if static_kernel else None
+    if static_kernel and kh * kw <= 49:
+        # Small kernels: shift-and-add on the VPU.  TPU depthwise conv
+        # (feature_group_count=C) runs off the MXU fast path and measured
+        # ~17ms for a 3x3 over 14MP where 9 shifted FMAs take ~1ms.
+        # The barrier materializes the padded input once — without it XLA
+        # fuses the producer chain into every tap and recomputes it
+        # kh*kw times (measured 8x blowup after a morphology chain).
+        x = lax.optimization_barrier(x)
+        out = None
+        for dy in range(kh):
+            for dx in range(kw):
+                wgt = float(knp[dy, dx])
+                if wgt == 0.0:
+                    continue
+                sl = x[:, dy:dy + h, dx:dx + w, :]
+                term = wgt * sl
+                out = term if out is None else out + term
+        if out is None:
+            out = jnp.zeros_like(x[:, :h, :w, :])
+        return out.reshape(lead + out.shape[1:])
     k = jnp.asarray(kernel, img.dtype)
     k = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO, depthwise
     out = lax.conv_general_dilated(
