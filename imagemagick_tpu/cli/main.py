@@ -730,6 +730,7 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
         lambda st, a, p: {"epsilon": float(a)}))
     O["cdl"] = (1, _op_cdl)
     O["remap"] = (1, lambda st, a, p: _op_map(st, a, p))
+    O["affinity"] = O["remap"]   # deprecated v6 alias
     O["resample"] = (1, _op_resample)
     O["interpolative-resize"] = (1, _op_interpolative_resize)
     O["monochrome"] = (0, _op_monochrome)
@@ -759,6 +760,25 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
                     x, k, normalize=True, virtual_pixel=v))
 
     O["convolve"] = (1, _op_convolve)
+
+    # --- option.c tail (round 2, second batch) ---
+    O["selective-blur"] = (1, _op_simple("blur", "selective_blur",
+        lambda st, a, p: _selective_args(a)))
+    O["color-threshold"] = (1, _op_color_threshold)
+    O["floodfill"] = (2, _op_floodfill)
+    O["integral"] = (0, lambda st, a, p: _lazy_op(st, lambda li: (
+        lambda x: _integral_image(x))))
+    O["maximum"] = (0, lambda st, a, p: _op_eval_seq(st, "max", p))
+    O["minimum"] = (0, lambda st, a, p: _op_eval_seq(st, "min", p))
+    O["morph"] = (1, _op_morph)
+    O["sort-pixels"] = (0, _op_sort_pixels)
+    O["clip-mask"] = (1, _op_clip_mask)
+    O["read-mask"] = (1, _op_clip_mask)
+    O["write-mask"] = (1, _op_clip_mask)
+    O["mask"] = (1, _op_clip_mask)
+    O["clip"] = (0, lambda st, a, p: None)  # needs an 8BIM clip path
+    O["clip-path"] = (1, lambda st, a, p: None)
+    O["process"] = (1, _op_process_module)
 
     def _op_cycle(st, a, p):
         """-cycle: colormap rotate; on DirectClass data this is a modular
@@ -1657,6 +1677,102 @@ def _op_transform(st, arg, plus):
         li.image = img.replace(data=dt.affine_transform(img.data, vals))
 
 
+def _selective_args(arg):
+    g = parse_geometry(arg)
+    kw = {"radius": g.width or 0.0, "sigma": g.height or 1.0}
+    if g.x is not None:
+        kw["threshold"] = (g.x or 10) / 100.0
+    return kw
+
+
+def _op_color_threshold(st, arg, plus):
+    """-color-threshold start-stop (ColorThresholdImage)."""
+    import jax.numpy as jnp
+
+    start_s, _, stop_s = arg.partition("-")
+    lo = np.asarray(parse_color(start_s or "black")[:3], np.float32)
+    hi = np.asarray(parse_color(stop_s or "white")[:3], np.float32)
+    for li in st.images:
+        def fn(x, lo=lo, hi=hi):
+            c = x[..., :3]
+            inside = jnp.all((c >= lo) & (c <= hi), axis=-1, keepdims=True)
+            return jnp.where(inside, 1.0, 0.0)
+        li.push(fn, spec_update=lambda s: s.with_(colorspace="gray",
+                                                  alpha=False))
+
+
+def _op_floodfill(st, arg, plus):
+    """-floodfill +X+Y color (FloodfillPaintImage, paint.c:112)."""
+    from ..ops import paint as pt
+
+    geom, _, _color_s = arg.partition(" ")
+    g = parse_geometry(geom)
+    fill = st.fill()
+    fuzz = _percent(st.settings.get("fuzz", "0") or "0")
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=pt.floodfill(
+            img.data, int(g.x or 0), int(g.y or 0),
+            fill[:img.channels], fuzz=fuzz))
+
+
+def _integral_image(x):
+    """-integral: summed-area table (IntegralImage, statistic.c)."""
+    import jax.numpy as jnp
+
+    return jnp.cumsum(jnp.cumsum(x, axis=-3), axis=-2)
+
+
+def _op_morph(st, arg, plus):
+    """-morph N: crossfade N intermediate frames (MorphImages, fx.c)."""
+    import jax.numpy as jnp
+
+    n = int(arg)
+    frames = [li.materialize() for li in st.images]
+    out = []
+    for a, b in zip(frames, frames[1:]):
+        out.append(a)
+        for k in range(1, n + 1):
+            t = k / (n + 1)
+            out.append(Image((1 - t) * a.data + t * jnp.asarray(b.data),
+                             a.spec))
+    out.append(frames[-1])
+    st.images = [LazyImage(im) for im in out]
+
+
+def _op_sort_pixels(st, arg, plus):
+    """-sort-pixels: sort scanline pixels by intensity (visual-effects.c)."""
+    import jax.numpy as jnp
+
+    for li in st.images:
+        def fn(x):
+            inten = jnp.mean(x[..., :3], axis=-1)
+            order = jnp.argsort(inten.reshape(x.shape[:-3] + (-1,)), axis=-1)
+            h, w, c = x.shape[-3:]
+            flat = x.reshape(x.shape[:-3] + (h * w, c))
+            out = jnp.take_along_axis(flat, order[..., None], axis=-2)
+            return out.reshape(x.shape)
+        li.push(fn)
+
+
+def _op_clip_mask(st, arg, plus):
+    """-mask/-clip-mask/-read-mask/-write-mask file (+form removes)."""
+    if plus or arg in (None, ""):
+        for li in st.images:
+            li.image.properties.pop("wand:mask", None)
+        return
+    from .. import io as iio
+
+    mask = iio.read_images(arg)[0]
+    for li in st.images:
+        li.image.properties["wand:mask"] = np.asarray(mask.data)
+
+
+def _op_process_module(st, arg, plus):
+    raise CLIError("no filter modules are registered (-process); module.c "
+                   "dynamic loading is replaced by Python imports")
+
+
 _SETTINGS = {
     "background", "fill", "gravity", "filter", "quality", "fuzz", "dither",
     "page", "tile", "texture-setting", "units", "weight", "style",
@@ -1674,13 +1790,24 @@ _SETTINGS = {
     "view", "render", "black-point-compensation", "highlight-color",
     "lowlight-color", "gravity-setting", "blend", "displace", "dissolve",
     "watermark", "modulate-setting", "remap-setting", "caption-setting",
+    # option.c tail: text/bench/compare/montage/read settings + X11-era
+    # options accepted for grammar compatibility
+    "adjoin", "bias", "borderwidth", "cache", "caption",
+    "dissimilarity-threshold", "similarity-threshold", "duration",
+    "illuminant", "interline-spacing", "interword-spacing", "log",
+    "scenes", "subimage", "subimage-search", "text-font", "word-break",
+    "colormap", "reshape", "name", "sans", "sans1", "display",
 }
 
 # zero-argument flag options: accepted, recorded, no further effect needed
 _FLAGS = {
-    "quiet", "regard-warnings", "respect-parentheses", "synchronize",
-    "taint", "ping", "antialias-flag", "render-flag", "concurrent",
-    "flicker", "unique", "precision-flag",
+    "quiet", "regard-warnings", "respect-parentheses", "respect-parenthesis",
+    "synchronize", "taint", "ping", "antialias-flag", "render-flag",
+    "concurrent", "flicker", "unique", "precision-flag", "sans0",
+    # X11-era display/animate options: grammar-compatible no-ops
+    "backdrop", "descend", "foreground", "iconic", "immutable", "remote",
+    "screen", "shared-memory", "silent", "snaps", "update", "use-pixmap",
+    "visual", "window", "window-group", "pause",
 }
 
 OPS = None
@@ -1842,6 +1969,27 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
             continue
         if name == "monitor":
             continue  # progress display is a no-op under batch execution
+        if name == "exit":
+            break  # -exit: stop processing (magick-script idiom)
+        if name == "sans2":   # 2-arg placeholder (option.c)
+            i += 2
+            continue
+        if name == "copy":
+            # -copy geometry offset: copy a region from the PREVIOUS image
+            geom, off = args[i], args[i + 1]; i += 2
+            if len(st.images) >= 2:
+                src_img = st.images[-2].materialize()
+                dst_img = st.images[-1].materialize()
+                gg = parse_page_geometry(geom, src_img.width, src_img.height)
+                og = parse_geometry(off)
+                w4, h4, sx4, sy4 = gg
+                dx4, dy4 = int(og.x or 0), int(og.y or 0)
+                patch = src_img.data[sy4:sy4 + h4, sx4:sx4 + w4,
+                                     :dst_img.channels]
+                st.images[-1].image = dst_img.replace(
+                    data=dst_img.data.at[dy4:dy4 + h4, dx4:dx4 + w4, :].set(
+                        patch))
+            continue
         if name in _FLAGS:
             st.settings[name] = "0" if plus else "1"
             continue
