@@ -66,25 +66,47 @@ def _decode_to_stage(blob: bytes, sw: int, sh: int) -> Tuple[np.ndarray, Tuple[i
 
 
 def make_device_step(cfg: ThumbnailerConfig, watermark: Optional[jnp.ndarray] = None):
-    """Build the jitted batch step: (B, SH, SW, 3) u8 + sizes -> (B, th, tw, C) u8."""
+    """Build the jitted batch step: (B, SH, SW, 3) u8 + sizes -> (B, th, tw, C) u8.
+
+    On TPU the resize (+ grayscale mix) runs through the fused Pallas
+    pipeline kernel (ops/fused_pipeline.py): the staged batch is viewed
+    flat (B*SH, SW*3) and converted u8->f32 on device IN that layout, so
+    no relayout happens at the kernel boundary; the watermark composites
+    onto the small thumbnail afterwards (cheap).  Falls back to the XLA
+    op path when the kernel declines the shape.
+    """
     from ..ops import colorspace as cs
     from ..ops import composite as comp
     from ..ops import resize as rz
+    from ..ops.fused_pipeline import fused_resize_pipeline
 
-    @jax.jit
-    def step(staged_u8: jnp.ndarray, sizes: jnp.ndarray):
-        x = staged_u8.astype(jnp.float32) / 255.0
-        # Resize the full stage; valid-content scaling is uniform because the
-        # producer letterboxes at top-left and we crop proportionally below.
-        th, tw = cfg.thumb_height, cfg.thumb_width
-        y = rz.resize(x, th, tw, "lanczos")
+    import numpy as _np
+
+    th, tw = cfg.thumb_height, cfg.thumb_width
+    gray_mix = _np.asarray([[0.212656, 0.715158, 0.072186]]) \
+        if cfg.grayscale and watermark is None else None
+
+    def _finish(y):
         if watermark is not None:
             y = comp.composite_at(y, watermark, "dissolve", 0, 0, "southeast",
                                   src_alpha=watermark.shape[-1] == 4,
                                   args=(35.0,))[..., :3]
-        if cfg.grayscale:
-            y = cs.convert(y, "srgb", "gray")
+            if cfg.grayscale:
+                y = cs.convert(y, "srgb", "gray")
         return (jnp.clip(y, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    @jax.jit
+    def step(staged_u8: jnp.ndarray, sizes: jnp.ndarray):
+        b, sh, sw, c = staged_u8.shape
+        flat = staged_u8.reshape(b * sh, sw * c).astype(jnp.float32) / 255.0
+        y = fused_resize_pipeline(flat, th, tw, "lanczos", 0.0, gray_mix,
+                                  in_shape=(b, sh, sw, c))
+        if y is None:   # kernel declined: XLA op path
+            x = staged_u8.astype(jnp.float32) / 255.0
+            y = rz.resize(x, th, tw, "lanczos")
+            if cfg.grayscale and watermark is None:
+                y = cs.convert(y, "srgb", "gray")
+        return _finish(y)
 
     return step
 
