@@ -136,7 +136,19 @@ def config3_document():
 
     per = _time_chain(step, x, n2=6 if QUICK else 11)
     mp = N * 1056 * 816 / 1e6
-    _report("config3_document", mp, per, f"letter-page batch {N}")
+    _report("config3_document", mp, per, f"letter-page batch {N}, op path")
+
+    from imagemagick_tpu.ops.pallas_kernels import fused_bilevel_morph_edge
+    from imagemagick_tpu.ops.threshold import otsu_threshold_value
+
+    def step_fused(b):
+        return fused_bilevel_morph_edge(b, otsu_threshold_value(b))
+
+    if fused_bilevel_morph_edge(x, 0.5) is not None:
+        per_f = _time_chain(step_fused, x, n2=6 if QUICK else 11)
+        _report("config3_fused", mp, per_f,
+                f"letter-page batch {N}, fused pallas morph/edge")
+        return mp / per_f
     return mp / per
 
 

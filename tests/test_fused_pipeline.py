@@ -93,3 +93,22 @@ def test_blur_band_matrix_rows_normalized():
     np.testing.assert_allclose(B.sum(axis=1), 1.0, atol=1e-12)
     # edge rows accumulate clamped taps (edge-replicate policy)
     assert B[0, 0] > B[16, 16] - 0.5  # mass concentrates at the clamp
+
+
+def test_fused_bilevel_morph_edge_matches_ops(batch):
+    """fused threshold+open+close+edge == the op chain, boundaries exact."""
+    import jax.numpy as jnp
+
+    from imagemagick_tpu.ops import blur as bl
+    from imagemagick_tpu.ops import morphology as mo
+    from imagemagick_tpu.ops import threshold as th
+    from imagemagick_tpu.ops.pallas_kernels import fused_bilevel_morph_edge
+
+    gray = jnp.mean(batch, axis=-1, keepdims=True)
+    got = fused_bilevel_morph_edge(gray, 0.5, TO=32, interpret=True)
+    assert got is not None
+    y = th.bilevel(gray, 0.5)
+    y = mo.morphology(y, "open", "square:1")
+    y = mo.morphology(y, "close", "square:1")
+    ref = bl.edge_image(y, 1.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
