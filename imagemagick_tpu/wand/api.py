@@ -1859,6 +1859,236 @@ class MagickWand:
     display_image = animate_images
     display_images = animate_images
 
+    # ------------------------------------------------------------------
+    # magick-property.c exports: wand-level settings get/set pairs.
+    # ------------------------------------------------------------------
+
+    def get_antialias(self) -> bool:
+        return self.settings.get("antialias", "1") != "0"
+
+    def set_antialias(self, on: bool):
+        self.settings["antialias"] = "1" if on else "0"
+
+    def get_colorspace(self) -> str:
+        return self.settings.get("colorspace", "srgb")
+
+    def set_colorspace(self, cs: str):
+        self.settings["colorspace"] = cs.lower()
+
+    def get_compression(self) -> str:
+        return self.settings.get("compression", "undefined")
+
+    def set_compression(self, c: str):
+        self.settings["compression"] = c
+
+    def get_compression_quality(self) -> int:
+        return self.quality
+
+    def set_compression_quality(self, q: int):
+        self.quality = int(q)
+
+    def get_filename(self) -> str:
+        return self.settings.get("filename", "")
+
+    def set_filename(self, name: str):
+        self.settings["filename"] = name
+
+    def get_filter(self) -> str:
+        return self.filter
+
+    def set_filter(self, f: str):
+        self.filter = f
+
+    def get_format(self) -> str:
+        return self.settings.get("format", "")
+
+    def set_format(self, f: str):
+        self.settings["format"] = f
+
+    def get_interlace_scheme(self) -> str:
+        return self.settings.get("interlace", "none")
+
+    def set_interlace_scheme(self, s: str):
+        self.settings["interlace"] = s
+
+    def get_interpolate_method(self) -> str:
+        return self.settings.get("interpolate", "bilinear")
+
+    def set_interpolate_method(self, m: str):
+        self.settings["interpolate"] = m
+
+    def get_orientation(self) -> str:
+        return self.settings.get("orientation", "undefined")
+
+    def set_orientation(self, o: str):
+        self.settings["orientation"] = o
+
+    def get_page(self):
+        from ..core.geometry import parse_page_geometry
+
+        g = self.settings.get("page")
+        if not g:
+            return (0, 0, 0, 0)
+        w, h, x, y = parse_page_geometry(g, 0, 0)
+        return (w, h, x, y)
+
+    def set_page(self, width: int, height: int, x: int = 0, y: int = 0):
+        self.settings["page"] = f"{width}x{height}+{x}+{y}"
+
+    def get_pointsize(self) -> float:
+        return self.pointsize
+
+    def set_pointsize(self, p: float):
+        self.pointsize = float(p)
+
+    def get_resolution(self):
+        d = self.settings.get("density", "72x72")
+        parts = d.replace("x", " ").split()
+        dx = float(parts[0])
+        dy = float(parts[1]) if len(parts) > 1 else dx
+        return dx, dy
+
+    def set_resolution(self, dx: float, dy: Optional[float] = None):
+        self.settings["density"] = f"{dx}x{dy if dy is not None else dx}"
+
+    def get_sampling_factors(self):
+        s = self.settings.get("sampling-factor", "")
+        return [v for v in s.split(",") if v]
+
+    def set_sampling_factors(self, factors):
+        self.settings["sampling-factor"] = ",".join(str(f) for f in factors)
+
+    def get_size(self):
+        from ..core.geometry import parse_geometry
+
+        s = self.settings.get("size")
+        if not s:
+            return (0, 0)
+        g = parse_geometry(s)
+        return (int(g.width or 0), int(g.height or 0))
+
+    def set_size(self, width: int, height: int):
+        self.settings["size"] = f"{width}x{height}"
+
+    def get_size_offset(self) -> int:
+        return int(self.settings.get("size-offset", 0))
+
+    def set_size_offset(self, off: int):
+        self.settings["size-offset"] = str(int(off))
+
+    def get_type(self) -> str:
+        return self.settings.get("type", "undefined")
+
+    def set_type(self, t: str):
+        self.settings["type"] = t
+
+    def set_depth(self, depth: int):
+        self.settings["depth"] = str(int(depth))
+
+    def set_extract(self, geometry: str):
+        self.settings["extract"] = geometry
+
+    def set_passphrase(self, passphrase: str):
+        self.settings["authenticate"] = passphrase
+
+    def set_seed(self, seed: int):
+        self.settings["seed"] = str(int(seed))
+
+    def set_security_policy(self, policy_xml: str) -> bool:
+        from ..core.policy import policy
+
+        try:
+            policy.load_xml(policy_xml)
+            return True
+        except Exception:
+            return False
+
+    # wand-level options / image artifacts (artifact.c analog)
+    def get_option(self, key: str) -> str:
+        return self.settings.get(f"option:{key}", "")
+
+    def set_option(self, key: str, value: str):
+        self.settings[f"option:{key}"] = value
+
+    def delete_option(self, key: str):
+        self.settings.pop(f"option:{key}", None)
+
+    def get_options(self, pattern: str = "*"):
+        import fnmatch
+
+        return [k[7:] for k in self.settings
+                if k.startswith("option:") and
+                fnmatch.fnmatch(k[7:], pattern)]
+
+    def get_image_artifact(self, key: str) -> str:
+        return self.current.properties.get(f"artifact:{key}", "")
+
+    def set_image_artifact(self, key: str, value: str):
+        self.current.properties[f"artifact:{key}"] = value
+
+    def delete_image_artifact(self, key: str):
+        self.current.properties.pop(f"artifact:{key}", None)
+
+    def get_image_artifacts(self, pattern: str = "*"):
+        import fnmatch
+
+        return [k[9:] for k in self.current.properties
+                if k.startswith("artifact:") and
+                fnmatch.fnmatch(k[9:], pattern)]
+
+    def get_image_profiles(self, pattern: str = "*"):
+        import fnmatch
+
+        return [k for k in self.current.profiles
+                if fnmatch.fnmatch(k, pattern)]
+
+    # resource limits (resource.c via wand)
+    def get_resource(self, resource: str):
+        from ..core.resource import resources
+
+        return resources.report().get(resource.lower(), {}).get("current", 0)
+
+    def get_resource_limit(self, resource: str):
+        from ..core.resource import resources
+
+        return resources.get_limit(resource)
+
+    def set_resource_limit(self, resource: str, value):
+        from ..core.resource import resources
+
+        resources.set_limit(resource, value)
+
+    # static metadata (version.h analogs)
+    @staticmethod
+    def get_version():
+        from .. import __version__
+
+        return (f"imagemagick_tpu {__version__}", 0x700)
+
+    @staticmethod
+    def get_copyright() -> str:
+        return "imagemagick_tpu: TPU-native rebuild; Apache-2.0-style"
+
+    @staticmethod
+    def get_package_name() -> str:
+        return "imagemagick_tpu"
+
+    @staticmethod
+    def get_release_date() -> str:
+        return "2026"
+
+    @staticmethod
+    def get_home_url() -> str:
+        return "file:///root/repo"
+
+    @staticmethod
+    def get_quantum_depth():
+        return ("Q16", 16)
+
+    @staticmethod
+    def get_quantum_range():
+        return ("65535", 65535)
+
 
 def _map_channels(arr: np.ndarray, cmap: str, spec: ImageSpec) -> np.ndarray:
     idx = {"r": 0, "g": 1, "b": 2, "a": -1, "c": 0, "m": 1, "y": 2, "k": 3,

@@ -337,3 +337,52 @@ def test_views_and_iterators(wand):
 def test_zz_surface_count():
     """>= 250 distinct wand-layer methods exercised across this module."""
     assert len(CALLED) >= 250, (len(CALLED), sorted(CALLED)[:20])
+
+
+def test_property_methods(wand):
+    """magick-property.c exports: wand-level settings pairs."""
+    w = wand.clone()
+    pairs = [
+        ("antialias", True), ("colorspace", "lab"), ("compression", "zip"),
+        ("filename", "f.png"), ("filter", "catrom"), ("format", "png"),
+        ("interlace_scheme", "plane"), ("interpolate_method", "bicubic"),
+        ("orientation", "topleft"), ("pointsize", 14.0), ("type", "truecolor"),
+        ("size_offset", 3),
+    ]
+    for key, val in pairs:
+        call(w, f"set_{key}", val)
+        got = call(w, f"get_{key}")
+        if isinstance(val, bool):
+            assert got is True
+        elif isinstance(val, (int, float)):
+            assert float(got) == pytest.approx(float(val))
+        else:
+            assert str(got).lower() == str(val).lower()
+    call(w, "set_resolution", 90.0)
+    assert call(w, "get_resolution") == (90.0, 90.0)
+    call(w, "set_size", 12, 34)
+    assert call(w, "get_size") == (12, 34)
+    call(w, "set_page", 64, 64, 1, 2)
+    assert call(w, "get_page")[2:] == (1, 2)
+    call(w, "set_sampling_factors", [2, 1, 1])
+    assert call(w, "get_sampling_factors") == ["2", "1", "1"]
+    call(w, "set_option", "jpeg:size", "128x128")
+    assert call(w, "get_option", "jpeg:size") == "128x128"
+    assert call(w, "get_options") == ["jpeg:size"]
+    call(w, "delete_option", "jpeg:size")
+    call(w, "set_image_artifact", "compose:args", "40")
+    assert call(w, "get_image_artifact", "compose:args") == "40"
+    assert call(w, "get_image_artifacts") == ["compose:args"]
+    call(w, "delete_image_artifact", "compose:args")
+    call(w, "get_image_profiles")
+    call(w, "set_depth", 16)
+    call(w, "set_extract", "8x8+0+0")
+    call(w, "set_passphrase", "pw")
+    call(w, "set_seed", 42)
+    call(w, "get_resource", "memory")
+    call(w, "get_resource_limit", "area")
+    call(w, "set_resource_limit", "area", "1GP")
+    for name in ("get_version", "get_copyright", "get_package_name",
+                 "get_release_date", "get_home_url", "get_quantum_depth",
+                 "get_quantum_range"):
+        call(w, name)
