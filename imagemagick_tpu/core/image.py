@@ -85,19 +85,38 @@ class Image:
         return f"<Image {shp} {self.spec.colorspace}{'+alpha' if self.spec.alpha else ''}>"
 
     # -- channel helpers ----------------------------------------------------
+    # layout: [color..., alpha?, meta...] (meta tail per pixel.h:27's
+    # 64-channel map; per-pixel ops ignore it, geometry ops carry it)
     def color_data(self) -> jnp.ndarray:
-        if self.spec.alpha:
-            return self.data[..., :-1]
-        return self.data
+        return self.data[..., : self.spec.color_channels]
 
     def alpha_data(self) -> Optional[jnp.ndarray]:
         if self.spec.alpha:
-            return self.data[..., -1:]
+            cc = self.spec.color_channels
+            return self.data[..., cc:cc + 1]
         return None
 
+    def meta_data(self) -> Optional[jnp.ndarray]:
+        """The meta-channel tail (None when absent)."""
+        if self.spec.meta_channels:
+            return self.data[..., -self.spec.meta_channels:]
+        return None
+
+    def with_meta(self, meta: Optional[jnp.ndarray]) -> "Image":
+        """Attach/replace/drop meta channels (SetPixelMetaChannels analog)."""
+        base = self.data[..., : self.spec.channels - self.spec.meta_channels]
+        if meta is None:
+            return Image(base, self.spec.with_(meta_channels=0),
+                         self.properties, self.profiles, self.page,
+                         self.delay)
+        return Image(jnp.concatenate([base, meta], axis=-1),
+                     self.spec.with_(meta_channels=meta.shape[-1]),
+                     self.properties, self.profiles, self.page, self.delay)
+
     def with_color(self, color: jnp.ndarray) -> "Image":
-        a = self.alpha_data()
-        data = jnp.concatenate([color, a], axis=-1) if a is not None else color
+        rest = self.data[..., self.spec.color_channels:]
+        data = jnp.concatenate([color, rest], axis=-1) \
+            if rest.shape[-1] else color
         return self.replace(data=data)
 
     def set_alpha(self, enable: bool, value: float = 1.0) -> "Image":
@@ -121,8 +140,9 @@ class Image:
         if tgt == src:
             return self
         color = cs.convert(self.color_data(), src, tgt)
-        a = self.alpha_data()
-        data = jnp.concatenate([color, a], axis=-1) if a is not None else color
+        rest = self.data[..., self.spec.color_channels:]
+        data = jnp.concatenate([color, rest], axis=-1) \
+            if rest.shape[-1] else color
         return Image(data, self.spec.with_(colorspace=tgt),
                      self.properties, self.profiles, self.page, self.delay)
 

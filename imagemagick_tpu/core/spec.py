@@ -146,12 +146,19 @@ class ImageSpec:
         (the reference's alpha trait blending; composite.c assumes
         non-premultiplied inputs and handles alpha explicitly).
       depth: advisory bit depth for encoders (reference Q16 default).
+      meta_channels: number of extra data channels carried AFTER color and
+        alpha (the reference's meta-channel tail, pixel.h:27's 64-channel
+        map).  Per-pixel ops pass them through untouched; geometry ops
+        slice them with the pixel.  The reference's per-channel
+        read/update traits are subsumed by the -channel setting at the
+        op layer (channel.py) rather than stored per channel.
     """
 
     colorspace: str = "srgb"
     alpha: bool = False
     premultiplied: bool = False
     depth: int = 16
+    meta_channels: int = 0
 
     def __post_init__(self):
         cs = self.colorspace.lower()
@@ -165,10 +172,12 @@ class ImageSpec:
 
     @property
     def channels(self) -> int:
-        return self.color_channels + (1 if self.alpha else 0)
+        return self.color_channels + (1 if self.alpha else 0) + \
+            self.meta_channels
 
     def with_(self, **kw) -> "ImageSpec":
         return dataclasses.replace(self, **kw)
 
     def astuple(self) -> Tuple:
-        return (self.colorspace, self.alpha, self.premultiplied, self.depth)
+        return (self.colorspace, self.alpha, self.premultiplied, self.depth,
+                self.meta_channels)

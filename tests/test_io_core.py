@@ -212,3 +212,27 @@ def test_miff_unsupported_compression_raises():
                            "compression": "LZMA"}) + b"\x00" * 4
     with pytest.raises(ValueError, match="compression"):
         miff.decode(blob)
+
+
+def test_meta_channels(img):
+    """Meta-channel tail (pixel.h:27 64-channel map analog): carried by
+    geometry ops, ignored by color ops, strippable."""
+    import jax.numpy as jnp
+    from imagemagick_tpu.ops import transform as tf
+
+    meta = jnp.stack([jnp.ones_like(img.data[..., 0]) * 0.25,
+                      jnp.zeros_like(img.data[..., 0])], -1)
+    m = img.with_meta(meta)
+    assert m.spec.meta_channels == 2 and m.channels == 5
+    np.testing.assert_allclose(np.asarray(m.meta_data()), np.asarray(meta))
+    # colorspace transform preserves the tail
+    g = m.transform_colorspace("lab")
+    assert g.spec.meta_channels == 2
+    np.testing.assert_allclose(np.asarray(g.meta_data()), np.asarray(meta))
+    # geometry ops slice the tail with the pixel
+    c = m.replace(data=tf.crop(m.data, 2, 3, 10, 8))
+    assert c.data.shape[-1] == 5
+    np.testing.assert_allclose(np.asarray(c.data[..., 3]), 0.25)
+    # strip
+    s = m.with_meta(None)
+    assert s.spec.meta_channels == 0 and s.channels == 3
