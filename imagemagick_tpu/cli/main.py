@@ -483,10 +483,10 @@ def _op_evaluate(st, arg, plus):
 
     parts = arg.split(None, 1)
     op = parts[0]
-    val = float(parts[1]) if len(parts) > 1 else 0.0
-    # percent forms: "50%" -> 0.5
-    if len(parts) > 1 and parts[1].endswith("%"):
-        val = float(parts[1][:-1]) / 100.0
+    if len(parts) > 1 and parts[1].strip().endswith("%"):
+        val = float(parts[1].strip()[:-1]) / 100.0   # percent of range
+    else:
+        val = float(parts[1]) if len(parts) > 1 else 0.0
 
     def make(li):
         def run(x):
@@ -520,7 +520,7 @@ def _parse_level_arg(arg):
         return float(p[:-1]) / 100.0 if p.endswith("%") else float(p)
     black = pv(parts[0]) if parts else 0.0
     white = pv(parts[1]) if len(parts) > 1 else 1.0
-    gamma = float(parts[2]) if len(parts) > 2 else 1.0
+    gamma = pv(parts[2]) if len(parts) > 2 else 1.0
     return black, white, gamma
 
 
@@ -574,7 +574,7 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
         lambda st, a, p: {"radius": _geom_args(a)[0] or 1.0}))
     O["despeckle"] = (0, _op_simple("blur", "despeckle", None))
     O["edge"] = (1, _op_simple("blur", "edge_image",
-        lambda st, a, p: {"radius": float(a)}))
+        lambda st, a, p: {"radius": _geom_args(a)[0]}))
     O["emboss"] = (1, _op_simple("blur", "emboss",
         lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
     O["shade"] = (1, _op_simple("blur", "shade",
@@ -663,7 +663,7 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     # --- misc ---
     O["noise"] = (1, _op_noise)
     O["paint"] = (1, _op_simple("paint", "oil_paint",
-        lambda st, a, p: {"radius": float(a)}))
+        lambda st, a, p: {"radius": max(_geom_args(a)[0], 1.0)}))
     O["oil-paint"] = O["paint"]
     O["evaluate"] = (2, _op_evaluate)
     O["function"] = (2, _op_function)
@@ -1083,7 +1083,7 @@ def _bc_args(a):
 
 
 def _modulate_args(a):
-    parts = [p for p in a.replace(",", " ").split() if p]
+    parts = [p for p in a.replace(",", " ").replace("/", " ").split() if p]
     return {"brightness": float(parts[0]) if parts else 100.0,
             "saturation": float(parts[1]) if len(parts) > 1 else 100.0,
             "hue": float(parts[2]) if len(parts) > 2 else 100.0}
@@ -1168,7 +1168,8 @@ def _op_opaque(st, arg, plus):
         img = li.materialize()
         li.image = img.replace(data=pt.opaque_paint(
             img.data, target[: img.channels], st.fill()[: img.channels],
-            fuzz=float(st.settings.get("fuzz", "0")) / 100.0, invert=plus))
+            fuzz=_percent(st.settings.get("fuzz", "0") or "0"),
+            invert=plus))
 
 
 def _op_transparent(st, arg, plus):
@@ -1181,7 +1182,8 @@ def _op_transparent(st, arg, plus):
             img = img.set_alpha(True)
         li.image = img.replace(data=pt.transparent_paint(
             img.data, target[:3], 0.0,
-            fuzz=float(st.settings.get("fuzz", "0")) / 100.0, invert=plus))
+            fuzz=_percent(st.settings.get("fuzz", "0") or "0"),
+            invert=plus))
 
 
 def _op_sparse_color(st, arg, plus):
@@ -1499,7 +1501,8 @@ def _op_compare_list(st, arg, plus):
 def _op_colorize(st, arg, plus):
     from ..ops import visual_effects as vfx
 
-    parts = [float(p) / 100.0 for p in arg.split(",")]
+    parts = [float(p.rstrip("%")) / 100.0
+             for p in arg.replace("/", ",").split(",")]
     if len(parts) == 1:
         parts = parts * 3
     import jax.numpy as jnp

@@ -239,7 +239,7 @@ def test_convert_corpus(ref_file, tmp_path):
     for opts in CONVERT_OPTIONS:
         out = str(tmp_path / "out.miff")
         cmds.append([ref_file] + shlex.split(opts) + [ref_file, out])
-    failures = _run_corpus(cmds, 0.90)
+    failures = _run_corpus(cmds, 0.99)
     # informational: list residual gaps in the test output
     if failures:
         print("residual convert gaps:", [c for c, _ in failures])
