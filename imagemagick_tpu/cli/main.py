@@ -91,6 +91,7 @@ class CLIState:
     def __init__(self):
         self.images: List[LazyImage] = []
         self.stack: List[List[LazyImage]] = []
+        self.settings_stack: List[Dict[str, str]] = []
         self.settings: Dict[str, str] = {
             "background": "white",
             "fill": "black",
@@ -1349,7 +1350,23 @@ def _op_layers(st, arg, plus):
     elif method == "dispose":
         out = ly.dispose_images(frames)
     elif method == "composite":
-        raise CLIError("-layers composite requires two image stacks")
+        # two stacks separated by a null: image (layer.c CompositeLayers)
+        sep = next((i for i, im in enumerate(frames)
+                    if im.properties.get("null-separator")), None)
+        if sep is None:
+            raise CLIError("-layers composite needs a null: separator "
+                           "between the destination and source stacks")
+        dst_stack, src_stack = frames[:sep], frames[sep + 1:]
+        from ..ops.composite import composite_at
+
+        compose = st.settings.get("compose", "over")
+        out = []
+        for i, dst_f in enumerate(dst_stack):
+            s = src_stack[min(i, len(src_stack) - 1)]
+            out.append(dst_f.replace(data=composite_at(
+                dst_f.data, s.data, compose, 0, 0,
+                st.settings.get("gravity", "undefined"),
+                dst_alpha=dst_f.spec.alpha, src_alpha=s.spec.alpha)))
     else:
         raise CLIError(f"unknown -layers method {arg!r}")
     st.images = [LazyImage(im) for im in out]
@@ -1851,12 +1868,17 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
         if tok == "(":
             st.stack.append(st.images)
             st.images = []
+            if st.settings.get("respect-parentheses") == "1" or \
+                    st.settings.get("respect-parenthesis") == "1":
+                st.settings_stack.append(dict(st.settings))
             continue
         if tok == ")":
             if not st.stack:
                 raise CLIError("unbalanced parenthesis")
             parent = st.stack.pop()
             st.images = parent + st.images
+            if st.settings_stack:
+                st.settings = st.settings_stack.pop()
             continue
         if not tok.startswith(("-", "+")) or tok == "-":
             # image read (or implicit final write handled by caller)

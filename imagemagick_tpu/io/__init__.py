@@ -67,7 +67,7 @@ _PSEUDO = {
     "wizard": lambda arg, w, h: pseudo.wizard(),
     "granite": lambda arg, w, h: pseudo.granite(),
     "netscape": lambda arg, w, h: pseudo.netscape(),
-    "null": lambda arg, w, h: pseudo.xc("transparent", w or 1, h or 1),
+    "null": lambda arg, w, h: _null_image(w, h),
     "label": lambda arg, w, h: pseudo.label(arg or "", w, h, _CURRENT_SETTINGS),
     "caption": lambda arg, w, h: pseudo.caption(arg or "", w, h,
                                                 _CURRENT_SETTINGS),
@@ -77,6 +77,12 @@ _PSEUDO = {
     "thumbnail": lambda arg, w, h: pseudo.thumbnail_file(arg, w, h,
                                                          _CURRENT_SETTINGS),
 }
+
+def _null_image(w, h):
+    img = pseudo.xc("transparent", w or 1, h or 1)
+    img.properties["null-separator"] = "1"   # -layers composite marker
+    return img
+
 
 # settings context for pseudo-coders (pointsize/font/fill/background);
 # set per read_images call — the image_info analog label.c reads from.
