@@ -90,14 +90,18 @@ def wiener_deconvolve(img: jnp.ndarray, kernel_fft: jnp.ndarray = None,
 
     With no kernel, acts as a Wiener denoiser: F' = F·|F|²/(|F|²+noise).
     """
-    x = jnp.moveaxis(img, -1, 0).astype(jnp.complex64)
-    f = jnp.fft.fft2(x)
+    x = jnp.moveaxis(img, -1, 0)
     if kernel_fft is None:
+        # real input: rfft2 computes only the non-redundant half-spectrum
+        # (half the FLOPs and memory of the complex transform)
+        f = jnp.fft.rfft2(x.astype(jnp.float32))
         p = (f * jnp.conj(f)).real
         g = f * (p / (p + noise * jnp.mean(p)))
+        out = jnp.fft.irfft2(g, s=x.shape[-2:])
     else:
+        f = jnp.fft.fft2(x.astype(jnp.complex64))
         k = kernel_fft
         kp = (k * jnp.conj(k)).real
         g = f * jnp.conj(k) / (kp + noise)
-    out = jnp.fft.ifft2(g).real
+        out = jnp.fft.ifft2(g).real
     return jnp.clip(jnp.moveaxis(out, 0, -1), 0.0, 1.0).astype(img.dtype)
