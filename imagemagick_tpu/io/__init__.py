@@ -144,6 +144,10 @@ def _split_filename(filename: str):
 def read_images(filename: str, size: Optional[str] = None,
                 settings: Optional[dict] = None) -> List[Image]:
     fmt, rest = _split_filename(str(filename))
+    if rest == "-":   # stdin (cli-pipe.tap semantics)
+        import sys
+
+        return image_from_blob(sys.stdin.buffer.read(), fmt)
     w = h = None
     if size:
         g = parse_geometry(size)
@@ -269,6 +273,12 @@ def write_image(image: Union[Image, List[Image]], filename: str,
 
     _policy.enforce("coder", fmt.upper(), "write")
     blob = image_to_blob(images, fmt, quality=quality, depth=depth)
+    if rest == "-":   # stdout (cli-pipe.tap semantics)
+        import sys
+
+        sys.stdout.buffer.write(blob)
+        sys.stdout.buffer.flush()
+        return
     with open(rest, "wb") as f:
         f.write(blob)
 

@@ -82,22 +82,24 @@ def plasma(spec: str = "", width: int = 256, height: int = 256,
     here we synthesize the same spectrum with band-filtered noise (power-law
     spectrum), fully vectorized.
     """
-    key = jax.random.PRNGKey(seed)
-    kr, kg, kb = jax.random.split(key, 3)
-    fy = jnp.fft.fftfreq(height)[:, None]
-    fx = jnp.fft.rfftfreq(width)[None, :]
-    f = jnp.sqrt(fy * fy + fx * fx)
-    amp = jnp.where(f > 0, 1.0 / jnp.maximum(f, 1e-6), 0.0)
+    # Host-side numpy synthesis: plasma canvases are small and generated
+    # once at read time, and this keeps the pseudo-coder independent of
+    # the device backend's FFT support (the axon TPU backend has been
+    # observed to reject FFT ops entirely after worker restarts).
+    rng = np.random.default_rng(seed)
+    fy = np.fft.fftfreq(height)[:, None]
+    fx = np.fft.rfftfreq(width)[None, :]
+    f = np.sqrt(fy * fy + fx * fx)
+    amp = np.where(f > 0, 1.0 / np.maximum(f, 1e-6), 0.0)
 
-    def layer(k):
-        phase = jax.random.uniform(k, amp.shape, minval=0.0, maxval=2.0 * math.pi)
-        spec_ = amp * jnp.exp(1j * phase)
-        x = jnp.fft.irfft2(spec_, s=(height, width))
-        x = (x - x.min()) / jnp.maximum(x.max() - x.min(), 1e-12)
-        return x
+    def layer():
+        phase = rng.uniform(0.0, 2.0 * math.pi, amp.shape)
+        spec_ = amp * np.exp(1j * phase)
+        x = np.fft.irfft2(spec_, s=(height, width))
+        return (x - x.min()) / max(x.max() - x.min(), 1e-12)
 
-    data = jnp.stack([layer(kr), layer(kg), layer(kb)], axis=-1)
-    return Image(data.astype(jnp.float32), ImageSpec(colorspace="srgb"))
+    data = np.stack([layer(), layer(), layer()], axis=-1)
+    return Image(data.astype(np.float32), ImageSpec(colorspace="srgb"))
 
 
 def hald(level: int = 8) -> Image:

@@ -91,13 +91,18 @@ def wiener_deconvolve(img: jnp.ndarray, kernel_fft: jnp.ndarray = None,
     With no kernel, acts as a Wiener denoiser: F' = F·|F|²/(|F|²+noise).
     """
     x = jnp.moveaxis(img, -1, 0)
-    if kernel_fft is None:
+    if kernel_fft is None and x.shape[-1] % 2 == 0 and x.shape[-2] % 2 == 0:
         # real input: rfft2 computes only the non-redundant half-spectrum
-        # (half the FLOPs and memory of the complex transform)
+        # (half the FLOPs and memory; TPU irfft2 needs even extents)
         f = jnp.fft.rfft2(x.astype(jnp.float32))
         p = (f * jnp.conj(f)).real
         g = f * (p / (p + noise * jnp.mean(p)))
         out = jnp.fft.irfft2(g, s=x.shape[-2:])
+    elif kernel_fft is None:
+        f = jnp.fft.fft2(x.astype(jnp.complex64))
+        p = (f * jnp.conj(f)).real
+        g = f * (p / (p + noise * jnp.mean(p)))
+        out = jnp.fft.ifft2(g).real
     else:
         f = jnp.fft.fft2(x.astype(jnp.complex64))
         k = kernel_fft

@@ -283,3 +283,20 @@ def test_pipeline_single_materialization(tmp_path, checker_rgb, monkeypatch):
     assert count["n"] == 1, f"expected 1 fused materialization, got {count}"
     back = iio.read_images(str(out))[0]
     assert (back.width, back.height) == (12, 10)
+
+
+def test_stdio_pipe(tmp_path, checker_rgb, monkeypatch, capsysbinary):
+    """cli-pipe.tap analog: '-' reads stdin, 'png:-' writes stdout."""
+    import io as _io
+    import sys
+    import numpy as np
+    from imagemagick_tpu import Image, io as iio
+
+    blob = iio.image_to_blob(Image(checker_rgb), "png")
+    monkeypatch.setattr(sys, "stdin",
+                        type("S", (), {"buffer": _io.BytesIO(blob)})())
+    process(["-", "-resize", "16x12!", "png:-"])
+    out = capsysbinary.readouterr().out
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    back = iio.image_from_blob(out)[0]
+    assert (back.width, back.height) == (16, 12)
