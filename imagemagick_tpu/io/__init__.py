@@ -240,6 +240,7 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
             for k, v in meta.items():
                 im.properties.setdefault(k, v)
     for im in images:
+        im.properties.setdefault("format", use.upper())
         resources.check_image_size(im.width, im.height)
     return images
 
