@@ -2354,11 +2354,14 @@ def _compare_main(argv) -> int:
     metric = "rmse"
     paths = []
     i = 0
-    out_path = None
+    subimage_search = False
     while i < len(argv):
         if argv[i] == "-metric":
             metric = argv[i + 1].lower()
             i += 2
+        elif argv[i] == "-subimage-search":
+            subimage_search = True
+            i += 1
         elif argv[i].startswith("-"):
             i += 1
         else:
@@ -2369,7 +2372,15 @@ def _compare_main(argv) -> int:
         return 2
     a = iio.read_images(paths[0])[0]
     b = iio.read_images(paths[1])[0]
-    if a.data.shape != b.data.shape:
+    if subimage_search or a.data.shape != b.data.shape:
+        if a.height >= b.height and a.width >= b.width:
+            # SimilarityImage (compare.c): locate b inside a via NCC
+            (y, x), surface = cmp_ops.similarity_image(a.data, b.data)
+            import numpy as _np
+
+            score = float(_np.asarray(surface).max())
+            print(f"{score:.6g} @ {int(x)},{int(y)}", file=sys.stderr)
+            return 0
         print("compare: image sizes differ", file=sys.stderr)
         return 2
     d = float(cmp_ops.get_distortion(a.data, b.data, metric))

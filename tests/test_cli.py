@@ -300,3 +300,23 @@ def test_stdio_pipe(tmp_path, checker_rgb, monkeypatch, capsysbinary):
     assert out[:8] == b"\x89PNG\r\n\x1a\n"
     back = iio.image_from_blob(out)[0]
     assert (back.width, back.height) == (16, 12)
+
+
+def test_compare_subimage_search(tmp_path, checker_rgb, capsys):
+    """compare -subimage-search: locate a crop inside the original."""
+    import numpy as np
+    from imagemagick_tpu import Image, io as iio
+    from imagemagick_tpu.cli.main import main as cli_main
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 1, (40, 56, 3)).astype(np.float32)
+    big = tmp_path / "big.png"
+    small = tmp_path / "small.png"
+    iio.write_image(Image(base), str(big))
+    iio.write_image(Image(base[5:17, 8:24]), str(small))
+    rc = cli_main(["compare", "-subimage-search", "-metric", "ncc",
+                   str(big), str(small)])
+    err = capsys.readouterr().err
+    assert rc == 0 and "@" in err
+    x, y = err.split("@")[1].strip().split(",")
+    assert (int(x), int(y)) == (8, 5), err
