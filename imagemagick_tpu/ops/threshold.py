@@ -89,18 +89,29 @@ def triangle_threshold_value(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def auto_threshold(img: jnp.ndarray, method: str = "otsu") -> jnp.ndarray:
-    """AutoThresholdImage (threshold.c:660): global bilevel by method."""
+    """AutoThresholdImage (threshold.c:660): global bilevel by method.
+
+    PER IMAGE: a batched (N, H, W, C) input gets N independent thresholds
+    (the reference processes one image at a time; a shared batch histogram
+    would let one bright image shift every threshold).
+    """
     method = method.lower()
-    if method == "otsu":
-        t = otsu_threshold_value(img)
-    elif method == "kapur":
-        t = kapur_threshold_value(img)
-    elif method == "triangle":
-        t = triangle_threshold_value(img)
-    else:
+    fn = {"otsu": otsu_threshold_value, "kapur": kapur_threshold_value,
+          "triangle": triangle_threshold_value}.get(method)
+    if fn is None:
         raise ValueError(f"unknown auto-threshold method {method!r}")
+    if img.ndim > 3:
+        lead = img.shape[:-3]
+        flat = img.reshape((-1,) + img.shape[-3:])
+        t = jax.vmap(fn)(flat).reshape(lead + (1, 1, 1))
+    else:
+        t = fn(img)
     inten = grayscale(img)[..., 0:1] if img.shape[-1] >= 3 else img
-    out = (inten > t).astype(img.dtype)
+    # compare in the histogram's quantized space: the threshold is a bin
+    # index, so pixels IN the threshold bin must fall in the low class
+    # (threshold.c applies the quantized threshold to Quantum values)
+    q = jnp.round(inten * (_NBINS - 1))
+    out = (q > jnp.round(t * (_NBINS - 1))).astype(img.dtype)
     return jnp.broadcast_to(out, img.shape[:-1] + (1,))
 
 

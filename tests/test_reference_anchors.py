@@ -196,3 +196,22 @@ def test_gray_luma_anchor():
         x = jnp.asarray(np.asarray(color, np.float32).reshape(1, 1, 3))
         y = float(np.asarray(convert(x, "srgb", "gray"))[0, 0, 0])
         assert abs(y - coef) < 1e-6, color
+
+
+def test_otsu_per_image_batched():
+    """Batched auto-threshold computes one threshold PER image (the
+    reference processes images independently); also exercises the
+    quantized threshold-bin comparison."""
+    import jax.numpy as jnp
+
+    from imagemagick_tpu.ops.threshold import auto_threshold
+
+    rng = np.random.default_rng(0)
+    a = np.where(rng.uniform(size=(32, 32, 1)) < 0.5, 0.2, 0.8)
+    b = np.where(rng.uniform(size=(32, 32, 1)) < 0.5, 0.55, 0.95)
+    batch = jnp.asarray(np.stack([a, b]).astype(np.float32))
+    out = np.asarray(auto_threshold(batch, "otsu"))
+    assert np.all(out[0][a[..., 0] == 0.2] == 0)
+    assert np.all(out[0][a[..., 0] == 0.8] == 1)
+    assert np.all(out[1][b[..., 0] == 0.55] == 0)
+    assert np.all(out[1][b[..., 0] == 0.95] == 1)
