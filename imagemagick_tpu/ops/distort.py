@@ -249,6 +249,73 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         v = (d * xx + e * yy + f) / den
         return warp(img, u, v, background, sampler)
 
+    if method == "affineprojection":
+        # 6 raw forward coefficients sx,rx,ry,sy,tx,ty (distort.h)
+        sx, rx, ry, sy, tx, ty = (list(args) + [0.0] * 6)[:6]
+        fwd = np.array([[sx, ry, tx], [rx, sy, ty], [0, 0, 1]], np.float64)
+        inv = np.linalg.inv(fwd)
+        u = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
+        v = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
+        return warp(img, u, v, background, sampler)
+
+    if method == "perspectiveprojection":
+        # 8 raw forward coefficients (distort.c PerspectiveProjection)
+        a, b, c, d, e, f, g, hh = (list(args) + [0.0] * 8)[:8]
+        fwd = np.array([[a, b, c], [d, e, f], [g, hh, 1.0]], np.float64)
+        inv = np.linalg.inv(fwd)
+        den = inv[2, 0] * xx + inv[2, 1] * yy + inv[2, 2]
+        u = (inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]) / den
+        v = (inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]) / den
+        return warp(img, u, v, background, sampler)
+
+    if method == "rigidaffine":
+        # similarity transform: rotation + uniform scale + translation
+        # fitted from point pairs (distort.c RigidAffine)
+        pts = np.asarray(args, np.float64).reshape(-1, 4)
+        src, dst = pts[:, :2], pts[:, 2:]
+        sc, dc = src.mean(0), dst.mean(0)
+        s0, d0 = src - sc, dst - dc
+        num = (d0[:, 0] * s0[:, 0] + d0[:, 1] * s0[:, 1]).sum()
+        cross = (d0[:, 1] * s0[:, 0] - d0[:, 0] * s0[:, 1]).sum()
+        denom = (s0 ** 2).sum()
+        a_, b_ = num / denom, cross / denom
+        fwd = np.array([[a_, -b_, dc[0] - a_ * sc[0] + b_ * sc[1]],
+                        [b_, a_, dc[1] - b_ * sc[0] - a_ * sc[1]],
+                        [0, 0, 1]], np.float64)
+        inv = np.linalg.inv(fwd)
+        u = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
+        v = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
+        return warp(img, u, v, background, sampler)
+
+    if method == "bilinearforward":
+        # forward-fitted bilinear; invert per pixel via the standard
+        # inverse-bilinear quadratic (distort.c BilinearForward)
+        pts = np.asarray(args, np.float64).reshape(-1, 4)
+        A = np.stack([np.ones(4), pts[:, 0], pts[:, 1],
+                      pts[:, 0] * pts[:, 1]], 1)
+        ca = np.linalg.solve(A, pts[:, 2])   # X = ca . [1,u,v,uv]
+        cb = np.linalg.solve(A, pts[:, 3])   # Y = cb . [1,u,v,uv]
+        X = xx - ca[0]
+        Y = yy - cb[0]
+        # solve X = ca1 u + ca2 v + ca3 uv ; Y = cb1 u + cb2 v + cb3 uv
+        # eliminating v gives: aq u^2 + bq u + cq = 0 with
+        aq = cb[1] * ca[3] - cb[3] * ca[1]
+        bq = cb[1] * ca[2] - cb[2] * ca[1] + cb[3] * X - ca[3] * Y
+        cq = cb[2] * X - ca[2] * Y
+        disc = jnp.sqrt(jnp.maximum(bq * bq - 4.0 * aq * cq, 0.0))
+        if abs(aq) < 1e-12:
+            u_ = -cq / jnp.where(jnp.abs(bq) < 1e-12, 1e-12, bq)
+        else:
+            u_ = (-bq + disc) / (2.0 * aq)
+        # recover v from whichever equation is better conditioned at u_
+        den_a = ca[2] + ca[3] * u_
+        den_b = cb[2] + cb[3] * u_
+        use_a = jnp.abs(den_a) > jnp.abs(den_b)
+        num = jnp.where(use_a, X - ca[1] * u_, Y - cb[1] * u_)
+        den = jnp.where(use_a, den_a, den_b)
+        v_ = num / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        return warp(img, u_, v_, background, sampler)
+
     if method in ("barrel", "barrelinverse"):
         a, b, c, *rest = list(args) + [0.0] * 4
         d = rest[0] if rest else 1.0 - a - b - c
@@ -322,7 +389,7 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         v = yy + jnp.sum(wgt * disp[None, None, :, 1], -1) / wsum
         return warp(img, u, v, background, sampler)
 
-    if method == "bilineardistortion" or method == "bilinear":
+    if method in ("bilineardistortion", "bilinear", "bilinearreverse"):
         pts = np.asarray(args, np.float64).reshape(-1, 4)
         # fit inverse u = a + b x + c y + d x y over 4 points
         A = np.stack([np.ones(4), pts[:, 2], pts[:, 3],

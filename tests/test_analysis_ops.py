@@ -191,3 +191,31 @@ def test_liquid_rescale_carves():
     assert out.shape == (12, 16, 3)
     # edge content preserved
     assert out[6, 0, 0] > 0.9 and out[6, -1, 0] > 0.9
+
+
+def test_distort_projection_variants(checker_rgb):
+    """AffineProjection/PerspectiveProjection/RigidAffine/BilinearForward
+    (distort.h:34-57 tail)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from imagemagick_tpu.ops.distort import distort
+
+    x = jnp.asarray(checker_rgb)
+    # raw-coefficient identity projections are exact with point sampling
+    out = distort(x, "affineprojection", [1, 0, 0, 1, 0, 0],
+                  sampler="bilinear")
+    np.testing.assert_allclose(np.asarray(out), checker_rgb, atol=1e-5)
+    out = distort(x, "perspectiveprojection", [1, 0, 0, 0, 1, 0, 0, 0],
+                  sampler="bilinear")
+    np.testing.assert_allclose(np.asarray(out), checker_rgb, atol=1e-5)
+    # rigid affine translation by (+3, +2) fitted from two point pairs
+    out = np.asarray(distort(x, "rigidaffine", [0, 0, 3, 2, 10, 0, 13, 2],
+                             sampler="bilinear"))
+    np.testing.assert_allclose(out[2:20, 3:30], checker_rgb[0:18, 0:27],
+                               atol=1e-4)
+    # bilinear forward == bilinear reverse when the point set is affine
+    pts = [0, 0, 2, 1, 31, 0, 33, 1, 0, 23, 2, 24, 31, 23, 33, 24]
+    f = np.asarray(distort(x, "bilinearforward", pts, sampler="bilinear"))
+    r = np.asarray(distort(x, "bilinearreverse", pts, sampler="bilinear"))
+    interior = (slice(4, 18), slice(6, 26))
+    np.testing.assert_allclose(f[interior], r[interior], atol=1e-3)
