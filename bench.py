@@ -68,7 +68,9 @@ def _chain(n, fused):
             # per-step input scaling defeats CSE between steps
             bi = b * (1.0 + jnp.float32(i) * 1e-6)
             out = pipeline_flat(bi) if fused else pipeline_xla(bi)
-            acc = acc + jnp.sum(out[:2])
+            # full sum — a sliced sum lets XLA dead-code whole images out
+            # of the (non-opaque) fallback path and under-report
+            acc = acc + jnp.sum(out)
         return acc
 
     return fn

@@ -33,7 +33,9 @@ def _time_chain(make_step, x, n1=1, n2=11, reps=4):
             acc = jnp.float32(0)
             for i in range(n):
                 out = make_step(b * (1.0 + jnp.float32(i) * 1e-6))
-                acc = acc + jnp.sum(out[:1])
+                # FULL sum: slicing (e.g. out[:1]) lets XLA dead-code
+                # whole images out of non-opaque steps and under-reports.
+                acc = acc + jnp.sum(out)
             return acc
         return f
 
@@ -63,7 +65,7 @@ def config1_thumbnail():
 
     def step(b):
         return fused_resize_pipeline(b, 256, 256, "lanczos", 2.0, mix,
-                                     in_shape=(N, H, W, C))[:, 0, :, 0]
+                                     in_shape=(N, H, W, C))
 
     per = _time_chain(step, x)
     mp = N * H * W / 1e6
@@ -108,7 +110,7 @@ def config2_blur_unsharp_lab():
     def step_fused(b):
         y = fused_linear_pipeline(b, terms, C, in_shape=(N, H, W, C))
         y = cs.convert(y, "srgb", "lab")
-        return cs.convert(y, "lab", "srgb")[:, 0]
+        return cs.convert(y, "lab", "srgb")
 
     if fused_linear_pipeline(xf, terms, C, in_shape=(N, H, W, C)) is not None:
         per_f = _time_chain(step_fused, xf, n2=6 if QUICK else 11)

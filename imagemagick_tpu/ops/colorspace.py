@@ -71,12 +71,32 @@ def _mat3(x, M):
 # series there is just a fast pow; we use the closed form).
 # ---------------------------------------------------------------------------
 
+def _pow24(x):
+    """x**2.4 for x in (0, ~1.1] via x^2 * exp2(0.4*log2 x).
+
+    On this TPU, XLA's generic pow costs ~0.24ms per 1080p batch-8 pass
+    while exp2/log2 are in the measurement noise; splitting the exponent
+    as 2 + 0.4 keeps the log2-error amplification small (measured
+    108.3dB vs float64 on [1e-4, 1] — the full-exponent form is 92.9dB,
+    generic pow 123.9dB; all far above the 60dB fidelity gate)."""
+    x = jnp.maximum(x, 1e-12)
+    return x * x * jnp.exp2(jnp.float32(0.4) * jnp.log2(x))
+
+
+def _pow_inv24(x):
+    """x**(1/2.4) for x in (0, ~1.1] via exp2((1/2.4)*log2 x).
+
+    Exponent < 1 shrinks log2 error, measured 101.4dB vs float64."""
+    x = jnp.maximum(x, 1e-12)
+    return jnp.exp2(jnp.float32(1.0 / 2.4) * jnp.log2(x))
+
+
 def srgb_to_linear(v):
     """sRGB-encoded -> linear, on [0,1] values."""
     return jnp.where(
         v <= 0.0404482362771076,
         v / 12.92,
-        jnp.power(jnp.maximum((v + 0.055) / 1.055, 0.0), 2.4),
+        _pow24((v + 0.055) / 1.055),
     )
 
 
@@ -85,7 +105,7 @@ def linear_to_srgb(v):
     return jnp.where(
         v <= 0.0031306684425005883,
         12.92 * v,
-        1.055 * jnp.power(jnp.maximum(v, 0.0), 1.0 / 2.4) - 0.055,
+        1.055 * _pow_inv24(v) - 0.055,
     )
 
 
