@@ -1,0 +1,649 @@
+// Magick++ compatibility layer for imagemagick_tpu.
+//
+// A C++ object API mirroring the reference Magick++ surface
+// (/root/reference/Magick++/lib/Magick++/Image.h, Geometry.h, Color.h,
+// Blob.h, Exception.h, Functions.h) backed by the TPU framework: the
+// implementation embeds a CPython interpreter and dispatches every image
+// method onto imagemagick_tpu.wand.api.MagickWand, so C++ programs get the
+// same XLA-compiled device pipelines as the Python/CLI layers.
+//
+// Value classes (Geometry, Color, Blob) are pure C++ — no interpreter
+// needed to construct them.  Image methods require InitializeMagick()
+// first, matching the reference contract (Magick++/lib/Functions.cpp).
+//
+// Usage:
+//   #include <Magick++.h>
+//   int main(int argc, char** argv) {
+//     Magick::InitializeMagick(*argv);
+//     Magick::Image img("input.png");
+//     img.resize(Magick::Geometry("256x256"));
+//     img.gaussianBlur(0.0, 2.0);
+//     img.write("output.png");
+//   }
+
+#ifndef MAGICKPP_TPU_H
+#define MAGICKPP_TPU_H
+
+#include <cstddef>
+#include <exception>
+#include <string>
+#include <vector>
+
+#if defined(_WIN32)
+typedef long long magickpp_ssize_t;
+#else
+#include <sys/types.h>
+typedef ssize_t magickpp_ssize_t;
+#endif
+
+namespace Magick {
+
+// Pixels are float32 in [0,1] on device (HDRI); the Quantum facade keeps
+// the reference's 16-bit-depth numeric convention (MagickCore/magick-type.h).
+typedef float Quantum;
+static const double QuantumRange = 65535.0;
+
+// ---------------------------------------------------------------------------
+// Enumerations (MagickCore/*.h names; values are internal — do not rely on
+// binary compatibility with the reference, only source compatibility).
+// ---------------------------------------------------------------------------
+
+enum FilterType {
+  UndefinedFilter, PointFilter, BoxFilter, TriangleFilter, HermiteFilter,
+  HannFilter, HammingFilter, BlackmanFilter, GaussianFilter, QuadraticFilter,
+  CubicFilter, CatromFilter, MitchellFilter, JincFilter, SincFilter,
+  SincFastFilter, KaiserFilter, WelchFilter, ParzenFilter, BohmanFilter,
+  BartlettFilter, LagrangeFilter, LanczosFilter, LanczosSharpFilter,
+  Lanczos2Filter, Lanczos2SharpFilter, RobidouxFilter, RobidouxSharpFilter,
+  CosineFilter, SplineFilter
+};
+
+enum CompositeOperator {
+  UndefinedCompositeOp, AlphaCompositeOp, AtopCompositeOp, BlendCompositeOp,
+  BlurCompositeOp, BumpmapCompositeOp, ChangeMaskCompositeOp,
+  ClearCompositeOp, ColorBurnCompositeOp, ColorDodgeCompositeOp,
+  ColorizeCompositeOp, CopyBlackCompositeOp, CopyBlueCompositeOp,
+  CopyCompositeOp, CopyCyanCompositeOp, CopyGreenCompositeOp,
+  CopyMagentaCompositeOp, CopyAlphaCompositeOp, CopyRedCompositeOp,
+  CopyYellowCompositeOp, DarkenCompositeOp, DarkenIntensityCompositeOp,
+  DifferenceCompositeOp, DisplaceCompositeOp, DissolveCompositeOp,
+  DistortCompositeOp, DivideDstCompositeOp, DivideSrcCompositeOp,
+  DstAtopCompositeOp, DstCompositeOp, DstInCompositeOp, DstOutCompositeOp,
+  DstOverCompositeOp, ExclusionCompositeOp, HardLightCompositeOp,
+  HardMixCompositeOp, HueCompositeOp, InCompositeOp, IntensityCompositeOp,
+  LightenCompositeOp, LightenIntensityCompositeOp, LinearBurnCompositeOp,
+  LinearDodgeCompositeOp, LinearLightCompositeOp, LuminizeCompositeOp,
+  MathematicsCompositeOp, MinusDstCompositeOp, MinusSrcCompositeOp,
+  ModulateCompositeOp, ModulusAddCompositeOp, ModulusSubtractCompositeOp,
+  MultiplyCompositeOp, NoCompositeOp, OutCompositeOp, OverCompositeOp,
+  OverlayCompositeOp, PegtopLightCompositeOp, PinLightCompositeOp,
+  PlusCompositeOp, ReplaceCompositeOp, SaturateCompositeOp,
+  ScreenCompositeOp, SoftLightCompositeOp, SrcAtopCompositeOp,
+  SrcCompositeOp, SrcInCompositeOp, SrcOutCompositeOp, SrcOverCompositeOp,
+  ThresholdCompositeOp, VividLightCompositeOp, XorCompositeOp
+};
+
+enum ColorspaceType {
+  UndefinedColorspace, CMYColorspace, CMYKColorspace, GRAYColorspace,
+  HCLColorspace, HSBColorspace, HSLColorspace, HSVColorspace, HWBColorspace,
+  LabColorspace, LCHColorspace, LinearGRAYColorspace, LogColorspace,
+  LuvColorspace, OHTAColorspace, Rec601YCbCrColorspace,
+  Rec709YCbCrColorspace, RGBColorspace, scRGBColorspace, sRGBColorspace,
+  TransparentColorspace, XYZColorspace, YCbCrColorspace, YCCColorspace,
+  YIQColorspace, YPbPrColorspace, YUVColorspace
+};
+
+enum GravityType {
+  UndefinedGravity, ForgetGravity, NorthWestGravity, NorthGravity,
+  NorthEastGravity, WestGravity, CenterGravity, EastGravity,
+  SouthWestGravity, SouthGravity, SouthEastGravity
+};
+
+enum NoiseType {
+  UndefinedNoise, UniformNoise, GaussianNoise, MultiplicativeGaussianNoise,
+  ImpulseNoise, LaplacianNoise, PoissonNoise, RandomNoise
+};
+
+enum MetricType {
+  UndefinedErrorMetric, AbsoluteErrorMetric, FuzzErrorMetric,
+  MeanAbsoluteErrorMetric, MeanErrorPerPixelErrorMetric,
+  MeanSquaredErrorMetric, NormalizedCrossCorrelationErrorMetric,
+  PeakAbsoluteErrorMetric, PeakSignalToNoiseRatioErrorMetric,
+  PerceptualHashErrorMetric, RootMeanSquaredErrorMetric,
+  StructuralSimilarityErrorMetric, StructuralDissimilarityErrorMetric
+};
+
+enum DistortMethod {
+  UndefinedDistortion, AffineDistortion, AffineProjectionDistortion,
+  ScaleRotateTranslateDistortion, PerspectiveDistortion,
+  PerspectiveProjectionDistortion, BilinearForwardDistortion,
+  BilinearReverseDistortion, PolynomialDistortion, ArcDistortion,
+  PolarDistortion, DePolarDistortion, Cylinder2PlaneDistortion,
+  Plane2CylinderDistortion, BarrelDistortion, BarrelInverseDistortion,
+  ShepardsDistortion
+};
+
+enum AlphaChannelOption {
+  UndefinedAlphaChannel, ActivateAlphaChannel, AssociateAlphaChannel,
+  BackgroundAlphaChannel, CopyAlphaChannel, DeactivateAlphaChannel,
+  DiscreteAlphaChannel, DisassociateAlphaChannel, ExtractAlphaChannel,
+  OffAlphaChannel, OnAlphaChannel, OpaqueAlphaChannel, RemoveAlphaChannel,
+  SetAlphaChannel, ShapeAlphaChannel, TransparentAlphaChannel
+};
+
+enum OrientationType {
+  UndefinedOrientation, TopLeftOrientation, TopRightOrientation,
+  BottomRightOrientation, BottomLeftOrientation, LeftTopOrientation,
+  RightTopOrientation, RightBottomOrientation, LeftBottomOrientation
+};
+
+enum MorphologyMethod {
+  UndefinedMorphology, ConvolveMorphology, CorrelateMorphology,
+  ErodeMorphology, DilateMorphology, ErodeIntensityMorphology,
+  DilateIntensityMorphology, OpenMorphology, CloseMorphology,
+  OpenIntensityMorphology, CloseIntensityMorphology, SmoothMorphology,
+  EdgeInMorphology, EdgeOutMorphology, EdgeMorphology, TopHatMorphology,
+  BottomHatMorphology, HitAndMissMorphology, ThinningMorphology,
+  ThickenMorphology, DistanceMorphology, IterativeDistanceMorphology
+};
+
+enum AutoThresholdMethod {
+  UndefinedThresholdMethod, KapurThresholdMethod, OTSUThresholdMethod,
+  TriangleThresholdMethod
+};
+
+enum StorageType {
+  UndefinedPixel, CharPixel, DoublePixel, FloatPixel, LongPixel,
+  ShortPixel
+};
+
+enum ImageType {
+  UndefinedType, BilevelType, GrayscaleType, GrayscaleAlphaType,
+  PaletteType, PaletteAlphaType, TrueColorType, TrueColorAlphaType,
+  ColorSeparationType, ColorSeparationAlphaType, OptimizeType,
+  PaletteBilevelAlphaType
+};
+
+enum EvaluateOperator {
+  UndefinedEvaluateOperator, AbsEvaluateOperator, AddEvaluateOperator,
+  AddModulusEvaluateOperator, AndEvaluateOperator, CosineEvaluateOperator,
+  DivideEvaluateOperator, ExponentialEvaluateOperator,
+  GaussianNoiseEvaluateOperator, LeftShiftEvaluateOperator,
+  LogEvaluateOperator, MaxEvaluateOperator, MeanEvaluateOperator,
+  MedianEvaluateOperator, MinEvaluateOperator, MultiplyEvaluateOperator,
+  OrEvaluateOperator, PowEvaluateOperator, RightShiftEvaluateOperator,
+  RootMeanSquareEvaluateOperator, SetEvaluateOperator, SineEvaluateOperator,
+  SubtractEvaluateOperator, ThresholdEvaluateOperator,
+  ThresholdBlackEvaluateOperator, ThresholdWhiteEvaluateOperator,
+  UniformNoiseEvaluateOperator, XorEvaluateOperator
+};
+
+// ---------------------------------------------------------------------------
+// Exceptions (Magick++/lib/Magick++/Exception.h)
+// ---------------------------------------------------------------------------
+
+class Exception : public std::exception {
+ public:
+  explicit Exception(const std::string& what) : what_(what) {}
+  ~Exception() throw() {}
+  const char* what() const throw() { return what_.c_str(); }
+
+ private:
+  std::string what_;
+};
+
+class Error : public Exception {
+ public:
+  explicit Error(const std::string& what) : Exception(what) {}
+};
+class Warning : public Exception {
+ public:
+  explicit Warning(const std::string& what) : Exception(what) {}
+};
+class ErrorOption : public Error {
+ public:
+  explicit ErrorOption(const std::string& what) : Error(what) {}
+};
+class ErrorBlob : public Error {
+ public:
+  explicit ErrorBlob(const std::string& what) : Error(what) {}
+};
+
+// ---------------------------------------------------------------------------
+// Geometry (Magick++/lib/Magick++/Geometry.h; string grammar per
+// MagickCore/geometry.c ParseGeometry: WxH+X+Y with %^!<>@ flags)
+// ---------------------------------------------------------------------------
+
+class Geometry {
+ public:
+  Geometry();
+  Geometry(size_t width, size_t height, magickpp_ssize_t xOff = 0,
+           magickpp_ssize_t yOff = 0);
+  Geometry(const std::string& geometry);
+  Geometry(const char* geometry);
+
+  size_t width() const { return width_; }
+  void width(size_t w) { width_ = w; isValid_ = true; }
+  size_t height() const { return height_; }
+  void height(size_t h) { height_ = h; isValid_ = true; }
+  magickpp_ssize_t xOff() const { return xOff_; }
+  void xOff(magickpp_ssize_t x) { xOff_ = x; }
+  magickpp_ssize_t yOff() const { return yOff_; }
+  void yOff(magickpp_ssize_t y) { yOff_ = y; }
+
+  bool percent() const { return percent_; }
+  void percent(bool p) { percent_ = p; }
+  bool aspect() const { return aspect_; }          // '!'
+  void aspect(bool a) { aspect_ = a; }
+  bool greater() const { return greater_; }        // '>'
+  void greater(bool g) { greater_ = g; }
+  bool less() const { return less_; }              // '<'
+  void less(bool l) { less_ = l; }
+  bool fillArea() const { return fillArea_; }      // '^'
+  void fillArea(bool f) { fillArea_ = f; }
+  bool limitPixels() const { return limitPixels_; }  // '@'
+  void limitPixels(bool l) { limitPixels_ = l; }
+
+  bool isValid() const { return isValid_; }
+  void isValid(bool v) { isValid_ = v; }
+
+  operator std::string() const;  // format back to "WxH+X+Y" + flags
+
+ private:
+  void parse(const std::string& geometry);
+
+  size_t width_, height_;
+  magickpp_ssize_t xOff_, yOff_;
+  bool percent_, aspect_, greater_, less_, fillArea_, limitPixels_;
+  bool isValid_;
+};
+
+// ---------------------------------------------------------------------------
+// Color (Magick++/lib/Magick++/Color.h) — components are Quantum-scaled
+// doubles in [0, QuantumRange]; named colors resolve through the
+// framework's color database (core/color.py, MagickCore/color.c table).
+// ---------------------------------------------------------------------------
+
+class Color {
+ public:
+  Color();
+  Color(double red, double green, double blue);           // Quantum scale
+  Color(double red, double green, double blue, double alpha);
+  Color(const std::string& name);
+  Color(const char* name);
+
+  double quantumRed() const { return r_ * QuantumRange; }
+  double quantumGreen() const { return g_ * QuantumRange; }
+  double quantumBlue() const { return b_ * QuantumRange; }
+  double quantumAlpha() const { return a_ * QuantumRange; }
+  void quantumRed(double q) { r_ = q / QuantumRange; valid_ = true; }
+  void quantumGreen(double q) { g_ = q / QuantumRange; valid_ = true; }
+  void quantumBlue(double q) { b_ = q / QuantumRange; valid_ = true; }
+  void quantumAlpha(double q) { a_ = q / QuantumRange; valid_ = true; }
+
+  bool isValid() const { return valid_; }
+  operator std::string() const;  // "rgba(r,g,b,a)" 0-255 / 0-1 form
+
+  bool operator==(const Color& other) const;
+  bool operator!=(const Color& other) const { return !(*this == other); }
+
+  // normalized [0,1] accessors (framework-native scale)
+  double red() const { return r_; }
+  double green() const { return g_; }
+  double blue() const { return b_; }
+  double alpha() const { return a_; }
+
+ private:
+  double r_, g_, b_, a_;
+  bool valid_;
+};
+
+class ColorRGB : public Color {
+ public:
+  ColorRGB(double red, double green, double blue)
+      : Color(red * QuantumRange, green * QuantumRange, blue * QuantumRange) {}
+};
+
+class ColorGray : public Color {
+ public:
+  explicit ColorGray(double shade)
+      : Color(shade * QuantumRange, shade * QuantumRange,
+              shade * QuantumRange) {}
+};
+
+class ColorMono : public Color {
+ public:
+  explicit ColorMono(bool white)
+      : Color(white ? QuantumRange : 0, white ? QuantumRange : 0,
+              white ? QuantumRange : 0) {}
+};
+
+// ---------------------------------------------------------------------------
+// Blob (Magick++/lib/Magick++/Blob.h)
+// ---------------------------------------------------------------------------
+
+class Blob {
+ public:
+  Blob() {}
+  Blob(const void* data, size_t length)
+      : data_(static_cast<const unsigned char*>(data),
+              static_cast<const unsigned char*>(data) + length) {}
+
+  void update(const void* data, size_t length) {
+    data_.assign(static_cast<const unsigned char*>(data),
+                 static_cast<const unsigned char*>(data) + length);
+  }
+  const void* data() const { return data_.empty() ? 0 : &data_[0]; }
+  size_t length() const { return data_.size(); }
+
+ private:
+  std::vector<unsigned char> data_;
+};
+
+// ---------------------------------------------------------------------------
+// Image (Magick++/lib/Magick++/Image.h) — every method dispatches onto the
+// embedded framework's MagickWand (wand/api.py).
+// ---------------------------------------------------------------------------
+
+struct ImageRef;  // pimpl: hides PyObject* from the public header
+
+class Image {
+ public:
+  Image();
+  Image(const std::string& imageSpec);               // read on construct
+  Image(const Geometry& size, const Color& color);   // solid canvas
+  explicit Image(const Blob& blob);
+  Image(const Image& other);                          // deep copy (clone)
+  Image& operator=(const Image& other);
+  ~Image();
+
+  // --- I/O ---
+  void read(const std::string& imageSpec);
+  void read(const Blob& blob);
+  void read(const Geometry& size, const std::string& imageSpec);
+  void ping(const std::string& imageSpec);
+  void write(const std::string& imageSpec);
+  void write(Blob* blob);
+  void write(Blob* blob, const std::string& magick);
+
+  // --- attributes ---
+  size_t columns() const;
+  size_t rows() const;
+  Geometry size() const;
+  void size(const Geometry& g);                       // canvas resize/extent
+  size_t depth() const;
+  void depth(size_t d);
+  std::string magick() const;
+  void magick(const std::string& m);
+  std::string fileName() const;
+  void fileName(const std::string& name);
+  size_t quality() const;
+  void quality(size_t q);
+  ColorspaceType colorSpace() const;
+  void colorSpace(ColorspaceType cs);
+  std::string colorSpaceName() const;
+  ImageType type() const;
+  void type(ImageType t);
+  bool alpha() const;
+  void alpha(bool enable);
+  void alphaChannel(AlphaChannelOption option);
+  double colorFuzz() const;
+  void colorFuzz(double fuzz);
+  Color backgroundColor() const;
+  void backgroundColor(const Color& c);
+  Color borderColor() const;
+  void borderColor(const Color& c);
+  Color matteColor() const;
+  void matteColor(const Color& c);
+  std::string font() const;
+  void font(const std::string& f);
+  double fontPointsize() const;
+  void fontPointsize(double p);
+  FilterType filterType() const;
+  void filterType(FilterType f);
+  GravityType gravity() const;
+  void gravity(GravityType g);
+  std::string label() const;
+  void label(const std::string& l);
+  std::string comment() const;
+  void comment(const std::string& c);
+  OrientationType orientation() const;
+  void orientation(OrientationType o);
+  Geometry page() const;
+  void page(const Geometry& g);
+  size_t animationDelay() const;
+  void animationDelay(size_t d);
+  double gamma() const;
+  size_t totalColors() const;
+  std::string signature() const;
+  std::string attribute(const std::string& name) const;
+  void attribute(const std::string& name, const std::string& value);
+  std::string artifact(const std::string& name) const;
+  void artifact(const std::string& name, const std::string& value);
+  void defineValue(const std::string& magick, const std::string& key,
+                   const std::string& value);
+  std::string defineValue(const std::string& magick,
+                          const std::string& key) const;
+  Geometry boundingBox() const;
+  size_t fileSize() const;
+  std::string format() const;  // descriptive format name
+  double xResolution() const;
+  double yResolution() const;
+  void resolutionUnits(const std::string& units);
+  void density(const Geometry& g);
+
+  // --- profiles / metadata ---
+  void profile(const std::string& name, const Blob& profileBlob);
+  Blob profile(const std::string& name) const;
+  Blob exifProfile() const;
+  Blob iccColorProfile() const;
+  void strip();
+
+  // --- geometry ops ---
+  void resize(const Geometry& g);
+  void resize(const Geometry& g, FilterType filter);
+  void adaptiveResize(const Geometry& g);
+  void scale(const Geometry& g);
+  void sample(const Geometry& g);
+  void thumbnail(const Geometry& g);
+  void zoom(const Geometry& g);
+  void magnify();
+  void minify();
+  void liquidRescale(const Geometry& g);
+  void crop(const Geometry& g);
+  void chop(const Geometry& g);
+  void extent(const Geometry& g);
+  void extent(const Geometry& g, const Color& background);
+  void extent(const Geometry& g, GravityType gravity);
+  void shave(const Geometry& g);
+  void splice(const Geometry& g);
+  void roll(const Geometry& roll);
+  void roll(size_t columns, size_t rows);
+  void trim();
+  void border(const Geometry& g);
+  void frame(const Geometry& g);
+  void flip();
+  void flop();
+  void transpose();
+  void transverse();
+  void rotate(double degrees);
+  void shear(double xShear, double yShear);
+  void deskew(double threshold);
+  void autoOrient();
+  void repage();
+
+  // --- filters / effects ---
+  void blur(double radius = 0.0, double sigma = 1.0);
+  void gaussianBlur(double radius, double sigma);
+  void adaptiveBlur(double radius = 0.0, double sigma = 1.0);
+  void motionBlur(double radius, double sigma, double angle);
+  void rotationalBlur(double angle);
+  void selectiveBlur(double radius, double sigma, double threshold);
+  void sharpen(double radius = 0.0, double sigma = 1.0);
+  void adaptiveSharpen(double radius = 0.0, double sigma = 1.0);
+  void unsharpmask(double radius, double sigma, double amount,
+                   double threshold);
+  void despeckle();
+  void reduceNoise();
+  void reduceNoise(size_t order);
+  void medianFilter(double radius = 0.0);
+  void edge(double radius = 0.0);
+  void emboss(double radius = 0.0, double sigma = 1.0);
+  void shade(double azimuth = 30, double elevation = 30,
+             bool colorShading = false);
+  void spread(double amount = 3.0);
+  void charcoal(double radius = 0.0, double sigma = 1.0);
+  void oilPaint(double radius = 3.0);
+  void sketch(double radius = 0.0, double sigma = 1.0, double angle = 0.0);
+  void vignette(double radius = 0.0, double sigma = 10.0,
+                magickpp_ssize_t x = 0, magickpp_ssize_t y = 0);
+  void wave(double amplitude = 25.0, double wavelength = 150.0);
+  void swirl(double degrees);
+  void implode(double factor);
+  void solarize(double factor = 50.0);
+  void sepiaTone(double threshold);
+  void blueShift(double factor = 1.5);
+  void addNoise(NoiseType noiseType, double attenuate = 1.0);
+  void colorize(unsigned int alpha, const Color& penColor);
+  void tint(const std::string& opacity, const Color& penColor);
+  void shadow(double alpha = 80.0, double sigma = 3.0,
+              magickpp_ssize_t x = 5, magickpp_ssize_t y = 5);
+  void polaroid(const std::string& caption, double angle);
+  void waveletDenoise(double threshold, double softness);
+  void kuwahara(double radius = 1.0, double sigma = 0.0);
+  void localContrast(double radius, double strength);
+  void convolve(size_t order, const double* kernel);
+  void morphology(MorphologyMethod method, const std::string& kernel,
+                  magickpp_ssize_t iterations = 1);
+  void statistic(const std::string& type, size_t width, size_t height);
+
+  // --- enhancement ---
+  void normalize();
+  void equalize();
+  void autoLevel();
+  void autoGamma();
+  void gamma(double g);
+  void gamma(double r, double g, double b);
+  void level(double blackPoint, double whitePoint, double gamma = 1.0);
+  void levelize(double blackPoint, double whitePoint, double gamma = 1.0);
+  void negate(bool grayscale = false);
+  void modulate(double brightness, double saturation, double hue);
+  void brightnessContrast(double brightness = 0.0, double contrast = 0.0);
+  void contrast(bool sharpen);
+  void contrastStretch(double blackPoint, double whitePoint);
+  void linearStretch(double blackPoint, double whitePoint);
+  void sigmoidalContrast(bool sharpen, double contrast,
+                         double midpoint = QuantumRange / 2.0);
+  void clahe(size_t width, size_t height, size_t bins, double clipLimit);
+  void enhance();
+  void whiteBalance();
+  void cdl(const std::string& cdl);
+
+  // --- thresholds / quantization ---
+  void threshold(double t);
+  void blackThreshold(const std::string& t);
+  void whiteThreshold(const std::string& t);
+  void adaptiveThreshold(size_t width, size_t height, double bias = 0.0);
+  void autoThreshold(AutoThresholdMethod method);
+  void randomThreshold(double low, double high);
+  void orderedDither(const std::string& thresholdMap);
+  void posterize(size_t levels, bool dither = false);
+  void quantize(bool measureError = false);
+  size_t quantizeColors() const;
+  void quantizeColors(size_t n);
+  bool quantizeDither() const;
+  void quantizeDither(bool d);
+  void segment(double clusterThreshold = 1.0,
+               double smoothingThreshold = 1.5);
+  void clamp();
+
+  // --- color ---
+  void opaque(const Color& target, const Color& fill);
+  void transparent(const Color& target, double alpha = 0.0);
+  void floodFillColor(const Geometry& point, const Color& fill,
+                      double fuzz = 0.0);
+  Color pixelColor(magickpp_ssize_t x, magickpp_ssize_t y) const;
+  void pixelColor(magickpp_ssize_t x, magickpp_ssize_t y, const Color& c);
+  void colorMatrix(size_t order, const double* matrix);
+  void cycleColormap(magickpp_ssize_t amount);
+
+  // --- composition / drawing / annotation ---
+  void composite(const Image& compositeImage, magickpp_ssize_t x,
+                 magickpp_ssize_t y,
+                 CompositeOperator compose = InCompositeOp);
+  void composite(const Image& compositeImage, const Geometry& offset,
+                 CompositeOperator compose = InCompositeOp);
+  void composite(const Image& compositeImage, GravityType gravity,
+                 CompositeOperator compose = InCompositeOp);
+  void draw(const std::string& mvg);  // MVG primitive string
+  void annotate(const std::string& text, const Geometry& location);
+  void annotate(const std::string& text, GravityType gravity);
+  void stegano(const Image& watermark);
+  void stereo(const Image& rightImage);
+  void texture(const Image& texture);
+
+  // --- analysis ---
+  double compare(const Image& reference, MetricType metric) const;
+  bool compare(const Image& reference) const;
+  void cannyEdge(double radius = 0.0, double sigma = 1.0,
+                 double lowerPercent = 0.1, double upperPercent = 0.3);
+  void connectedComponents(size_t connectivity);
+  void meanShift(size_t width, size_t height, double colorDistance);
+  double meanErrorPerPixel() const;
+  double normalizedMaxError() const;
+  double normalizedMeanError() const;
+
+  // --- transforms / misc ---
+  void distort(DistortMethod method, size_t numberArguments,
+               const double* arguments, bool bestfit = false);
+  void affineTransform(const double* sx_rx_ry_sy_tx_ty);
+  void fx(const std::string& expression);
+  void evaluate(EvaluateOperator op, double value);
+  void encipher(const std::string& passphrase);
+  void decipher(const std::string& passphrase);
+  void transformColorSpace(ColorspaceType cs);
+  void grayscale(const std::string& method = "rec709luma");
+  void flatten();
+
+  // --- pixel access (Magick++/lib/Magick++/Pixels.h role) ---
+  // Returns an RGBA float32 buffer (normalized [0,1]) owned by the Image;
+  // valid until the next mutating call.  syncPixels() writes it back.
+  const float* getConstPixels(magickpp_ssize_t x, magickpp_ssize_t y,
+                              size_t width, size_t height) const;
+  float* getPixels(magickpp_ssize_t x, magickpp_ssize_t y, size_t width,
+                   size_t height);
+  void syncPixels();
+  void readPixels(StorageType storage, const std::string& map,
+                  const void* pixels);
+  void writePixels(StorageType storage, const std::string& map,
+                   void* pixels) const;
+
+  bool isValid() const;
+
+  ImageRef* ref() const { return ref_; }  // internal
+
+ private:
+  ImageRef* ref_;
+};
+
+// ---------------------------------------------------------------------------
+// Functions (Magick++/lib/Magick++/Functions.h)
+// ---------------------------------------------------------------------------
+
+void InitializeMagick(const char* path = 0);
+void TerminateMagick();
+
+// Enum <-> framework-string conversion helpers (internal but exported for
+// tests): the framework speaks lowercase option strings everywhere.
+std::string toString(FilterType f);
+std::string toString(CompositeOperator op);
+std::string toString(ColorspaceType cs);
+std::string toString(GravityType g);
+std::string toString(NoiseType n);
+std::string toString(MetricType m);
+std::string toString(DistortMethod d);
+std::string toString(MorphologyMethod m);
+
+}  // namespace Magick
+
+#endif  // MAGICKPP_TPU_H

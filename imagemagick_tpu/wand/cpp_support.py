@@ -1,0 +1,226 @@
+"""Glue helpers for the Magick++ compatibility layer (native/magickpp).
+
+The embedded C++ binding (native/magickpp/magickpp.cpp) keeps its dispatch
+thin: anything needing geometry resolution, numpy staging, or multi-call
+sequences lands here instead of being spelled out in C API calls.  Mirrors
+the roles of Magick++/lib/Image.cpp's option plumbing around MagickCore
+calls (/root/reference/Magick++/lib/Image.cpp).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..core import color as core_color
+from ..core import geometry as geo
+
+
+def parse_color_rgba(name: str) -> Tuple[float, float, float, float]:
+    r, g, b, a = core_color.parse_color(name)
+    return float(r), float(g), float(b), float(a)
+
+
+def resolve_meta_geometry(wand, geometry: str) -> Tuple[int, int, int, int]:
+    """ParseMetaGeometry against the wand's current image dims."""
+    w, h, x, y = geo.parse_meta_geometry(
+        geometry, wand.get_image_width(), wand.get_image_height())
+    return int(w), int(h), int(x), int(y)
+
+
+def parse_geometry_raw(geometry: str) -> Tuple[int, int, int, int]:
+    g = geo.parse_geometry(geometry)
+    return (int(g.width or 0), int(g.height or 0), int(g.x or 0),
+            int(g.y or 0))
+
+
+def gravity_offset(gravity: str, bg_w: int, bg_h: int, fg_w: int,
+                   fg_h: int) -> Tuple[int, int]:
+    """Top-left placement offset for a gravity name (GravityAdjustGeometry)."""
+    g = (gravity or "undefined").lower()
+    if "west" in g:
+        x = 0
+    elif "east" in g:
+        x = bg_w - fg_w
+    elif g in ("center", "north", "south"):
+        x = (bg_w - fg_w) // 2
+    else:
+        x = 0
+    if "north" in g:
+        y = 0
+    elif "south" in g:
+        y = bg_h - fg_h
+    elif g in ("center", "west", "east"):
+        y = (bg_h - fg_h) // 2
+    else:
+        y = 0
+    return int(x), int(y)
+
+
+def composite_gravity(wand, src_wand, operator: str, gravity: str):
+    old = wand.gravity
+    try:
+        wand.gravity = gravity
+        wand.composite_image(src_wand, operator, 0, 0)
+    finally:
+        wand.gravity = old
+
+
+def extent_gravity(wand, width: int, height: int, gravity: str,
+                   background: str = None):
+    """MagickExtentImage with gravity-resolved offsets."""
+    x, y = gravity_offset(gravity, width, height, wand.get_image_width(),
+                          wand.get_image_height())
+    if background is not None:
+        old = wand.background
+        from .api import PixelWand
+
+        wand.background = PixelWand(background)
+        try:
+            wand.extent_image(width, height, -x, -y)
+        finally:
+            wand.background = old
+    else:
+        wand.extent_image(width, height, -x, -y)
+
+
+def annotate(wand, text: str, geometry: str, gravity: str,
+             pointsize: float, font: str):
+    """Gravity/offset-aware text annotation (Magick++ Image::annotate)."""
+    W, H = wand.get_image_width(), wand.get_image_height()
+    x, y = 0, 0
+    if geometry:
+        g = geo.parse_geometry(geometry)
+        x, y = int(g.x or 0), int(g.y or 0)
+    m = wand.query_font_metrics(None, text)
+    tw = int(m.get("width", pointsize * len(text) * 0.6))
+    th = int(m.get("height", pointsize))
+    gx, gy = gravity_offset(gravity or "northwest", W, H, tw, th)
+    old_ps, old_font = wand.pointsize, wand.font
+    try:
+        wand.pointsize = pointsize
+        if font:
+            wand.font = font
+        wand.annotate_image(None, gx + x, gy + y + th * 0.8, 0.0, text)
+    finally:
+        wand.pointsize, wand.font = old_ps, old_font
+
+
+def bounding_box(wand) -> Tuple[int, int, int, int]:
+    from ..ops import attribute as attr
+
+    x0, y0, w, h = attr.bounding_box(wand.current.data, fuzz=wand.fuzz)
+    return int(w), int(h), int(x0), int(y0)
+
+
+def export_rgba_f32(wand, x: int, y: int, width: int, height: int) -> bytes:
+    arr = wand.export_image_pixels(x, y, width, height, "RGBA", "float")
+    return np.ascontiguousarray(arr, dtype=np.float32).tobytes()
+
+
+def import_rgba_f32(wand, x: int, y: int, width: int, height: int,
+                    buf: bytes):
+    arr = np.frombuffer(buf, dtype=np.float32).reshape(height, width, 4)
+    wand.import_image_pixels(x, y, width, height, "RGBA", arr)
+
+
+def export_map(wand, storage: str, channel_map: str) -> bytes:
+    arr = wand.export_image_pixels(0, 0, wand.get_image_width(),
+                                   wand.get_image_height(), channel_map,
+                                   storage)
+    return np.ascontiguousarray(arr).tobytes()
+
+
+def import_map(wand, storage: str, channel_map: str, buf: bytes):
+    dtype = {"char": np.uint8, "uint8": np.uint8, "short": np.uint16,
+             "uint16": np.uint16, "float": np.float32,
+             "double": np.float64}[storage]
+    w, h = wand.get_image_width(), wand.get_image_height()
+    arr = np.frombuffer(buf, dtype=dtype).reshape(h, w, len(channel_map))
+    wand.import_image_pixels(0, 0, w, h, channel_map, arr)
+
+
+def compare_stats(wand, ref_wand) -> Tuple[float, float, float]:
+    """(meanErrorPerPixel, normalizedMeanError, normalizedMaxError)."""
+    mae = wand.get_image_distortion(ref_wand, "mae")
+    mse = wand.get_image_distortion(ref_wand, "mse")
+    pae = wand.get_image_distortion(ref_wand, "pae")
+    return float(mae * 65535.0), float(mse), float(pae)
+
+
+def convolve(wand, order: int, csv: str):
+    vals = [float(v) for v in csv.split(",") if v.strip()]
+    kernel = [vals[r * order:(r + 1) * order] for r in range(order)]
+    wand.convolve_image(kernel)
+
+
+def color_matrix(wand, order: int, csv: str):
+    vals = [float(v) for v in csv.split(",") if v.strip()]
+    matrix = [vals[r * order:(r + 1) * order] for r in range(order)]
+    wand.color_matrix_image(matrix)
+
+
+def distort(wand, method: str, csv: str, bestfit: bool):
+    args = [float(v) for v in csv.split(",") if v.strip()]
+    wand.distort_image(method, args, bestfit)
+
+
+def affine_transform(wand, csv: str):
+    vals = [float(v) for v in csv.split(",") if v.strip()]
+    wand.affine_transform_image(vals)
+
+
+def gamma_rgb(wand, r: float, g: float, b: float):
+    """Per-channel gamma (GammaImage channel form)."""
+    import jax.numpy as jnp
+
+    img = wand.current
+    gams = jnp.array([r, g, b], jnp.float32)
+    nc = min(3, img.data.shape[-1])
+    safe = jnp.maximum(img.data[..., :nc], 1e-12)
+    data = img.data.at[..., :nc].set(
+        jnp.power(safe, 1.0 / gams[:nc]))
+    wand._set_current(img.replace(data=data))
+
+
+def merge_layers(wand, method: str):
+    """In-place flatten/merge (Magick++ has no multi-wand return)."""
+    merged = wand.merge_image_layers(method)
+    wand.images = merged.images
+    wand.iterator = 0
+
+
+def set_setting(wand, key: str, value: str):
+    wand.settings[key] = value
+
+
+def image_region_colors(wand) -> int:
+    return int(wand.get_image_colors())
+
+
+def stegano(wand, watermark_wand, offset: int = 0):
+    out = wand.stegano_image(watermark_wand, offset)
+    wand.images = out.images
+    wand.iterator = 0
+
+
+def stereo(wand, right_wand):
+    out = wand.stereo_image(right_wand)
+    wand.images = out.images
+    wand.iterator = 0
+
+
+def texture(wand, texture_wand):
+    out = wand.texture_image(texture_wand)
+    wand.images = out.images
+    wand.iterator = 0
+
+
+def connected_components(wand, connectivity: int):
+    wand.connected_components_image(connectivity)
+
+
+def ping(wand, filename: str):
+    """Lightweight metadata read (MagickPingImage analog)."""
+    wand.ping_image(filename)

@@ -1,0 +1,155 @@
+// End-to-end exercise of the Magick++ compatibility layer (built and run
+// by tests/test_magickpp.py).  Prints "key=value" lines for the test to
+// assert against; exits nonzero on any Magick::Exception.
+
+#include <Magick++.h>
+
+#include <cstdio>
+#include <cstring>
+
+using namespace Magick;
+
+int main(int argc, char** argv) {
+  const char* outdir = argc > 1 ? argv[1] : ".";
+  try {
+    InitializeMagick(argv[0]);
+
+    // Geometry value semantics (pure C++, no interpreter involved)
+    Geometry g("120x80+5-7!");
+    printf("geom_w=%zu\n", g.width());
+    printf("geom_h=%zu\n", g.height());
+    printf("geom_x=%ld\n", (long)g.xOff());
+    printf("geom_y=%ld\n", (long)g.yOff());
+    printf("geom_aspect=%d\n", g.aspect() ? 1 : 0);
+    printf("geom_str=%s\n", std::string(g).c_str());
+
+    // Color: named colors resolve through the framework's color DB
+    Color red("red");
+    printf("red_q=%g\n", red.quantumRed());
+    printf("green_q=%g\n", red.quantumGreen());
+
+    // Canvas construction + attributes
+    Image canvas(Geometry(64, 48), Color("white"));
+    printf("cols=%zu\n", canvas.columns());
+    printf("rows=%zu\n", canvas.rows());
+
+    // Pseudo-coder read + pipeline ops
+    Image img("gradient:black-white");
+    img.resize(Geometry("32x32!"));
+    printf("resized=%zux%zu\n", img.columns(), img.rows());
+    img.gaussianBlur(0.0, 1.0);
+    img.negate();
+    img.flip();
+    img.normalize();
+    img.colorSpace(GRAYColorspace);
+    printf("colorspace=%s\n", img.colorSpaceName().c_str());
+
+    // Pixel access round trip
+    Image px(Geometry(8, 8), Color("black"));
+    px.pixelColor(3, 4, Color("red"));
+    Color got = px.pixelColor(3, 4);
+    printf("pixel_r=%d\n", (int)(got.quantumRed() / QuantumRange * 255 + 0.5));
+    printf("pixel_g=%d\n", (int)(got.quantumGreen() / QuantumRange * 255 + 0.5));
+
+    const float* buf = px.getConstPixels(0, 0, 8, 8);
+    printf("buf34_r=%g\n", buf[(4 * 8 + 3) * 4 + 0]);
+
+    float* wbuf = px.getPixels(0, 0, 8, 8);
+    wbuf[(0 * 8 + 0) * 4 + 2] = 1.0f;  // blue channel of (0,0)
+    px.syncPixels();
+    Color b00 = px.pixelColor(0, 0);
+    printf("sync_b=%d\n", (int)(b00.quantumBlue() / QuantumRange * 255 + 0.5));
+
+    // Composite + gravity
+    Image base(Geometry(32, 32), Color("blue"));
+    Image overlay(Geometry(8, 8), Color("yellow"));
+    base.composite(overlay, CenterGravity, OverCompositeOp);
+    Color mid = base.pixelColor(16, 16);
+    printf("comp_r=%d\n", (int)(mid.quantumRed() / QuantumRange * 255 + 0.5));
+
+    // Compare: identical images have zero distortion
+    Image a(Geometry(16, 16), Color("gray20"));
+    Image b = a;  // deep copy
+    printf("rmse_same=%g\n", a.compare(b, RootMeanSquaredErrorMetric));
+    b.negate();
+    double d = a.compare(b, RootMeanSquaredErrorMetric);
+    printf("rmse_diff_pos=%d\n", d > 0.01 ? 1 : 0);
+
+    // Draw + annotate
+    Image dr(Geometry(40, 40), Color("white"));
+    dr.draw("fill red rectangle 5,5 20,20");
+    Color r10 = dr.pixelColor(10, 10);
+    printf("draw_r=%d\n", (int)(r10.quantumRed() / QuantumRange * 255 + 0.5));
+    printf("draw_g=%d\n", (int)(r10.quantumGreen() / QuantumRange * 255 + 0.5));
+    dr.annotate("Hi", Geometry(0, 0, 2, 2));
+
+    // Effects smoke: each must run without throwing
+    Image fx1("gradient:red-blue");
+    fx1.resize(Geometry("24x24!"));
+    fx1.charcoal(0, 1.0);
+    fx1.edge(1.0);
+    fx1.emboss(0, 1.0);
+    fx1.oilPaint(2.0);
+    fx1.sepiaTone(0.8 * QuantumRange);
+    fx1.solarize(0.5 * QuantumRange);
+    fx1.swirl(45.0);
+    fx1.implode(0.3);
+    fx1.addNoise(GaussianNoise);
+    fx1.blur(0, 1.0);
+    fx1.sharpen(0, 1.0);
+    fx1.unsharpmask(0, 1.0, 1.0, 0.02);
+    fx1.despeckle();
+    fx1.medianFilter(1.0);
+    fx1.equalize();
+    fx1.gamma(1.2);
+    fx1.level(0.05 * QuantumRange, 0.95 * QuantumRange, 1.0);
+    fx1.modulate(110, 90, 100);
+    fx1.brightnessContrast(5, 5);
+    fx1.sigmoidalContrast(true, 3.0);
+    fx1.contrastStretch(0.02, 0.01);
+    fx1.threshold(0.5 * QuantumRange);
+    fx1.trim();
+    printf("effects_ok=1\n");
+
+    // evaluate / fx expression VM
+    Image ev(Geometry(8, 8), Color("gray50"));
+    ev.evaluate(MultiplyEvaluateOperator, 0.5);
+    ev.fx("u*2");
+    printf("fx_ok=1\n");
+
+    // File + blob I/O round trip
+    std::string path = std::string(outdir) + "/magickpp_demo.png";
+    Image out("gradient:green-black");
+    out.resize(Geometry("20x10!"));
+    out.write(path);
+    Image back(path);
+    printf("io_roundtrip=%zux%zu\n", back.columns(), back.rows());
+
+    Blob blob;
+    out.magick("png");
+    out.write(&blob);
+    printf("blob_len_pos=%d\n", blob.length() > 100 ? 1 : 0);
+    Image fromBlob(blob);
+    printf("blob_cols=%zu\n", fromBlob.columns());
+
+    // Attribute/property + signature
+    out.attribute("demo:note", "tpu");
+    printf("attr=%s\n", out.attribute("demo:note").c_str());
+    printf("siglen=%zu\n", out.signature().size());
+
+    // Exceptions surface as Magick::Exception
+    int threw = 0;
+    try {
+      Image bad("/nonexistent/nope.png");
+    } catch (const Exception& e) {
+      threw = 1;
+    }
+    printf("throws=%d\n", threw);
+
+    printf("done=1\n");
+    return 0;
+  } catch (const Exception& e) {
+    fprintf(stderr, "MagickException: %s\n", e.what());
+    return 1;
+  }
+}

@@ -1,0 +1,118 @@
+"""Magick++ compatibility layer: build the C++ binding, compile and run a
+demo program against it, and assert its behavior end-to-end.
+
+Covers the §2.8 Magick++ role (/root/reference/Magick++/lib): Geometry /
+Color value classes, Image pipeline methods, pixel access, composition,
+compare, I/O (file + Blob), properties, and exception mapping — all running
+through the embedded framework.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEMO = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "magickpp_demo.cpp")
+
+
+def _have_toolchain():
+    return shutil.which("g++") is not None
+
+
+@pytest.fixture(scope="module")
+def demo_output(tmp_path_factory):
+    if not _have_toolchain():
+        pytest.skip("g++ unavailable")
+    from imagemagick_tpu.native.magickpp import build
+
+    tmp = tmp_path_factory.mktemp("magickpp")
+    exe = str(tmp / "demo")
+    build.compile_program(DEMO, exe)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([exe, str(tmp)], capture_output=True, text=True,
+                       timeout=600, env=env)
+    assert r.returncode == 0, f"demo failed:\n{r.stdout}\n{r.stderr}"
+    out = {}
+    for line in r.stdout.splitlines():
+        if "=" in line:
+            k, v = line.split("=", 1)
+            out[k] = v
+    return out, tmp
+
+
+def test_geometry_values(demo_output):
+    out, _ = demo_output
+    assert out["geom_w"] == "120"
+    assert out["geom_h"] == "80"
+    assert out["geom_x"] == "5"
+    assert out["geom_y"] == "-7"
+    assert out["geom_aspect"] == "1"
+    assert out["geom_str"] == "120x80+5-7!"
+
+
+def test_named_color_resolves(demo_output):
+    out, _ = demo_output
+    assert float(out["red_q"]) == pytest.approx(65535.0, rel=1e-3)
+    assert float(out["green_q"]) == pytest.approx(0.0, abs=1.0)
+
+
+def test_canvas_and_resize(demo_output):
+    out, _ = demo_output
+    assert out["cols"] == "64" and out["rows"] == "48"
+    assert out["resized"] == "32x32"
+    assert out["colorspace"] == "gray"
+
+
+def test_pixel_roundtrip(demo_output):
+    out, _ = demo_output
+    assert out["pixel_r"] == "255"
+    assert out["pixel_g"] == "0"
+    assert float(out["buf34_r"]) == pytest.approx(1.0, abs=1e-3)
+    assert out["sync_b"] == "255"
+
+
+def test_composite_gravity(demo_output):
+    out, _ = demo_output
+    # yellow overlay centered on blue base: red channel at center is 255
+    assert out["comp_r"] == "255"
+
+
+def test_compare(demo_output):
+    out, _ = demo_output
+    assert float(out["rmse_same"]) == pytest.approx(0.0, abs=1e-6)
+    assert out["rmse_diff_pos"] == "1"
+
+
+def test_draw(demo_output):
+    out, _ = demo_output
+    assert out["draw_r"] == "255"
+    assert out["draw_g"] == "0"
+
+
+def test_effects_and_fx(demo_output):
+    out, _ = demo_output
+    assert out["effects_ok"] == "1"
+    assert out["fx_ok"] == "1"
+
+
+def test_io_roundtrip(demo_output):
+    out, tmp = demo_output
+    assert out["io_roundtrip"] == "20x10"
+    assert out["blob_len_pos"] == "1"
+    assert out["blob_cols"] == "20"
+    assert (tmp / "magickpp_demo.png").exists()
+
+
+def test_properties_signature_exceptions(demo_output):
+    out, _ = demo_output
+    assert out["attr"] == "tpu"
+    assert out["siglen"] == "64"
+    assert out["throws"] == "1"
+    assert out["done"] == "1"
