@@ -19,8 +19,8 @@ from typing import List, Optional, Union
 import numpy as np
 
 from ..core.image import Image
-from . import (codecs, delegates, exr, extra_coders, formats2, miff, mpc,
-               pnm, pseudo)
+from . import (codecs, delegates, exr, extra_coders, formats2, formats3,
+               miff, mpc, pnm, pseudo)
 from ..core.geometry import parse_geometry
 
 __all__ = ["read_image", "read_images", "write_image", "image_from_blob",
@@ -52,6 +52,8 @@ _MAGIC = [
     (b"L32F", "fl32"),
     (b"LBLSIZE=", "vicar"),
     (b"\x59\xa6\x6a\x95", "sun"),
+    (b"MATLAB 5.0 MAT-file", "mat"),
+    (b"\xab\x01", "viff"),
 ]
 
 _PSEUDO = {
@@ -228,6 +230,12 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [formats2.decode_otb(data)]
     elif use in ("fax", "g3"):
         images = [formats2.decode_fax(data)]
+    elif use == "mat":
+        images = formats3.decode_mat(data)
+    elif use in ("viff", "xv", "vif"):
+        images = [formats3.decode_viff(data)]
+    elif use == "rla":
+        images = [formats3.decode_rla(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -352,15 +360,23 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats2.encode_vicar(images[0])
     if fmt == "sun":
         return formats2.encode_sun(images[0])
+    if fmt == "mat":
+        return formats3.encode_mat(images[0])
+    if fmt in ("viff", "xv", "vif"):
+        return formats3.encode_viff(images[0])
+    if fmt == "rla":
+        return formats3.encode_rla(images[0])
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
-# native round-2 coders (io/formats2.py)
+# native round-2 coders (io/formats2.py + formats3.py)
 _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
-                  "wbmp", "avs", "mtv", "fl32", "vicar", "vic", "otb", "fax", "g3"}
+                  "wbmp", "avs", "mtv", "fl32", "vicar", "vic", "otb",
+                  "fax", "g3", "mat", "viff", "xv", "rla"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
-                   "cmyk", "ycbcr", "uyvy", "fax", "g3"}
+                   "cmyk", "ycbcr", "uyvy", "fax", "g3", "mat", "viff",
+                   "xv", "rla"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

@@ -1,0 +1,458 @@
+"""Round-2 coder tail: scientific/VFX interchange formats.
+
+Pure-Python (numpy) wire-format implementations, re-derived from the
+public specs the reference coders implement (not translated from the C):
+
+  MAT   read/write  (/root/reference/coders/mat.c — MATLAB level-4 and
+                     level-5 MAT-files, incl. zlib-compressed miMATRIX)
+  VIFF  read/write  (/root/reference/coders/viff.c — Khoros Visualization
+                     1024-byte header, planar bands, both byte orders)
+  RLA   read/write  (/root/reference/coders/rla.c — Wavefront run-length
+                     type-A: 740-byte MSB header, bottom-up scanline
+                     offset table, per-channel signed-count RLE)
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.image import Image
+from ..core.spec import ImageSpec
+
+
+# ---------------------------------------------------------------------------
+# MATLAB MAT (mat.c) — level 5 (and level 4 numeric) matrices as images
+# ---------------------------------------------------------------------------
+
+# level-5 data types (MAT-file format spec §1; mat.c:116 miTYPE handling)
+_MI_INT8, _MI_UINT8 = 1, 2
+_MI_INT16, _MI_UINT16 = 3, 4
+_MI_INT32, _MI_UINT32 = 5, 6
+_MI_SINGLE, _MI_DOUBLE = 7, 9
+_MI_INT64, _MI_UINT64 = 12, 13
+_MI_MATRIX, _MI_COMPRESSED, _MI_UTF8 = 14, 15, 16
+
+_MI_DTYPES = {
+    _MI_INT8: np.int8, _MI_UINT8: np.uint8,
+    _MI_INT16: np.int16, _MI_UINT16: np.uint16,
+    _MI_INT32: np.int32, _MI_UINT32: np.uint32,
+    _MI_SINGLE: np.float32, _MI_DOUBLE: np.float64,
+    _MI_INT64: np.int64, _MI_UINT64: np.uint64,
+}
+
+# mxCLASS codes (mat.c:129 miCLASS handling)
+_MX_DOUBLE, _MX_SINGLE = 6, 7
+_MX_INT8, _MX_UINT8, _MX_INT16, _MX_UINT16 = 8, 9, 10, 11
+_MX_INT32, _MX_UINT32, _MX_INT64, _MX_UINT64 = 12, 13, 14, 15
+
+
+def _mat_normalize(arr: np.ndarray) -> np.ndarray:
+    """Scale a MATLAB numeric array to [0,1] float32 (mat.c rescales
+    integer classes by type range and floats by min/max)."""
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    if arr.dtype == np.uint16:
+        return arr.astype(np.float32) / 65535.0
+    if arr.dtype in (np.int8, np.int16, np.int32, np.int64):
+        info = np.iinfo(arr.dtype)
+        return ((arr.astype(np.float64) - info.min)
+                / (info.max - info.min)).astype(np.float32)
+    if arr.dtype in (np.uint32, np.uint64):
+        return (arr.astype(np.float64) / np.iinfo(arr.dtype).max).astype(
+            np.float32)
+    a = arr.astype(np.float64)
+    lo, hi = float(np.nanmin(a)), float(np.nanmax(a))
+    if not np.isfinite(lo) or not np.isfinite(hi):
+        a = np.nan_to_num(a)
+        lo, hi = float(a.min()), float(a.max())
+    if 0.0 <= lo and hi <= 1.0:
+        return a.astype(np.float32)
+    if hi == lo:
+        return np.zeros_like(a, np.float32)
+    return ((a - lo) / (hi - lo)).astype(np.float32)
+
+
+def _mat_image(arr: np.ndarray) -> Image:
+    if arr.ndim == 2:
+        data = _mat_normalize(arr)[..., None]
+        return Image(np.ascontiguousarray(data),
+                     ImageSpec(colorspace="gray", alpha=False,
+                               depth=8 if arr.dtype == np.uint8 else 16))
+    data = _mat_normalize(arr)
+    return Image(np.ascontiguousarray(data[..., :3]),
+                 ImageSpec(colorspace="srgb", alpha=False,
+                           depth=8 if arr.dtype == np.uint8 else 16))
+
+
+def _decode_mat5_element(data: bytes, bo: str) -> Optional[np.ndarray]:
+    """Parse one miMATRIX element body into an (H, W[, C]) numeric array."""
+    pos = 0
+
+    def tag():
+        nonlocal pos
+        t, n = struct.unpack_from(bo + "II", data, pos)
+        if t & 0xFFFF0000:  # small-element format: type/len packed in 4B
+            n = t >> 16
+            t &= 0xFFFF
+            payload = data[pos + 4:pos + 4 + n]
+            pos += 8
+        else:
+            payload = data[pos + 8:pos + 8 + n]
+            pos += 8 + ((n + 7) & ~7)
+        return t, payload
+
+    _, flags = tag()  # array flags (miUINT32 x2)
+    mxclass = struct.unpack_from(bo + "I", flags, 0)[0] & 0xFF
+    _, dims_raw = tag()
+    dims = np.frombuffer(dims_raw, np.dtype(bo + "i4"))
+    tag()  # array name
+    dtype_tag, real = tag()
+    np_dtype = _MI_DTYPES.get(dtype_tag)
+    if np_dtype is None or len(dims) < 2:
+        return None
+    arr = np.frombuffer(real, np.dtype(np_dtype).newbyteorder(bo),
+                        count=int(np.prod(dims)))
+    # MATLAB is column-major: dims = (rows, cols[, planes])
+    arr = arr.reshape(tuple(int(d) for d in reversed(dims)))
+    if len(dims) == 2:
+        return arr.T
+    return np.transpose(arr, (2, 1, 0)) if len(dims) == 3 else None
+
+
+def decode_mat(data: bytes) -> List[Image]:
+    if data[:4] != b"MATL":  # level 4 has no text header
+        return [_decode_mat4(data)]
+    endian = data[126:128]
+    bo = "<" if endian == b"IM" else ">"
+    pos = 128
+    images: List[Image] = []
+    while pos + 8 <= len(data):
+        t, n = struct.unpack_from(bo + "II", data, pos)
+        body = data[pos + 8:pos + 8 + n]
+        pos += 8 + ((n + 7) & ~7)
+        if t == _MI_COMPRESSED:
+            try:
+                sub = zlib.decompress(body)
+            except zlib.error:
+                continue
+            st, sn = struct.unpack_from(bo + "II", sub, 0)
+            if st == _MI_MATRIX:
+                arr = _decode_mat5_element(sub[8:8 + sn], bo)
+                if arr is not None:
+                    images.append(_mat_image(arr))
+        elif t == _MI_MATRIX:
+            arr = _decode_mat5_element(body, bo)
+            if arr is not None:
+                images.append(_mat_image(arr))
+    if not images:
+        raise ValueError("MAT file contains no numeric matrix")
+    return images
+
+
+def _decode_mat4(data: bytes) -> Image:
+    """MATLAB level-4: 20-byte header MOPT/mrows/ncols/imagf/namlen."""
+    mopt, mrows, ncols, imagf, namlen = struct.unpack_from("<5i", data, 0)
+    bo = "<"
+    if mopt >= 1000:  # big-endian writer (M digit = 1)
+        mopt_be = struct.unpack_from(">i", data, 0)[0]
+        if 0 <= mopt_be < 5000:
+            bo = ">"
+            mopt, mrows, ncols, imagf, namlen = struct.unpack_from(
+                ">5i", data, 0)
+    p = mopt % 100 // 10  # precision digit
+    dt = {0: np.float64, 1: np.float32, 2: np.int32, 3: np.int16,
+          4: np.uint16, 5: np.uint8}.get(p)
+    if dt is None:
+        raise ValueError("unsupported MAT v4 precision")
+    off = 20 + namlen
+    arr = np.frombuffer(data, np.dtype(dt).newbyteorder(bo),
+                        count=mrows * ncols, offset=off)
+    return _mat_image(arr.reshape(ncols, mrows).T)
+
+
+def encode_mat(img: Image) -> bytes:
+    """Level-5 MAT-file with one uint8 matrix named 'imtpu' (mat.c write
+    side emits the same single-matrix layout)."""
+    arr = np.clip(np.asarray(img.to_numpy()), 0.0, 1.0)
+    if arr.ndim == 4:
+        arr = arr[0]
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    else:
+        arr = arr[..., :3]
+    q = (arr * 255.0 + 0.5).astype(np.uint8)
+    # column-major payload
+    if q.ndim == 2:
+        payload = q.T.tobytes()
+        dims = (q.shape[0], q.shape[1])
+        mx = _MX_UINT8
+    else:
+        payload = np.transpose(q, (2, 1, 0)).tobytes()
+        dims = (q.shape[0], q.shape[1], q.shape[2])
+        mx = _MX_UINT8
+
+    def element(t, body):
+        pad = (-len(body)) % 8
+        return struct.pack("<II", t, len(body)) + body + b"\0" * pad
+
+    name = b"imtpu"
+    dims_body = struct.pack(f"<{len(dims)}i", *dims)
+    matrix = (element(_MI_UINT32, struct.pack("<II", mx, 0))
+              + element(_MI_INT32, dims_body)
+              + element(_MI_INT8, name)
+              + element(_MI_UINT8, payload))
+    header = (b"MATLAB 5.0 MAT-file, created by imagemagick_tpu"
+              .ljust(116) + b"\0" * 8 + struct.pack("<H", 0x0100) + b"IM")
+    return header + element(_MI_MATRIX, matrix)
+
+
+# ---------------------------------------------------------------------------
+# Khoros VIFF (viff.c) — 1024-byte header + planar bands
+# ---------------------------------------------------------------------------
+
+_VFF_TYP = {0: "bit", 1: np.uint8, 2: np.uint16, 4: np.uint32,
+            5: np.float32, 9: np.float64}
+_VFF_DEP_DECORDER, _VFF_DEP_NSORDER = 0x4, 0x8
+
+
+def decode_viff(data: bytes) -> Image:
+    if data[0] != 0xAB or data[1] != 0x01:
+        raise ValueError("not a VIFF stream")
+    machine_dep = data[4]
+    bo = "<" if machine_dep in (_VFF_DEP_DECORDER, _VFF_DEP_NSORDER) else ">"
+    u32 = lambda off: struct.unpack_from(bo + "I", data, off)[0]
+    comment = data[8:520].split(b"\0")[0].decode("latin-1", "replace")
+    # sequential packed header (viff.c reads field-by-field): rows@520,
+    # cols@524, subrows@528, x/y offsets@532/536, x/y bpp floats@540/544,
+    # location_type@548, location_dim@552, n_images@556, bands@560,
+    # storage@564, encode@568, map_scheme@572, map_storage@576,
+    # map_rows@580, map_cols@584
+    rows, cols = u32(520), u32(524)
+    bands = u32(560)
+    storage = u32(564)
+    encode_scheme = u32(568)
+    map_scheme = u32(572)
+    map_storage = u32(576)
+    map_rows, map_cols = u32(580), u32(584)
+    if encode_scheme != 0:
+        raise ValueError("VIFF: only raw encoding supported")
+    pos = 1024
+    # colormap (stored before image data; viff.c:433)
+    colormap = None
+    if map_scheme != 0 and map_storage == 1:
+        n = map_rows * map_cols
+        colormap = np.frombuffer(data, np.uint8, n, pos).reshape(
+            map_rows, map_cols)
+        pos += n
+    typ = _VFF_TYP.get(storage)
+    if typ is None:
+        raise ValueError(f"VIFF: unsupported storage type {storage}")
+    if typ == "bit":
+        bpr = (cols + 7) // 8
+        raw = np.frombuffer(data, np.uint8, bpr * rows * bands, pos)
+        bits = np.unpackbits(raw.reshape(bands, rows, bpr), axis=-1,
+                             bitorder="little")[..., :cols]
+        planes = bits.astype(np.float32)
+    else:
+        dt = np.dtype(typ).newbyteorder(bo)
+        raw = np.frombuffer(data, dt, rows * cols * bands, pos)
+        planes = raw.reshape(bands, rows, cols).astype(np.float32)
+        if typ == np.uint8:
+            planes /= 255.0
+        elif typ == np.uint16:
+            planes /= 65535.0
+        elif typ == np.uint32:
+            planes /= 4294967295.0
+        else:
+            lo, hi = float(planes.min()), float(planes.max())
+            if hi > 1.0 or lo < 0.0:
+                planes = (planes - lo) / (hi - lo) if hi > lo else planes * 0
+    arr = np.transpose(planes, (1, 2, 0))
+    if colormap is not None and bands == 1 and colormap.shape[0] >= 3:
+        scale = 255.0 if typ == np.uint8 else 1.0
+        idx = np.clip(arr[..., 0] * scale + 0.5, 0,
+                      colormap.shape[1] - 1).astype(np.int32)
+        rgb = np.stack([colormap[c][idx] for c in range(3)], -1)
+        arr = rgb.astype(np.float32) / 255.0
+        spec = ImageSpec(colorspace="srgb", alpha=False, depth=8)
+    elif arr.shape[-1] == 1:
+        spec = ImageSpec(colorspace="gray", alpha=False,
+                         depth=8 if typ == np.uint8 else 16)
+    else:
+        arr = arr[..., :3]
+        spec = ImageSpec(colorspace="srgb", alpha=False,
+                         depth=8 if typ == np.uint8 else 16)
+    img = Image(np.ascontiguousarray(arr), spec)
+    if comment:
+        img.properties["comment"] = comment
+    return img
+
+
+def encode_viff(img: Image) -> bytes:
+    arr = np.clip(np.asarray(img.to_numpy()), 0.0, 1.0)
+    if arr.ndim == 4:
+        arr = arr[0]
+    gray = img.spec.colorspace == "gray" or arr.shape[-1] == 1
+    bands = 1 if gray else 3
+    q = (arr[..., :bands] * 255.0 + 0.5).astype(np.uint8)
+    h, w = q.shape[:2]
+    hdr = bytearray(1024)
+    hdr[0] = 0xAB          # identifier
+    hdr[1] = 0x01          # file type
+    hdr[2] = 0x01          # release
+    hdr[3] = 0x03          # version
+    hdr[4] = _VFF_DEP_DECORDER  # little-endian payload
+    comment = b"imagemagick_tpu VIFF"
+    hdr[8:8 + len(comment)] = comment
+    struct.pack_into("<I", hdr, 520, h)
+    struct.pack_into("<I", hdr, 524, w)
+    struct.pack_into("<I", hdr, 548, 1)      # VFF_LOC_IMPLICIT
+    struct.pack_into("<I", hdr, 556, 1)      # one image
+    struct.pack_into("<I", hdr, 560, bands)
+    struct.pack_into("<I", hdr, 564, 1)      # VFF_TYP_1_BYTE
+    struct.pack_into("<I", hdr, 568, 0)      # raw
+    struct.pack_into("<I", hdr, 572, 0)      # no map
+    struct.pack_into("<I", hdr, 600, 15 if bands == 3 else 0)  # CM model
+    planes = np.transpose(q, (2, 0, 1))
+    return bytes(hdr) + planes.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Wavefront RLA (rla.c) — 740-byte header + bottom-up RLE scanlines
+# ---------------------------------------------------------------------------
+
+def _rla_rle_decode(stream: memoryview, pos: int, length: int,
+                    out: np.ndarray):
+    """Per-channel RLA RLE: signed count byte; >=0 is a run of count+1
+    copies, <0 is -count literal bytes (rla.c:310)."""
+    end = pos + length
+    x = 0
+    n = out.shape[0]
+    while pos < end:
+        count = stream[pos]
+        pos += 1
+        if count > 127:
+            count -= 256
+        if count < 0:
+            lit = -count
+            take = min(lit, n - x)
+            out[x:x + take] = np.frombuffer(stream[pos:pos + take],
+                                            np.uint8)
+            pos += lit
+            x += take
+        else:
+            if pos >= end:
+                break
+            v = stream[pos]
+            pos += 1
+            take = min(count + 1, n - x)
+            out[x:x + take] = v
+            x += take
+    return end
+
+
+def decode_rla(data: bytes) -> Image:
+    mv = memoryview(data)
+    window = struct.unpack_from(">4h", data, 0)
+    active = struct.unpack_from(">4h", data, 8)
+    (frame, storage_type, n_chan, n_matte, n_aux,
+     revision) = struct.unpack_from(">6h", data, 16)
+    del window, frame, revision, n_aux
+    left, right, bottom, top = active
+    w = right - left + 1
+    h = top - bottom + 1
+    if w <= 0 or h <= 0 or n_chan < 1 or n_chan > 4:
+        raise ValueError("RLA: improper image header")
+    if storage_type not in (0,):
+        raise ValueError("RLA: only 8-bit integer storage supported")
+    desc = bytes(mv[157:157 + 128]).split(b"\0")[0]
+    total = min(n_chan + n_matte, 4)
+    offsets = np.frombuffer(data, ">i4", h, 740)
+    out = np.zeros((h, w, total), np.uint8)
+    for y in range(h):
+        pos = int(offsets[h - y - 1])
+        for c in range(total):
+            (length,) = struct.unpack_from(">h", data, pos)
+            pos += 2
+            pos = _rla_rle_decode(mv, pos, length, out[y, :, c])
+    alpha = n_matte > 0 and total == 4
+    if total == 1:
+        spec = ImageSpec(colorspace="gray", alpha=False, depth=8)
+    else:
+        spec = ImageSpec(colorspace="srgb", alpha=alpha, depth=8)
+        if total == 2:
+            out = np.concatenate([np.repeat(out[..., :1], 3, -1),
+                                  out[..., 1:]], -1)
+    img = Image(out.astype(np.float32) / 255.0, spec)
+    if desc:
+        img.properties["comment"] = desc.decode("latin-1", "replace")
+    return img
+
+
+def _rla_rle_encode(row: np.ndarray) -> bytes:
+    out = bytearray()
+    n = len(row)
+    i = 0
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out.append(run - 1)
+            out.append(int(row[i]))
+            i += run
+        else:
+            j = i
+            while j < n and (j - i) < 127:
+                nxt = 1
+                while j + nxt < n and row[j + nxt] == row[j] and nxt < 3:
+                    nxt += 1
+                if nxt >= 3:
+                    break
+                j += 1
+            lit = row[i:j]
+            out.append((-len(lit)) & 0xFF)
+            out.extend(lit.tobytes())
+            i = j
+    return bytes(out)
+
+
+def encode_rla(img: Image) -> bytes:
+    arr = np.clip(np.asarray(img.to_numpy()), 0.0, 1.0)
+    if arr.ndim == 4:
+        arr = arr[0]
+    h, w, c = arr.shape
+    if c == 1:
+        arr = np.repeat(arr, 3, -1)
+        c = 3
+    c = min(c, 4)
+    q = (arr[..., :c] * 255.0 + 0.5).astype(np.uint8)
+    n_matte = 1 if c == 4 else 0
+    hdr = bytearray(740)
+    struct.pack_into(">4h", hdr, 0, 0, w - 1, 0, h - 1)   # window
+    struct.pack_into(">4h", hdr, 8, 0, w - 1, 0, h - 1)   # active window
+    struct.pack_into(">6h", hdr, 16, 0, 0, 3, n_matte, 0, -2)
+    hdr[28:28 + 7] = b"2.2\0\0\0\0"                       # gamma
+    hdr[157:157 + 15] = b"imagemagick_tpu"                # description
+    struct.pack_into(">h", hdr, 636, 8)                   # bits per channel
+    scanlines = []
+    for y in range(h):
+        chunks = []
+        for ch in range(3 + n_matte):
+            enc = _rla_rle_encode(q[y, :, min(ch, q.shape[-1] - 1)])
+            chunks.append(struct.pack(">h", len(enc)) + enc)
+        scanlines.append(b"".join(chunks))
+    offsets = []
+    pos = 740 + 4 * h
+    # offsets table is indexed bottom-up (rla.c:334 reads rows-y-1)
+    for y in range(h - 1, -1, -1):
+        offsets.append(pos)
+        pos += len(scanlines[y])
+    # offsets[k] is the position of row h-1-k, exactly the bottom-up
+    # indexing decode expects (table[i] -> row h-1-i)
+    table = struct.pack(f">{h}i", *offsets)
+    return bytes(hdr) + table + b"".join(scanlines[::-1])
