@@ -267,12 +267,11 @@ def clahe(img: jnp.ndarray, tiles_x: int = 8, tiles_y: int = 8,
     flat = tiles.reshape(lead + (tiles_y * tiles_x, th * tw))
 
     idx = jnp.clip((flat * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
-    one_hot_dims = lead + (tiles_y * tiles_x, bins)
+    from .histogram import _histogram_fixed_batched
 
-    def hist_fn(ix):
-        return jnp.zeros((bins,), jnp.float32).at[ix].add(1.0)
-
-    hists = jax.vmap(hist_fn)(idx.reshape(-1, th * tw)).reshape(one_hot_dims)
+    hists = _histogram_fixed_batched(
+        idx.reshape(-1, th * tw), bins).reshape(
+            lead + (tiles_y * tiles_x, bins))
 
     # clip & redistribute (reference ClipCLAHEHistogram)
     limit = clip_limit * (th * tw) / bins
@@ -285,31 +284,62 @@ def clahe(img: jnp.ndarray, tiles_x: int = 8, tiles_y: int = 8,
     luts = (cdf - cmin) * _prec(total - cmin)  # (..., ntiles, bins)
     luts = luts.reshape(lead + (tiles_y, tiles_x, bins))
 
-    # bilinear blend of 4 neighboring tile LUTs per pixel
-    yy = jnp.arange(h, dtype=jnp.float32)
-    xx = jnp.arange(w, dtype=jnp.float32)
-    ty_f = jnp.clip((yy + 0.5) / th - 0.5, 0.0, tiles_y - 1.0)
-    tx_f = jnp.clip((xx + 0.5) / tw - 0.5, 0.0, tiles_x - 1.0)
-    y0 = jnp.floor(ty_f).astype(jnp.int32)
-    x0 = jnp.floor(tx_f).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, tiles_y - 1)
-    x1 = jnp.minimum(x0 + 1, tiles_x - 1)
-    fy = (ty_f - y0)[:, None]
-    fx = (tx_f - x0)[None, :]
-
+    # Bilinear blend of 4 neighboring tile LUTs per pixel, block-wise:
+    # shift the grid by a half tile so every (th, tw) block sees a FIXED
+    # set of 4 corner LUTs, then evaluate lut[bin] as a one-hot x LUT dot
+    # on the MXU.  Per-pixel take_along_axis gathers measured 436 ms at
+    # 14MP (and a naive luts[ty, tx, :] gather materializes 6.9 GB);
+    # this runs the whole blend as (P, bins) @ (bins, 4) matmuls.
     bin_idx = jnp.clip((L * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
+    pad_t, pad_l = th // 2, tw // 2
+    H2, W2 = (tiles_y + 1) * th, (tiles_x + 1) * tw
+    binp = jnp.pad(bin_idx, [(0, 0)] * (bin_idx.ndim - 2)
+                   + [(pad_t, H2 - h - pad_t), (pad_l, W2 - w - pad_l)],
+                   mode="edge")
+    by, bx = tiles_y + 1, tiles_x + 1
+    blocks = binp.reshape(lead + (by, th, bx, tw))
+    blocks = jnp.moveaxis(blocks, -2, -3)             # (..., by, bx, th, tw)
 
-    def lut_at(tyi, txi):
-        # luts[..., tyi[y], txi[x], bin_idx[..., y, x]]
-        t = luts[..., tyi, :, :][..., :, txi, :]  # (..., h, w, bins)
-        return jnp.take_along_axis(t, bin_idx[..., None], axis=-1)[..., 0]
+    iy = jnp.arange(by)
+    ix = jnp.arange(bx)
+    y0c = jnp.clip(iy - 1, 0, tiles_y - 1)
+    y1c = jnp.clip(iy, 0, tiles_y - 1)
+    x0c = jnp.clip(ix - 1, 0, tiles_x - 1)
+    x1c = jnp.clip(ix, 0, tiles_x - 1)
+    corner = lambda yc, xc: luts[..., yc[:, None], xc[None, :], :]
+    cluts = jnp.stack([corner(y0c, x0c), corner(y0c, x1c),
+                       corner(y1c, x0c), corner(y1c, x1c)],
+                      axis=-1)                        # (..., by, bx, bins, 4)
 
-    v00 = lut_at(y0, x0)
-    v01 = lut_at(y0, x1)
-    v10 = lut_at(y1, x0)
-    v11 = lut_at(y1, x1)
-    Lnew = ((1 - fy) * (1 - fx) * v00 + (1 - fy) * fx * v01 +
-            fy * (1 - fx) * v10 + fy * fx * v11)
+    # in-block bilinear weights: with pad = th//2, the global coordinate
+    # ty_f = (y+0.5)/th - 0.5 lands at i - 1 + fy inside block i, where
+    # fy = (ly + 0.5 + 0.5*(th % 2)) / th  (exact for even and odd th;
+    # fy = 1.0 at the last row of an odd tile selects the i corner, the
+    # same value the floor/frac form assigns there)
+    fy = (jnp.arange(th, dtype=jnp.float32) + 0.5 + 0.5 * (th % 2)) / th
+    fx = (jnp.arange(tw, dtype=jnp.float32) + 0.5 + 0.5 * (tw % 2)) / tw
+    wy = jnp.stack([1.0 - fy, fy], -1)                # (th, 2)
+    wx = jnp.stack([1.0 - fx, fx], -1)                # (tw, 2)
+    wgt = (wy[:, None, :, None] * wx[None, :, None, :]).reshape(th, tw, 4)
+
+    nblk = by * bx
+    flat_blocks = blocks.reshape((-1, th * tw))
+    flat_cluts = jnp.broadcast_to(
+        cluts, lead + (by, bx, bins, 4)).reshape((-1, bins, 4))
+    wflat = wgt.reshape(th * tw, 4)
+    iota_b = jnp.arange(bins, dtype=jnp.int32)
+
+    def blend_block(args):
+        idxrow, lut4 = args
+        onehot = (idxrow[:, None] == iota_b[None, :]).astype(jnp.float32)
+        v4 = jax.lax.dot_general(onehot, lut4, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return jnp.sum(v4 * wflat, axis=-1)           # (th*tw,)
+
+    blended = jax.lax.map(blend_block, (flat_blocks, flat_cluts))
+    blended = blended.reshape(lead + (by, bx, th, tw))
+    blended = jnp.moveaxis(blended, -2, -3).reshape(lead + (H2, W2))
+    Lnew = blended[..., pad_t:pad_t + h, pad_l:pad_l + w]
     lab_new = jnp.concatenate([Lnew[..., None], lab[..., 1:]], axis=-1)
     out = cs.convert(lab_new, "lab", "srgb")
     if orig_shape[-1] > 3:
