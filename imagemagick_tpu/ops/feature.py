@@ -157,9 +157,14 @@ def glcm_features(img: jnp.ndarray, levels: int = 16,
     dy, dx = offset
     a = q[..., : q.shape[-2] - dy if dy else None, : q.shape[-1] - dx if dx else None]
     b = q[..., dy:, dx:]
-    idx = (a * levels + b).reshape(-1)
-    glcm = jnp.zeros((levels * levels,), jnp.float32).at[idx].add(1.0)
-    glcm = glcm.reshape(levels, levels)
+    # the co-occurrence matrix IS a factored histogram: glcm[i, j] =
+    # sum_p onehot(a)[p, i] onehot(b)[p, j] — one tall-K MXU matmul
+    # instead of a serializing scatter-add (see histogram._histogram_fixed)
+    iota = jnp.arange(levels, dtype=jnp.int32)
+    oa = (a.reshape(-1)[:, None] == iota[None, :]).astype(jnp.bfloat16)
+    ob = (b.reshape(-1)[:, None] == iota[None, :]).astype(jnp.bfloat16)
+    glcm = jax.lax.dot_general(oa, ob, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
     glcm = (glcm + glcm.T) / jnp.maximum(jnp.sum(glcm) * 2.0, 1.0)  # symmetric, normalized
 
     i = jnp.arange(levels, dtype=jnp.float32)

@@ -47,8 +47,9 @@ def get_statistics(img: jnp.ndarray, bins: int = 1024) -> Dict[str, jnp.ndarray]
     ents = []
     n = img[..., 0].size
     for c in range(img.shape[-1]):
-        idx = jnp.clip((img[..., c] * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
-        hist = jnp.zeros((bins,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+        from .histogram import _histogram_fixed
+
+        hist = _histogram_fixed(img[..., c], bins)  # MXU path, no scatter
         p = hist / n
         ents.append(-jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0))
                     / math.log2(bins))
