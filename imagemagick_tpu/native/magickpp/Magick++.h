@@ -29,6 +29,8 @@
 #include <string>
 #include <vector>
 
+#include "Drawable.h"
+
 #if defined(_WIN32)
 typedef long long magickpp_ssize_t;
 #else
@@ -576,6 +578,8 @@ class Image {
   void composite(const Image& compositeImage, GravityType gravity,
                  CompositeOperator compose = InCompositeOp);
   void draw(const std::string& mvg);  // MVG primitive string
+  void draw(const Drawable& drawable);
+  void draw(const DrawableList& drawables);
   void annotate(const std::string& text, const Geometry& location);
   void annotate(const std::string& text, GravityType gravity);
   void stegano(const Image& watermark);

@@ -42,10 +42,12 @@ def include_dir() -> str:
 def build(force: bool = False) -> Optional[str]:
     """Compile libmagickpp_tpu.so; returns its path or raises on error."""
     with _lock:
-        hdr = os.path.join(_HERE, "Magick++.h")
+        hdrs = [os.path.join(_HERE, "Magick++.h"),
+                os.path.join(_HERE, "Drawable.h")]
         if (not force and os.path.exists(_SO)
                 and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
-                and os.path.getmtime(_SO) >= os.path.getmtime(hdr)):
+                and all(os.path.getmtime(_SO) >= os.path.getmtime(h)
+                        for h in hdrs)):
             return _SO
         inc = sysconfig.get_path("include")
         cmd = (["g++", "-O1", "-fPIC", "-shared", "-std=c++11", _SRC,

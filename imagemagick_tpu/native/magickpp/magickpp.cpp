@@ -1276,6 +1276,12 @@ void Image::composite(const Image& compositeImage, GravityType gravity_,
 void Image::draw(const std::string& mvg) {
   call0(W, "draw_image", "(s)", mvg.c_str());
 }
+void Image::draw(const Drawable& drawable) {
+  call0(W, "draw_image", "(s)", drawable.mvg().c_str());
+}
+void Image::draw(const DrawableList& drawables) {
+  call0(W, "draw_image", "(s)", mvgFromList(drawables).c_str());
+}
 void Image::annotate(const std::string& text, const Geometry& location) {
   call0(g_support, "annotate", "(Osssds)", W, text.c_str(),
         std::string(location).c_str(), "northwest", ref_->pointsize,

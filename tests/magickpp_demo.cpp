@@ -83,6 +83,27 @@ int main(int argc, char** argv) {
     printf("draw_g=%d\n", (int)(r10.quantumGreen() / QuantumRange * 255 + 0.5));
     dr.annotate("Hi", Geometry(0, 0, 2, 2));
 
+    // Drawable object list (Magick++/lib/Drawable.h style)
+    Image dl(Geometry(40, 40), Color("white"));
+    DrawableList objs;
+    objs.push_back(DrawableFillColor("blue"));
+    objs.push_back(DrawableStrokeColor("none"));
+    objs.push_back(DrawableCircle(20, 20, 20, 12));
+    objs.push_back(DrawableFillColor("lime"));
+    objs.push_back(DrawableRectangle(0, 0, 6, 6));
+    dl.draw(objs);
+    Color c20 = dl.pixelColor(20, 20);
+    Color c03 = dl.pixelColor(3, 3);
+    printf("dlist_b=%d\n",
+           (int)(c20.quantumBlue() / QuantumRange * 255 + 0.5));
+    printf("dlist_g=%d\n",
+           (int)(c03.quantumGreen() / QuantumRange * 255 + 0.5));
+    CoordinateList tri;
+    tri.push_back(Coordinate(2, 38));
+    tri.push_back(Coordinate(38, 38));
+    tri.push_back(Coordinate(20, 25));
+    dl.draw(DrawablePolygon(tri));
+
     // Effects smoke: each must run without throwing
     Image fx1("gradient:red-blue");
     fx1.resize(Geometry("24x24!"));

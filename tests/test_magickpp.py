@@ -116,3 +116,9 @@ def test_properties_signature_exceptions(demo_output):
     assert out["siglen"] == "64"
     assert out["throws"] == "1"
     assert out["done"] == "1"
+
+
+def test_drawable_list(demo_output):
+    out, _ = demo_output
+    assert out["dlist_b"] == "255"   # blue circle center
+    assert out["dlist_g"] == "255"   # lime rectangle corner
