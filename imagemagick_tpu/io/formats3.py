@@ -456,3 +456,153 @@ def encode_rla(img: Image) -> bytes:
     # indexing decode expects (table[i] -> row h-1-i)
     table = struct.pack(f">{h}i", *offsets)
     return bytes(hdr) + table + b"".join(scanlines[::-1])
+
+
+# ---------------------------------------------------------------------------
+# Palm Pilot bitmap (palm.c) — 16-byte MSB header, versions 0-2,
+# 1/2/4/8-bit indexed (MSB-first packing, value 0 = white) and 16-bit
+# RGB565 direct color; none/RLE/scanline compression
+# ---------------------------------------------------------------------------
+
+_PALM_COMPRESSED = 0x8000
+_PALM_HAS_COLORMAP = 0x4000
+_PALM_HAS_TRANSPARENCY = 0x2000
+_PALM_DIRECT_COLOR = 0x0400
+
+
+def _palm_system_palette() -> np.ndarray:
+    """The PalmOS 8-bit system palette, generated from its documented
+    structure (palm.c PalmPalette): the 6-level color cube ordered
+    (b-half, r desc, b desc, g desc) minus the final black, ten
+    non-cube grays, silver, four VGA system colors, black fill."""
+    levels = [255, 204, 153, 102, 51, 0]
+    pal = []
+    for bhalf in ([255, 204, 153], [102, 51, 0]):
+        for r in levels:
+            for b in bhalf:
+                for g in levels:
+                    pal.append((r, g, b))
+    pal = pal[:-1]  # final (0,0,0) cube entry is replaced by the tail
+    for v in (17, 34, 68, 85, 119, 136, 170, 187, 221, 238):
+        pal.append((v, v, v))
+    pal += [(192, 192, 192), (128, 0, 0), (128, 0, 128), (0, 128, 0),
+            (0, 128, 128)]
+    while len(pal) < 256:
+        pal.append((0, 0, 0))
+    return np.asarray(pal, np.uint8)
+
+
+def _palm_decompress(data: bytes, pos: int, rows: int, bpr: int,
+                     ctype: int) -> np.ndarray:
+    out = np.zeros((rows, bpr), np.uint8)
+    if ctype == 0x01:  # RLE: (count, byte) runs per row
+        for y in range(rows):
+            i = 0
+            while i < bpr and pos + 1 < len(data):
+                count = min(data[pos], bpr - i)
+                out[y, i:i + count] = data[pos + 1]
+                pos += 2
+                i += count
+    elif ctype == 0x00:  # scanline: 8-byte groups, mask bit = new byte
+        for y in range(rows):
+            i = 0
+            while i < bpr and pos < len(data):
+                mask = data[pos]
+                pos += 1
+                n = min(8, bpr - i)
+                for bit in range(n):
+                    if y == 0 or (mask & (0x80 >> bit)):
+                        out[y, i + bit] = data[pos]
+                        pos += 1
+                    else:
+                        out[y, i + bit] = out[y - 1, i + bit]
+                i += n
+    else:
+        raise ValueError(f"PALM: unknown compression {ctype}")
+    return out
+
+
+def decode_palm(data: bytes) -> Image:
+    cols, rows, bpr, flags = struct.unpack_from(">4H", data, 0)
+    bpp, version = data[8], data[9]
+    transparent = data[12]
+    ctype = data[13]
+    if cols == 0 or rows == 0 or bpp not in (1, 2, 4, 8, 16):
+        raise ValueError("PALM: improper image header")
+    del version
+    pos = 16
+    if bpp == 16:
+        pos += 8  # direct-color header (bit widths + transparent color)
+    palette = None
+    if flags & _PALM_HAS_COLORMAP:
+        count = struct.unpack_from(">H", data, pos)[0]
+        pos += 2
+        palette = np.zeros((256, 3), np.uint8)
+        for i in range(count):
+            palette[i] = (data[pos + 1], data[pos + 2], data[pos + 3])
+            pos += 4
+    if flags & _PALM_COMPRESSED:
+        pos += 2  # compressed-size field
+        raw = _palm_decompress(data, pos, rows, bpr, ctype)
+    else:
+        raw = np.frombuffer(data, np.uint8, rows * bpr,
+                            pos).reshape(rows, bpr)
+    if bpp == 16:
+        px = raw[:, :2 * cols].reshape(rows, cols, 2)
+        c16 = (px[..., 0].astype(np.uint32) << 8) | px[..., 1]
+        r = ((c16 >> 11) & 0x1F).astype(np.float32) / 31.0
+        g = ((c16 >> 5) & 0x3F).astype(np.float32) / 63.0
+        b = (c16 & 0x1F).astype(np.float32) / 31.0
+        arr = np.stack([r, g, b], -1)
+        return Image(arr, ImageSpec(colorspace="srgb", alpha=False, depth=8))
+    # unpack MSB-first sub-byte indices
+    bits = np.unpackbits(raw, axis=1)[:, :cols * bpp]
+    vals = bits.reshape(rows, cols, bpp)
+    weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint32)
+    idx = (vals * weights).sum(-1).astype(np.int32)
+    mask = (1 << bpp) - 1
+    if palette is None:
+        if bpp == 8:
+            palette = _palm_system_palette()
+        else:  # PalmOS grayscale ramps: stored 0 = white
+            ramp = np.linspace(255, 0, mask + 1).astype(np.uint8)
+            palette = np.stack([ramp] * 3, -1)
+    arr = palette[np.clip(idx, 0, palette.shape[0] - 1)].astype(
+        np.float32) / 255.0
+    if flags & _PALM_HAS_TRANSPARENCY:
+        alpha = (idx != transparent).astype(np.float32)[..., None]
+        arr = np.concatenate([arr, alpha], -1)
+        return Image(arr, ImageSpec(colorspace="srgb", alpha=True, depth=8))
+    return Image(arr, ImageSpec(colorspace="srgb", alpha=False, depth=8))
+
+
+def encode_palm(img: Image) -> bytes:
+    """Gray images as 4-bit PalmOS grayscale; color as 16-bit direct."""
+    arr = np.clip(np.asarray(img.to_numpy()), 0.0, 1.0)
+    if arr.ndim == 4:
+        arr = arr[0]
+    h, w = arr.shape[:2]
+    gray = img.spec.colorspace == "gray" or arr.shape[-1] == 1
+    if gray:
+        bpp = 4
+        bpr = (w * bpp + 15) // 16 * 2  # word-aligned rows
+        lum = arr[..., 0]
+        idx = np.clip(((1.0 - lum) * 15 + 0.5).astype(np.uint8), 0, 15)
+        bits = ((idx[..., None] >> np.arange(3, -1, -1)) & 1).astype(
+            np.uint8).reshape(h, w * 4)
+        pad = bpr * 8 - w * 4
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+        rowsb = np.packbits(bits, axis=1)
+        header = struct.pack(">4HBBHBBH", w, h, bpr, 0, bpp, 1, 0, 0,
+                             0xFF, 0)
+        return header + rowsb.tobytes()
+    bpr = 2 * w
+    q = arr[..., :3]
+    c16 = ((np.round(q[..., 0] * 31).astype(np.uint32) << 11)
+           | (np.round(q[..., 1] * 63).astype(np.uint32) << 5)
+           | np.round(q[..., 2] * 31).astype(np.uint32))
+    px = np.stack([(c16 >> 8) & 0xFF, c16 & 0xFF], -1).astype(np.uint8)
+    header = struct.pack(">4HBBHBBH", w, h, bpr, _PALM_DIRECT_COLOR, 16, 2,
+                         0, 0, 0xFF, 0)
+    direct = struct.pack(">BBBBB3B", 5, 6, 5, 0, 0, 0, 0, 0)
+    return header + direct + px.tobytes()

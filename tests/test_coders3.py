@@ -204,3 +204,71 @@ def test_format_lists_include_new_coders():
     w = iio.supported_write_formats()
     for f in ("mat", "viff", "rla"):
         assert f in r and f in w
+
+
+# --- PALM ---
+
+def test_palm_16bit_roundtrip():
+    img = _img(9, 11, 3, seed=5)
+    blob = formats3.encode_palm(img)
+    back = formats3.decode_palm(blob)
+    # RGB565 quantization: 5/6/5 bits
+    assert back.data.shape == (9, 11, 3)
+    np.testing.assert_allclose(np.asarray(back.data),
+                               np.asarray(img.to_numpy()), atol=1 / 31)
+
+
+def test_palm_gray_roundtrip():
+    img = _img(6, 10, 1, seed=6)
+    blob = formats3.encode_palm(img)
+    back = formats3.decode_palm(blob)
+    # 4-bit grayscale ramp
+    assert back.data.shape[-1] == 3
+    got = np.asarray(back.data)[..., 0]
+    np.testing.assert_allclose(got, np.asarray(img.to_numpy())[..., 0],
+                               atol=1 / 15 + 1e-3)
+
+
+def test_palm_hand_built_1bit_rle():
+    """1-bit compressed bitmap assembled by hand: RLE runs per row."""
+    import struct as st
+    w, h, bpr = 16, 2, 2
+    header = st.pack(">4HBBHBBH", w, h, bpr, 0x8000, 1, 0, 0, 0, 0x01, 0)
+    # row 0: 0xF0 0x0F ; row 1: 0xFF 0x00  (RLE pairs: count,value)
+    payload = bytes([1, 0xF0, 1, 0x0F, 1, 0xFF, 1, 0x00])
+    blob = header + st.pack(">H", len(payload)) + payload
+    img = formats3.decode_palm(blob)
+    g = np.asarray(img.data)[..., 0]
+    # bit=1 -> index 1 -> black; bit=0 -> white (MSB first)
+    assert g[0, 0] == 0.0 and g[0, 7] == 1.0
+    assert g[0, 8] == 1.0 and g[0, 15] == 0.0
+    assert g[1, 0] == 0.0 and g[1, 8] == 1.0
+
+
+def test_palm_scanline_compression():
+    import struct as st
+    w, h, bpr = 8, 3, 1
+    header = st.pack(">4HBBHBBH", w, h, bpr, 0x8000, 1, 0, 0, 0, 0x00, 0)
+    # scanline: row0 literal 0xAA; row1 mask=0x00 (copy); row2 mask=0x80 new 0x55
+    payload = bytes([0x80, 0xAA, 0x00, 0x80, 0x55])
+    blob = header + st.pack(">H", len(payload)) + payload
+    img = formats3.decode_palm(blob)
+    g = np.asarray(img.data)[..., 0]
+    np.testing.assert_array_equal(g[0], g[1])
+    assert not np.array_equal(g[0], g[2])
+
+
+def test_palm_system_palette_structure():
+    pal = formats3._palm_system_palette()
+    assert pal.shape == (256, 3)
+    assert tuple(pal[0]) == (255, 255, 255)
+    assert tuple(pal[1]) == (255, 204, 255)
+    assert tuple(pal[18]) == (204, 255, 255)
+    assert tuple(pal[255]) == (0, 0, 0)
+
+
+def test_palm_via_registry():
+    img = _img(4, 4, 3)
+    blob = iio.image_to_blob(img, "palm")
+    back = iio.image_from_blob(blob, "palm")[0]
+    assert back.data.shape == (4, 4, 3)
