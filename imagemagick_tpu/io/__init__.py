@@ -238,6 +238,8 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [formats3.decode_rla(data)]
     elif use == "palm":
         images = [formats3.decode_palm(data)]
+    elif use in ("pict", "pct"):
+        images = [formats3.decode_pict(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -370,17 +372,20 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats3.encode_rla(images[0])
     if fmt == "palm":
         return formats3.encode_palm(images[0])
+    if fmt in ("pict", "pct"):
+        return formats3.encode_pict(images[0])
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
 # native round-2 coders (io/formats2.py + formats3.py)
 _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "wbmp", "avs", "mtv", "fl32", "vicar", "vic", "otb",
-                  "fax", "g3", "mat", "viff", "xv", "rla", "palm"}
+                  "fax", "g3", "mat", "viff", "xv", "rla", "palm",
+                  "pict", "pct"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "mat", "viff",
-                   "xv", "rla", "palm"}
+                   "xv", "rla", "palm", "pict", "pct"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

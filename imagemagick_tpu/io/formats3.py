@@ -606,3 +606,186 @@ def encode_palm(img: Image) -> bytes:
                          0, 0, 0xFF, 0)
     direct = struct.pack(">BBBBB3B", 5, 6, 5, 0, 0, 0, 0, 0)
     return header + direct + px.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# QuickDraw PICT v2 (pict.c) — the raster-dump subset every writer (incl.
+# the reference, pict.c:1805) emits: 512-byte app header, version-2
+# opcode stream, PackBitsRect (indexed, 0x0098) / DirectBitsRect
+# (component-planar RGB(A), 0x009A) pixel data, PackBits row compression
+# ---------------------------------------------------------------------------
+
+def _pict_unpack_row(data: bytes, pos: int, row_bytes: int):
+    """One PICT scanline: u8/u16 packed-length prefix + PackBits."""
+    from ..utils.compress import packbits_decode
+
+    if row_bytes <= 250:
+        n = data[pos]
+        pos += 1
+    else:
+        n = struct.unpack_from(">H", data, pos)[0]
+        pos += 2
+    return packbits_decode(data[pos:pos + n]), pos + n
+
+
+def decode_pict(data: bytes) -> Image:
+    if len(data) < 528:
+        raise ValueError("PICT: truncated")
+    pos = 512 + 2  # app header + picture size (u16, unreliable)
+    pos += 8       # picture frame rect
+    if struct.unpack_from(">2H", data, pos) != (0x0011, 0x02FF):
+        raise ValueError("PICT: not a version-2 picture")
+    pos += 4
+    arr = None
+    alpha = False
+    while pos + 2 <= len(data):
+        op = struct.unpack_from(">H", data, pos)[0]
+        pos += 2
+        if op == 0x00FF:      # end of picture
+            break
+        if op == 0x0000:      # NOP
+            continue
+        if op == 0x0C00:      # header: 24 bytes
+            pos += 24
+            continue
+        if op == 0x0001:      # clip region: self-inclusive size
+            pos += struct.unpack_from(">H", data, pos)[0]
+            continue
+        if op == 0x001E:      # DefHilite
+            continue
+        if op == 0x00A1:      # long comment: kind + size + data
+            size = struct.unpack_from(">H", data, pos + 2)[0]
+            pos += 4 + size + (size & 1)
+            continue
+        if op in (0x0098, 0x009A):
+            if op == 0x009A:
+                pos += 4  # base address
+            row_bytes = struct.unpack_from(">H", data, pos)[0]
+            pos += 2
+            is_pixmap = bool(row_bytes & 0x8000)
+            row_bytes &= 0x7FFF
+            top, left, bottom, right = struct.unpack_from(">4h", data, pos)
+            pos += 8
+            h, w = bottom - top, right - left
+            bits, pack_type, comp_count = 1, 0, 1
+            colormap = None
+            if is_pixmap:
+                (_ver, pack_type, _psize) = struct.unpack_from(
+                    ">HHI", data, pos)
+                pos += 8 + 8  # + h/v resolution (two 16.16 fixed)
+                (_ptype, bits, comp_count, _csize) = struct.unpack_from(
+                    ">4H", data, pos)
+                pos += 8 + 12  # + plane bytes, table handle, reserved
+                if op == 0x0098:  # colormap follows
+                    n = struct.unpack_from(">H", data, pos + 6)[0] + 1
+                    pos += 8
+                    colormap = np.zeros((max(n, 256), 3), np.uint16)
+                    for i in range(n):
+                        idx, r, g, b = struct.unpack_from(">4H", data, pos)
+                        colormap[idx if idx < colormap.shape[0] else i] = (
+                            r, g, b)
+                        pos += 8
+            pos += 16  # source + destination rects
+            pos += 2   # transfer mode
+            rows = []
+            for _ in range(h):
+                if row_bytes < 8:
+                    rows.append(data[pos:pos + row_bytes])
+                    pos += row_bytes
+                else:
+                    row, pos = _pict_unpack_row(data, pos, row_bytes)
+                    rows.append(row)
+            pos += pos & 1  # v2 opcodes are word-aligned
+            if bits == 8 and colormap is not None:
+                idx = np.frombuffer(b"".join(r[:w].ljust(w, b"\0")
+                                             for r in rows),
+                                    np.uint8).reshape(h, w)
+                arr = colormap[idx].astype(np.float32) / 65535.0
+            elif bits == 8:
+                idx = np.frombuffer(b"".join(r[:w].ljust(w, b"\0")
+                                             for r in rows),
+                                    np.uint8).reshape(h, w)
+                arr = (idx.astype(np.float32) / 255.0)[..., None]
+                arr = np.repeat(arr, 3, -1)
+            elif bits == 32 and pack_type in (0, 4):
+                nc = 4 if comp_count == 4 else 3
+                planes = np.zeros((h, nc, w), np.uint8)
+                for y, r in enumerate(rows):
+                    r = r[:nc * w].ljust(nc * w, b"\0")
+                    planes[y] = np.frombuffer(r, np.uint8).reshape(nc, w)
+                px = np.transpose(planes, (0, 2, 1)).astype(np.float32) / 255
+                if nc == 4:  # stored O,R,G,B
+                    arr = np.concatenate([px[..., 1:4], px[..., :1]], -1)
+                    alpha = True
+                else:
+                    arr = px
+            else:
+                raise ValueError(
+                    f"PICT: unsupported pixmap (bits={bits}, "
+                    f"pack={pack_type})")
+            continue
+        raise ValueError(f"PICT: unsupported opcode 0x{op:04x}")
+    if arr is None:
+        raise ValueError("PICT: no raster op found")
+    return Image(np.ascontiguousarray(arr),
+                 ImageSpec(colorspace="srgb", alpha=alpha, depth=8))
+
+
+def _pict_pack_row(row: bytes, row_bytes: int) -> bytes:
+    from ..utils.compress import packbits_encode
+
+    packed = packbits_encode(row)
+    if row_bytes <= 250:
+        return bytes([len(packed)]) + packed
+    return struct.pack(">H", len(packed)) + packed
+
+
+def encode_pict(img: Image) -> bytes:
+    """Version-2 DirectBitsRect picture (pict.c:1760 direct-class path)."""
+    arr = np.clip(np.asarray(img.to_numpy()), 0.0, 1.0)
+    if arr.ndim == 4:
+        arr = arr[0]
+    h, w = arr.shape[:2]
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, -1)
+    use_alpha = bool(img.spec.alpha and arr.shape[-1] >= 4)
+    nc = 4 if use_alpha else 3
+    q = (arr * 255.0 + 0.5).astype(np.uint8)
+    row_bytes = 4 * w
+    out = bytearray(512)                     # zeroed application header
+    def u16(v): out.extend(struct.pack(">H", v & 0xFFFF))
+    def u32(v): out.extend(struct.pack(">I", v & 0xFFFFFFFF))
+    rect = lambda: (u16(0), u16(0), u16(h), u16(w))
+    u16(0)                                   # picture size (low word)
+    rect()                                   # picture frame
+    u16(0x0011); u16(0x02FF)                 # version 2
+    u16(0x0C00); u32(0xFFFE0000)             # header opcode
+    u16(72); u16(0); u16(72); u16(0)         # resolution 72x72
+    rect(); u32(0)                           # frame + reserved
+    u16(0x0001); u16(0x000A); rect()         # clip region
+    u16(0x009A)                              # DirectBitsRect
+    u32(0x000000FF)                          # base address
+    u16(row_bytes | 0x8000)
+    rect()                                   # pixmap bounds
+    u16(0)                                   # pixmap version
+    u16(4)                                   # pack type: run length by comp
+    u32(0)                                   # pack size
+    u16(72); u16(0); u16(72); u16(0)         # resolution
+    u16(16)                                  # pixel type: direct
+    u16(32)                                  # bits per pixel
+    u16(nc)                                  # component count
+    u16(8)                                   # component size
+    u32(0); u32(0); u32(0)                   # plane bytes, table, reserved
+    rect(); rect()                           # source, destination
+    u16(0)                                   # transfer mode: srcCopy
+    for y in range(h):
+        if use_alpha:                        # stored O,R,G,B planes
+            planes = np.concatenate([q[y, :, 3], q[y, :, 0], q[y, :, 1],
+                                     q[y, :, 2]])
+        else:
+            planes = np.concatenate([q[y, :, 0], q[y, :, 1], q[y, :, 2]])
+        out.extend(_pict_pack_row(planes.tobytes(), row_bytes))
+    if (len(out) - 512) & 1:
+        out.append(0)
+    u16(0x00FF)                              # end of picture
+    return bytes(out)

@@ -272,3 +272,48 @@ def test_palm_via_registry():
     blob = iio.image_to_blob(img, "palm")
     back = iio.image_from_blob(blob, "palm")[0]
     assert back.data.shape == (4, 4, 3)
+
+
+# --- PICT ---
+
+def test_pict_roundtrip_rgb():
+    img = _img(12, 17, 3, seed=7)
+    blob = formats3.encode_pict(img)
+    assert struct.unpack_from(">2H", blob, 522) == (0x0011, 0x02FF)
+    back = formats3.decode_pict(blob)
+    np.testing.assert_allclose(np.asarray(back.data),
+                               np.round(img.to_numpy() * 255) / 255,
+                               atol=1 / 255)
+
+
+def test_pict_roundtrip_rgba():
+    img = _img(8, 9, 4, seed=8)
+    back = formats3.decode_pict(formats3.encode_pict(img))
+    assert back.data.shape == (8, 9, 4)
+    assert back.spec.alpha
+
+
+def test_pict_wide_rows():
+    """row_bytes > 250 switches to the u16 packed-length prefix."""
+    img = _img(3, 100, 3, seed=9)  # row_bytes = 400
+    back = formats3.decode_pict(formats3.encode_pict(img))
+    np.testing.assert_allclose(np.asarray(back.data),
+                               np.round(img.to_numpy() * 255) / 255,
+                               atol=1 / 255)
+
+
+def test_pict_packbits_runs():
+    data = np.zeros((4, 64, 3), np.float32)
+    data[:, :32, 1] = 1.0
+    img = Image(data, ImageSpec(colorspace="srgb", alpha=False, depth=8))
+    blob = formats3.encode_pict(img)
+    assert len(blob) < 512 + 200 + 4 * 64 * 4  # runs compress
+    back = formats3.decode_pict(blob)
+    np.testing.assert_allclose(np.asarray(back.data), data, atol=1 / 255)
+
+
+def test_pict_via_registry():
+    img = _img(5, 6, 3)
+    blob = iio.image_to_blob(img, "pict")
+    back = iio.image_from_blob(blob, "pct")[0]
+    assert back.data.shape == (5, 6, 3)
