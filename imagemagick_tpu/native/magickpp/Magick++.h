@@ -624,11 +624,34 @@ class Image {
 
   bool isValid() const;
 
-  ImageRef* ref() const { return ref_; }  // internal
+  ImageRef* ref() const { return ref_; }         // internal
+  static Image _fromWand(void* pyWand);          // internal: adopt a wand
 
  private:
   ImageRef* ref_;
 };
+
+// ---------------------------------------------------------------------------
+// STL-style multi-image functions (Magick++/lib/Magick++/STL.h)
+// ---------------------------------------------------------------------------
+
+void readImages(std::vector<Image>* sequence, const std::string& imageSpec);
+void writeImages(const std::vector<Image>& sequence,
+                 const std::string& imageSpec, bool adjoin = true);
+void appendImages(Image* appended, const std::vector<Image>& sequence,
+                  bool stack = false);
+void averageImages(Image* averaged, const std::vector<Image>& sequence);
+void flattenImages(Image* flattened, const std::vector<Image>& sequence);
+void mosaicImages(Image* mosaic, const std::vector<Image>& sequence);
+void montageImages(Image* montage, const std::vector<Image>& sequence,
+                   const std::string& tile = "",
+                   const std::string& geometry = "120x120+4+3");
+void coalesceImages(std::vector<Image>* out,
+                    const std::vector<Image>& sequence);
+void deconstructImages(std::vector<Image>* out,
+                       const std::vector<Image>& sequence);
+void morphImages(std::vector<Image>* out, const std::vector<Image>& sequence,
+                 size_t frames);
 
 // ---------------------------------------------------------------------------
 // Functions (Magick++/lib/Magick++/Functions.h)

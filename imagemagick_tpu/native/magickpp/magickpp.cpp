@@ -1413,6 +1413,127 @@ void Image::syncPixels() {
         (Py_ssize_t)(ref_->pixbuf.size() * sizeof(float)));
 }
 
+Image Image::_fromWand(void* pyWand) {
+  Image img;
+  {
+    Gil gil;
+    Py_DECREF(img.ref_->wand);
+    img.ref_->wand = (PyObject*)pyWand;  // adopt (takes the reference)
+  }
+  return img;
+}
+
+// ---------------------------------------------------------------------------
+// STL-style multi-image functions
+// ---------------------------------------------------------------------------
+
+static PyObject* wandListOf(const std::vector<Image>& seq) {
+  PyObject* lst = PyList_New((Py_ssize_t)seq.size());
+  for (size_t i = 0; i < seq.size(); i++) {
+    PyObject* w = seq[i].ref()->wand;
+    Py_INCREF(w);
+    PyList_SET_ITEM(lst, (Py_ssize_t)i, w);
+  }
+  return lst;
+}
+
+void readImages(std::vector<Image>* sequence, const std::string& imageSpec) {
+  Gil gil;
+  PyObject* lst = callO(g_support, "seq_read", "(s)", imageSpec.c_str());
+  for (Py_ssize_t i = 0; i < PyList_Size(lst); i++) {
+    PyObject* w = PyList_GetItem(lst, i);
+    Py_INCREF(w);
+    sequence->push_back(Image::_fromWand(w));
+  }
+  Py_DECREF(lst);
+}
+
+void writeImages(const std::vector<Image>& sequence,
+                 const std::string& imageSpec, bool adjoin) {
+  Gil gil;
+  PyObject* lst = wandListOf(sequence);
+  PyObject* r = callO(g_support, "seq_write", "(Osii)", lst,
+                      imageSpec.c_str(), adjoin ? 1 : 0, 92);
+  Py_DECREF(lst);
+  Py_DECREF(r);
+}
+
+static void oneFromSeq(Image* out, const std::vector<Image>& seq,
+                       const char* fn, const char* extraFmt = 0,
+                       int extra = 0) {
+  Gil gil;
+  PyObject* lst = wandListOf(seq);
+  PyObject* w = extraFmt ? callO(g_support, fn, extraFmt, lst, extra)
+                         : callO(g_support, fn, "(O)", lst);
+  Py_DECREF(lst);
+  *out = Image::_fromWand(w);
+}
+
+void appendImages(Image* appended, const std::vector<Image>& sequence,
+                  bool stack) {
+  oneFromSeq(appended, sequence, "seq_append", "(Oi)", stack ? 1 : 0);
+}
+void averageImages(Image* averaged, const std::vector<Image>& sequence) {
+  oneFromSeq(averaged, sequence, "seq_average");
+}
+void flattenImages(Image* flattened, const std::vector<Image>& sequence) {
+  oneFromSeq(flattened, sequence, "seq_flatten");
+}
+void mosaicImages(Image* mosaic, const std::vector<Image>& sequence) {
+  oneFromSeq(mosaic, sequence, "seq_mosaic");
+}
+
+void montageImages(Image* montage, const std::vector<Image>& sequence,
+                   const std::string& tile, const std::string& geometry) {
+  Gil gil;
+  PyObject* lst = wandListOf(sequence);
+  PyObject* w = callO(g_support, "seq_montage", "(Oss)", lst, tile.c_str(),
+                      geometry.c_str());
+  Py_DECREF(lst);
+  *montage = Image::_fromWand(w);
+}
+
+static void manyFromSeq(std::vector<Image>* out,
+                        const std::vector<Image>& seq, const char* fn,
+                        const char* extraFmt = 0, int extra = 0) {
+  Gil gil;
+  PyObject* lst = wandListOf(seq);
+  PyObject* r = extraFmt ? callO(g_support, fn, extraFmt, lst, extra)
+                         : callO(g_support, fn, "(O)", lst);
+  Py_DECREF(lst);
+  if (PyList_Check(r)) {
+    for (Py_ssize_t i = 0; i < PyList_Size(r); i++) {
+      PyObject* w = PyList_GetItem(r, i);
+      Py_INCREF(w);
+      out->push_back(Image::_fromWand(w));
+    }
+    Py_DECREF(r);
+  } else {
+    // a single wand holding all frames: split client-side
+    PyObject* split = callO(g_support, "seq_split", "(O)", r);
+    Py_DECREF(r);
+    for (Py_ssize_t i = 0; i < PyList_Size(split); i++) {
+      PyObject* w = PyList_GetItem(split, i);
+      Py_INCREF(w);
+      out->push_back(Image::_fromWand(w));
+    }
+    Py_DECREF(split);
+  }
+}
+
+void coalesceImages(std::vector<Image>* out,
+                    const std::vector<Image>& sequence) {
+  manyFromSeq(out, sequence, "seq_coalesce");
+}
+void deconstructImages(std::vector<Image>* out,
+                       const std::vector<Image>& sequence) {
+  manyFromSeq(out, sequence, "seq_deconstruct");
+}
+void morphImages(std::vector<Image>* out, const std::vector<Image>& sequence,
+                 size_t frames) {
+  manyFromSeq(out, sequence, "seq_morph", "(Oi)", (int)frames);
+}
+
 void Image::readPixels(StorageType storage, const std::string& map,
                        const void* pixels) {
   size_t itemsize = storage == CharPixel ? 1

@@ -224,3 +224,105 @@ def connected_components(wand, connectivity: int):
 def ping(wand, filename: str):
     """Lightweight metadata read (MagickPingImage analog)."""
     wand.ping_image(filename)
+
+
+# -- multi-image sequence helpers (Magick++ STL.h role) --
+
+def seq_read(filename: str):
+    """Read a multi-frame file into one single-image wand per frame."""
+    from .api import MagickWand
+
+    src = MagickWand()
+    src.read_image(filename)
+    out = []
+    for img in src.images:
+        w = MagickWand()
+        w.images = [img]
+        w.iterator = 0
+        out.append(w)
+    return out
+
+
+def _gather(wands):
+    from .api import MagickWand
+
+    merged = MagickWand()
+    for w in wands:
+        merged.images.extend(w.images)
+    merged.iterator = len(merged.images) - 1
+    if wands:
+        merged.quality = wands[0].quality
+    return merged
+
+
+def seq_write(wands, filename: str, adjoin: bool = True, quality: int = 92):
+    merged = _gather(wands)
+    merged.quality = quality
+    merged.write_images(filename, adjoin=adjoin)
+
+
+def seq_append(wands, stack: bool):
+    return _gather(wands).append_images(top_to_bottom=stack)
+
+
+def seq_average(wands):
+    return _gather(wands).evaluate_images("mean")
+
+
+def seq_flatten(wands):
+    return _gather(wands).merge_image_layers("flatten")
+
+
+def seq_mosaic(wands):
+    return _gather(wands).merge_image_layers("mosaic")
+
+
+def seq_coalesce(wands):
+    merged = _gather(wands).coalesce_images()
+    return seq_split(merged)
+
+
+def seq_deconstruct(wands):
+    merged = _gather(wands).deconstruct_images()
+    return seq_split(merged)
+
+
+def seq_split(wand):
+    from .api import MagickWand
+
+    out = []
+    for img in wand.images:
+        w = MagickWand()
+        w.images = [img]
+        w.iterator = 0
+        out.append(w)
+    return out
+
+
+def seq_morph(wands, frames: int):
+    """MorphImages: linear interpolation between adjacent frames."""
+    import jax.numpy as jnp
+
+    from .api import MagickWand
+
+    merged = _gather(wands)
+    imgs = merged.images
+    out = []
+    for a, b in zip(imgs, imgs[1:]):
+        out.append(a)
+        if a.data.shape != b.data.shape:
+            continue
+        for i in range(1, frames + 1):
+            t = i / (frames + 1)
+            out.append(a.replace(data=(1 - t) * a.data + t * b.data))
+    if imgs:
+        out.append(imgs[-1])
+    w = MagickWand()
+    w.images = out
+    w.iterator = 0
+    return w
+
+
+def seq_montage(wands, tile: str = "", geometry: str = "120x120+4+3"):
+    merged = _gather(wands)
+    return merged.montage_image(tile=tile, thumbnail_geometry=geometry)

@@ -158,6 +158,30 @@ int main(int argc, char** argv) {
     printf("attr=%s\n", out.attribute("demo:note").c_str());
     printf("siglen=%zu\n", out.signature().size());
 
+    // STL-style multi-image functions
+    std::vector<Image> seq;
+    seq.push_back(Image(Geometry(10, 8), Color("gray20")));
+    seq.push_back(Image(Geometry(10, 8), Color("gray50")));
+    seq.push_back(Image(Geometry(10, 8), Color("gray80")));
+    Image appended;
+    appendImages(&appended, seq, false);
+    printf("append=%zux%zu\n", appended.columns(), appended.rows());
+    Image avg;
+    averageImages(&avg, seq);
+    Color ac = avg.pixelColor(5, 4);
+    printf("avg_g=%d\n", (int)(ac.quantumGreen() / QuantumRange * 255 + 0.5));
+    Image flat;
+    flattenImages(&flat, seq);
+    printf("flat=%zux%zu\n", flat.columns(), flat.rows());
+    std::vector<Image> morphed;
+    morphImages(&morphed, seq, 1);
+    printf("morph_n=%zu\n", morphed.size());
+    std::string mpath = std::string(outdir) + "/seq.miff";
+    writeImages(seq, mpath, true);
+    std::vector<Image> back2;
+    readImages(&back2, mpath);
+    printf("seq_n=%zu\n", back2.size());
+
     // Exceptions surface as Magick::Exception
     int threw = 0;
     try {

@@ -122,3 +122,12 @@ def test_drawable_list(demo_output):
     out, _ = demo_output
     assert out["dlist_b"] == "255"   # blue circle center
     assert out["dlist_g"] == "255"   # lime rectangle corner
+
+
+def test_stl_multiimage_functions(demo_output):
+    out, _ = demo_output
+    assert out["append"] == "30x8"       # horizontal append of 3x 10x8
+    assert abs(int(out["avg_g"]) - 128) <= 1   # mean of gray20/50/80
+    assert out["flat"] == "10x8"
+    assert out["morph_n"] == "5"         # 3 frames + 1 interpolant/pair
+    assert out["seq_n"] == "3"           # multi-frame MIFF round trip
