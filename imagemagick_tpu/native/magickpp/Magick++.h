@@ -654,6 +654,53 @@ void morphImages(std::vector<Image>* out, const std::vector<Image>& sequence,
                  size_t frames);
 
 // ---------------------------------------------------------------------------
+// ResourceLimits (Magick++/lib/Magick++/ResourceLimits.h) — static facade
+// over the framework's resource manager (core/resource.py)
+// ---------------------------------------------------------------------------
+
+class ResourceLimits {
+ public:
+  static unsigned long long memory();
+  static void memory(unsigned long long limit);
+  static unsigned long long map();
+  static void map(unsigned long long limit);
+  static unsigned long long disk();
+  static void disk(unsigned long long limit);
+  static unsigned long long area();
+  static void area(unsigned long long limit);
+  static unsigned long long width();
+  static void width(unsigned long long limit);
+  static unsigned long long height();
+  static void height(unsigned long long limit);
+  static unsigned long long thread();
+  static void thread(unsigned long long limit);
+
+ private:
+  ResourceLimits();
+};
+
+// ---------------------------------------------------------------------------
+// CoderInfo (Magick++/lib/Magick++/CoderInfo.h)
+// ---------------------------------------------------------------------------
+
+class CoderInfo {
+ public:
+  explicit CoderInfo(const std::string& name);
+  std::string name() const { return name_; }
+  bool isReadable() const { return readable_; }
+  bool isWritable() const { return writable_; }
+  bool isMultiFrame() const { return multiframe_; }
+
+ private:
+  friend void coderInfoList(std::vector<CoderInfo>* out);
+  CoderInfo() : readable_(false), writable_(false), multiframe_(false) {}
+  std::string name_;
+  bool readable_, writable_, multiframe_;
+};
+
+void coderInfoList(std::vector<CoderInfo>* out);
+
+// ---------------------------------------------------------------------------
 // Functions (Magick++/lib/Magick++/Functions.h)
 // ---------------------------------------------------------------------------
 

@@ -1560,4 +1560,63 @@ void Image::writePixels(StorageType storage, const std::string& map,
   Py_DECREF(r);
 }
 
+// ---------------------------------------------------------------------------
+// ResourceLimits / CoderInfo
+// ---------------------------------------------------------------------------
+
+static unsigned long long getLimit(const char* name) {
+  return (unsigned long long)callD(g_support, "get_resource_limit", "(s)",
+                                   name);
+}
+static void setLimit(const char* name, unsigned long long v) {
+  call0(g_support, "set_resource_limit", "(sd)", name, (double)v);
+}
+
+unsigned long long ResourceLimits::memory() { return getLimit("memory"); }
+void ResourceLimits::memory(unsigned long long v) { setLimit("memory", v); }
+unsigned long long ResourceLimits::map() { return getLimit("map"); }
+void ResourceLimits::map(unsigned long long v) { setLimit("map", v); }
+unsigned long long ResourceLimits::disk() { return getLimit("disk"); }
+void ResourceLimits::disk(unsigned long long v) { setLimit("disk", v); }
+unsigned long long ResourceLimits::area() { return getLimit("area"); }
+void ResourceLimits::area(unsigned long long v) { setLimit("area", v); }
+unsigned long long ResourceLimits::width() { return getLimit("width"); }
+void ResourceLimits::width(unsigned long long v) { setLimit("width", v); }
+unsigned long long ResourceLimits::height() { return getLimit("height"); }
+void ResourceLimits::height(unsigned long long v) { setLimit("height", v); }
+unsigned long long ResourceLimits::thread() { return getLimit("thread"); }
+void ResourceLimits::thread(unsigned long long v) { setLimit("thread", v); }
+
+CoderInfo::CoderInfo(const std::string& name)
+    : name_(name), readable_(false), writable_(false), multiframe_(false) {
+  std::vector<CoderInfo> all;
+  coderInfoList(&all);
+  std::string lower;
+  for (size_t i = 0; i < name.size(); i++)
+    lower += (char)tolower((unsigned char)name[i]);
+  for (size_t i = 0; i < all.size(); i++) {
+    if (all[i].name_ == lower) {
+      *this = all[i];
+      return;
+    }
+  }
+  throw ErrorOption("Magick++/tpu: no such coder: " + name);
+}
+
+void coderInfoList(std::vector<CoderInfo>* out) {
+  Gil gil;
+  PyObject* lst = callO(g_support, "coder_list", "()");
+  for (Py_ssize_t i = 0; i < PyList_Size(lst); i++) {
+    PyObject* t = PyList_GetItem(lst, i);
+    CoderInfo info;
+    info.name_ = PyUnicode_AsUTF8(PyTuple_GetItem(t, 0));
+    info.readable_ = PyObject_IsTrue(PyTuple_GetItem(t, 1)) == 1;
+    info.writable_ = PyObject_IsTrue(PyTuple_GetItem(t, 2)) == 1;
+    info.multiframe_ = info.name_ == "gif" || info.name_ == "miff" ||
+                       info.name_ == "tiff" || info.name_ == "pdf";
+    out->push_back(info);
+  }
+  Py_DECREF(lst);
+}
+
 }  // namespace Magick

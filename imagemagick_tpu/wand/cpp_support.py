@@ -326,3 +326,26 @@ def seq_morph(wands, frames: int):
 def seq_montage(wands, tile: str = "", geometry: str = "120x120+4+3"):
     merged = _gather(wands)
     return merged.montage_image(tile=tile, thumbnail_geometry=geometry)
+
+
+# -- services exposed to the C++ layer (ResourceLimits / CoderInfo) --
+
+def get_resource_limit(name: str) -> float:
+    from ..core.resource import resources
+
+    return float(resources.get_limit(name))
+
+
+def set_resource_limit(name: str, value: float):
+    from ..core.resource import resources
+
+    resources.set_limit(name, value)
+
+
+def coder_list() -> list:
+    """[(format, readable, writable), ...] for CoderInfo queries."""
+    from .. import io as iio
+
+    r = set(iio.supported_read_formats())
+    w = set(iio.supported_write_formats())
+    return [(f, f in r, f in w) for f in sorted(r | w)]

@@ -182,6 +182,16 @@ int main(int argc, char** argv) {
     readImages(&back2, mpath);
     printf("seq_n=%zu\n", back2.size());
 
+    // ResourceLimits + CoderInfo services
+    ResourceLimits::width(1 << 20);
+    printf("limit_w=%llu\n", ResourceLimits::width());
+    std::vector<CoderInfo> coders;
+    coderInfoList(&coders);
+    printf("coders_n_pos=%d\n", coders.size() > 80 ? 1 : 0);
+    CoderInfo png("PNG");
+    printf("png_rw=%d%d\n", png.isReadable() ? 1 : 0,
+           png.isWritable() ? 1 : 0);
+
     // Exceptions surface as Magick::Exception
     int threw = 0;
     try {

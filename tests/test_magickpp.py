@@ -131,3 +131,10 @@ def test_stl_multiimage_functions(demo_output):
     assert out["flat"] == "10x8"
     assert out["morph_n"] == "5"         # 3 frames + 1 interpolant/pair
     assert out["seq_n"] == "3"           # multi-frame MIFF round trip
+
+
+def test_services(demo_output):
+    out, _ = demo_output
+    assert out["limit_w"] == str(1 << 20)
+    assert out["coders_n_pos"] == "1"
+    assert out["png_rw"] == "11"
