@@ -2228,12 +2228,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if tool == "conjure":
             return tools.conjure_main(argv)
         if tool in ("animate", "display"):
-            # no X11 in this environment: render to a temp file and report
-            out = "/tmp/tmagick-display.png" if tool == "display" else \
-                "/tmp/tmagick-animate.gif"
-            process([a for a in argv if not a.startswith("-")] + [out])
-            print(f"{tool}: no X server; wrote {out}", file=sys.stderr)
-            return 0
+            # no X11: sixel in-terminal rendering (file fallback headless)
+            return tools.display_main(argv, animate=(tool == "animate"))
         if tool == "stream":
             return _stream_main(argv)
         # magick/convert dialect: -bench and -script handled here

@@ -275,3 +275,46 @@ def _run_once(argv) -> int:
     except (CLIError, FileNotFoundError, ValueError) as e:
         print(f"tmagick: {e}", file=sys.stderr)
         return 1
+
+
+def display_main(argv: Sequence[str], animate: bool = False) -> int:
+    """display/animate without X11: in-terminal sixel rendering.
+
+    The reference's display.c/animate.c drive an X server; here the
+    terminal IS the display — frames render as sixel escape sequences
+    (supported by xterm -ti vt340, mlterm, foot, wezterm, iTerm2...).
+    Enabled when stdout is a TTY or IMTPU_SIXEL=1; otherwise falls back
+    to writing a file and reporting its path (headless environments).
+    """
+    st = process(list(argv))
+    if not st.images:
+        print(f"{'animate' if animate else 'display'}: no images",
+              file=sys.stderr)
+        return 1
+    images = [li.materialize() for li in st.images]
+    use_sixel = os.environ.get("IMTPU_SIXEL") == "1" or sys.stdout.isatty()
+    if not use_sixel:
+        out = ("/tmp/tmagick-animate.gif" if animate and len(images) > 1
+               else "/tmp/tmagick-display.png")
+        from .. import io as iio
+
+        iio.write_image(images if len(images) > 1 else images[0], out)
+        print(f"{'animate' if animate else 'display'}: no sixel terminal; "
+              f"wrote {out}", file=sys.stderr)
+        return 0
+
+    from ..io.extra_coders import encode_sixel
+    from ..ops import resize as rz
+
+    max_w = int(os.environ.get("IMTPU_DISPLAY_WIDTH", "800"))
+    frames = images if animate else images[:1]
+    for img in frames:
+        if img.width > max_w:
+            h = max(1, round(img.height * max_w / img.width))
+            img = img.replace(data=rz.resize(img.data, h, max_w, "triangle"))
+        sys.stdout.buffer.write(encode_sixel(img))
+        sys.stdout.buffer.write(b"\n")
+        sys.stdout.buffer.flush()
+        if animate and len(frames) > 1:
+            time.sleep(max(img.delay, 2) / 100.0)
+    return 0

@@ -241,3 +241,44 @@ def test_gif_animation_pipeline(tmp_path, checker_rgb):
     out = str(tmp_path / "opt.gif")
     process([p, "-coalesce", "-deconstruct", out])
     assert os.path.exists(out)
+
+
+def test_display_sixel_output(tmp_path, monkeypatch, capfdbinary):
+    """display renders sixel escape sequences when IMTPU_SIXEL=1."""
+    import numpy as np
+
+    from imagemagick_tpu import io as iio
+    from imagemagick_tpu.cli import tools
+    from imagemagick_tpu.core.image import Image
+    from imagemagick_tpu.core.spec import ImageSpec
+
+    src = tmp_path / "d.png"
+    rng = np.random.default_rng(0)
+    iio.write_image(Image(rng.random((16, 20, 3)).astype(np.float32),
+                          ImageSpec(colorspace="srgb", alpha=False, depth=8)),
+                    str(src))
+    monkeypatch.setenv("IMTPU_SIXEL", "1")
+    rc = tools.display_main([str(src)])
+    assert rc == 0
+    out, _ = capfdbinary.readouterr()
+    assert out.startswith(b"\x1bP")      # sixel DCS introducer
+    assert out.rstrip().endswith(b"\x1b\\")  # string terminator
+
+
+def test_display_headless_fallback(tmp_path, monkeypatch, capsys):
+    import numpy as np
+
+    from imagemagick_tpu import io as iio
+    from imagemagick_tpu.cli import tools
+    from imagemagick_tpu.core.image import Image
+    from imagemagick_tpu.core.spec import ImageSpec
+
+    src = tmp_path / "d2.png"
+    iio.write_image(Image(np.zeros((8, 8, 3), np.float32),
+                          ImageSpec(colorspace="srgb", alpha=False, depth=8)),
+                    str(src))
+    monkeypatch.delenv("IMTPU_SIXEL", raising=False)
+    rc = tools.display_main([str(src)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "wrote /tmp/tmagick-display.png" in err
