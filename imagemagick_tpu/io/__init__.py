@@ -230,6 +230,8 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [formats2.decode_otb(data)]
     elif use in ("fax", "g3"):
         images = [formats2.decode_fax(data)]
+    elif use == "g4":
+        images = [formats2.decode_g4_image(data)]
     elif use == "mat":
         images = formats3.decode_mat(data)
     elif use in ("viff", "xv", "vif"):
@@ -338,6 +340,8 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats2.encode_mono(images[0])
     if fmt in ("fax", "g3"):
         return formats2.encode_fax(images[0])
+    if fmt == "g4":
+        return formats2.encode_g4_image(images[0])
     if fmt == "exr":
         return exr.encode(images[0])
     if fmt == "hdr":
@@ -380,12 +384,12 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
 # native round-2 coders (io/formats2.py + formats3.py)
 _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "wbmp", "avs", "mtv", "fl32", "vicar", "vic", "otb",
-                  "fax", "g3", "mat", "viff", "xv", "rla", "palm",
+                  "fax", "g3", "g4", "mat", "viff", "xv", "rla", "palm",
                   "pict", "pct"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
-                   "cmyk", "ycbcr", "uyvy", "fax", "g3", "mat", "viff",
-                   "xv", "rla", "palm", "pict", "pct"}
+                   "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",
+                   "viff", "xv", "rla", "palm", "pict", "pct"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

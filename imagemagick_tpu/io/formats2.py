@@ -812,3 +812,22 @@ def encode_fax(img: Image) -> bytes:
         arr = arr[0]
     gray = arr.mean(-1) if arr.shape[-1] > 1 else arr[..., 0]
     return encode_g3((gray < 0.5).astype(np.uint8))
+
+
+def decode_g4_image(data: bytes, width: int = 1728) -> Image:
+    """Raw ITU-T T.6 (Group 4 MMR) bilevel stream (compress.c family)."""
+    from ..utils.fax import decode_g4
+
+    bits = decode_g4(data, width)
+    return Image((1.0 - bits).astype(np.float32)[..., None],
+                 ImageSpec(colorspace="gray", depth=1))
+
+
+def encode_g4_image(img: Image) -> bytes:
+    from ..utils.fax import encode_g4
+
+    arr = np.clip(img.to_numpy(), 0.0, 1.0)
+    if arr.ndim == 4:
+        arr = arr[0]
+    gray = arr.mean(-1) if arr.shape[-1] > 1 else arr[..., 0]
+    return encode_g4((gray < 0.5).astype(np.uint8))

@@ -234,3 +234,169 @@ def decode_g3(data: bytes, width: int, max_rows: int = 1 << 20) -> np.ndarray:
     if not rows:
         raise ValueError("G3: no rows decoded")
     return np.stack(rows)
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 4 (T.6 MMR) — 2-D coding relative to the previous row.
+# Completes the compress.c family: vertical/pass modes code most rows in
+# a handful of bits; horizontal mode falls back to the T.4 MH run tables
+# above.  (ITU-T T.6 §2; no EOLs, stream ends with EOFB.)
+# ---------------------------------------------------------------------------
+
+_V_CODES = {0: (0b1, 1), 1: (0b011, 3), -1: (0b010, 3),
+            2: (0b000011, 6), -2: (0b000010, 6),
+            3: (0b0000011, 7), -3: (0b0000010, 7)}
+_H_CODE = (0b001, 3)
+_P_CODE = (0b0001, 4)
+
+
+def _changes(row: np.ndarray) -> np.ndarray:
+    """Positions where a new-color run begins (rows conceptually start
+    white; a change at even index switches to black)."""
+    return np.nonzero(np.diff(np.concatenate([[0], row])))[0]
+
+
+def _b1_b2(rc: np.ndarray, a0: int, color: int, width: int):
+    """First reference change > a0 switching to !color, and its successor."""
+    want_parity = 0 if color == 0 else 1  # to-black changes sit at even idx
+    j = int(np.searchsorted(rc, a0, side="right"))
+    if (j & 1) != want_parity:
+        j += 1
+    b1 = int(rc[j]) if j < len(rc) else width
+    b2 = int(rc[j + 1]) if j + 1 < len(rc) else width
+    return b1, b2
+
+
+def _mh_put(out: "_BitWriter", run: int, color: int, tables):
+    tw, tb, mw, mb = tables
+    term, makeup = (tw, mw) if color == 0 else (tb, mb)
+    while run >= 64:
+        chunk = min((run // 64) * 64, 2560)
+        out.put(*makeup[chunk])
+        run -= chunk
+    out.put(*term[run])
+
+
+def encode_g4(bits: np.ndarray) -> bytes:
+    """Encode an (h, w) 0/1 array (1 = black) as a T.6 MMR stream."""
+    bits = np.asarray(bits, np.uint8)
+    h, w = bits.shape
+    tables = _enc_tables()
+    out = _BitWriter()
+    rc = np.empty((0,), np.int64)  # imaginary all-white reference line
+    for y in range(h):
+        cc = _changes(bits[y])
+        a0, color = -1, 0
+        ci = 0  # index of the next coding change > a0
+        while a0 < w:
+            while ci < len(cc) and cc[ci] <= a0:
+                ci += 1
+            a1 = int(cc[ci]) if ci < len(cc) else w
+            b1, b2 = _b1_b2(rc, a0, color, w)
+            if b2 < a1:
+                out.put(*_P_CODE)                    # pass mode
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                out.put(*_V_CODES[a1 - b1])          # vertical mode
+                a0 = a1
+                color ^= 1
+            else:                                    # horizontal mode
+                a2 = int(cc[ci + 1]) if ci + 1 < len(cc) else w
+                out.put(*_H_CODE)
+                r1 = a1 - a0 if a0 >= 0 else a1
+                _mh_put(out, r1, color, tables)
+                _mh_put(out, a2 - a1, color ^ 1, tables)
+                a0 = a2
+        rc = cc
+    out.put(0b000000000001, 12)                      # EOFB = two EOLs
+    out.put(0b000000000001, 12)
+    return out.flush()
+
+
+def _mh_read(bits: np.ndarray, pos: int, color: int, dec) -> Tuple[int, int]:
+    dw, db = dec
+    table = dw if color == 0 else db
+    total = 0
+    n = len(bits)
+    while True:
+        code, ln = 0, 0
+        while ln < 14 and pos < n:
+            code = (code << 1) | int(bits[pos])
+            pos += 1
+            ln += 1
+            if ln >= 2 and (ln, code) in table:
+                break
+        else:
+            raise ValueError("G4: bad horizontal run code")
+        run = table[(ln, code)]
+        total += run
+        if run < 64:       # terminating code ends the run
+            return total, pos
+
+
+def decode_g4(data: bytes, width: int = 1728,
+              max_rows: int = 1 << 20) -> np.ndarray:
+    """Decode a T.6 MMR stream into an (h, width) 0/1 array (1 = black)."""
+    dec = _dec_tables()
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    n = len(bits)
+    pos = 0
+    rows: List[np.ndarray] = []
+    rc = np.empty((0,), np.int64)
+    while pos < n and len(rows) < max_rows:
+        row = np.zeros(width, np.uint8)
+        a0, color = -1, 0
+        ok = True
+        while a0 < width:
+            # mode decode (prefix tree)
+            if pos >= n:
+                ok = False
+                break
+            if bits[pos] == 1:                       # V0
+                pos += 1
+                d = 0
+            elif pos + 2 < n and bits[pos + 1] == 1:  # 01x
+                d = 1 if bits[pos + 2] == 1 else -1
+                pos += 3
+            elif pos + 2 < n and bits[pos + 2] == 1:  # 001 horizontal
+                pos += 3
+                start = a0 if a0 >= 0 else 0
+                r1, pos = _mh_read(bits, pos, color, dec)
+                r2, pos = _mh_read(bits, pos, color ^ 1, dec)
+                if color == 1:
+                    row[start:start + r1] = 1
+                else:
+                    row[start + r1:start + r1 + r2] = 1
+                a0 = start + r1 + r2
+                continue
+            elif pos + 3 < n and bits[pos + 3] == 1:  # 0001 pass
+                pos += 4
+                b1, b2 = _b1_b2(rc, a0, color, width)
+                if color == 1:
+                    row[max(a0, 0):b2] = 1
+                a0 = b2
+                continue
+            elif pos + 5 < n and bits[pos + 4] == 1:  # 00001x VR2/VL2
+                d = 2 if bits[pos + 5] == 1 else -2
+                pos += 6
+            elif pos + 6 < n and bits[pos + 5] == 1:  # 000001x VR3/VL3
+                d = 3 if bits[pos + 6] == 1 else -3
+                pos += 7
+            else:                                     # EOFB / fill
+                ok = False
+                break
+            b1, _ = _b1_b2(rc, a0, color, width)
+            a1 = min(max(b1 + d, 0), width)
+            if color == 1:
+                row[max(a0, 0):a1] = 1
+            a0 = a1
+            color ^= 1
+        if not ok and a0 < 0:
+            break
+        if not ok:
+            break
+        rows.append(row)
+        rc = _changes(row)
+    if not rows:
+        raise ValueError("G4: no rows decoded")
+    return np.stack(rows)

@@ -317,3 +317,44 @@ def test_pict_via_registry():
     blob = iio.image_to_blob(img, "pict")
     back = iio.image_from_blob(blob, "pct")[0]
     assert back.data.shape == (5, 6, 3)
+
+
+# --- G4 (T.6 MMR) ---
+
+def test_g4_roundtrip_exact():
+    from imagemagick_tpu.utils import fax
+    rng = np.random.default_rng(21)
+    for h, w, p in [(8, 64, 0.5), (16, 100, 0.1), (5, 1728, 0.9),
+                    (32, 33, 0.3), (1, 7, 0.5)]:
+        bits = (rng.random((h, w)) < p).astype(np.uint8)
+        assert np.array_equal(fax.decode_g4(fax.encode_g4(bits), width=w),
+                              bits)
+
+
+def test_g4_beats_g3_on_documents():
+    from imagemagick_tpu.utils import fax
+    doc = np.zeros((64, 512), np.uint8)
+    doc[10:20, 30:200] = 1
+    doc[30:32, :] = 1
+    g4 = fax.encode_g4(doc)
+    g3 = fax.encode_g3(doc)
+    assert np.array_equal(fax.decode_g4(g4, width=512), doc)
+    assert len(g4) < len(g3) / 3  # 2-D coding wins on correlated rows
+
+
+def test_g4_pass_mode():
+    """A shape that shrinks then vanishes exercises pass coding."""
+    from imagemagick_tpu.utils import fax
+    bits = np.zeros((4, 40), np.uint8)
+    bits[0, 5:30] = 1
+    bits[1, 10:20] = 1   # black region inside previous -> pass candidates
+    bits[2, 10:12] = 1
+    assert np.array_equal(fax.decode_g4(fax.encode_g4(bits), width=40), bits)
+
+
+def test_g4_via_registry():
+    img = _img(16, 1728, 1, seed=22)
+    blob = iio.image_to_blob(img, "g4")
+    back = iio.image_from_blob(blob, "g4")[0]
+    want = (np.asarray(img.to_numpy())[..., 0] >= 0.5).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(back.data)[..., 0], want)
