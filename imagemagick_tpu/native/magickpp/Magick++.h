@@ -133,6 +133,12 @@ enum AlphaChannelOption {
   SetAlphaChannel, ShapeAlphaChannel, TransparentAlphaChannel
 };
 
+enum ChannelType {
+  UndefinedChannel, RedChannel, GreenChannel, BlueChannel, AlphaChannel,
+  GrayChannel, CyanChannel, MagentaChannel, YellowChannel, BlackChannel,
+  AllChannels
+};
+
 enum OrientationType {
   UndefinedOrientation, TopLeftOrientation, TopRightOrientation,
   BottomRightOrientation, BottomLeftOrientation, LeftTopOrientation,
@@ -515,6 +521,31 @@ class Image {
   void kuwahara(double radius = 1.0, double sigma = 0.0);
   void localContrast(double radius, double strength);
   void convolve(size_t order, const double* kernel);
+
+  // --- channel-scoped variants (ChannelType restricts the effect) ---
+  void blurChannel(ChannelType ch, double radius = 0.0, double sigma = 1.0);
+  void gaussianBlurChannel(ChannelType ch, double radius, double sigma);
+  void sharpenChannel(ChannelType ch, double radius = 0.0,
+                      double sigma = 1.0);
+  void adaptiveSharpenChannel(ChannelType ch, double radius = 0.0,
+                              double sigma = 1.0);
+  void negateChannel(ChannelType ch, bool grayscale = false);
+  void gammaChannel(ChannelType ch, double g);
+  void levelChannel(ChannelType ch, double blackPoint, double whitePoint,
+                    double gamma = 1.0);
+  void autoLevelChannel(ChannelType ch);
+  void autoGammaChannel(ChannelType ch);
+  void brightnessContrastChannel(ChannelType ch, double brightness,
+                                 double contrast);
+  void contrastStretchChannel(ChannelType ch, double blackPoint,
+                              double whitePoint);
+  void sigmoidalContrastChannel(ChannelType ch, bool sharpen,
+                                double contrast,
+                                double midpoint = QuantumRange / 2.0);
+  void addNoiseChannel(ChannelType ch, NoiseType noiseType);
+  void clampChannel(ChannelType ch);
+  void randomThresholdChannel(ChannelType ch, double low, double high);
+  void equalizeChannel(ChannelType ch);
   void morphology(MorphologyMethod method, const std::string& kernel,
                   magickpp_ssize_t iterations = 1);
   void statistic(const std::string& type, size_t width, size_t height);

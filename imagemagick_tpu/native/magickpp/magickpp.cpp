@@ -1099,6 +1099,76 @@ void Image::convolve(size_t order, const double* kernel) {
     csv << (i ? "," : "") << kernel[i];
   call0(g_support, "convolve", "(Ois)", W, (int)order, csv.str().c_str());
 }
+static std::string toString(ChannelType c) {
+  static const char* names[] = {"all",  "red",     "green",  "blue",
+                                "alpha", "gray",    "cyan",   "magenta",
+                                "yellow", "black",  "all"};
+  return names[(int)c];
+}
+
+// channel-scoped dispatch: run the op, keep only the named channel
+#define CHANNEL_OP(ch, method, fmt, ...)                              \
+  call0(g_support, "apply_channel", "(Oss" fmt ")", W,                \
+        toString(ch).c_str(), method, ##__VA_ARGS__)
+
+void Image::blurChannel(ChannelType ch, double radius, double sigma) {
+  CHANNEL_OP(ch, "blur_image", "dd", radius, sigma);
+}
+void Image::gaussianBlurChannel(ChannelType ch, double radius,
+                                double sigma) {
+  CHANNEL_OP(ch, "gaussian_blur_image", "dd", radius, sigma);
+}
+void Image::sharpenChannel(ChannelType ch, double radius, double sigma) {
+  CHANNEL_OP(ch, "sharpen_image", "dd", radius, sigma);
+}
+void Image::adaptiveSharpenChannel(ChannelType ch, double radius,
+                                   double sigma) {
+  CHANNEL_OP(ch, "adaptive_sharpen_image", "dd", radius, sigma);
+}
+void Image::negateChannel(ChannelType ch, bool grayscale) {
+  CHANNEL_OP(ch, "negate_image", "i", grayscale ? 1 : 0);
+}
+void Image::gammaChannel(ChannelType ch, double g) {
+  CHANNEL_OP(ch, "gamma_image", "d", g);
+}
+void Image::levelChannel(ChannelType ch, double blackPoint,
+                         double whitePoint, double gamma_) {
+  CHANNEL_OP(ch, "level_image", "ddd", blackPoint / QuantumRange, gamma_,
+             whitePoint / QuantumRange);
+}
+void Image::autoLevelChannel(ChannelType ch) {
+  CHANNEL_OP(ch, "auto_level_image", "");
+}
+void Image::autoGammaChannel(ChannelType ch) {
+  CHANNEL_OP(ch, "auto_gamma_image", "");
+}
+void Image::brightnessContrastChannel(ChannelType ch, double brightness,
+                                      double contrast) {
+  CHANNEL_OP(ch, "brightness_contrast_image", "dd", brightness, contrast);
+}
+void Image::contrastStretchChannel(ChannelType ch, double blackPoint,
+                                   double whitePoint) {
+  CHANNEL_OP(ch, "contrast_stretch_image", "dd", blackPoint, whitePoint);
+}
+void Image::sigmoidalContrastChannel(ChannelType ch, bool sharpen,
+                                     double contrast, double midpoint) {
+  CHANNEL_OP(ch, "sigmoidal_contrast_image", "idd", sharpen ? 1 : 0,
+             contrast, midpoint / QuantumRange);
+}
+void Image::addNoiseChannel(ChannelType ch, NoiseType noiseType) {
+  CHANNEL_OP(ch, "add_noise_image", "sd", toString(noiseType).c_str(), 1.0);
+}
+void Image::clampChannel(ChannelType ch) {
+  CHANNEL_OP(ch, "clamp_image", "");
+}
+void Image::randomThresholdChannel(ChannelType ch, double low, double high) {
+  CHANNEL_OP(ch, "random_threshold_image", "dd", low / QuantumRange,
+             high / QuantumRange);
+}
+void Image::equalizeChannel(ChannelType ch) {
+  CHANNEL_OP(ch, "equalize_image", "");
+}
+
 void Image::morphology(MorphologyMethod method, const std::string& kernel,
                        magickpp_ssize_t iterations) {
   call0(W, "morphology_image", "(sis)", toString(method).c_str(),

@@ -349,3 +349,32 @@ def coder_list() -> list:
     r = set(iio.supported_read_formats())
     w = set(iio.supported_write_formats())
     return [(f, f in r, f in w) for f in sorted(r | w)]
+
+
+# -- channel-scoped op application (Magick++ *Channel method variants) --
+
+_CHANNEL_IDX = {"red": 0, "cyan": 0, "gray": 0, "green": 1, "magenta": 1,
+                "blue": 2, "yellow": 2, "black": 3, "alpha": -1,
+                "opacity": -1}
+
+
+def apply_channel(wand, channel: str, method: str, *args):
+    """Run a whole-image wand op, then keep only the named channels'
+    results (ChannelType scoping, channel.c semantics for shape-preserving
+    ops)."""
+    img = wand.current
+    before = img.data
+    getattr(wand, method)(*args)
+    cur = wand.current
+    after = cur.data
+    if after.shape != before.shape:
+        return  # geometry-changing op: scoping is meaningless
+    names = channel.lower().replace(",", " ").split()
+    nc = before.shape[-1]
+    if any(n in ("all", "default", "rgb", "rgba") for n in names):
+        return
+    keep = sorted({_CHANNEL_IDX[n] % nc for n in names if n in _CHANNEL_IDX})
+    data = before
+    for c in keep:
+        data = data.at[..., c].set(after[..., c])
+    wand._set_current(cur.replace(data=data))

@@ -182,6 +182,13 @@ int main(int argc, char** argv) {
     readImages(&back2, mpath);
     printf("seq_n=%zu\n", back2.size());
 
+    // channel-scoped ops: negate only the red channel of solid teal
+    Image chimg(Geometry(6, 6), Color("rgba(0,128,128,1)"));
+    chimg.negateChannel(RedChannel);
+    Color chc = chimg.pixelColor(3, 3);
+    printf("ch_r=%d\n", (int)(chc.quantumRed() / QuantumRange * 255 + 0.5));
+    printf("ch_g=%d\n", (int)(chc.quantumGreen() / QuantumRange * 255 + 0.5));
+
     // ResourceLimits + CoderInfo services
     ResourceLimits::width(1 << 20);
     printf("limit_w=%llu\n", ResourceLimits::width());

@@ -138,3 +138,9 @@ def test_services(demo_output):
     assert out["limit_w"] == str(1 << 20)
     assert out["coders_n_pos"] == "1"
     assert out["png_rw"] == "11"
+
+
+def test_channel_scoped_ops(demo_output):
+    out, _ = demo_output
+    assert out["ch_r"] == "255"   # red negated 0 -> 255
+    assert out["ch_g"] == "128"   # green untouched
