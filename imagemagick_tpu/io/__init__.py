@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.image import Image
 from . import (codecs, delegates, exr, extra_coders, formats2, formats3,
-               miff, mpc, pnm, pseudo)
+               formats4, miff, mpc, pnm, pseudo)
 from ..core.geometry import parse_geometry
 
 __all__ = ["read_image", "read_images", "write_image", "image_from_blob",
@@ -54,6 +54,12 @@ _MAGIC = [
     (b"\x59\xa6\x6a\x95", "sun"),
     (b"MATLAB 5.0 MAT-file", "mat"),
     (b"\xab\x01", "viff"),
+    (b"\xb6\xa6\xf2\x08", "vips"),
+    (b"\x08\xf2\xa6\xb6", "vips"),
+    (b"PG ", "pgx"),
+    (b"data:", "inline"),
+    (b"# ImageMagick pixel enumeration", "txt"),
+    (b"srcdocid:", "cals"),
 ]
 
 _PSEUDO = {
@@ -129,6 +135,18 @@ def detect_format(data: bytes) -> Optional[str]:
         return "ps"
     if data[128:132] == b"DICM":
         return "dcm"
+    if data[80:82] == b"CT" and len(data) > 2048 and data[:4] != b"\x00\x00\x00\x00":
+        # Scitex CT parameter block (sct.c IsSCT probes offset 80)
+        try:
+            int(float(data[1056:1068].split(b"\x00")[0] or b"x"))
+            return "sct"
+        except ValueError:
+            pass
+    if data[4:8] == b"\x00\x00\x00\x07" and len(data) >= 100:
+        import struct as _s
+
+        if _s.unpack(">I", data[:4])[0] >= 100:
+            return "xwd"
     return None
 
 
@@ -174,6 +192,10 @@ def read_images(filename: str, size: Optional[str] = None,
     ext = fmt or os.path.splitext(rest)[1].lstrip(".").lower()
     if ext in ("gray", "rgb", "rgba", "bgr", "bgra", "cmyk", "ycbcr") and w and h:
         return [extra_coders.decode_raw(data, ext, w, h)]
+    if ext == "mono" and w and h:
+        return [formats2.decode_mono(data, w, h)]
+    if ext == "uyvy" and w and h:
+        return [formats4.decode_uyvy(data, w, h)]
     return image_from_blob(data, ext)
 
 
@@ -242,6 +264,30 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [formats3.decode_palm(data)]
     elif use in ("pict", "pct"):
         images = [formats3.decode_pict(data)]
+    elif use == "aai":
+        images = [formats4.decode_aai(data)]
+    elif use == "hrz":
+        images = [formats4.decode_hrz(data)]
+    elif use == "scr":
+        images = [formats4.decode_scr(data)]
+    elif use == "rgf":
+        images = [formats4.decode_rgf(data)]
+    elif use == "txt" or use == "text":
+        images = [formats4.decode_txt(data)]
+    elif use == "inline":
+        images = formats4.decode_inline(data)
+    elif use == "pgx":
+        images = [formats4.decode_pgx(data)]
+    elif use in ("vips", "v"):
+        images = [formats4.decode_vips(data)]
+    elif use in ("cals", "cal"):
+        images = [formats4.decode_cals(data)]
+    elif use == "art":
+        images = [formats4.decode_art(data)]
+    elif use == "sct":
+        images = [formats4.decode_sct(data)]
+    elif use == "xwd":
+        images = [formats4.decode_xwd(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -271,7 +317,7 @@ def write_image(image: Union[Image, List[Image]], filename: str,
     if fmt == "mpc" or (fmt is None and rest.lower().endswith(".mpc")):
         mpc.write_mpc(images, rest)
         return
-    if fmt in ("info", "json", "yaml", "txt"):
+    if fmt in ("info", "json", "yaml", "txt") and rest in ("", "-"):
         from . import identify as ident
 
         for im in images:
@@ -320,6 +366,18 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
     images = image if isinstance(image, list) else [image]
     fmt = fmt.lower()
     depth = depth or images[0].spec.depth
+    if fmt in ("info", "json", "yaml", "txt"):
+        from . import identify as ident
+
+        parts = []
+        for im in images:
+            if fmt == "json":
+                parts.append(ident.to_json(im, ""))
+            elif fmt == "txt":
+                parts.append(_enumerate_pixels(im))
+            else:
+                parts.append(ident.describe(im, "", verbose=True))
+        return ("\n".join(parts) + "\n").encode()
     if fmt in ("miff", "mif"):
         return miff.encode(images, depth=16 if depth > 8 else 8, compression="zip")
     if fmt in ("ppm", "pgm", "pbm", "pnm", "pam", "pfm"):
@@ -378,18 +436,51 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats3.encode_palm(images[0])
     if fmt in ("pict", "pct"):
         return formats3.encode_pict(images[0])
+    if fmt == "aai":
+        return formats4.encode_aai(images[0])
+    if fmt == "hrz":
+        return formats4.encode_hrz(images[0])
+    if fmt == "rgf":
+        return formats4.encode_rgf(images[0])
+    if fmt == "cip":
+        return formats4.encode_cip(images[0])
+    if fmt == "pgx":
+        return formats4.encode_pgx(images[0], depth=16 if depth > 8 else 8)
+    if fmt in ("vips", "v"):
+        return formats4.encode_vips(images[0], depth=depth)
+    if fmt == "inline":
+        return formats4.encode_inline(images[0])
+    if fmt in ("cals", "cal"):
+        return formats4.encode_cals(images[0])
+    if fmt == "art":
+        return formats4.encode_art(images[0])
+    if fmt == "xwd":
+        return formats4.encode_xwd(images[0])
+    if fmt in ("braille", "brf", "ubrl", "ubrl6", "isobrl", "isobrl6"):
+        return formats4.encode_braille(
+            images[0], "ubrl" if fmt == "braille" else fmt)
+    if fmt == "uil":
+        return formats4.encode_uil(images[0])
+    if fmt in ("html", "htm", "shtml"):
+        return formats4.encode_html(images[0])
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
-# native round-2 coders (io/formats2.py + formats3.py)
+# native round-2 coders (io/formats2.py + formats3.py + formats4.py)
 _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "wbmp", "avs", "mtv", "fl32", "vicar", "vic", "otb",
                   "fax", "g3", "g4", "mat", "viff", "xv", "rla", "palm",
-                  "pict", "pct"}
+                  "pict", "pct",
+                  "aai", "hrz", "scr", "rgf", "txt", "inline", "pgx",
+                  "vips", "mono", "uyvy", "cals", "cal", "art", "sct",
+                  "xwd"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",
-                   "viff", "xv", "rla", "palm", "pict", "pct"}
+                   "viff", "xv", "rla", "palm", "pict", "pct",
+                   "aai", "hrz", "rgf", "cip", "pgx", "vips", "inline",
+                   "cals", "cal", "art", "xwd", "braille", "brf", "ubrl",
+                   "ubrl6", "isobrl", "isobrl6", "uil", "html", "htm"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

@@ -773,21 +773,24 @@ def encode_otb(img: Image) -> bytes:
 
 
 def decode_mono(data: bytes, width: int, height: int) -> Image:
-    """MONO: raw 1-bit LSB-first rows (coders/mono.c quantum order)."""
+    """MONO: raw 1-bit LSB-first rows; wire bit 1 = black (coders/mono.c
+    ReadMONOImage maps a set bit to colormap index 0 = black)."""
     stride = -(-width // 8)
     packed = np.frombuffer(data, np.uint8, stride * height).reshape(
         height, stride)
     bits = np.unpackbits(packed, axis=1, bitorder="little")[:, :width]
-    return Image(bits.astype(np.float32)[..., None],
+    return Image((1.0 - bits).astype(np.float32)[..., None],
                  ImageSpec(colorspace="gray", depth=1))
 
 
 def encode_mono(img: Image) -> bytes:
+    """Wire bit 1 = black (coders/mono.c WriteMONOImage: luma < 1/2 sets
+    the bit), LSB-first, row-aligned."""
     arr = np.clip(img.to_numpy(), 0.0, 1.0)
     if arr.ndim == 4:
         arr = arr[0]
     gray = arr.mean(-1) if arr.shape[-1] > 1 else arr[..., 0]
-    bits = (gray >= 0.5).astype(np.uint8)
+    bits = (gray < 0.5).astype(np.uint8)
     return np.packbits(bits, axis=1, bitorder="little").tobytes()
 
 

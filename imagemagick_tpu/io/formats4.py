@@ -1,0 +1,738 @@
+"""Native coders, batch 4: small raster + text formats.
+
+Formats (reference coder in /root/reference/coders/):
+  AAI    aai.c    — Dune: u32le width/height + BGRA rows (alpha 254->255)
+  HRZ    hrz.c    — Slow-scan TV: fixed 256x240, RGB 6-bit (value*4)
+  SCR    scr.c    — ZX Spectrum screen: 6144B bitmap + 768B attrs, 256x192
+  RGF    rgf.c    — LEGO Mindstorms EV3: w,h bytes + 1bpp LSB-first rows
+  CIP    cip.c    — Cisco IP phone: XML wrapper, 2-bit luma hex (write-only)
+  MONO   mono.c   — raw 1bpp LSB-first, bit 1 = black (needs -size)
+  TXT    txt.c    — ImageMagick pixel enumeration text
+  INLINE inline.c — data:;base64, URI wrapping another format
+  PGX    pgx.c    — JPEG-2000 VM raw grayscale ("PG ML + d w h")
+  VIPS   vips.c   — libvips v4 headers, coding NONE, bands 1-5
+  UYVY   uyvy.c   — 4:2:2 packed U Y1 V Y2 (needs -size, even width)
+
+All readers return float32 NHWC Images in [0,1]; writers quantize at the
+edge (HDRI invariant). Structure is re-derived TPU/NumPy-first (vectorized
+row codecs, np.packbits) — no reference code is copied.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import struct
+from typing import Optional
+
+import numpy as np
+
+from ..core.image import Image
+from ..core.spec import ImageSpec
+
+
+def _flat(img: Image) -> np.ndarray:
+    arr = np.asarray(img.to_numpy(), dtype=np.float32)
+    if arr.ndim == 4:
+        arr = arr[0]
+    return arr
+
+
+def _rgb(arr: np.ndarray) -> np.ndarray:
+    if arr.shape[-1] in (1, 2):     # gray / gray+alpha
+        arr = np.repeat(arr[..., :1], 3, -1)
+    return arr[..., :3]
+
+
+def _colors_alpha(img: Image):
+    """Split into (H,W,3) color and optional (H,W) alpha per the spec."""
+    arr = _flat(img)
+    n = arr.shape[-1]
+    has_a = bool(getattr(img.spec, "alpha", False)) and n in (2, 4, 5)
+    alpha = arr[..., n - 1] if has_a else None
+    color = arr[..., :n - 1] if has_a else arr
+    if color.shape[-1] == 1:
+        color = np.repeat(color, 3, -1)
+    return color[..., :3], alpha
+
+
+def _luma(arr: np.ndarray) -> np.ndarray:
+    """Rec.709 luma (GetPixelLuma, pixel-accessor.h)."""
+    rgb = _rgb(arr)
+    return 0.212656 * rgb[..., 0] + 0.715158 * rgb[..., 1] + 0.072186 * rgb[..., 2]
+
+
+def _u8(x: np.ndarray) -> np.ndarray:
+    return (np.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# AAI Dune (aai.c: ReadAAIImage — u32le w,h then BGRA byte rows;
+# alpha byte 254 is promoted to 255 on read)
+# ---------------------------------------------------------------------------
+
+def decode_aai(data: bytes) -> Image:
+    if len(data) < 8:
+        raise ValueError("AAI: truncated header")
+    w, h = struct.unpack("<II", data[:8])
+    if w == 0 or h == 0 or len(data) < 8 + 4 * w * h:
+        raise ValueError("AAI: improper image header")
+    raw = np.frombuffer(data, np.uint8, 4 * w * h, 8).reshape(h, w, 4)
+    bgra = raw.astype(np.float32) / 255.0
+    a = raw[..., 3]
+    alpha = np.where(a == 254, np.uint8(255), a).astype(np.float32) / 255.0
+    rgba = np.stack([bgra[..., 2], bgra[..., 1], bgra[..., 0], alpha], -1)
+    return Image(rgba, ImageSpec(colorspace="srgb", alpha=True))
+
+
+def encode_aai(img: Image) -> bytes:
+    color, a = _colors_alpha(img)
+    h, w = color.shape[:2]
+    rgb = _u8(color)
+    alpha = _u8(a) if a is not None else np.full((h, w), 255, np.uint8)
+    bgra = np.stack([rgb[..., 2], rgb[..., 1], rgb[..., 0], alpha], -1)
+    return struct.pack("<II", w, h) + bgra.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# HRZ slow-scan TV (hrz.c: fixed 256x240; 6-bit RGB, decoded as 4*v)
+# ---------------------------------------------------------------------------
+
+def decode_hrz(data: bytes) -> Image:
+    need = 256 * 240 * 3
+    if len(data) < need:
+        raise ValueError("HRZ: expected %d bytes" % need)
+    raw = np.frombuffer(data, np.uint8, need).reshape(240, 256, 3)
+    arr = np.minimum(raw.astype(np.float32) * 4.0, 255.0) / 255.0
+    return Image(arr, ImageSpec(colorspace="srgb"))
+
+
+def encode_hrz(img: Image) -> bytes:
+    arr = _rgb(_flat(img))
+    if arr.shape[:2] != (240, 256):
+        # HRZ is a fixed-geometry format; resize on the host at the edge
+        from ..ops.resize import resize as _resize
+
+        arr = _flat(Image(
+            np.asarray(_resize(arr[None], 240, 256, "triangle")[0]),
+            ImageSpec(colorspace="srgb")))
+        arr = _rgb(arr)
+    return (_u8(arr) // 4).astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# ZX Spectrum SCR (scr.c: 6144-byte bitmap in thirds + 768 attribute bytes;
+# attr = FBPPPIII; palette value 192, bright -> 255)
+# ---------------------------------------------------------------------------
+
+_SCR_LEVELS = (192, 255)
+
+
+def decode_scr(data: bytes) -> Image:
+    if len(data) < 6912:
+        raise ValueError("SCR: expected 6912 bytes")
+    bitmap = np.frombuffer(data, np.uint8, 6144)
+    attrs = np.frombuffer(data, np.uint8, 768, 6144).reshape(24, 32)
+    # Spectrum address layout: addr = zone*2048 + octetline*256 + charline*32
+    # + col ; y = zone*64 + charline*8 + octetline
+    bm = bitmap.reshape(3, 8, 8, 32)          # zone, octetline, charline, col
+    bm = bm.transpose(0, 2, 1, 3)             # zone, charline, octetline, col
+    bits = np.unpackbits(bm.reshape(-1, 32), axis=1)  # MSB-first -> x order
+    pix = bits.reshape(3, 8, 8, 256).reshape(192, 256)
+    ink = attrs & 0x07
+    paper = (attrs >> 3) & 0x07
+    bright = (attrs >> 6) & 0x01
+    lvl = np.where(bright == 1, _SCR_LEVELS[1], _SCR_LEVELS[0]).astype(np.float32)
+    # 3-bit GRB component order: bit0=blue, bit1=red, bit2=green
+    def expand(c3):
+        b = (c3 & 1).astype(np.float32)
+        r = ((c3 >> 1) & 1).astype(np.float32)
+        g = ((c3 >> 2) & 1).astype(np.float32)
+        return np.stack([r, g, b], -1) * lvl[..., None] / 255.0
+
+    ink_rgb = expand(ink)
+    paper_rgb = expand(paper)
+    cell = pix.reshape(24, 8, 32, 8)
+    sel = cell.transpose(0, 2, 1, 3).astype(bool)       # (24,32,8,8)
+    out = np.where(sel[..., None], ink_rgb[:, :, None, None, :],
+                   paper_rgb[:, :, None, None, :])
+    out = out.transpose(0, 2, 1, 3, 4).reshape(192, 256, 3)
+    return Image(out.astype(np.float32), ImageSpec(colorspace="srgb"))
+
+
+# ---------------------------------------------------------------------------
+# LEGO Mindstorms EV3 RGF (rgf.c: w,h single bytes; rows of LSB-first 1bpp,
+# byte-aligned; wire bit 1 = dark pixel — the writer's convention, which we
+# mirror on read for exact round trips)
+# ---------------------------------------------------------------------------
+
+def decode_rgf(data: bytes) -> Image:
+    if len(data) < 2:
+        raise ValueError("RGF: truncated")
+    w, h = data[0], data[1]
+    if w == 0 or h == 0:
+        raise ValueError("RGF: improper header")
+    stride = (w + 7) // 8
+    if len(data) < 2 + stride * h:
+        raise ValueError("RGF: truncated pixel data")
+    rows = np.frombuffer(data, np.uint8, stride * h, 2).reshape(h, stride)
+    bits = np.unpackbits(rows, axis=1, bitorder="little")[:, :w]
+    arr = (1.0 - bits).astype(np.float32)[..., None]   # 1 = dark
+    return Image(arr, ImageSpec(colorspace="gray", depth=1))
+
+
+def encode_rgf(img: Image) -> bytes:
+    arr = _flat(img)
+    h, w = arr.shape[:2]
+    if w > 255 or h > 255:
+        raise ValueError("RGF supports at most 255x255")
+    dark = (_luma(arr) < 0.5).astype(np.uint8)
+    return bytes([w, h]) + np.packbits(dark, axis=1, bitorder="little").tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Cisco IP phone CIP (cip.c: XML wrapper; 2-bit luma, 4 px/byte packed
+# low-to-high within the byte, hex text; width padded to even)
+# ---------------------------------------------------------------------------
+
+def encode_cip(img: Image, title: str = "image") -> bytes:
+    arr = _flat(img)
+    h, w = arr.shape[:2]
+    q = np.minimum((_luma(arr) * 3.0).astype(np.int64), 3).astype(np.uint8)
+    pad = (-w) % 4
+    if pad:
+        q = np.pad(q, ((0, 0), (0, pad)))
+    qq = q.reshape(h, -1, 4)
+    byte = (qq[..., 0] | (qq[..., 1] << 2) | (qq[..., 2] << 4)
+            | (qq[..., 3] << 6)).astype(np.uint8)
+    hexdata = byte.tobytes().hex()
+    out = ["<CiscoIPPhoneImage>",
+           "<Title>%s</Title>" % title,
+           "<LocationX>0</LocationX>", "<LocationY>0</LocationY>",
+           "<Width>%d</Width>" % (w + (w % 2)),
+           "<Height>%d</Height>" % h,
+           "<Depth>2</Depth>",
+           "<Data>%s</Data>" % hexdata,
+           "</CiscoIPPhoneImage>", ""]
+    return "\n".join(out).encode()
+
+
+# ---------------------------------------------------------------------------
+# TXT pixel enumeration (txt.c ReadTXTImage: header
+# "# ImageMagick pixel enumeration: w,h[,meta],max,colorspace" then
+# "x,y: (v,v,v[,v])" lines)
+# ---------------------------------------------------------------------------
+
+_TXT_HEADER = re.compile(
+    rb"#\s*ImageMagick pixel enumeration:\s*(\d+),(\d+)(?:,(\d+))?,"
+    rb"([0-9.eE+-]+),(\w+)")
+_TXT_LINE = re.compile(
+    rb"^\s*(\d+),(\d+):\s*\(([^)]*)\)")
+
+
+def decode_txt(data: bytes) -> Image:
+    m = _TXT_HEADER.search(data[:512])
+    if not m:
+        raise ValueError("TXT: no pixel-enumeration header")
+    w, h = int(m.group(1)), int(m.group(2))
+    maxval = float(m.group(4))
+    cs = m.group(5).decode().lower()
+    alpha = cs.endswith("a")
+    if alpha:
+        cs = cs[:-1]
+    nch = (1 if cs in ("gray", "grey", "lineargray") else
+           4 if cs == "cmyk" else 3) + (1 if alpha else 0)
+    arr = np.zeros((h, w, nch), np.float32)
+    for line in data.splitlines():
+        lm = _TXT_LINE.match(line)
+        if not lm:
+            continue
+        x, y = int(lm.group(1)), int(lm.group(2))
+        if x >= w or y >= h:
+            continue
+        vals = []
+        for tok in lm.group(3).split(b","):
+            tok = tok.strip()
+            if tok.endswith(b"%"):
+                vals.append(float(tok[:-1]) / 100.0)
+            else:
+                vals.append(float(tok) / (maxval if maxval > 0 else 1.0))
+        vals = (vals + [0.0] * nch)[:nch]
+        arr[y, x] = vals
+    spec = ImageSpec(colorspace="gray" if nch - int(alpha) == 1 else
+                     ("cmyk" if cs == "cmyk" else "srgb"), alpha=alpha)
+    return Image(arr, spec)
+
+
+# ---------------------------------------------------------------------------
+# INLINE data URI (inline.c: "data:<mime>;base64,<payload>")
+# ---------------------------------------------------------------------------
+
+def decode_inline(data: bytes):
+    from . import image_from_blob
+
+    text = data.strip()
+    idx = text.find(b"base64,")
+    if not text.startswith(b"data:") or idx < 0:
+        raise ValueError("INLINE: not a base64 data: URI")
+    return image_from_blob(base64.b64decode(text[idx + 7:]))
+
+
+def encode_inline(img: Image, inner_fmt: str = "png") -> bytes:
+    from . import image_to_blob
+
+    blob = image_to_blob(img, inner_fmt)
+    mime = {"png": "image/png", "jpeg": "image/jpeg", "jpg": "image/jpeg",
+            "gif": "image/gif", "webp": "image/webp"}.get(
+                inner_fmt, "image/" + inner_fmt)
+    return b"data:" + mime.encode() + b";base64," + base64.b64encode(blob)
+
+
+# ---------------------------------------------------------------------------
+# PGX (pgx.c — JPEG-2000 verification-model raw gray:
+# "PG <ML|LM> <+|-><depth> <width> <height>", big-endian when ML)
+# ---------------------------------------------------------------------------
+
+_PGX_HEADER = re.compile(
+    rb"PG[ \t]+(ML|LM)[ \t]*([+-]?)[ \t]*(\d+)[ \t]+(\d+)[ \t]+(\d+)")
+
+
+def decode_pgx(data: bytes) -> Image:
+    m = _PGX_HEADER.match(data)
+    if not m:
+        raise ValueError("PGX: bad header")
+    endian = ">" if m.group(1) == b"ML" else "<"
+    depth = int(m.group(3))
+    w, h = int(m.group(4)), int(m.group(5))
+    off = data.index(b"\n", m.start()) + 1
+    nbytes = 1 if depth <= 8 else 2
+    dt = np.dtype(("u%d" % nbytes)).newbyteorder(endian)
+    raw = np.frombuffer(data, dt, w * h, off).reshape(h, w)
+    arr = raw.astype(np.float32) / float((1 << depth) - 1)
+    return Image(arr[..., None], ImageSpec(colorspace="gray",
+                                           depth=min(depth, 16)))
+
+
+def encode_pgx(img: Image, depth: int = 8) -> bytes:
+    arr = _flat(img)
+    gray = _luma(arr) if arr.shape[-1] > 1 else arr[..., 0]
+    h, w = gray.shape
+    maxv = (1 << depth) - 1
+    q = (np.clip(gray, 0.0, 1.0) * maxv + 0.5).astype(
+        np.uint8 if depth <= 8 else ">u2")
+    header = ("PG ML + %d %d %d\n" % (depth, w, h)).encode()
+    return header + q.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# VIPS v4 (vips.c: magic 0x08f2a6b6, 64-byte header, coding NONE,
+# band-interleaved pixels, optional trailing XML metadata)
+# ---------------------------------------------------------------------------
+
+_VIPS_MAGIC_LSB = 0x08F2A6B6
+_VIPS_MAGIC_MSB = 0xB6A6F208
+
+_VIPS_FMT = {0: ("u1", 8), 1: ("i1", 8), 2: ("u2", 16), 3: ("i2", 16),
+             4: ("u4", 32), 5: ("i4", 32), 6: ("f4", 32), 8: ("f8", 64)}
+
+
+def decode_vips(data: bytes) -> Image:
+    (magic,) = struct.unpack("<I", data[:4])
+    if magic == _VIPS_MAGIC_LSB:
+        e = "<"
+    elif magic == _VIPS_MAGIC_MSB:
+        e = ">"
+    else:
+        raise ValueError("VIPS: bad magic")
+    w, h, bands, _legacy, fmt, coding, vtype = struct.unpack(
+        e + "7i", data[4:32])
+    if coding != 0:
+        raise ValueError("VIPS: only coding NONE supported")
+    if fmt not in _VIPS_FMT:
+        raise ValueError("VIPS: unsupported band format %d" % fmt)
+    if not (1 <= bands <= 5):
+        raise ValueError("VIPS: unsupported band count %d" % bands)
+    dtype_s, depth = _VIPS_FMT[fmt]
+    dt = np.dtype(dtype_s).newbyteorder(e)
+    off = 32 + 4 + 4 + 24        # xres,yres floats + 3x8 reserved
+    raw = np.frombuffer(data, dt, w * h * bands, off).reshape(h, w, bands)
+    if dt.kind == "f":
+        arr = raw.astype(np.float32)
+    elif dt.kind == "i":
+        info = np.iinfo(dt)
+        arr = (raw.astype(np.float32) - info.min) / (info.max - info.min)
+    else:
+        arr = raw.astype(np.float32) / float(np.iinfo(dt).max)
+    if vtype == 15:          # CMYK
+        cs, alpha = "cmyk", bands == 5
+    elif bands in (1, 2):
+        cs, alpha = "gray", bands == 2
+    else:
+        cs, alpha = "srgb", bands in (4, 5) and vtype != 15
+    return Image(arr, ImageSpec(colorspace=cs, alpha=alpha,
+                                depth=min(depth, 32)))
+
+
+def encode_vips(img: Image, depth: int = 8) -> bytes:
+    arr = _flat(img)
+    h, w, c = arr.shape
+    gray = c == 1 or (c == 2 and img.spec.colorspace == "gray")
+    if depth <= 8:
+        fmt, payload = 0, _u8(arr)
+    else:
+        fmt = 2
+        payload = (np.clip(arr, 0.0, 1.0) * 65535.0 + 0.5).astype("<u2")
+    vtype = (26 if gray and depth > 8 else 1) if gray else \
+        (25 if depth > 8 else 22)
+    head = struct.pack("<I7i", _VIPS_MAGIC_LSB, w, h, c, 0, fmt, 0, vtype)
+    head += struct.pack("<2f", 0.0, 0.0) + b"\x00" * 24
+    return head + payload.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# CALS Type 1 (cals.c: 16 x 128-byte ASCII records = 2048-byte header,
+# then a raw ITU-T T.6 Group-4 stream; MIL-R-28002)
+# ---------------------------------------------------------------------------
+
+def decode_cals(data: bytes) -> Image:
+    from . import formats2
+
+    if len(data) < 2048:
+        raise ValueError("CALS: truncated header")
+    width = height = 0
+    density = 0
+    for i in range(16):
+        rec = data[128 * i:128 * (i + 1)].decode("latin-1", "replace")
+        low = rec.lower()
+        if low.startswith("rpelcnt:"):
+            m = re.match(r"\s*(\d+)\s*,\s*(\d+)", rec[8:])
+            if m:
+                width, height = int(m.group(1)), int(m.group(2))
+        elif low.startswith("rdensty:"):
+            m = re.match(r"\s*(\d+)", rec[8:])
+            if m:
+                density = int(m.group(1))
+    if width == 0:
+        raise ValueError("CALS: missing rpelcnt record")
+    img = formats2.decode_g4_image(data[2048:], width)
+    arr = np.asarray(img.data)
+    if height and arr.shape[0] >= height:
+        img = Image(arr[:height], img.spec)
+    if density:
+        img.properties["density"] = str(density)
+    return img
+
+
+def encode_cals(img: Image) -> bytes:
+    from . import formats2
+
+    arr = _flat(img)
+    h, w = arr.shape[:2]
+    density = int(img.properties.get("density", "200") or 200)
+    records = ["srcdocid: NONE", "dstdocid: NONE", "txtfilid: NONE",
+               "figid: NONE", "srcgph: NONE", "doccls: NONE", "rtype: 1",
+               "rorient: 000,270",
+               "rpelcnt: %06d,%06d" % (w, h),
+               "rdensty: %04d" % density, "notes: NONE"]
+    header = b"".join(r.ljust(128).encode() for r in records)
+    header += b" " * 128 * (16 - len(records))
+    return header + formats2.encode_g4_image(img)
+
+
+# ---------------------------------------------------------------------------
+# PFS: 1st Publisher ART (art.c: u16le pad/width/pad/height, then
+# MSB-first 1bpp gray rows — bit 1 = white — padded to even byte counts)
+# ---------------------------------------------------------------------------
+
+def decode_art(data: bytes) -> Image:
+    if len(data) < 8:
+        raise ValueError("ART: truncated header")
+    _, w, _, h = struct.unpack("<4H", data[:8])
+    if w == 0 or h == 0:
+        raise ValueError("ART: improper header")
+    stride = (w + 7) // 8
+    padded = stride + (stride & 1)
+    if len(data) < 8 + padded * h:
+        raise ValueError("ART: truncated pixel data")
+    rows = np.frombuffer(data, np.uint8, padded * h, 8).reshape(h, padded)
+    bits = np.unpackbits(rows[:, :stride], axis=1)[:, :w]
+    return Image(bits.astype(np.float32)[..., None],
+                 ImageSpec(colorspace="gray", depth=1))
+
+
+def encode_art(img: Image) -> bytes:
+    arr = _flat(img)
+    h, w = arr.shape[:2]
+    white = (_luma(arr) >= 0.5).astype(np.uint8)
+    packed = np.packbits(white, axis=1)
+    if packed.shape[1] & 1:
+        packed = np.pad(packed, ((0, 0), (0, 1)))
+    return struct.pack("<4H", 0, w, 0, h) + packed.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Scitex CT (sct.c: 2048-byte parameter block — "CT" magick at offset 80,
+# separations at 1026, rows/cols as ASCII at 1056/1068 — then per-row
+# planar separations, rows padded to even width; read-only like the
+# reference)
+# ---------------------------------------------------------------------------
+
+def decode_sct(data: bytes) -> Image:
+    if len(data) < 2048:
+        raise ValueError("SCT: truncated header")
+    magick = data[80:82]
+    if magick != b"CT":
+        if magick in (b"LW", b"BM", b"PG", b"TX"):
+            raise ValueError("SCT: only continuous-tone (CT) supported")
+        raise ValueError("SCT: improper header")
+    separations = data[1025]
+    sep_mask = struct.unpack(">H", data[1026:1028])[0]
+    rows = int(float(data[1056:1068].split(b"\x00")[0] or b"0"))
+    cols = int(float(data[1068:1080].split(b"\x00")[0] or b"0"))
+    if rows < 1 or cols < 1 or separations not in (1, 3, 4):
+        raise ValueError("SCT: unsupported geometry/separations")
+    stride = cols + (cols & 1)
+    need = rows * separations * stride
+    if len(data) < 2048 + need:
+        raise ValueError("SCT: truncated pixel data")
+    raw = np.frombuffer(data, np.uint8, need, 2048)
+    raw = raw.reshape(rows, separations, stride)[:, :, :cols]
+    arr = raw.transpose(0, 2, 1).astype(np.float32) / 255.0
+    if separations == 4 or sep_mask == 0x0F:
+        cs = "cmyk"
+    elif separations == 1:
+        cs = "gray"
+    else:
+        cs = "srgb"
+    return Image(arr, ImageSpec(colorspace=cs))
+
+
+# ---------------------------------------------------------------------------
+# X Window Dump (xwd.c: 25 u32be header words + window name + XWDColor
+# table + pixels; ZPixmap direct 16/24/32-bit via channel masks and
+# 8-bit PseudoClass via the colormap; writer emits ZPixmap 24bpp/32-pad)
+# ---------------------------------------------------------------------------
+
+_XWD_VERSION = 7
+
+
+def decode_xwd(data: bytes) -> Image:
+    if len(data) < 100:
+        raise ValueError("XWD: truncated header")
+    words = struct.unpack(">25I", data[:100])
+    (hdr_size, version, pix_format, _depth, w, h, xoff, byte_order,
+     _bmp_unit, bit_order, _bmp_pad, bpp, bpl, _vis_class, rmask, gmask,
+     bmask, _bits_rgb, _cmap_entries, ncolors) = words[:20]
+    if version != _XWD_VERSION:
+        # some writers store the header little-endian
+        words = struct.unpack("<25I", data[:100])
+        (hdr_size, version, pix_format, _depth, w, h, xoff, byte_order,
+         _bmp_unit, bit_order, _bmp_pad, bpp, bpl, _vis_class, rmask,
+         gmask, bmask, _bits_rgb, _cmap_entries, ncolors) = words[:20]
+        if version != _XWD_VERSION:
+            raise ValueError("XWD: bad file version")
+        be = False
+    else:
+        be = True
+    e = ">" if be else "<"
+    off = hdr_size
+    cmap = None
+    if ncolors:
+        cmap = np.zeros((ncolors, 3), np.float32)
+        for i in range(ncolors):
+            _pix, r, g, b = struct.unpack(e + "IHHH",
+                                          data[off + 12 * i:off + 12 * i + 10])
+            cmap[i] = (r / 65535.0, g / 65535.0, b / 65535.0)
+        off += 12 * ncolors
+    if pix_format == 0 or bpp == 1:      # XYBitmap / 1-bit
+        stride = bpl if bpl else (w + 7) // 8
+        rows = np.frombuffer(data, np.uint8, stride * h, off).reshape(h, stride)
+        bits = np.unpackbits(
+            rows, axis=1,
+            bitorder="big" if bit_order == 1 else "little")[:, :w]
+        arr = bits.astype(np.float32)[..., None]
+        return Image(arr, ImageSpec(colorspace="gray", depth=1))
+    if pix_format != 2:
+        raise ValueError("XWD: only ZPixmap supported")
+    nbytes = bpp // 8
+    if bpp == 8:
+        stride = bpl if bpl else w
+        idx = np.frombuffer(data, np.uint8, stride * h, off).reshape(
+            h, stride)[:, :w]
+        if cmap is None:
+            arr = np.repeat(idx.astype(np.float32)[..., None] / 255.0, 3, -1)
+        else:
+            arr = cmap[np.minimum(idx, len(cmap) - 1)]
+        return Image(arr.astype(np.float32), ImageSpec(colorspace="srgb"))
+    if bpp not in (16, 24, 32):
+        raise ValueError("XWD: unsupported bits_per_pixel %d" % bpp)
+    stride = bpl if bpl else w * nbytes
+    rows = np.frombuffer(data, np.uint8, stride * h, off).reshape(h, stride)
+    px = rows[:, :w * nbytes].reshape(h, w, nbytes).astype(np.uint32)
+    if byte_order == 1:   # MSBFirst
+        val = np.zeros((h, w), np.uint32)
+        for i in range(nbytes):
+            val = (val << 8) | px[..., i]
+    else:
+        val = np.zeros((h, w), np.uint32)
+        for i in reversed(range(nbytes)):
+            val = (val << 8) | px[..., i]
+
+    def chan(mask):
+        if mask == 0:
+            return np.zeros((h, w), np.float32)
+        shift = int(mask & -mask).bit_length() - 1
+        width_ = int(mask >> shift).bit_length()
+        maxv = (1 << width_) - 1
+        return ((val >> shift) & maxv).astype(np.float32) / maxv
+
+    arr = np.stack([chan(rmask), chan(gmask), chan(bmask)], -1)
+    return Image(arr, ImageSpec(colorspace="srgb"))
+
+
+def encode_xwd(img: Image, name: str = "imagemagick_tpu") -> bytes:
+    arr = _rgb(_flat(img))
+    h, w = arr.shape[:2]
+    wname = name.encode() + b"\x00"
+    hdr_size = 100 + len(wname)
+    head = struct.pack(
+        ">25I", hdr_size, _XWD_VERSION,
+        2,              # ZPixmap
+        24, w, h, 0,    # depth, width, height, xoffset
+        1,              # byte_order MSBFirst
+        32, 1, 32,      # bitmap_unit, bit_order, bitmap_pad
+        24, w * 3,      # bits_per_pixel, bytes_per_line (packed 24bpp)
+        5,              # visual_class TrueColor
+        0xFF0000, 0x00FF00, 0x0000FF,
+        8, 0, 0,        # bits_per_rgb, colormap_entries, ncolors
+        w, h, 0, 0, 0)  # window geometry
+    return head + wname + _u8(arr).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Braille (braille.c: 2x4-dot cells; dark pixel = raised dot; BRF 6-dot
+# ASCII table, UBRL/UBRL6 UTF-8 U+2800+cell, ISOBRL/ISOBRL6 raw bytes)
+# ---------------------------------------------------------------------------
+
+_ISO_TO_BRF = (" A1B'K2L@CIF/MSP\"E3H9O6R^DJG>NTQ,*5<-U8V.%[$+X!&;:4\\0Z7(_?W]#Y)=")
+
+
+def encode_braille(img: Image, variant: str = "ubrl") -> bytes:
+    variant = variant.lower()
+    cell_h = 3 if variant in ("brf", "ubrl6", "isobrl6") else 4
+    arr = _flat(img)
+    dark = (_luma(arr) < 0.5).astype(np.uint8)
+    h, w = dark.shape
+    pw = w + (w % 2)
+    ph = -(-h // cell_h) * cell_h
+    d = np.zeros((ph, pw), np.uint8)
+    d[:h, :w] = dark
+    cells = d.reshape(ph // cell_h, cell_h, pw // 2, 2).transpose(0, 2, 1, 3)
+    # bit layout (dx,dy)->bit: (0,0)0 (0,1)1 (0,2)2 (1,0)3 (1,1)4 (1,2)5
+    # (0,3)6 (1,3)7
+    weights = np.zeros((cell_h, 2), np.uint8)
+    weights[0, 0], weights[0, 1] = 1 << 0, 1 << 3
+    if cell_h > 1:
+        weights[1, 0], weights[1, 1] = 1 << 1, 1 << 4
+    if cell_h > 2:
+        weights[2, 0], weights[2, 1] = 1 << 2, 1 << 5
+    if cell_h > 3:
+        weights[3, 0], weights[3, 1] = 1 << 6, 1 << 7
+    cellv = (cells * weights).sum((2, 3)).astype(np.uint8)
+    out = bytearray()
+    if not variant.startswith("isobrl"):
+        out += b"Width: %d\nHeight: %d\n\n" % (pw, h)
+    for row in cellv:
+        for c in row:
+            if variant.startswith("ubrl"):
+                out += chr(0x2800 + int(c)).encode("utf-8")
+            elif variant.startswith("isobrl"):
+                out.append(int(c))
+            else:
+                out += _ISO_TO_BRF[int(c)].encode()
+        if not variant.startswith("isobrl"):
+            out += b"\n"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Motif UIL icon (uil.c: color_table + icon string rows, XPM-style
+# symbol alphabet; write-only)
+# ---------------------------------------------------------------------------
+
+_CIXEL = (" .XoO+@#$%&*=-;:>,<1234567890qwertyuipasdfghjklzxcvbnm"
+          "MNBVCZASDFGHJKLPIUYTREWQ!~^/()_`'][{}|")
+
+
+def encode_uil(img: Image, basename: str = "image") -> bytes:
+    arr = _flat(img)
+    h, w = arr.shape[:2]
+    rgb = _u8(_rgb(arr))
+    flat = rgb.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > len(_CIXEL) ** 2:
+        # quantize to 256 colors via 3:3:2 binning
+        q = (flat[:, 0] >> 5 << 5, flat[:, 1] >> 5 << 5, flat[:, 2] >> 6 << 6)
+        flat = np.stack(q, -1).astype(np.uint8)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    cpp = 1 if len(colors) <= len(_CIXEL) else 2
+    n = len(_CIXEL)
+
+    def symbol(i):
+        s = _CIXEL[i % n]
+        if cpp > 1:
+            s += _CIXEL[(i // n) % n]
+        return s.replace("'", "''")
+
+    lines = ["/* UIL */",
+             "value\n  %s_ct : color_table(" % basename]
+    for i, c in enumerate(colors):
+        name = "#%02X%02X%02X" % tuple(int(v) for v in c)
+        role = ("background" if 0.212656 * c[0] + 0.715158 * c[1]
+                + 0.072186 * c[2] < 127.5 else "foreground")
+        sep = ");" if i == len(colors) - 1 else ","
+        lines.append("    color('%s',%s) = '%s'%s" % (name, role,
+                                                      symbol(i), sep))
+    lines.append("  %s_icon : icon(color_table = %s_ct," % (basename,
+                                                            basename))
+    idx = inverse.reshape(h, w)
+    for y in range(h):
+        row = "".join(symbol(int(i)) for i in idx[y])
+        lines.append('    "%s"%s' % (row, ");" if y == h - 1 else ","))
+    return ("\n".join(lines) + "\n").encode()
+
+
+# ---------------------------------------------------------------------------
+# HTML (html.c writes an HTML page referencing the raster; here the page
+# is self-contained via a base64 PNG data URI — no side files)
+# ---------------------------------------------------------------------------
+
+def encode_html(img: Image, title: str = "image") -> bytes:
+    uri = encode_inline(img).decode()
+    arr = _flat(img)
+    h, w = arr.shape[:2]
+    page = ("<!DOCTYPE html>\n<html>\n<head>\n<title>%s</title>\n</head>\n"
+            "<body>\n<img width=%d height=%d src=\"%s\" alt=\"%s\">\n"
+            "</body>\n</html>\n" % (title, w, h, uri, title))
+    return page.encode()
+
+
+# ---------------------------------------------------------------------------
+# UYVY 4:2:2 (uyvy.c: U Y1 V Y2 per pixel pair; BT.601 full-range like the
+# reference's read path; width must be even; geometry from -size)
+# ---------------------------------------------------------------------------
+
+def decode_uyvy(data: bytes, width: int, height: int) -> Image:
+    if width % 2:
+        raise ValueError("UYVY: width must be even")
+    need = width * height * 2
+    if len(data) < need:
+        raise ValueError("UYVY: truncated for %dx%d" % (width, height))
+    raw = np.frombuffer(data, np.uint8, need).reshape(height, width // 2, 4)
+    u = raw[..., 0].astype(np.float32)
+    v = raw[..., 2].astype(np.float32)
+    y = raw[..., (1, 3)].astype(np.float32).reshape(height, width)
+    u2 = np.repeat(u, 2, -1)
+    v2 = np.repeat(v, 2, -1)
+    ycbcr = np.stack([y, u2, v2], -1) / 255.0
+    return Image(ycbcr.astype(np.float32), ImageSpec(colorspace="ycbcr"))

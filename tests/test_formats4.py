@@ -1,0 +1,306 @@
+"""Batch-4 native coders (io/formats4.py).
+
+Round trips + wire-format spot checks against the reference coder
+conventions (coders/aai.c, hrz.c, scr.c, rgf.c, cip.c, mono.c, txt.c,
+inline.c, pgx.c, vips.c, uyvy.c).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from imagemagick_tpu.core.image import Image
+from imagemagick_tpu.core.spec import ImageSpec
+from imagemagick_tpu.io import (formats2, formats4, image_from_blob,
+                                image_to_blob, supported_read_formats,
+                                supported_write_formats)
+
+
+@pytest.fixture
+def rgb():
+    rng = np.random.default_rng(7)
+    return Image(rng.random((13, 17, 3), np.float32),
+                 ImageSpec(colorspace="srgb"))
+
+
+def test_aai_roundtrip_and_layout(rgb):
+    blob = image_to_blob(rgb, "aai")
+    w, h = struct.unpack("<II", blob[:8])
+    assert (w, h) == (17, 13)
+    back = image_from_blob(blob, "aai")[0]
+    q = np.round(np.asarray(rgb.data) * 255) / 255
+    np.testing.assert_allclose(np.asarray(back.data)[..., :3], q, atol=1 / 254)
+    # wire is BGRA: first byte is blue of pixel (0,0)
+    assert blob[8] == int(np.asarray(rgb.data)[0, 0, 2] * 255 + 0.5)
+
+
+def test_aai_alpha_254_promotes():
+    raw = struct.pack("<II", 1, 1) + bytes([10, 20, 30, 254])
+    back = formats4.decode_aai(raw)
+    assert np.asarray(back.data)[0, 0, 3] == 1.0
+
+
+def test_hrz_fixed_geometry(rgb):
+    blob = image_to_blob(rgb, "hrz")
+    assert len(blob) == 256 * 240 * 3
+    back = image_from_blob(blob, "hrz")[0]
+    assert (back.height, back.width) == (240, 256)
+    assert blob == bytes(b for b in blob)  # all 6-bit values
+    assert max(blob) <= 63
+
+
+def test_hrz_roundtrip_native_size():
+    rng = np.random.default_rng(3)
+    img = Image(rng.random((240, 256, 3), np.float32),
+                ImageSpec(colorspace="srgb"))
+    back = formats4.decode_hrz(formats4.encode_hrz(img))
+    np.testing.assert_allclose(np.asarray(back.data), np.asarray(img.data),
+                               atol=4 / 255 + 1e-6)
+
+
+def test_scr_decode():
+    # ink=white(7)+bright on black paper, cell (0,0) bit pattern 0x80:
+    # top-left pixel ink-bright-white, neighbour paper-black
+    bitmap = bytearray(6144)
+    bitmap[0] = 0x80
+    attrs = bytearray([0x47] + [0] * 767)   # bright=1, paper=0, ink=7
+    img = formats4.decode_scr(bytes(bitmap) + bytes(attrs))
+    arr = np.asarray(img.data)
+    assert arr.shape == (192, 256, 3)
+    np.testing.assert_allclose(arr[0, 0], [1, 1, 1])
+    np.testing.assert_allclose(arr[0, 1], [0, 0, 0])
+    # non-bright ink 2 (red) in cell (0,1): palette level 192
+    attrs2 = bytearray(768)
+    attrs2[1] = 0x02
+    bitmap2 = bytearray(6144)
+    bitmap2[1] = 0x80   # x=8 top row
+    img2 = formats4.decode_scr(bytes(bitmap2) + bytes(attrs2))
+    np.testing.assert_allclose(np.asarray(img2.data)[0, 8],
+                               [192 / 255, 0, 0], atol=1e-6)
+
+
+def test_scr_y_interleave():
+    # bitmap offset 256 is y=1 (same zone, octetline 1), not y=8
+    bitmap = bytearray(6144)
+    bitmap[256] = 0x80
+    attrs = bytearray([0x07] * 768)  # white ink
+    arr = np.asarray(formats4.decode_scr(bytes(bitmap) + bytes(attrs)).data)
+    assert arr[1, 0, 0] > 0.5
+    assert arr[8, 0, 0] == 0.0
+
+
+def test_rgf_roundtrip(rgb):
+    blob = image_to_blob(rgb, "rgf")
+    assert blob[0] == 17 and blob[1] == 13
+    back = image_from_blob(blob, "rgf")[0]
+    expect = (np.asarray(rgb.data) @ [0.212656, 0.715158, 0.072186]) >= 0.5
+    np.testing.assert_array_equal(np.asarray(back.data)[..., 0],
+                                  expect.astype(np.float32))
+
+
+def test_cip_write(rgb):
+    blob = image_to_blob(rgb, "cip")
+    text = blob.decode()
+    assert text.startswith("<CiscoIPPhoneImage>")
+    assert "<Width>18</Width>" in text       # padded to even
+    assert "<Height>13</Height>" in text
+    assert "<Depth>2</Depth>" in text
+    # all-white 4x1 image -> luma 1.0 -> 2-bit value 3 in all lanes -> "ff"
+    white = Image(np.ones((1, 4, 3), np.float32), ImageSpec(colorspace="srgb"))
+    data = image_to_blob(white, "cip").decode()
+    assert "<Data>ff</Data>" in data
+
+
+def test_mono_wire_polarity():
+    # reference wire: set bit = black (mono.c ReadMONOImage -> index 0)
+    img = Image(np.zeros((1, 8, 1), np.float32), ImageSpec(colorspace="gray"))
+    assert formats2.encode_mono(img) == b"\xff"
+    back = formats2.decode_mono(b"\xff", 8, 1)
+    np.testing.assert_array_equal(np.asarray(back.data), 0.0)
+
+
+def test_txt_roundtrip(rgb):
+    blob = image_to_blob(rgb, "txt")
+    back = image_from_blob(blob, "txt")[0]
+    assert (back.height, back.width) == (13, 17)
+    np.testing.assert_allclose(np.asarray(back.data),
+                               np.round(np.asarray(rgb.data) * 255) / 255,
+                               atol=1 / 508)
+
+
+def test_inline_roundtrip(rgb):
+    blob = image_to_blob(rgb, "inline")
+    assert blob.startswith(b"data:image/png;base64,")
+    back = image_from_blob(blob)[0]   # sniffed via data: magic
+    np.testing.assert_allclose(np.asarray(back.data),
+                               np.round(np.asarray(rgb.data) * 255) / 255,
+                               atol=1 / 254)
+
+
+def test_pgx_roundtrip(rgb):
+    blob = image_to_blob(rgb, "pgx", depth=8)
+    assert blob.startswith(b"PG ML + 8 17 13\n")
+    back = image_from_blob(blob, "pgx")[0]
+    luma = np.asarray(rgb.data) @ [0.212656, 0.715158, 0.072186]
+    np.testing.assert_allclose(np.asarray(back.data)[..., 0], luma,
+                               atol=1 / 254)
+
+
+def test_pgx_16bit_lm():
+    gray = np.linspace(0, 1, 32, dtype=np.float32).reshape(4, 8)
+    payload = (gray * 65535 + 0.5).astype("<u2").tobytes()
+    blob = b"PG LM - 16 8 4\n" + payload
+    back = formats4.decode_pgx(blob)
+    np.testing.assert_allclose(np.asarray(back.data)[..., 0], gray,
+                               atol=1 / 65534)
+
+
+def test_vips_roundtrip(rgb):
+    blob = image_to_blob(rgb, "vips")
+    assert struct.unpack("<I", blob[:4])[0] == 0x08F2A6B6
+    w, h, bands = struct.unpack("<3i", blob[4:16])
+    assert (w, h, bands) == (17, 13, 3)
+    back = image_from_blob(blob)[0]    # magic-sniffed
+    np.testing.assert_allclose(np.asarray(back.data),
+                               np.round(np.asarray(rgb.data) * 255) / 255,
+                               atol=1 / 254)
+
+
+def test_vips_16bit_and_gray():
+    gray = Image(np.linspace(0, 1, 24, dtype=np.float32).reshape(4, 6, 1),
+                 ImageSpec(colorspace="gray"))
+    blob = image_to_blob(gray, "vips", depth=16)
+    back = image_from_blob(blob, "vips")[0]
+    assert back.spec.colorspace == "gray"
+    np.testing.assert_allclose(np.asarray(back.data),
+                               np.asarray(gray.data), atol=1 / 65534)
+
+
+def test_vips_msb_endian():
+    # big-endian header variant decodes identically
+    payload = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    head = struct.pack(">I7i", 0x08F2A6B6, 2, 2, 3, 0, 0, 0, 22)
+    head += struct.pack(">2f", 0.0, 0.0) + b"\x00" * 24
+    back = formats4.decode_vips(head + payload.tobytes())
+    np.testing.assert_allclose(np.asarray(back.data),
+                               payload.astype(np.float32) / 255.0)
+
+
+def test_uyvy_decode():
+    # hand-built wire: U Y0 V Y1 per pixel pair
+    blob = bytes([100, 10, 200, 20,    # pair 0: y=10,20 u=100 v=200
+                  50, 30, 60, 40])     # pair 1: y=30,40 u=50  v=60
+    back = formats4.decode_uyvy(blob, 4, 1)
+    assert back.spec.colorspace == "ycbcr"
+    arr = np.asarray(back.data) * 255.0
+    np.testing.assert_allclose(arr[0, :, 0], [10, 20, 30, 40], atol=1e-4)
+    np.testing.assert_allclose(arr[0, :, 1], [100, 100, 50, 50], atol=1e-4)
+    np.testing.assert_allclose(arr[0, :, 2], [200, 200, 60, 60], atol=1e-4)
+
+
+def test_format_lists_include_batch4():
+    r = set(supported_read_formats())
+    w = set(supported_write_formats())
+    assert {"aai", "hrz", "scr", "rgf", "txt", "inline", "pgx", "vips",
+            "mono", "uyvy", "cals", "art", "sct", "xwd"} <= r
+    assert {"aai", "hrz", "rgf", "cip", "pgx", "vips", "inline", "cals",
+            "art", "xwd", "brf", "ubrl", "isobrl", "uil", "html"} <= w
+
+
+@pytest.fixture
+def bilevel():
+    rng = np.random.default_rng(5)
+    return Image((rng.random((24, 40, 1)) > 0.5).astype(np.float32),
+                 ImageSpec(colorspace="gray", depth=1))
+
+
+def test_cals_roundtrip(bilevel):
+    blob = image_to_blob(bilevel, "cals")
+    assert len(blob) > 2048
+    assert blob[:9] == b"srcdocid:"
+    assert b"rpelcnt: 000040,000024" in blob[:2048]
+    back = image_from_blob(blob)[0]    # magic-sniffed
+    np.testing.assert_array_equal(np.asarray(back.data),
+                                  np.asarray(bilevel.data))
+
+
+def test_art_roundtrip(bilevel):
+    blob = image_to_blob(bilevel, "art")
+    import struct as s
+
+    assert s.unpack("<4H", blob[:8]) == (0, 40, 0, 24)
+    # 40px -> 5 bytes -> padded to 6 per row
+    assert len(blob) == 8 + 6 * 24
+    back = image_from_blob(blob, "art")[0]
+    np.testing.assert_array_equal(np.asarray(back.data),
+                                  np.asarray(bilevel.data))
+
+
+def test_sct_decode_rgb():
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (5, 7, 3), np.uint8)
+    header = bytearray(2048)
+    header[80:82] = b"CT"
+    header[1025] = 3                      # separations
+    header[1026:1028] = (0x07).to_bytes(2, "big")
+    header[1028:1042] = b"5.0           "   # physical height
+    header[1042:1056] = b"7.0           "   # physical width
+    header[1056:1068] = b"5           "     # rows
+    header[1068:1080] = b"7           "     # cols
+    stride = 8                               # 7 padded to even
+    body = bytearray()
+    for y in range(5):
+        for s_ in range(3):
+            row = bytes(px[y, :, s_]) + b"\x00" * (stride - 7)
+            body += row
+    img = image_from_blob(bytes(header) + bytes(body), "sct")[0]
+    np.testing.assert_allclose(np.asarray(img.data),
+                               px.astype(np.float32) / 255.0)
+
+
+def test_xwd_roundtrip(rgb):
+    blob = image_to_blob(rgb, "xwd")
+    back = image_from_blob(blob)[0]      # magic-sniffed
+    np.testing.assert_allclose(np.asarray(back.data)[..., :3],
+                               np.round(np.asarray(rgb.data) * 255) / 255,
+                               atol=1 / 254)
+
+
+def test_xwd_lsb_16bpp():
+    # 5-6-5 little-endian direct color
+    import struct as s
+
+    r5, g6, b5 = 31, 0, 16
+    val = (r5 << 11) | (g6 << 5) | b5
+    head = s.pack("<25I", 100, 7, 2, 16, 1, 1, 0, 0, 16, 0, 16, 16, 2, 4,
+                  0xF800, 0x07E0, 0x001F, 5, 0, 0, 1, 1, 0, 0, 0)
+    img = formats4.decode_xwd(head + s.pack("<H", val))
+    np.testing.assert_allclose(np.asarray(img.data)[0, 0],
+                               [1.0, 0.0, 16 / 31], atol=1e-6)
+
+
+def test_braille_variants():
+    # single 2x4 cell, left column dark
+    img = Image(np.array([[[0.0], [1.0]]] * 4, np.float32).reshape(4, 2, 1),
+                ImageSpec(colorspace="gray"))
+    ub = image_to_blob(img, "ubrl").decode("utf-8")
+    # dots 1,2,3,7 -> bits 0,1,2,6 -> cell 0x47
+    assert chr(0x2800 + 0x47) in ub
+    iso = image_to_blob(img, "isobrl")
+    assert bytes([0x47]) in iso
+    brf = image_to_blob(img, "brf").decode()
+    # 6-dot BRF: cell_height 3 -> bits 0,1,2 = 0x07 -> 'L'
+    assert "L" in brf
+
+
+def test_uil_write(rgb):
+    out = image_to_blob(rgb, "uil").decode()
+    assert out.startswith("/* UIL */")
+    assert "color_table(" in out and "icon(color_table" in out
+
+
+def test_html_write(rgb):
+    page = image_to_blob(rgb, "html").decode()
+    assert page.startswith("<!DOCTYPE html>")
+    assert "data:image/png;base64," in page
