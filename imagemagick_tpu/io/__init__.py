@@ -135,6 +135,10 @@ def detect_format(data: bytes) -> Optional[str]:
         return "ps"
     if data[128:132] == b"DICM":
         return "dcm"
+    if data[:3] == b"SFW":
+        return "sfw"
+    if data[60:68] == b"vIMGView":
+        return "pdb"
     if data[80:82] == b"CT" and len(data) > 2048 and data[:4] != b"\x00\x00\x00\x00":
         # Scitex CT parameter block (sct.c IsSCT probes offset 80)
         try:
@@ -288,6 +292,14 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [formats4.decode_sct(data)]
     elif use == "xwd":
         images = [formats4.decode_xwd(data)]
+    elif use == "sfw":
+        images = formats4.decode_sfw(data)
+    elif use == "pdb":
+        images = [formats4.decode_pdb(data)]
+    elif use == "tim":
+        images = formats4.decode_tim(data)
+    elif use == "cube":
+        images = [formats4.decode_cube(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -463,6 +475,10 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats4.encode_uil(images[0])
     if fmt in ("html", "htm", "shtml"):
         return formats4.encode_html(images[0])
+    if fmt == "pdb":
+        return formats4.encode_pdb(images[0])
+    if fmt == "tim":
+        return formats4.encode_tim(images[0])
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
@@ -473,14 +489,15 @@ _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "pict", "pct",
                   "aai", "hrz", "scr", "rgf", "txt", "inline", "pgx",
                   "vips", "mono", "uyvy", "cals", "cal", "art", "sct",
-                  "xwd"}
+                  "xwd", "sfw", "pdb", "tim", "cube"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",
                    "viff", "xv", "rla", "palm", "pict", "pct",
                    "aai", "hrz", "rgf", "cip", "pgx", "vips", "inline",
                    "cals", "cal", "art", "xwd", "braille", "brf", "ubrl",
-                   "ubrl6", "isobrl", "isobrl6", "uil", "html", "htm"}
+                   "ubrl6", "isobrl", "isobrl6", "uil", "html", "htm",
+                   "pdb", "tim"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

@@ -718,6 +718,333 @@ def encode_html(img: Image, title: str = "image") -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Adobe/IRIDAS .cube LUT (cube.c: LUT_3D_SIZE N + N^3 "r g b" rows with r
+# fastest; decoded — like the reference — into a level-8 Hald CLUT image
+# by trilinear interpolation, so it plugs into ops/enhance.hald_clut)
+# ---------------------------------------------------------------------------
+
+def decode_cube(data: bytes, hald_level: int = 8) -> Image:
+    level = 0
+    title = None
+    rows = []
+    for raw in data.decode("latin-1", "replace").splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        tok = line.split()
+        key = tok[0].upper()
+        if key in ("LUT_3D_SIZE", "LUT_1D_SIZE") and level == 0:
+            n = int(tok[1])
+            if key == "LUT_1D_SIZE":
+                n = int(np.ceil(n ** (1.0 / 3.0)))
+            level = n
+        elif key == "TITLE" and len(tok) > 1:
+            title = " ".join(tok[1:]).strip('"')
+        elif key.replace(".", "").replace("-", "").replace("+", "") \
+                .replace("E", "").isdigit() or key[0] in "0123456789.-+":
+            try:
+                rows.append([float(v) for v in tok[:3]])
+            except ValueError:
+                pass
+    if level < 2 or level > 256:
+        raise ValueError("CUBE: missing/bad LUT_3D_SIZE")
+    need = level ** 3
+    lut = np.zeros((need, 3), np.float32)
+    lut[:min(len(rows), need)] = np.asarray(rows[:need], np.float32)
+    lut = lut.reshape(level, level, level, 3)      # [b][g][r] (r fastest)
+    from .pseudo import hald as _hald
+
+    ident = np.asarray(_hald(hald_level).data)     # (s^3, s^3, 3) in [0,1]
+    u = ident * (level - 1.0)
+    i0 = np.floor(u).astype(np.int64)
+    i0 = np.minimum(i0, level - 2)
+    f = (u - i0).astype(np.float32)
+    r0, g0, b0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    fr, fg, fb = f[..., 0, None], f[..., 1, None], f[..., 2, None]
+    out = np.zeros(ident.shape, np.float32)
+    for db in (0, 1):
+        for dg in (0, 1):
+            for dr in (0, 1):
+                w = ((fr if dr else 1 - fr) * (fg if dg else 1 - fg)
+                     * (fb if db else 1 - fb))
+                out += w * lut[b0 + db, g0 + dg, r0 + dr]
+    img = Image(out, ImageSpec(colorspace="srgb"))
+    if title:
+        img.properties["title"] = title
+    return img
+
+
+# ---------------------------------------------------------------------------
+# PlayStation TIM (tim.c: u32le id 0x10, flag -> bpp/CLUT; CLUT block of
+# 16/256 u16le 5:5:5 entries (R in the low bits); image block header in
+# 16-bit units; 4bpp low-nibble-first; ScaleColor5to8 = v<<3 | v>>2)
+# ---------------------------------------------------------------------------
+
+def _c5to8(v: np.ndarray) -> np.ndarray:
+    return ((v << 3) | (v >> 2)).astype(np.float32) / 255.0
+
+
+def decode_tim(data: bytes):
+    images = []
+    off = 0
+    while off + 8 <= len(data):
+        (tim_id,) = struct.unpack_from("<I", data, off)
+        if (tim_id & 0xFF) != 0x10:
+            break
+        (flag,) = struct.unpack_from("<I", data, off + 4)
+        off += 8
+        pixel_mode = flag & 0x07
+        has_clut = bool(flag & 0x08)
+        bpp = {0: 4, 1: 8, 2: 16, 3: 24}.get(pixel_mode)
+        if bpp is None:
+            raise ValueError("TIM: unsupported pixel mode %d" % pixel_mode)
+        cmap = None
+        if has_clut:
+            ncolors = 256 if pixel_mode == 1 else 16
+            off += 12           # block length + x,y
+            words = np.frombuffer(data, "<u2", ncolors, off)
+            off += 2 * ncolors
+            cmap = np.stack([_c5to8((words & 0x1F).astype(np.uint8)),
+                             _c5to8(((words >> 5) & 0x1F).astype(np.uint8)),
+                             _c5to8(((words >> 10) & 0x1F).astype(np.uint8))],
+                            -1)
+        off += 8                # image block length + x,y
+        w16, h = struct.unpack_from("<HH", data, off)
+        off += 4
+        bytes_per_line = w16 * 2
+        w = (w16 * 16) // bpp
+        raw = np.frombuffer(data, np.uint8, bytes_per_line * h,
+                            off).reshape(h, bytes_per_line)
+        off += bytes_per_line * h
+        if bpp == 4:
+            lo = raw & 0x0F
+            hi = raw >> 4
+            idx = np.stack([lo, hi], -1).reshape(h, -1)[:, :w]
+            if cmap is None:
+                cmap = np.repeat(np.linspace(0, 1, 16,
+                                             dtype=np.float32)[:, None], 3, 1)
+            arr = cmap[idx]
+        elif bpp == 8:
+            idx = raw[:, :w]
+            if cmap is None:
+                cmap = np.repeat(np.linspace(0, 1, 256,
+                                             dtype=np.float32)[:, None], 3, 1)
+            arr = cmap[idx]
+        elif bpp == 16:
+            words = raw.view("<u2")[:, :w]
+            arr = np.stack([_c5to8((words & 0x1F).astype(np.uint8)),
+                            _c5to8(((words >> 5) & 0x1F).astype(np.uint8)),
+                            _c5to8(((words >> 10) & 0x1F).astype(np.uint8))],
+                           -1)
+        else:
+            arr = raw.reshape(h, -1, 3)[:, :w].astype(np.float32) / 255.0
+        images.append(Image(arr.astype(np.float32),
+                            ImageSpec(colorspace="srgb")))
+    if not images:
+        raise ValueError("TIM: no frames")
+    return images
+
+
+def encode_tim(img: Image) -> bytes:
+    """16bpp direct-color TIM (mode 2), the lossless-ish common case."""
+    color, _ = _colors_alpha(img)
+    h, w = color.shape[:2]
+    q5 = (np.clip(color, 0.0, 1.0) * 31.0 + 0.5).astype(np.uint16)
+    words = (q5[..., 0] | (q5[..., 1] << 5) | (q5[..., 2] << 10)).astype("<u2")
+    w16 = w      # one 16-bit unit per pixel in mode 2
+    block_len = 12 + 2 * w16 * h
+    head = struct.pack("<II", 0x10, 0x02)
+    head += struct.pack("<IHHHH", block_len, 0, 0, w16, h)
+    return head + words.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Seattle FilmWorks SFW (sfw.c: a JPEG with obfuscated marker codes —
+# C8->D8 SOI, D0->E0 APP, CB->DB DQT, A0->C0/A4->C4 SOF, CA->DA SOS,
+# C9->D9 EOI — a blanked JFIF id, and the DHT segment stripped; recover
+# by translating markers and re-inserting the ITU T.81 Annex K tables)
+# ---------------------------------------------------------------------------
+
+_SFW_XLAT = {0xC8: 0xD8, 0xD0: 0xE0, 0xCB: 0xDB, 0xA0: 0xC0, 0xA4: 0xC4,
+             0xCA: 0xDA, 0xC9: 0xD9}
+
+# ITU T.81 Annex K "typical" Huffman tables (public spec data)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+           list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+           [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+            0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+            0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+            0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+            0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+            0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+            0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+            0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+            0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+            0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+            0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA])
+_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+           [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+            0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+            0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+            0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+            0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+            0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+            0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+            0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+            0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+            0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA])
+
+
+def _std_dht() -> bytes:
+    body = b""
+    for tid, (counts, values) in ((0x00, _DC_LUM), (0x01, _DC_CHR),
+                                  (0x10, _AC_LUM), (0x11, _AC_CHR)):
+        body += bytes([tid]) + bytes(counts) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def decode_sfw(data: bytes):
+    from . import codecs
+
+    if not data.startswith(b"SFW"):
+        raise ValueError("SFW: improper header")
+    buf = bytearray(data)
+    pos = data.find(b"\xff\xc8\xff\xd0")
+    if pos < 0:
+        raise ValueError("SFW: no scrambled JFIF start")
+
+    def xlat(i):
+        buf[i + 1] = _SFW_XLAT.get(buf[i + 1], buf[i + 1])
+
+    xlat(pos)
+    xlat(pos + 2)
+    buf[pos + 6:pos + 13] = b"JFIF\x00\x01\x00"
+    off = pos + 2
+    off += ((buf[off + 2] << 8) | buf[off + 3]) + 2
+    while True:
+        if off + 4 > len(buf) - 1:
+            raise ValueError("SFW: truncated marker stream")
+        xlat(off)
+        if buf[off + 1] == 0xDA:
+            break
+        off += ((buf[off + 2] << 8) | buf[off + 3]) + 2
+    sos = off
+    dpos = bytes(buf).find(b"\xff\xc9", sos)
+    if dpos < 0:
+        raise ValueError("SFW: no end-of-image marker")
+    xlat(dpos)
+    jpeg = bytes(buf[pos:sos]) + _std_dht() + bytes(buf[sos:dpos + 2])
+    return codecs.decode(jpeg, "jpeg")
+
+
+# ---------------------------------------------------------------------------
+# Palm Database ImageViewer PDB (pdb.c: 78-byte MSB database header with
+# type/id "vIMG"/"View", record list, 58-byte image record; 1/2/4-bit
+# grayscale MSB-first with INVERTED values (index = (2^bpp-1) - bits),
+# optional byte-RLE where ctrl>128 = run of (ctrl-128+1))
+# ---------------------------------------------------------------------------
+
+def _pdb_rle(data: bytes, need: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < need and i < len(data):
+        c = data[i]
+        i += 1
+        if c > 128:
+            if i >= len(data):
+                break
+            out += bytes([data[i]]) * (c - 128 + 1)
+            i += 1
+        else:
+            out += data[i:i + c + 1]
+            i += c + 1
+    if len(out) < need:
+        raise ValueError("PDB: RLE underrun")
+    return bytes(out[:need])
+
+
+def decode_pdb(data: bytes) -> Image:
+    if len(data) < 78 + 8 or data[60:68] != b"vIMGView":
+        raise ValueError("PDB: not an ImageViewer database")
+    nrec = struct.unpack(">H", data[76:78])[0]
+    if nrec < 1:
+        raise ValueError("PDB: no records")
+    img_offset = struct.unpack(">i", data[78:82])[0]
+    hdr = img_offset
+    version = data[hdr + 32]
+    ptype = data[hdr + 33]
+    w, h = struct.unpack(">HH", data[hdr + 54:hdr + 58])
+    if w == 0 or h == 0:
+        raise ValueError("PDB: improper image header")
+    bpp = {0: 2, 2: 4}.get(ptype, 1)
+    stride = (bpp * w + 7) // 8
+    body = data[hdr + 58:]
+    if version & 1:
+        raw = _pdb_rle(body, stride * h)
+    else:
+        if len(body) < stride * h:
+            raise ValueError("PDB: truncated pixel data")
+        raw = body[:stride * h]
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    bits = np.unpackbits(rows, axis=1)          # MSB-first
+    if bpp == 1:
+        val = bits[:, :w]
+        arr = (1.0 - val).astype(np.float32)    # set bit = black
+    else:
+        packed = bits.reshape(h, -1, bpp)
+        weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+        val = (packed * weights).sum(-1)[:, :w]
+        maxv = (1 << bpp) - 1
+        arr = ((maxv - val) / maxv).astype(np.float32)
+    return Image(arr[..., None], ImageSpec(colorspace="gray", depth=bpp))
+
+
+def encode_pdb(img: Image, name: str = "image") -> bytes:
+    """Uncompressed 2-bit grayscale vIMG record (pdb.c WritePDBImage
+    geometry; version 0 = no RLE for maximum reader tolerance)."""
+    arr = _flat(img)
+    h, w = arr.shape[:2]
+    gray = _luma(arr)
+    val = np.minimum((gray * 4.0).astype(np.int64), 3).astype(np.uint8)
+    inv = (3 - val).astype(np.uint8)
+    hi = (inv >> 1) & 1
+    lo = inv & 1
+    interleaved = np.stack([hi, lo], -1).reshape(h, -1).astype(np.uint8)
+    packed = np.packbits(interleaved, axis=1)
+    dbname = name.encode()[:31].ljust(32, b"\x00")
+    head = dbname + struct.pack(">HH", 0, 0)
+    head += struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+    head += b"vIMG" + b"View" + struct.pack(">II", 0, 0)
+    head += struct.pack(">H", 1)             # one record
+    img_offset = len(head) + 8
+    head += struct.pack(">i", img_offset) + b"\x40" + b"\x6f\x80\x00"
+    rec = name.encode()[:31].ljust(32, b"\x00")
+    rec += bytes([0, 0])                     # version 0, type 0 (2-bit)
+    rec += struct.pack(">II", 0, 0)          # reserved, note
+    rec += struct.pack(">HH", 0, 0)          # x_last, y_last
+    rec += struct.pack(">I", 0)              # reserved_2
+    rec += struct.pack(">HH", 0, 0)          # anchors
+    rec += struct.pack(">HH", w, h)
+    return head + rec + packed.tobytes()
+
+
+# ---------------------------------------------------------------------------
 # UYVY 4:2:2 (uyvy.c: U Y1 V Y2 per pixel pair; BT.601 full-range like the
 # reference's read path; width must be even; geometry from -size)
 # ---------------------------------------------------------------------------

@@ -304,3 +304,122 @@ def test_html_write(rgb):
     page = image_to_blob(rgb, "html").decode()
     assert page.startswith("<!DOCTYPE html>")
     assert "data:image/png;base64," in page
+
+
+def test_cube_decode_identity():
+    # identity LUT of size 2 -> hald output equals the identity hald
+    lines = ["# comment", "LUT_3D_SIZE 2", 'TITLE "ident"']
+    for b in (0.0, 1.0):
+        for g in (0.0, 1.0):
+            for r in (0.0, 1.0):
+                lines.append("%g %g %g" % (r, g, b))
+    img = image_from_blob("\n".join(lines).encode(), "cube")[0]
+    from imagemagick_tpu.io.pseudo import hald
+
+    ident = np.asarray(hald(8).data)
+    np.testing.assert_allclose(np.asarray(img.data), ident, atol=1e-6)
+    assert img.properties.get("title") == "ident"
+
+
+def test_cube_decode_scale():
+    # LUT that doubles red (clipped): verify trilinear midpoint
+    lines = ["LUT_3D_SIZE 3"]
+    for b in (0.0, 0.5, 1.0):
+        for g in (0.0, 0.5, 1.0):
+            for r in (0.0, 0.5, 1.0):
+                lines.append("%g %g %g" % (min(2 * r, 1.0), g, b))
+    img = image_from_blob("\n".join(lines).encode(), "cube")[0]
+    arr = np.asarray(img.data)
+    ident = np.asarray(__import__(
+        "imagemagick_tpu.io.pseudo", fromlist=["hald"]).hald(8).data)
+    # red midpoint 0.5 maps to 1.0 under trilinear of this LUT
+    mid = np.isclose(ident[..., 0], 0.5079365)   # 32/63
+    assert arr[mid][:, 0].max() > 0.99
+
+
+def test_tim_16bpp_roundtrip(rgb):
+    blob = image_to_blob(rgb, "tim")
+    assert blob[:4] == b"\x10\x00\x00\x00"
+    back = image_from_blob(blob, "tim")[0]
+    # 5-bit quantization
+    np.testing.assert_allclose(np.asarray(back.data),
+                               np.asarray(rgb.data), atol=1 / 31 + 1e-6)
+
+
+def test_tim_8bpp_clut():
+    # 2x1 8bpp with CLUT: entries red and white (5:5:5)
+    clut = np.zeros(256, "<u2")
+    clut[0] = 0x1F                  # red (low bits)
+    clut[1] = 0x7FFF                # white
+    head = struct.pack("<II", 0x10, 0x09)       # mode 1 + CLUT
+    head += struct.pack("<IHHHH", 12 + 512, 0, 0, 256, 1) + clut.tobytes()
+    head += struct.pack("<IHHHH", 12 + 2, 0, 0, 1, 1)   # w16=1 -> w=2
+    head += bytes([0, 1])
+    img = image_from_blob(head, "tim")[0]
+    arr = np.asarray(img.data)
+    np.testing.assert_allclose(arr[0, 0], [1.0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(arr[0, 1], [1.0, 1.0, 1.0], atol=1e-6)
+
+
+def test_pdb_roundtrip(rgb):
+    blob = image_to_blob(rgb, "pdb")
+    assert blob[60:68] == b"vIMGView"
+    back = image_from_blob(blob)[0]     # magic-sniffed
+    gray = np.asarray(rgb.data) @ [0.212656, 0.715158, 0.072186]
+    expect = np.minimum((gray * 4).astype(int), 3) / 3.0
+    np.testing.assert_allclose(np.asarray(back.data)[..., 0], expect,
+                               atol=1e-6)
+
+
+def test_pdb_rle():
+    # version 1 (RLE): 4x2 1-bit image, all black (bits set)
+    raw = formats4._pdb_rle(bytes([0x81, 0xF0]), 2)   # run of 2 x 0xF0
+    assert raw == b"\xf0\xf0"
+    lit = formats4._pdb_rle(bytes([0x01, 0xAA, 0xBB]), 2)
+    assert lit == b"\xaa\xbb"
+
+
+def test_sfw_roundtrip(rgb):
+    # scramble a real JPEG into SFW form, then decode through the sfw path
+    jpeg = bytearray(image_to_blob(rgb, "jpeg", quality=95))
+    # strip DHT segments (C4) like SFW files lack, scramble marker codes
+    out = bytearray()
+    i = 0
+    inv = {v: k for k, v in formats4._SFW_XLAT.items()}
+    while i < len(jpeg):
+        if jpeg[i] == 0xFF and i + 1 < len(jpeg):
+            m = jpeg[i + 1]
+            if m == 0xC4:
+                seglen = (jpeg[i + 2] << 8) | jpeg[i + 3]
+                i += 2 + seglen
+                continue
+            if m == 0xD8:
+                out += b"\xff\xc8"
+                i += 2
+                continue
+            if m in (0xE0,):
+                # APP0 -> D0, blank the JFIF id like SFW does
+                seglen = (jpeg[i + 2] << 8) | jpeg[i + 3]
+                seg = bytearray(jpeg[i:i + 2 + seglen])
+                seg[1] = 0xD0
+                seg[4:11] = b"\x00" * 7
+                out += seg
+                i += 2 + seglen
+                continue
+            if m in inv and m != 0xD8:
+                out += bytes([0xFF, inv[m]])
+                i += 2
+                if m in (0xDB, 0xC0, 0xDA):
+                    pass
+                continue
+        out.append(jpeg[i])
+        i += 1
+    # replace trailing EOI
+    if out[-2:] == b"\xff\xd9":
+        out[-2:] = b"\xff\xc9"
+    sfw = b"SFW94A" + bytes(out)
+    back = image_from_blob(sfw)[0]       # magic-sniffed via SFW prefix
+    assert (back.height, back.width) == (13, 17)
+    rgbf = np.asarray(rgb.data)
+    got = np.asarray(back.data)
+    assert np.mean((got - rgbf) ** 2) < 0.01   # lossy JPEG tolerance
