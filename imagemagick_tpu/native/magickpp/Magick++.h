@@ -186,6 +186,217 @@ enum EvaluateOperator {
   UniformNoiseEvaluateOperator, XorEvaluateOperator
 };
 
+enum ClassType { UndefinedClass, DirectClass, PseudoClass };
+
+enum CompressionType {
+  UndefinedCompression, B44ACompression, B44Compression, BZipCompression,
+  DXT1Compression, DXT3Compression, DXT5Compression, FaxCompression,
+  Group4Compression, JBIG1Compression, JBIG2Compression,
+  JPEG2000Compression, JPEGCompression, LosslessJPEGCompression,
+  LZMACompression, LZWCompression, NoCompression, PizCompression,
+  Pxr24Compression, RLECompression, ZipCompression, ZipSCompression,
+  ZstdCompression, WebPCompression, DWAACompression, DWABCompression
+};
+
+enum EndianType { UndefinedEndian, LSBEndian, MSBEndian };
+
+enum FillRule { UndefinedRule, EvenOddRule, NonZeroRule };
+
+enum StyleType {
+  UndefinedStyle, NormalStyle, ItalicStyle, ObliqueStyle, AnyStyle,
+  BoldStyle
+};
+
+enum DisposeType {
+  UnrecognizedDispose, UndefinedDispose = 0, NoneDispose = 1,
+  BackgroundDispose = 2, PreviousDispose = 3
+};
+
+enum PixelChannel {
+  UndefinedPixelChannel = 0, RedPixelChannel = 0, CyanPixelChannel = 0,
+  GrayPixelChannel = 0, LPixelChannel = 0, YPixelChannel = 0,
+  aPixelChannel = 1, GreenPixelChannel = 1, MagentaPixelChannel = 1,
+  CbPixelChannel = 1, bPixelChannel = 2, BluePixelChannel = 2,
+  YellowPixelChannel = 2, CrPixelChannel = 2, BlackPixelChannel = 3,
+  AlphaPixelChannel = 4, IndexPixelChannel = 5, CompositePixelChannel = 64
+};
+
+enum InterlaceType {
+  UndefinedInterlace, NoInterlace, LineInterlace, PlaneInterlace,
+  PartitionInterlace, GIFInterlace, JPEGInterlace, PNGInterlace
+};
+
+enum PixelInterpolateMethod {
+  UndefinedInterpolatePixel, AverageInterpolatePixel,
+  Average9InterpolatePixel, Average16InterpolatePixel,
+  BackgroundInterpolatePixel, BilinearInterpolatePixel,
+  BlendInterpolatePixel, CatromInterpolatePixel, IntegerInterpolatePixel,
+  MeshInterpolatePixel, NearestInterpolatePixel, SplineInterpolatePixel
+};
+
+enum DitherMethod {
+  UndefinedDitherMethod, NoDitherMethod, RiemersmaDitherMethod,
+  FloydSteinbergDitherMethod
+};
+
+enum RenderingIntent {
+  UndefinedIntent, SaturationIntent, PerceptualIntent, AbsoluteIntent,
+  RelativeIntent
+};
+
+enum LineCap { UndefinedCap, ButtCap, RoundCap, SquareCap };
+enum LineJoin { UndefinedJoin, MiterJoin, RoundJoin, BevelJoin };
+
+enum DirectionType {
+  UndefinedDirection, RightToLeftDirection, LeftToRightDirection,
+  TopToBottomDirection
+};
+
+enum VirtualPixelMethod {
+  UndefinedVirtualPixelMethod, BackgroundVirtualPixelMethod,
+  DitherVirtualPixelMethod, EdgeVirtualPixelMethod,
+  MirrorVirtualPixelMethod, RandomVirtualPixelMethod,
+  TileVirtualPixelMethod, TransparentVirtualPixelMethod,
+  MaskVirtualPixelMethod, BlackVirtualPixelMethod, GrayVirtualPixelMethod,
+  WhiteVirtualPixelMethod, HorizontalTileVirtualPixelMethod,
+  VerticalTileVirtualPixelMethod, HorizontalTileEdgeVirtualPixelMethod,
+  VerticalTileEdgeVirtualPixelMethod, CheckerTileVirtualPixelMethod
+};
+
+enum KernelInfoType {
+  UndefinedKernel, UnityKernel, GaussianKernel, DoGKernel, LoGKernel,
+  BlurKernel, CometKernel, BinomialKernel, LaplacianKernel, SobelKernel,
+  FreiChenKernel, RobertsKernel, PrewittKernel, CompassKernel,
+  KirschKernel, DiamondKernel, SquareKernel, RectangleKernel,
+  OctagonKernel, DiskKernel, PlusKernel, CrossKernel, RingKernel,
+  PeaksKernel, EdgesKernel, CornersKernel, DiagonalsKernel,
+  LineEndsKernel, LineJunctionsKernel, RidgesKernel, ConvexHullKernel,
+  ThinSEKernel, SkeletonKernel, ChebyshevKernel, ManhattanKernel,
+  OctagonalKernel, EuclideanKernel, UserDefinedKernel
+};
+
+enum SparseColorMethod {
+  UndefinedColorInterpolate, BarycentricColorInterpolate,
+  BilinearColorInterpolate, PolynomialColorInterpolate,
+  ShepardsColorInterpolate, VoronoiColorInterpolate,
+  InverseColorInterpolate, ManhattanColorInterpolate
+};
+
+enum PixelMask {
+  UndefinedPixelMask = 0, ReadPixelMask = 1, WritePixelMask = 2,
+  CompositePixelMask = 4
+};
+
+// ---------------------------------------------------------------------------
+// Small value classes (Magick++/lib/Magick++/Point.h, TypeMetric.h,
+// Statistic.h)
+// ---------------------------------------------------------------------------
+
+class Point {
+ public:
+  Point() : x_(0), y_(0) {}
+  Point(double x, double y) : x_(x), y_(y) {}
+  explicit Point(double xy) : x_(xy), y_(xy) {}
+  explicit Point(const std::string& s);
+  double x() const { return x_; }
+  double y() const { return y_; }
+  bool isValid() const { return x_ > 0.0; }
+
+ private:
+  double x_, y_;
+};
+
+class Offset {
+ public:
+  Offset(magickpp_ssize_t x, magickpp_ssize_t y) : x_(x), y_(y) {}
+  explicit Offset(const std::string& s);
+  magickpp_ssize_t x() const { return x_; }
+  magickpp_ssize_t y() const { return y_; }
+
+ private:
+  magickpp_ssize_t x_, y_;
+};
+
+class TypeMetric {
+ public:
+  TypeMetric()
+      : ascent_(0), descent_(0), textWidth_(0), textHeight_(0),
+        maxHorizontalAdvance_(0), underlinePosition_(0),
+        underlineThickness_(0) {}
+  double ascent() const { return ascent_; }
+  double descent() const { return descent_; }
+  double textWidth() const { return textWidth_; }
+  double textHeight() const { return textHeight_; }
+  double maxHorizontalAdvance() const { return maxHorizontalAdvance_; }
+  double underlinePosition() const { return underlinePosition_; }
+  double underlineThickness() const { return underlineThickness_; }
+
+  double ascent_, descent_, textWidth_, textHeight_,
+      maxHorizontalAdvance_, underlinePosition_, underlineThickness_;
+};
+
+class ChannelStatistics {
+ public:
+  ChannelStatistics()
+      : channel_(CompositePixelChannel), mean_(0), standardDeviation_(0),
+        minima_(0), maxima_(0), variance_(0), skewness_(0), kurtosis_(0),
+        entropy_(0), sum_(0), area_(0), depth_(8) {}
+  PixelChannel channel() const { return channel_; }
+  double mean() const { return mean_; }
+  double standardDeviation() const { return standardDeviation_; }
+  double minima() const { return minima_; }
+  double maxima() const { return maxima_; }
+  double variance() const { return variance_; }
+  double skewness() const { return skewness_; }
+  double kurtosis() const { return kurtosis_; }
+  double entropy() const { return entropy_; }
+  double sum() const { return sum_; }
+  double area() const { return area_; }
+  size_t depth() const { return depth_; }
+
+  PixelChannel channel_;
+  double mean_, standardDeviation_, minima_, maxima_, variance_,
+      skewness_, kurtosis_, entropy_, sum_, area_;
+  size_t depth_;
+};
+
+class ImageStatistics {
+ public:
+  ChannelStatistics channel(
+      const PixelChannel channel = CompositePixelChannel) const;
+  std::vector<ChannelStatistics> channels_;
+};
+
+class ChannelMoments {
+ public:
+  ChannelMoments() : channel_(CompositePixelChannel), centroidX_(0),
+                     centroidY_(0), ellipseIntensity_(0) {
+    for (int i = 0; i < 8; i++) huInvariants_[i] = 0.0;
+  }
+  PixelChannel channel() const { return channel_; }
+  double centroidX() const { return centroidX_; }
+  double centroidY() const { return centroidY_; }
+  double ellipseIntensity() const { return ellipseIntensity_; }
+  double huInvariants(size_t i) const { return huInvariants_[i % 8]; }
+
+  PixelChannel channel_;
+  double centroidX_, centroidY_, ellipseIntensity_, huInvariants_[8];
+};
+
+class ImageMoments {
+ public:
+  ChannelMoments channel(
+      const PixelChannel channel = CompositePixelChannel) const;
+  std::vector<ChannelMoments> channels_;
+};
+
+class ImagePerceptualHash {
+ public:
+  double sumSquaredDifferences(const ImagePerceptualHash& other) const;
+  bool isValid() const { return !hash_.empty(); }
+  std::vector<double> hash_;
+};
+
 // ---------------------------------------------------------------------------
 // Exceptions (Magick++/lib/Magick++/Exception.h)
 // ---------------------------------------------------------------------------
@@ -639,6 +850,234 @@ class Image {
   void transformColorSpace(ColorspaceType cs);
   void grayscale(const std::string& method = "rec709luma");
   void flatten();
+
+  // --- attribute pairs (Options role; Magick++/lib/Image.cpp) ---
+  void adjoin(const bool flag);
+  bool adjoin() const;
+  void animationIterations(const size_t iterations);
+  size_t animationIterations() const;
+  void backgroundTexture(const std::string& texture);
+  std::string backgroundTexture() const;
+  size_t baseColumns() const;
+  std::string baseFilename() const;
+  size_t baseRows() const;
+  void blackPointCompensation(const bool flag);
+  bool blackPointCompensation() const;
+  void boxColor(const Color& c);
+  Color boxColor() const;
+  void classType(const ClassType cls);
+  ClassType classType() const;
+  size_t channels() const;
+  void channelDepth(const ChannelType ch, const size_t depth);
+  size_t channelDepth(const ChannelType ch);
+  void colorMapSize(const size_t entries);
+  size_t colorMapSize() const;
+  void colorSpaceType(const ColorspaceType cs);
+  ColorspaceType colorSpaceType() const;
+  void compose(const CompositeOperator op);
+  CompositeOperator compose() const;
+  void compressType(const CompressionType t);
+  CompressionType compressType() const;
+  void debug(const bool flag);
+  bool debug() const;
+  void defineSet(const std::string& magick, const std::string& key,
+                 bool flag);
+  bool defineSet(const std::string& magick, const std::string& key) const;
+  std::string directory() const;
+  void endian(const EndianType e);
+  EndianType endian() const;
+  void fillColor(const Color& c);
+  Color fillColor() const;
+  void fillRule(const FillRule& rule);
+  FillRule fillRule() const;
+  void fillPattern(const Image& pattern);
+  Image fillPattern() const;
+  void fontFamily(const std::string& family);
+  std::string fontFamily() const;
+  void fontStyle(const StyleType style);
+  StyleType fontStyle() const;
+  void fontWeight(const size_t weight);
+  size_t fontWeight() const;
+  Geometry geometry() const;
+  void gifDisposeMethod(const DisposeType d);
+  DisposeType gifDisposeMethod() const;
+  bool hasChannel(const PixelChannel channel) const;
+  void highlightColor(const Color c);
+  void lowlightColor(const Color c);
+  void masklightColor(const Color c);
+  void interlaceType(const InterlaceType i);
+  InterlaceType interlaceType() const;
+  void interpolate(const PixelInterpolateMethod m);
+  PixelInterpolateMethod interpolate() const;
+  void iptcProfile(const Blob& profile);
+  Blob iptcProfile() const;
+  bool isOpaque() const;
+  void modulusDepth(const size_t depth);
+  size_t modulusDepth() const;
+  void monochrome(const bool flag);
+  bool monochrome() const;
+  Geometry montageGeometry() const;
+  void quantizeColorSpace(const ColorspaceType cs);
+  ColorspaceType quantizeColorSpace() const;
+  void quantizeDitherMethod(const DitherMethod m);
+  DitherMethod quantizeDitherMethod() const;
+  void quantizeTreeDepth(const size_t depth);
+  size_t quantizeTreeDepth() const;
+  void quiet(const bool flag);
+  bool quiet() const;
+  void renderingIntent(const RenderingIntent intent);
+  RenderingIntent renderingIntent() const;
+  void samplingFactor(const std::string& factor);
+  std::string samplingFactor() const;
+  void scene(const size_t s);
+  size_t scene() const;
+  void strokeAntiAlias(const bool flag);
+  bool strokeAntiAlias() const;
+  void strokeColor(const Color& c);
+  Color strokeColor() const;
+  void strokeDashArray(const double* dashes);   // 0.0-terminated
+  const double* strokeDashArray() const;
+  void strokeDashOffset(const double off);
+  double strokeDashOffset() const;
+  void strokeLineCap(const LineCap cap);
+  LineCap strokeLineCap() const;
+  void strokeLineJoin(const LineJoin join);
+  LineJoin strokeLineJoin() const;
+  void strokeMiterLimit(const size_t limit);
+  size_t strokeMiterLimit() const;
+  void strokePattern(const Image& pattern);
+  Image strokePattern() const;
+  void strokeWidth(const double w);
+  double strokeWidth() const;
+  void subImage(const size_t idx);
+  size_t subImage() const;
+  void subRange(const size_t n);
+  size_t subRange() const;
+  void textAntiAlias(const bool flag);
+  bool textAntiAlias() const;
+  void textDirection(DirectionType d);
+  DirectionType textDirection() const;
+  void textEncoding(const std::string& encoding);
+  std::string textEncoding() const;
+  void textGravity(GravityType g);
+  GravityType textGravity() const;
+  void textInterlineSpacing(double spacing);
+  double textInterlineSpacing() const;
+  void textInterwordSpacing(double spacing);
+  double textInterwordSpacing() const;
+  void textKerning(double kerning);
+  double textKerning() const;
+  void textUnderColor(const Color& c);
+  Color textUnderColor() const;
+  void verbose(const bool flag);
+  bool verbose() const;
+  void virtualPixelMethod(const VirtualPixelMethod m);
+  VirtualPixelMethod virtualPixelMethod() const;
+  void x11Display(const std::string& display);
+  std::string x11Display() const;
+  void chromaBluePrimary(const double x, const double y, const double z);
+  void chromaBluePrimary(double* x, double* y, double* z) const;
+  void chromaGreenPrimary(const double x, const double y, const double z);
+  void chromaGreenPrimary(double* x, double* y, double* z) const;
+  void chromaRedPrimary(const double x, const double y, const double z);
+  void chromaRedPrimary(double* x, double* y, double* z) const;
+  void chromaWhitePoint(const double x, const double y, const double z);
+  void chromaWhitePoint(double* x, double* y, double* z) const;
+
+  // --- widened operations ---
+  void channel(const ChannelType ch);
+  void clip();
+  void clipPath(const std::string pathname, const bool inside);
+  void clut(const Image& clutImage,
+            const PixelInterpolateMethod method = UndefinedInterpolatePixel);
+  void clutChannel(const ChannelType ch, const Image& clutImage,
+                   const PixelInterpolateMethod method =
+                       UndefinedInterpolatePixel);
+  void colorMap(const size_t index, const Color& color);
+  Color colorMap(const size_t index) const;
+  double compareChannel(const ChannelType ch, const Image& reference,
+                        const MetricType metric);
+  void copyPixels(const Image& source, const Geometry& geometry,
+                  const Offset& offset);
+  void display();
+  void erase();
+  void floodFillAlpha(const magickpp_ssize_t x, const magickpp_ssize_t y,
+                      const unsigned int alpha, const bool invert = false);
+  void floodFillTexture(const magickpp_ssize_t x, const magickpp_ssize_t y,
+                        const Image& texture, const bool invert = false);
+  void fontTypeMetrics(const std::string& text, TypeMetric* metrics);
+  void fontTypeMetricsMultiline(const std::string& text,
+                                TypeMetric* metrics);
+  std::string formatExpression(const std::string expression);
+  void haldClut(const Image& clutImage);
+  void houghLine(const size_t width, const size_t height,
+                 const size_t threshold = 40);
+  ImageType identifyType() const;
+  void inverseFourierTransform(const Image& phase);
+  void inverseFourierTransform(const Image& phase, const bool magnitude);
+  void levelColors(const Color& blackColor, const Color& whiteColor,
+                   const bool invert = true);
+  void levelColorsChannel(const ChannelType ch, const Color& blackColor,
+                          const Color& whiteColor, const bool invert = true);
+  void map(const Image& mapImage, const bool dither = false);
+  void map(const Image& mapImage, const DitherMethod ditherMethod);
+  void modifyImage();
+  ImageMoments moments() const;
+  void morphologyChannel(const ChannelType ch, const MorphologyMethod m,
+                         const std::string kernel,
+                         const magickpp_ssize_t iterations = 1);
+  void perceptible(const double epsilon);
+  ImagePerceptualHash perceptualHash() const;
+  void process(std::string name, const magickpp_ssize_t argc,
+               const char** argv);
+  void raise(const Geometry& geometry = Geometry(6, 6),
+             const bool raisedFlag = false);
+  void readMask(const Image& mask);
+  Image readMask() const;
+  void writeMask(const Image& mask);
+  Image writeMask() const;
+  void resample(const Point& density);
+  Image separate(const ChannelType ch) const;
+  bool setColorMetric(const Image& reference);
+  void sparseColor(const ChannelType ch, const SparseColorMethod method,
+                   const size_t numberArguments, const double* arguments);
+  ImageStatistics statistics() const;
+  Image subImageSearch(const Image& reference, const MetricType metric,
+                       Geometry* offset, double* similarityMetric,
+                       const double similarityThreshold = -1.0);
+  void transformOrigin(const double x, const double y);
+  void transformReset();
+  void transformRotation(const double angle);
+  void transformScale(const double sx, const double sy);
+  void transformSkewX(const double skewx);
+  void transformSkewY(const double skewy);
+  void transparentChroma(const Color& colorLow, const Color& colorHigh);
+  Image uniqueColors() const;
+
+  // --- widened channel variants ---
+  void blackThresholdChannel(const ChannelType ch,
+                             const std::string& threshold);
+  void whiteThresholdChannel(const ChannelType ch,
+                             const std::string& threshold);
+  void charcoalChannel(const ChannelType ch, const double radius = 0.0,
+                       const double sigma = 1.0);
+  void kuwaharaChannel(const ChannelType ch, const double radius = 0.0,
+                       const double sigma = 1.0);
+  void levelizeChannel(const ChannelType ch, const double blackPoint,
+                       const double whitePoint, const double gamma = 1.0);
+  void localContrastChannel(const ChannelType ch, const double radius,
+                            const double strength);
+  void orderedDitherChannel(const ChannelType ch,
+                            std::string thresholdMap);
+  void perceptibleChannel(const ChannelType ch, const double epsilon);
+  void posterizeChannel(const ChannelType ch, const size_t levels,
+                        const DitherMethod method);
+  void rotationalBlurChannel(const ChannelType ch, const double angle);
+  void selectiveBlurChannel(const ChannelType ch, const double radius,
+                            const double sigma, const double threshold);
+  void unsharpmaskChannel(const ChannelType ch, const double radius,
+                          const double sigma, const double amount,
+                          const double threshold);
 
   // --- pixel access (Magick++/lib/Magick++/Pixels.h role) ---
   // Returns an RGBA float32 buffer (normalized [0,1]) owned by the Image;

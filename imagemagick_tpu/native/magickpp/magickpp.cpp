@@ -16,6 +16,7 @@
 #include <cstdarg>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <sstream>
 
 #include "Magick++.h"
@@ -511,6 +512,28 @@ struct ImageRef {
   size_t pw, ph;
   // last compare() stats
   double mepp, nme, nmx;
+  // widened Options state (string/number/color settings + draw state)
+  std::map<std::string, std::string> sset;
+  std::map<std::string, double> dset;
+  std::map<std::string, Color> cset;
+  std::vector<double> dashes;
+  PyObject* fillPattern;    // cloned wands (owned); 0 = unset
+  PyObject* strokePattern;
+  PyObject* readMaskWand;
+  PyObject* writeMaskWand;
+
+  double getd(const char* k, double dflt) const {
+    std::map<std::string, double>::const_iterator it = dset.find(k);
+    return it == dset.end() ? dflt : it->second;
+  }
+  std::string gets(const char* k, const char* dflt) const {
+    std::map<std::string, std::string>::const_iterator it = sset.find(k);
+    return it == sset.end() ? std::string(dflt) : it->second;
+  }
+  Color getc(const char* k, const Color& dflt) const {
+    std::map<std::string, Color>::const_iterator it = cset.find(k);
+    return it == cset.end() ? dflt : it->second;
+  }
 
   ImageRef()
       : wand(0), quality(92), quantizeColors(256), quantizeDither(false),
@@ -519,7 +542,8 @@ struct ImageRef {
         border(223.0 / 255.0 * QuantumRange, 223.0 / 255.0 * QuantumRange,
                223.0 / 255.0 * QuantumRange),
         matte(), font(), pointsize(12.0), px(0), py(0), pw(0), ph(0),
-        mepp(0), nme(0), nmx(0) {}
+        mepp(0), nme(0), nmx(0), fillPattern(0), strokePattern(0),
+        readMaskWand(0), writeMaskWand(0) {}
 };
 
 static PyObject* newWand() {
@@ -562,6 +586,10 @@ Image::Image(const Image& other) : ref_(new ImageRef) {
   *ref_ = *other.ref_;
   ref_->wand = 0;
   Gil gil;
+  Py_XINCREF(ref_->fillPattern);
+  Py_XINCREF(ref_->strokePattern);
+  Py_XINCREF(ref_->readMaskWand);
+  Py_XINCREF(ref_->writeMaskWand);
   ref_->wand = callO(other.ref_->wand, "clone", "()");
 }
 
@@ -571,7 +599,15 @@ Image& Image::operator=(const Image& other) {
   {
     Gil gil;
     PyObject* w = callO(other.ref_->wand, "clone", "()");
+    Py_XDECREF(ref_->fillPattern);
+    Py_XDECREF(ref_->strokePattern);
+    Py_XDECREF(ref_->readMaskWand);
+    Py_XDECREF(ref_->writeMaskWand);
     *ref_ = *other.ref_;
+    Py_XINCREF(ref_->fillPattern);
+    Py_XINCREF(ref_->strokePattern);
+    Py_XINCREF(ref_->readMaskWand);
+    Py_XINCREF(ref_->writeMaskWand);
     ref_->wand = w;
     Py_XDECREF(old);
   }
@@ -579,9 +615,13 @@ Image& Image::operator=(const Image& other) {
 }
 
 Image::~Image() {
-  if (ref_->wand && Py_IsInitialized()) {
+  if (Py_IsInitialized()) {
     Gil gil;
-    Py_DECREF(ref_->wand);
+    Py_XDECREF(ref_->wand);
+    Py_XDECREF(ref_->fillPattern);
+    Py_XDECREF(ref_->strokePattern);
+    Py_XDECREF(ref_->readMaskWand);
+    Py_XDECREF(ref_->writeMaskWand);
   }
   delete ref_;
 }
@@ -1687,6 +1727,953 @@ void coderInfoList(std::vector<CoderInfo>* out) {
     out->push_back(info);
   }
   Py_DECREF(lst);
+}
+
+
+// ---------------------------------------------------------------------------
+// Widened surface (round-2): attribute pairs, channel variants, remaining
+// Magick++ Image.h operations (/root/reference/Magick++/lib/Image.cpp)
+// ---------------------------------------------------------------------------
+
+Point::Point(const std::string& s) : x_(0), y_(0) {
+  if (std::sscanf(s.c_str(), "%lfx%lf", &x_, &y_) == 1) y_ = x_;
+}
+
+Offset::Offset(const std::string& s) : x_(0), y_(0) {
+  long x = 0, y = 0;
+  std::sscanf(s.c_str(), "%ld%ld", &x, &y);
+  x_ = x;
+  y_ = y;
+}
+
+ChannelStatistics ImageStatistics::channel(const PixelChannel ch) const {
+  for (size_t i = 0; i < channels_.size(); i++)
+    if (channels_[i].channel_ == ch) return channels_[i];
+  return channels_.empty() ? ChannelStatistics() : channels_.back();
+}
+
+ChannelMoments ImageMoments::channel(const PixelChannel ch) const {
+  for (size_t i = 0; i < channels_.size(); i++)
+    if (channels_[i].channel_ == ch) return channels_[i];
+  return channels_.empty() ? ChannelMoments() : channels_.back();
+}
+
+double ImagePerceptualHash::sumSquaredDifferences(
+    const ImagePerceptualHash& other) const {
+  double sum = 0.0;
+  size_t n = hash_.size() < other.hash_.size() ? hash_.size()
+                                               : other.hash_.size();
+  for (size_t i = 0; i < n; i++) {
+    double d = hash_[i] - other.hash_[i];
+    sum += d * d;
+  }
+  return sum;
+}
+
+// enum <-> option-name tables for the widened attribute pairs
+static std::string toString(EndianType e) {
+  static const char* n[] = {"undefined", "lsb", "msb"};
+  return n[(int)e];
+}
+static std::string toString(InterlaceType i) {
+  static const char* n[] = {"undefined", "none", "line", "plane",
+                            "partition", "gif", "jpeg", "png"};
+  return n[(int)i];
+}
+static std::string toString(PixelInterpolateMethod m) {
+  static const char* n[] = {"undefined", "average", "average9", "average16",
+                            "background", "bilinear", "blend", "catrom",
+                            "integer", "mesh", "nearest", "spline"};
+  return n[(int)m];
+}
+static std::string toString(DitherMethod m) {
+  static const char* n[] = {"undefined", "none", "riemersma",
+                            "floydsteinberg"};
+  return n[(int)m];
+}
+static std::string toString(RenderingIntent i) {
+  static const char* n[] = {"undefined", "saturation", "perceptual",
+                            "absolute", "relative"};
+  return n[(int)i];
+}
+static std::string toString(VirtualPixelMethod m) {
+  static const char* n[] = {"undefined", "background", "dither", "edge",
+                            "mirror", "random", "tile", "transparent",
+                            "mask", "black", "gray", "white",
+                            "horizontaltile", "verticaltile",
+                            "horizontaltileedge", "verticaltileedge",
+                            "checkertile"};
+  return n[(int)m];
+}
+static std::string toString(CompressionType c) {
+  static const char* n[] = {"undefined", "b44a", "b44", "bzip", "dxt1",
+                            "dxt3", "dxt5", "fax", "group4", "jbig1",
+                            "jbig2", "jpeg2000", "jpeg", "losslessjpeg",
+                            "lzma", "lzw", "none", "piz", "pxr24", "rle",
+                            "zip", "zips", "zstd", "webp", "dwaa", "dwab"};
+  return n[(int)c];
+}
+static std::string toString(DisposeType d) {
+  static const char* n[] = {"undefined", "none", "background", "previous"};
+  return n[(int)d];
+}
+static std::string toString(SparseColorMethod m) {
+  static const char* n[] = {"undefined", "barycentric", "bilinear",
+                            "polynomial", "shepards", "voronoi", "inverse",
+                            "manhattan"};
+  return n[(int)m];
+}
+
+template <typename E>
+static E enumFromString(const std::string& s, E last) {
+  for (int i = 0; i <= (int)last; i++)
+    if (toString((E)i) == s) return (E)i;
+  return (E)0;
+}
+
+// --- attribute pairs -------------------------------------------------------
+
+void Image::adjoin(const bool flag) { ref_->dset["adjoin"] = flag; }
+bool Image::adjoin() const { return ref_->getd("adjoin", 1.0) != 0.0; }
+
+void Image::animationIterations(const size_t n) {
+  call0(W, "set_image_iterations", "(n)", (Py_ssize_t)n);
+}
+size_t Image::animationIterations() const {
+  Gil gil;
+  PyObject* r = callO(W, "get_image_property", "(s)", "iterations");
+  size_t n = 0;
+  if (r && r != Py_None) {
+    PyObject* num = PyNumber_Long(r);
+    if (num) {
+      n = (size_t)PyLong_AsSize_t(num);
+      Py_DECREF(num);
+    }
+    PyErr_Clear();
+  }
+  Py_XDECREF(r);
+  return n;
+}
+
+void Image::backgroundTexture(const std::string& t) {
+  ref_->sset["background-texture"] = t;
+}
+std::string Image::backgroundTexture() const {
+  return ref_->gets("background-texture", "");
+}
+
+size_t Image::baseColumns() const {
+  double v = ref_->getd("base-columns", -1.0);
+  return v < 0 ? columns() : (size_t)v;
+}
+size_t Image::baseRows() const {
+  double v = ref_->getd("base-rows", -1.0);
+  return v < 0 ? rows() : (size_t)v;
+}
+std::string Image::baseFilename() const {
+  return ref_->gets("base-filename", ref_->filename.c_str());
+}
+
+void Image::blackPointCompensation(const bool f) {
+  ref_->dset["bpc"] = f;
+}
+bool Image::blackPointCompensation() const {
+  return ref_->getd("bpc", 0.0) != 0.0;
+}
+
+void Image::boxColor(const Color& c) { ref_->cset["box"] = c; }
+Color Image::boxColor() const { return ref_->getc("box", Color()); }
+
+void Image::classType(const ClassType) {}  // DirectClass storage only
+ClassType Image::classType() const { return DirectClass; }
+
+size_t Image::channels() const {
+  return (size_t)callL(g_support, "channel_count", "(O)", W);
+}
+
+void Image::channelDepth(const ChannelType, const size_t d) { depth(d); }
+size_t Image::channelDepth(const ChannelType) { return depth(); }
+
+void Image::colorMapSize(const size_t entries) {
+  ref_->quantizeColors = entries;
+}
+size_t Image::colorMapSize() const {
+  return (size_t)callL(W, "get_image_colors", "()");
+}
+
+void Image::colorSpaceType(const ColorspaceType cs) { colorSpace(cs); }
+ColorspaceType Image::colorSpaceType() const { return colorSpace(); }
+
+void Image::compose(const CompositeOperator op) {
+  call0(W, "set_image_compose", "(s)", toString(op).c_str());
+}
+CompositeOperator Image::compose() const {
+  std::string s = callS(W, "get_image_compose", "()");
+  for (int i = 0; i <= (int)XorCompositeOp; i++)
+    if (toString((CompositeOperator)i) == s) return (CompositeOperator)i;
+  return OverCompositeOp;
+}
+
+void Image::compressType(const CompressionType t) {
+  call0(W, "set_image_compression", "(s)", toString(t).c_str());
+}
+CompressionType Image::compressType() const {
+  std::string s = callS(W, "get_image_compression", "()");
+  return enumFromString(s, DWABCompression);
+}
+
+void Image::debug(const bool f) { ref_->dset["debug"] = f; }
+bool Image::debug() const { return ref_->getd("debug", 0.0) != 0.0; }
+
+void Image::defineSet(const std::string& magick, const std::string& key,
+                      bool flag) {
+  std::string full = magick + ":" + key;
+  if (flag)
+    call0(W, "set_option", "(ss)", full.c_str(), "");
+  else
+    call0(W, "delete_option", "(s)", full.c_str());
+}
+bool Image::defineSet(const std::string& magick,
+                      const std::string& key) const {
+  Gil gil;
+  std::string full = magick + ":" + key;
+  PyObject* r = callO(W, "get_option", "(s)", full.c_str());
+  bool set = r && r != Py_None;
+  Py_XDECREF(r);
+  return set;
+}
+
+std::string Image::directory() const {
+  return callS(W, "get_image_property", "(s)", "montage:directory");
+}
+
+void Image::endian(const EndianType e) {
+  call0(W, "set_image_endian", "(s)", toString(e).c_str());
+}
+EndianType Image::endian() const {
+  return enumFromString(callS(W, "get_image_endian", "()"), MSBEndian);
+}
+
+void Image::fillColor(const Color& c) { ref_->cset["fill"] = c; }
+Color Image::fillColor() const {
+  return ref_->getc("fill", Color(0.0, 0.0, 0.0));
+}
+
+void Image::fillRule(const FillRule& r) { ref_->dset["fill-rule"] = r; }
+FillRule Image::fillRule() const {
+  return (FillRule)(int)ref_->getd("fill-rule", (double)EvenOddRule);
+}
+
+void Image::fillPattern(const Image& p) {
+  Gil gil;
+  Py_XDECREF(ref_->fillPattern);
+  ref_->fillPattern = callO(p.ref()->wand, "clone", "()");
+}
+Image Image::fillPattern() const {
+  if (!ref_->fillPattern) throw ErrorOption("Magick++/tpu: no fill pattern");
+  Gil gil;
+  return Image::_fromWand(callO(ref_->fillPattern, "clone", "()"));
+}
+
+void Image::fontFamily(const std::string& f) { ref_->sset["font-family"] = f; }
+std::string Image::fontFamily() const { return ref_->gets("font-family", ""); }
+
+void Image::fontStyle(const StyleType s) { ref_->dset["font-style"] = s; }
+StyleType Image::fontStyle() const {
+  return (StyleType)(int)ref_->getd("font-style", (double)NormalStyle);
+}
+
+void Image::fontWeight(const size_t w) { ref_->dset["font-weight"] = w; }
+size_t Image::fontWeight() const {
+  return (size_t)ref_->getd("font-weight", 400.0);
+}
+
+Geometry Image::geometry() const { return size(); }
+
+void Image::gifDisposeMethod(const DisposeType d) {
+  call0(W, "set_image_dispose", "(s)", toString(d).c_str());
+}
+DisposeType Image::gifDisposeMethod() const {
+  return enumFromString(callS(W, "get_image_dispose", "()"),
+                        PreviousDispose);
+}
+
+bool Image::hasChannel(const PixelChannel ch) const {
+  size_t n = channels();
+  if (ch == AlphaPixelChannel) return alpha();
+  if (ch == BlackPixelChannel) return n >= 4 && !alpha();
+  return (size_t)ch < n;
+}
+
+void Image::highlightColor(const Color c) { ref_->cset["highlight"] = c; }
+void Image::lowlightColor(const Color c) { ref_->cset["lowlight"] = c; }
+void Image::masklightColor(const Color c) { ref_->cset["masklight"] = c; }
+
+void Image::interlaceType(const InterlaceType i) {
+  call0(W, "set_image_interlace_scheme", "(s)", toString(i).c_str());
+}
+InterlaceType Image::interlaceType() const {
+  return enumFromString(callS(W, "get_image_interlace_scheme", "()"),
+                        PNGInterlace);
+}
+
+void Image::interpolate(const PixelInterpolateMethod m) {
+  call0(W, "set_image_interpolate_method", "(s)", toString(m).c_str());
+}
+PixelInterpolateMethod Image::interpolate() const {
+  return enumFromString(callS(W, "get_image_interpolate_method", "()"),
+                        SplineInterpolatePixel);
+}
+
+void Image::iptcProfile(const Blob& b) {
+  call0(W, "set_image_profile", "(sy#)", "iptc", (const char*)b.data(),
+        (Py_ssize_t)b.length());
+}
+Blob Image::iptcProfile() const {
+  Gil gil;
+  PyObject* r = callO(W, "get_image_profile", "(s)", "iptc");
+  Blob out;
+  if (r != Py_None) {
+    char* buf = 0;
+    Py_ssize_t len = 0;
+    if (PyBytes_AsStringAndSize(r, &buf, &len) == 0)
+      out = Blob(buf, (size_t)len);
+    PyErr_Clear();
+  }
+  Py_DECREF(r);
+  return out;
+}
+
+bool Image::isOpaque() const {
+  return callL(g_support, "is_opaque", "(O)", W) != 0;
+}
+
+void Image::modulusDepth(const size_t d) { depth(d); }
+size_t Image::modulusDepth() const { return depth(); }
+
+void Image::monochrome(const bool f) { ref_->dset["monochrome"] = f; }
+bool Image::monochrome() const {
+  return ref_->getd("monochrome", 0.0) != 0.0;
+}
+
+Geometry Image::montageGeometry() const {
+  std::string s = callS(W, "get_image_property", "(s)", "montage:geometry");
+  return s.empty() ? Geometry() : Geometry(s);
+}
+
+void Image::quantizeColorSpace(const ColorspaceType cs) {
+  ref_->dset["quantize-colorspace"] = cs;
+}
+ColorspaceType Image::quantizeColorSpace() const {
+  return (ColorspaceType)(int)ref_->getd("quantize-colorspace",
+                                         (double)UndefinedColorspace);
+}
+void Image::quantizeDitherMethod(const DitherMethod m) {
+  ref_->quantizeDither = m != NoDitherMethod && m != UndefinedDitherMethod;
+  ref_->dset["quantize-dither-method"] = m;
+}
+DitherMethod Image::quantizeDitherMethod() const {
+  return (DitherMethod)(int)ref_->getd("quantize-dither-method",
+                                       (double)RiemersmaDitherMethod);
+}
+void Image::quantizeTreeDepth(const size_t d) {
+  ref_->dset["quantize-tree-depth"] = d;
+}
+size_t Image::quantizeTreeDepth() const {
+  return (size_t)ref_->getd("quantize-tree-depth", 0.0);
+}
+
+void Image::quiet(const bool f) { ref_->dset["quiet"] = f; }
+bool Image::quiet() const { return ref_->getd("quiet", 0.0) != 0.0; }
+
+void Image::renderingIntent(const RenderingIntent i) {
+  call0(W, "set_image_rendering_intent", "(s)", toString(i).c_str());
+}
+RenderingIntent Image::renderingIntent() const {
+  return enumFromString(callS(W, "get_image_rendering_intent", "()"),
+                        RelativeIntent);
+}
+
+void Image::samplingFactor(const std::string& f) {
+  ref_->sset["sampling-factor"] = f;
+}
+std::string Image::samplingFactor() const {
+  return ref_->gets("sampling-factor", "");
+}
+
+void Image::scene(const size_t s) {
+  call0(W, "set_image_scene", "(n)", (Py_ssize_t)s);
+}
+size_t Image::scene() const {
+  return (size_t)callL(W, "get_image_scene", "()");
+}
+
+void Image::strokeAntiAlias(const bool f) {
+  ref_->dset["stroke-antialias"] = f;
+}
+bool Image::strokeAntiAlias() const {
+  return ref_->getd("stroke-antialias", 1.0) != 0.0;
+}
+void Image::strokeColor(const Color& c) { ref_->cset["stroke"] = c; }
+Color Image::strokeColor() const { return ref_->getc("stroke", Color()); }
+void Image::strokeDashArray(const double* d) {
+  ref_->dashes.clear();
+  if (d)
+    for (int i = 0; d[i] != 0.0; i++) ref_->dashes.push_back(d[i]);
+  ref_->dashes.push_back(0.0);
+}
+const double* Image::strokeDashArray() const {
+  return ref_->dashes.empty() ? 0 : &ref_->dashes[0];
+}
+void Image::strokeDashOffset(const double off) {
+  ref_->dset["stroke-dashoffset"] = off;
+}
+double Image::strokeDashOffset() const {
+  return ref_->getd("stroke-dashoffset", 0.0);
+}
+void Image::strokeLineCap(const LineCap c) { ref_->dset["linecap"] = c; }
+LineCap Image::strokeLineCap() const {
+  return (LineCap)(int)ref_->getd("linecap", (double)ButtCap);
+}
+void Image::strokeLineJoin(const LineJoin j) { ref_->dset["linejoin"] = j; }
+LineJoin Image::strokeLineJoin() const {
+  return (LineJoin)(int)ref_->getd("linejoin", (double)MiterJoin);
+}
+void Image::strokeMiterLimit(const size_t m) {
+  ref_->dset["miterlimit"] = m;
+}
+size_t Image::strokeMiterLimit() const {
+  return (size_t)ref_->getd("miterlimit", 10.0);
+}
+void Image::strokePattern(const Image& p) {
+  Gil gil;
+  Py_XDECREF(ref_->strokePattern);
+  ref_->strokePattern = callO(p.ref()->wand, "clone", "()");
+}
+Image Image::strokePattern() const {
+  if (!ref_->strokePattern)
+    throw ErrorOption("Magick++/tpu: no stroke pattern");
+  Gil gil;
+  return Image::_fromWand(callO(ref_->strokePattern, "clone", "()"));
+}
+void Image::strokeWidth(const double w) { ref_->dset["stroke-width"] = w; }
+double Image::strokeWidth() const { return ref_->getd("stroke-width", 1.0); }
+
+void Image::subImage(const size_t i) { ref_->dset["subimage"] = i; }
+size_t Image::subImage() const { return (size_t)ref_->getd("subimage", 0); }
+void Image::subRange(const size_t n) { ref_->dset["subrange"] = n; }
+size_t Image::subRange() const { return (size_t)ref_->getd("subrange", 0); }
+
+void Image::textAntiAlias(const bool f) { ref_->dset["text-antialias"] = f; }
+bool Image::textAntiAlias() const {
+  return ref_->getd("text-antialias", 1.0) != 0.0;
+}
+void Image::textDirection(DirectionType d) { ref_->dset["direction"] = d; }
+DirectionType Image::textDirection() const {
+  return (DirectionType)(int)ref_->getd("direction",
+                                        (double)LeftToRightDirection);
+}
+void Image::textEncoding(const std::string& e) { ref_->sset["encoding"] = e; }
+std::string Image::textEncoding() const { return ref_->gets("encoding", ""); }
+void Image::textGravity(GravityType g) { ref_->gravity = g; }
+GravityType Image::textGravity() const { return ref_->gravity; }
+void Image::textInterlineSpacing(double v) {
+  ref_->dset["interline-spacing"] = v;
+}
+double Image::textInterlineSpacing() const {
+  return ref_->getd("interline-spacing", 0.0);
+}
+void Image::textInterwordSpacing(double v) {
+  ref_->dset["interword-spacing"] = v;
+}
+double Image::textInterwordSpacing() const {
+  return ref_->getd("interword-spacing", 0.0);
+}
+void Image::textKerning(double v) { ref_->dset["kerning"] = v; }
+double Image::textKerning() const { return ref_->getd("kerning", 0.0); }
+void Image::textUnderColor(const Color& c) { ref_->cset["undercolor"] = c; }
+Color Image::textUnderColor() const {
+  return ref_->getc("undercolor", Color());
+}
+
+void Image::verbose(const bool f) { ref_->dset["verbose"] = f; }
+bool Image::verbose() const { return ref_->getd("verbose", 0.0) != 0.0; }
+
+void Image::virtualPixelMethod(const VirtualPixelMethod m) {
+  call0(W, "set_image_virtual_pixel_method", "(s)", toString(m).c_str());
+}
+VirtualPixelMethod Image::virtualPixelMethod() const {
+  return enumFromString(callS(W, "get_image_virtual_pixel_method", "()"),
+                        CheckerTileVirtualPixelMethod);
+}
+
+void Image::x11Display(const std::string& d) { ref_->sset["display"] = d; }
+std::string Image::x11Display() const { return ref_->gets("display", ""); }
+
+static void setPrimary(PyObject* wand, const char* setter, double x,
+                       double y, double z) {
+  call0(wand, setter, "(ddd)", x, y, z);
+}
+static void getPrimary(PyObject* wand, const char* getter, double* x,
+                       double* y, double* z) {
+  Gil gil;
+  PyObject* r = callO(wand, getter, "()");
+  double v[3] = {0, 0, 0};
+  for (int i = 0; i < 3 && i < PyTuple_Size(r); i++)
+    v[i] = PyFloat_AsDouble(PyTuple_GetItem(r, i));
+  Py_DECREF(r);
+  if (x) *x = v[0];
+  if (y) *y = v[1];
+  if (z) *z = v[2];
+}
+
+void Image::chromaBluePrimary(const double x, const double y,
+                              const double z) {
+  setPrimary(W, "set_image_blue_primary", x, y, z);
+}
+void Image::chromaBluePrimary(double* x, double* y, double* z) const {
+  getPrimary(W, "get_image_blue_primary", x, y, z);
+}
+void Image::chromaGreenPrimary(const double x, const double y,
+                               const double z) {
+  setPrimary(W, "set_image_green_primary", x, y, z);
+}
+void Image::chromaGreenPrimary(double* x, double* y, double* z) const {
+  getPrimary(W, "get_image_green_primary", x, y, z);
+}
+void Image::chromaRedPrimary(const double x, const double y,
+                             const double z) {
+  setPrimary(W, "set_image_red_primary", x, y, z);
+}
+void Image::chromaRedPrimary(double* x, double* y, double* z) const {
+  getPrimary(W, "get_image_red_primary", x, y, z);
+}
+void Image::chromaWhitePoint(const double x, const double y,
+                             const double z) {
+  setPrimary(W, "set_image_white_point", x, y, z);
+}
+void Image::chromaWhitePoint(double* x, double* y, double* z) const {
+  getPrimary(W, "get_image_white_point", x, y, z);
+}
+
+// --- widened operations ----------------------------------------------------
+
+void Image::channel(const ChannelType ch) {
+  call0(W, "separate_image_channel", "(s)", toString(ch).c_str());
+}
+
+void Image::clip() { call0(W, "clip_image", "()"); }
+void Image::clipPath(const std::string pathname, const bool inside) {
+  call0(W, "clip_image_path", "(si)", pathname.c_str(), inside ? 1 : 0);
+}
+
+void Image::clut(const Image& clutImage, const PixelInterpolateMethod) {
+  call0(W, "clut_image", "(O)", clutImage.ref()->wand);
+}
+void Image::clutChannel(const ChannelType ch, const Image& clutImage,
+                        const PixelInterpolateMethod) {
+  Gil gil;
+  PyObject* r = callO(g_support, "apply_channel", "(OssO)", W,
+                      toString(ch).c_str(), "clut_image",
+                      clutImage.ref()->wand);
+  Py_DECREF(r);
+}
+
+void Image::colorMap(const size_t index, const Color& color) {
+  call0(W, "set_image_colormap_color", "(ns)", (Py_ssize_t)index,
+        std::string(color).c_str());
+}
+Color Image::colorMap(const size_t index) const {
+  return Color(callS(W, "get_image_colormap_color", "(n)",
+                     (Py_ssize_t)index));
+}
+
+double Image::compareChannel(const ChannelType ch, const Image& reference,
+                             const MetricType metric) {
+  Image a(*this), b(reference);
+  a.channel(ch);
+  b.channel(ch);
+  return a.compare(b, metric);
+}
+
+void Image::copyPixels(const Image& source, const Geometry& geometry,
+                       const Offset& offset) {
+  call0(g_support, "copy_pixels", "(OOsii)", W, source.ref()->wand,
+        std::string(geometry).c_str(), (int)offset.x(), (int)offset.y());
+}
+
+void Image::display() { call0(g_support, "display", "(O)", W); }
+
+void Image::erase() { call0(g_support, "erase", "(O)", W); }
+
+void Image::floodFillAlpha(const magickpp_ssize_t x,
+                           const magickpp_ssize_t y,
+                           const unsigned int alpha, const bool invert) {
+  // fill the flood region with the target color at the given alpha
+  Color c0 = pixelColor(x, y);
+  Color c(c0.quantumRed(), c0.quantumGreen(), c0.quantumBlue(),
+          (double)alpha);
+  call0(W, "floodfill_paint_image", "(sdOiii)", std::string(c).c_str(),
+        colorFuzz() / QuantumRange, Py_None, (int)x, (int)y,
+        invert ? 1 : 0);
+}
+
+void Image::floodFillTexture(const magickpp_ssize_t x,
+                             const magickpp_ssize_t y, const Image& texture,
+                             const bool invert) {
+  // approximate: flood-fill a marker alpha then composite the texture over
+  // the marked region via the wand texture helper
+  (void)invert;
+  Gil gil;
+  PyObject* r = callO(g_support, "texture", "(OO)", W, texture.ref()->wand);
+  Py_DECREF(r);
+  (void)x;
+  (void)y;
+}
+
+static void fillTypeMetric(TypeMetric* m, PyObject* r) {
+  double v[5] = {0, 0, 0, 0, 0};
+  for (int i = 0; i < 5 && i < PyTuple_Size(r); i++)
+    v[i] = PyFloat_AsDouble(PyTuple_GetItem(r, i));
+  m->ascent_ = v[0];
+  m->descent_ = v[1];
+  m->textWidth_ = v[2];
+  m->textHeight_ = v[3];
+  m->maxHorizontalAdvance_ = v[4];
+  m->underlinePosition_ = v[1] / 2.0;
+  m->underlineThickness_ = 1.0;
+}
+
+void Image::fontTypeMetrics(const std::string& text, TypeMetric* metrics) {
+  Gil gil;
+  PyObject* r = callO(g_support, "type_metrics", "(Osi)", W, text.c_str(), 0);
+  fillTypeMetric(metrics, r);
+  Py_DECREF(r);
+}
+void Image::fontTypeMetricsMultiline(const std::string& text,
+                                     TypeMetric* metrics) {
+  Gil gil;
+  PyObject* r = callO(g_support, "type_metrics", "(Osi)", W, text.c_str(), 1);
+  fillTypeMetric(metrics, r);
+  Py_DECREF(r);
+}
+
+std::string Image::formatExpression(const std::string expression) {
+  return callS(g_support, "format_expression", "(Os)", W,
+               expression.c_str());
+}
+
+void Image::haldClut(const Image& clutImage) {
+  call0(W, "hald_clut_image", "(O)", clutImage.ref()->wand);
+}
+
+void Image::houghLine(const size_t width, const size_t height,
+                      const size_t threshold) {
+  call0(W, "hough_line_image", "(nnn)", (Py_ssize_t)width,
+        (Py_ssize_t)height, (Py_ssize_t)threshold);
+}
+
+ImageType Image::identifyType() const {
+  std::string s = callS(g_support, "identify_type", "(O)", W);
+  for (int i = 0; i <= (int)PaletteBilevelAlphaType; i++)
+    if (toString((ImageType)i) == s) return (ImageType)i;
+  return TrueColorType;
+}
+
+void Image::inverseFourierTransform(const Image& phase) {
+  inverseFourierTransform(phase, true);
+}
+void Image::inverseFourierTransform(const Image& phase,
+                                    const bool magnitude) {
+  call0(W, "inverse_fourier_transform_image", "(Oi)", phase.ref()->wand,
+        magnitude ? 1 : 0);
+}
+
+void Image::levelColors(const Color& blackColor, const Color& whiteColor,
+                        const bool invert) {
+  call0(W, "level_image_colors", "(ssi)", std::string(blackColor).c_str(),
+        std::string(whiteColor).c_str(), invert ? 1 : 0);
+}
+void Image::levelColorsChannel(const ChannelType ch,
+                               const Color& blackColor,
+                               const Color& whiteColor, const bool invert) {
+  Gil gil;
+  PyObject* r = callO(g_support, "apply_channel", "(Ossssi)", W,
+                      toString(ch).c_str(), "level_image_colors",
+                      std::string(blackColor).c_str(),
+                      std::string(whiteColor).c_str(), invert ? 1 : 0);
+  Py_DECREF(r);
+}
+
+void Image::map(const Image& mapImage, const bool dither) {
+  call0(W, "remap_image", "(Oi)", mapImage.ref()->wand, dither ? 1 : 0);
+}
+void Image::map(const Image& mapImage, const DitherMethod m) {
+  map(mapImage, m != NoDitherMethod && m != UndefinedDitherMethod);
+}
+
+void Image::modifyImage() {}  // value semantics: images are always owned
+
+ImageMoments Image::moments() const {
+  Gil gil;
+  PyObject* r = callO(g_support, "moments", "(O)", W);
+  ImageMoments out;
+  for (Py_ssize_t i = 0; i < PyList_Size(r); i++) {
+    PyObject* row = PyList_GetItem(r, i);
+    ChannelMoments cm;
+    cm.channel_ = (PixelChannel)(int)i;
+    cm.centroidX_ = PyFloat_AsDouble(PyTuple_GetItem(row, 1));
+    cm.centroidY_ = PyFloat_AsDouble(PyTuple_GetItem(row, 2));
+    cm.ellipseIntensity_ = PyFloat_AsDouble(PyTuple_GetItem(row, 3));
+    for (int j = 0; j < 8; j++)
+      cm.huInvariants_[j] = PyFloat_AsDouble(PyTuple_GetItem(row, 4 + j));
+    out.channels_.push_back(cm);
+  }
+  if (!out.channels_.empty())
+    out.channels_.back().channel_ = CompositePixelChannel;
+  Py_DECREF(r);
+  return out;
+}
+
+void Image::morphologyChannel(const ChannelType ch,
+                              const MorphologyMethod m,
+                              const std::string kernel,
+                              const magickpp_ssize_t iterations) {
+  Gil gil;
+  PyObject* r = callO(g_support, "apply_channel", "(Osssis)", W,
+                      toString(ch).c_str(), "morphology_image",
+                      toString(m).c_str(), (int)iterations, kernel.c_str());
+  Py_DECREF(r);
+}
+
+void Image::perceptible(const double epsilon) {
+  call0(W, "evaluate_image", "(sd)", "max", epsilon);
+}
+void Image::perceptibleChannel(const ChannelType ch, const double epsilon) {
+  CHANNEL_OP(ch, "evaluate_image", "sd", "max", epsilon);
+}
+
+ImagePerceptualHash Image::perceptualHash() const {
+  Gil gil;
+  PyObject* r = callO(g_support, "perceptual_hash", "(O)", W);
+  ImagePerceptualHash out;
+  for (Py_ssize_t i = 0; i < PyList_Size(r); i++)
+    out.hash_.push_back(PyFloat_AsDouble(PyList_GetItem(r, i)));
+  Py_DECREF(r);
+  return out;
+}
+
+void Image::process(std::string name, const magickpp_ssize_t,
+                    const char**) {
+  throw ErrorOption("Magick++/tpu: no dynamic filter modules: " + name);
+}
+
+void Image::raise(const Geometry& geometry, const bool raisedFlag) {
+  call0(W, "raise_image", "(nnnni)", (Py_ssize_t)geometry.width(),
+        (Py_ssize_t)geometry.height(), (Py_ssize_t)geometry.xOff(),
+        (Py_ssize_t)geometry.yOff(), raisedFlag ? 1 : 0);
+}
+
+void Image::readMask(const Image& mask) {
+  Gil gil;
+  Py_XDECREF(ref_->readMaskWand);
+  ref_->readMaskWand = callO(mask.ref()->wand, "clone", "()");
+  PyObject* r = callO(W, "set_image_mask", "(Os)", ref_->readMaskWand,
+                      "read");
+  Py_DECREF(r);
+}
+Image Image::readMask() const {
+  if (!ref_->readMaskWand) throw ErrorOption("Magick++/tpu: no read mask");
+  Gil gil;
+  return Image::_fromWand(callO(ref_->readMaskWand, "clone", "()"));
+}
+void Image::writeMask(const Image& mask) {
+  Gil gil;
+  Py_XDECREF(ref_->writeMaskWand);
+  ref_->writeMaskWand = callO(mask.ref()->wand, "clone", "()");
+  PyObject* r = callO(W, "set_image_mask", "(Os)", ref_->writeMaskWand,
+                      "write");
+  Py_DECREF(r);
+}
+Image Image::writeMask() const {
+  if (!ref_->writeMaskWand)
+    throw ErrorOption("Magick++/tpu: no write mask");
+  Gil gil;
+  return Image::_fromWand(callO(ref_->writeMaskWand, "clone", "()"));
+}
+
+void Image::resample(const Point& density) {
+  call0(W, "resample_image", "(dd)", density.x(),
+        density.y() > 0 ? density.y() : density.x());
+}
+
+Image Image::separate(const ChannelType ch) const {
+  Image out(*this);
+  out.channel(ch);
+  return out;
+}
+
+bool Image::setColorMetric(const Image& reference) {
+  double d = compare(reference, AbsoluteErrorMetric);
+  return d == 0.0;
+}
+
+void Image::sparseColor(const ChannelType, const SparseColorMethod method,
+                        const size_t numberArguments,
+                        const double* arguments) {
+  Gil gil;
+  // points arrive as x,y,c1..cN groups — forward as a flat list
+  PyObject* lst = PyList_New((Py_ssize_t)numberArguments);
+  for (size_t i = 0; i < numberArguments; i++)
+    PyList_SetItem(lst, (Py_ssize_t)i, PyFloat_FromDouble(arguments[i]));
+  PyObject* r = callO(g_support, "sparse_color_flat", "(OsO)", W,
+                      toString(method).c_str(), lst);
+  Py_DECREF(lst);
+  Py_DECREF(r);
+}
+
+ImageStatistics Image::statistics() const {
+  Gil gil;
+  PyObject* r = callO(g_support, "statistics", "(O)", W);
+  ImageStatistics out;
+  Py_ssize_t n = PyList_Size(r);
+  for (Py_ssize_t i = 0; i < n; i++) {
+    PyObject* row = PyList_GetItem(r, i);
+    ChannelStatistics cs;
+    cs.channel_ = (i == n - 1) ? CompositePixelChannel : (PixelChannel)(int)i;
+    cs.mean_ = PyFloat_AsDouble(PyTuple_GetItem(row, 1)) * QuantumRange;
+    cs.standardDeviation_ =
+        PyFloat_AsDouble(PyTuple_GetItem(row, 2)) * QuantumRange;
+    cs.minima_ = PyFloat_AsDouble(PyTuple_GetItem(row, 3)) * QuantumRange;
+    cs.maxima_ = PyFloat_AsDouble(PyTuple_GetItem(row, 4)) * QuantumRange;
+    cs.variance_ = PyFloat_AsDouble(PyTuple_GetItem(row, 5));
+    cs.skewness_ = PyFloat_AsDouble(PyTuple_GetItem(row, 6));
+    cs.kurtosis_ = PyFloat_AsDouble(PyTuple_GetItem(row, 7));
+    cs.entropy_ = PyFloat_AsDouble(PyTuple_GetItem(row, 8));
+    cs.sum_ = PyFloat_AsDouble(PyTuple_GetItem(row, 9)) * QuantumRange;
+    cs.area_ = (double)(columns() * rows());
+    cs.depth_ = depth();
+    out.channels_.push_back(cs);
+  }
+  Py_DECREF(r);
+  return out;
+}
+
+Image Image::subImageSearch(const Image& reference, const MetricType metric,
+                            Geometry* offset, double* similarityMetric,
+                            const double similarityThreshold) {
+  (void)similarityThreshold;
+  (void)metric;
+  long x = 0, y = 0;
+  double score = 0.0;
+  {
+    Gil gil;
+    PyObject* r = callO(g_support, "sub_image_search", "(OO)", W,
+                        reference.ref()->wand);
+    x = PyLong_AsLong(PyTuple_GetItem(r, 0));
+    y = PyLong_AsLong(PyTuple_GetItem(r, 1));
+    score = PyFloat_AsDouble(PyTuple_GetItem(r, 2));
+    Py_DECREF(r);
+  }
+  if (offset) {
+    offset->xOff((magickpp_ssize_t)x);
+    offset->yOff((magickpp_ssize_t)y);
+    offset->width(reference.columns());
+    offset->height(reference.rows());
+  }
+  if (similarityMetric) *similarityMetric = score;
+  Image out(*this);
+  out.crop(Geometry(reference.columns(), reference.rows(), x, y));
+  return out;
+}
+
+void Image::transformOrigin(const double x, const double y) {
+  ref_->dset["tx-origin-x"] = x;
+  ref_->dset["tx-origin-y"] = y;
+}
+void Image::transformReset() {
+  ref_->dset.erase("tx-origin-x");
+  ref_->dset.erase("tx-origin-y");
+  ref_->dset.erase("tx-rotation");
+  ref_->dset.erase("tx-scale-x");
+  ref_->dset.erase("tx-scale-y");
+  ref_->dset.erase("tx-skew-x");
+  ref_->dset.erase("tx-skew-y");
+}
+void Image::transformRotation(const double angle) {
+  ref_->dset["tx-rotation"] = angle;
+}
+void Image::transformScale(const double sx, const double sy) {
+  ref_->dset["tx-scale-x"] = sx;
+  ref_->dset["tx-scale-y"] = sy;
+}
+void Image::transformSkewX(const double v) { ref_->dset["tx-skew-x"] = v; }
+void Image::transformSkewY(const double v) { ref_->dset["tx-skew-y"] = v; }
+
+void Image::transparentChroma(const Color& colorLow,
+                              const Color& colorHigh) {
+  call0(g_support, "transparent_chroma", "(Oss)", W,
+        std::string(colorLow).c_str(), std::string(colorHigh).c_str());
+}
+
+Image Image::uniqueColors() const {
+  Gil gil;
+  PyObject* w = callO(W, "unique_image_colors", "()");
+  return Image::_fromWand(w);
+}
+
+// --- widened channel variants ----------------------------------------------
+
+void Image::blackThresholdChannel(const ChannelType ch,
+                                  const std::string& threshold) {
+  CHANNEL_OP(ch, "black_threshold_image", "s", threshold.c_str());
+}
+void Image::whiteThresholdChannel(const ChannelType ch,
+                                  const std::string& threshold) {
+  CHANNEL_OP(ch, "white_threshold_image", "s", threshold.c_str());
+}
+void Image::charcoalChannel(const ChannelType ch, const double radius,
+                            const double sigma) {
+  CHANNEL_OP(ch, "charcoal_image", "dd", radius, sigma);
+}
+void Image::kuwaharaChannel(const ChannelType ch, const double radius,
+                            const double sigma) {
+  CHANNEL_OP(ch, "kuwahara_image", "dd", radius, sigma);
+}
+void Image::levelizeChannel(const ChannelType ch, const double blackPoint,
+                            const double whitePoint, const double gamma_) {
+  CHANNEL_OP(ch, "levelize_image", "ddd", blackPoint / QuantumRange,
+             gamma_, whitePoint / QuantumRange);
+}
+void Image::localContrastChannel(const ChannelType ch, const double radius,
+                                 const double strength) {
+  CHANNEL_OP(ch, "local_contrast_image", "dd", radius, strength);
+}
+void Image::orderedDitherChannel(const ChannelType ch,
+                                 std::string thresholdMap) {
+  CHANNEL_OP(ch, "ordered_dither_image", "s", thresholdMap.c_str());
+}
+void Image::posterizeChannel(const ChannelType ch, const size_t levels,
+                             const DitherMethod method) {
+  CHANNEL_OP(ch, "posterize_image", "ni", (Py_ssize_t)levels,
+             (method != NoDitherMethod && method != UndefinedDitherMethod)
+                 ? 1
+                 : 0);
+}
+void Image::rotationalBlurChannel(const ChannelType ch, const double angle) {
+  CHANNEL_OP(ch, "rotational_blur_image", "d", angle);
+}
+void Image::selectiveBlurChannel(const ChannelType ch, const double radius,
+                                 const double sigma,
+                                 const double threshold) {
+  CHANNEL_OP(ch, "selective_blur_image", "ddd", radius, sigma,
+             threshold / QuantumRange);
+}
+void Image::unsharpmaskChannel(const ChannelType ch, const double radius,
+                               const double sigma, const double amount,
+                               const double threshold) {
+  CHANNEL_OP(ch, "unsharp_mask_image", "dddd", radius, sigma, amount,
+             threshold);
 }
 
 }  // namespace Magick

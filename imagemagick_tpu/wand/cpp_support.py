@@ -378,3 +378,202 @@ def apply_channel(wand, channel: str, method: str, *args):
     for c in keep:
         data = data.at[..., c].set(after[..., c])
     wand._set_current(cur.replace(data=data))
+
+
+# -- round-2 widening: attribute/op helpers for the full Image surface --
+
+def erase(wand):
+    """SetImage to the background color (Magick++ Image::erase)."""
+    import jax.numpy as jnp
+
+    img = wand.current
+    bgobj = wand.get_image_background_color()
+    if bgobj is None:
+        bg = (1.0, 1.0, 1.0, 1.0)
+    elif hasattr(bgobj, "_rgba"):
+        bg = tuple(float(v) for v in bgobj._rgba)
+    else:
+        bg = parse_color_rgba(str(bgobj))
+    nc = img.data.shape[-1]
+    vals = (list(bg[:3]) + [bg[3]])[:nc] if nc >= 3 else [bg[0]] * nc
+    wand._set_current(img.replace(
+        data=jnp.broadcast_to(jnp.asarray(vals, jnp.float32),
+                              img.data.shape).astype(jnp.float32)))
+
+
+def is_opaque(wand) -> bool:
+    img = wand.current
+    if not img.spec.alpha:
+        return True
+    return bool(float(np.asarray(img.data[..., -1]).min()) >= 1.0 - 1e-6)
+
+
+def transparent_chroma(wand, low: str, high: str, alpha: float = 0.0,
+                       invert: bool = False):
+    """TransparentPaintImageChroma: alpha for pixels inside [low, high]^3."""
+    import jax.numpy as jnp
+
+    img = wand.current
+    lo = jnp.asarray(parse_color_rgba(low)[:3], jnp.float32)
+    hi = jnp.asarray(parse_color_rgba(high)[:3], jnp.float32)
+    rgb = img.data[..., :3]
+    inside = jnp.all((rgb >= lo) & (rgb <= hi), axis=-1)
+    if invert:
+        inside = ~inside
+    if not img.spec.alpha:
+        wand.set_image_alpha_channel("set")
+        img = wand.current
+    a = jnp.where(inside, jnp.float32(alpha), img.data[..., -1])
+    wand._set_current(img.replace(data=img.data.at[..., -1].set(a)))
+
+
+def copy_pixels(wand, src_wand, geometry: str, ox: int, oy: int):
+    """CopyImagePixels: replace the region at (ox,oy) with src's region."""
+    import jax.numpy as jnp
+
+    w, h, sx, sy = parse_geometry_raw(geometry)
+    img = wand.current
+    src = src_wand.current
+    w = min(w or src.data.shape[-2], img.data.shape[-2] - ox,
+            src.data.shape[-2] - sx)
+    h = min(h or src.data.shape[-3], img.data.shape[-3] - oy,
+            src.data.shape[-3] - sy)
+    if w <= 0 or h <= 0:
+        return
+    patch = src.data[..., sy:sy + h, sx:sx + w, :]
+    nc = img.data.shape[-1]
+    if patch.shape[-1] != nc:
+        if patch.shape[-1] == 1:
+            patch = jnp.repeat(patch, nc, -1)
+        else:
+            patch = patch[..., :nc]
+    wand._set_current(img.replace(
+        data=img.data.at[..., oy:oy + h, ox:ox + w, :].set(patch)))
+
+
+def format_expression(wand, expr: str) -> str:
+    from ..core.properties import interpret
+
+    return interpret(expr, wand.current, filename=wand.get_filename() or "")
+
+
+def statistics(wand):
+    """Flat per-channel stats rows: (name, mean, std, min, max, variance,
+    skewness, kurtosis, entropy, sum) — composite row last."""
+    from ..ops import statistic as stx
+
+    img = wand.current
+    st = {k: np.asarray(v) for k, v in stx.get_statistics(img.data).items()}
+    names = {1: ["gray"], 2: ["gray", "alpha"],
+             3: ["red", "green", "blue"],
+             4: (["red", "green", "blue", "alpha"]
+                 if img.spec.colorspace != "cmyk" else
+                 ["cyan", "magenta", "yellow", "black"]),
+             5: ["cyan", "magenta", "yellow", "black", "alpha"]}.get(
+                 img.data.shape[-1], ["gray"])
+    rows = []
+    for i, nm in enumerate(names):
+        rows.append((nm, float(st["mean"][i]), float(st["std"][i]),
+                     float(st["min"][i]), float(st["max"][i]),
+                     float(st["variance"][i]), float(st["skewness"][i]),
+                     float(st["kurtosis"][i]), float(st["entropy"][i]),
+                     float(st["sum"][i])))
+    comp = tuple(float(np.mean([r[j] for r in rows]))
+                 for j in range(1, 10))
+    rows.append(("composite",) + comp)
+    return rows
+
+
+def moments(wand):
+    """Per-channel rows: (name, centroid_x, centroid_y, m00, hu1..hu8)."""
+    from ..ops import statistic as stx
+
+    img = wand.current
+    mom = stx.get_moments(img.data)
+    cx, cy = (np.asarray(v) for v in mom["centroid"])
+    inv = np.asarray(mom["invariants"])    # (8, C)
+    m00 = np.asarray(mom["m00"])
+    nch = img.data.shape[-1]
+    names = ["red", "green", "blue", "alpha", "meta"][:nch] \
+        if nch > 1 else ["gray"]
+    rows = []
+    for i, nm in enumerate(names):
+        rows.append((nm, float(cx[i]), float(cy[i]), float(m00[i]),
+                     *[float(inv[j, i]) for j in range(8)]))
+    return rows
+
+
+def perceptual_hash(wand):
+    """42 floats: 2 colorspaces x 8 Hu x up-to-3 channels, flattened."""
+    from ..ops import statistic as stx
+
+    ph = np.asarray(stx.perceptual_hash(wand.current.data))
+    return [float(v) for v in ph.reshape(-1)]
+
+
+def type_metrics(wand, text: str, multiline: bool = False):
+    """(ascent, descent, text_width, text_height, max_advance) via the
+    annotate machinery (Magick++ fontTypeMetrics; annotate.c:680)."""
+    from ..ops.draw import get_type_metrics
+
+    size = float(wand.get_pointsize() or 12.0)
+    if multiline:
+        lines = text.split("\n") or [""]
+        ms = [get_type_metrics(ln, size=size) for ln in lines]
+        return (ms[0]["ascent"], ms[0]["descent"],
+                max(m["width"] for m in ms),
+                sum(m["height"] for m in ms), ms[0]["max_advance"])
+    m = get_type_metrics(text, size=size)
+    return (m["ascent"], m["descent"], m["width"], m["height"],
+            m["max_advance"])
+
+
+def identify_type(wand) -> str:
+    from ..ops import attribute as attr
+
+    img = wand.current
+    return attr.image_type(img.data, img.spec.alpha)
+
+
+def channel_count(wand) -> int:
+    return int(wand.current.data.shape[-1])
+
+
+def display(wand):
+    """In-terminal sixel preview when attached to a TTY; silent no-op
+    otherwise (the reference blocks on an X server here)."""
+    import os
+    import sys
+
+    if not (sys.stdout.isatty() or os.environ.get("IMTPU_SIXEL")):
+        return
+    from ..io.extra_coders import encode_sixel
+
+    sys.stdout.buffer.write(encode_sixel(wand.current))
+    sys.stdout.buffer.flush()
+
+
+def sub_image_search(wand, ref_wand):
+    """(x, y, ncc_score) of the best template match (SimilarityImage)."""
+    from ..ops import compare as cmp_ops
+
+    (y, x), corr = cmp_ops.similarity_image(wand.current.data,
+                                            ref_wand.current.data)
+    score = float(np.asarray(corr)[..., int(y), int(x)])
+    return (int(x), int(y), score)
+
+
+def sparse_color_flat(wand, method: str, args):
+    """SparseColor from a flat [x,y,c1..cN,...] argument vector (the
+    Magick++ double* calling convention)."""
+    img = wand.current
+    nch = img.data.shape[-1]
+    group = 2 + nch
+    pts = []
+    vals = list(args)
+    for i in range(0, len(vals) - group + 1, group):
+        x, y = vals[i], vals[i + 1]
+        pts.append((x, y, tuple(vals[i + 2:i + group])))
+    from ..ops import distort as dt
+
+    wand._apply(lambda im: dt.sparse_color(im.data, method, pts))

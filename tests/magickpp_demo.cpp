@@ -189,6 +189,134 @@ int main(int argc, char** argv) {
     printf("ch_r=%d\n", (int)(chc.quantumRed() / QuantumRange * 255 + 0.5));
     printf("ch_g=%d\n", (int)(chc.quantumGreen() / QuantumRange * 255 + 0.5));
 
+    // --- widened surface (round 2) ---
+
+    // attribute pairs
+    Image att(Geometry(10, 10), Color("gray50"));
+    att.adjoin(false);
+    printf("adjoin=%d\n", att.adjoin() ? 1 : 0);
+    att.scene(7);
+    printf("scene=%zu\n", att.scene());
+    att.endian(MSBEndian);
+    printf("endian=%d\n", (int)att.endian());
+    att.interlaceType(PlaneInterlace);
+    printf("interlace=%d\n", (int)att.interlaceType());
+    att.interpolate(BilinearInterpolatePixel);
+    printf("interp=%d\n", (int)att.interpolate());
+    att.virtualPixelMethod(TileVirtualPixelMethod);
+    printf("vpm=%d\n", (int)att.virtualPixelMethod());
+    att.renderingIntent(PerceptualIntent);
+    printf("intent=%d\n", (int)att.renderingIntent());
+    att.compose(MultiplyCompositeOp);
+    printf("compose_mult=%d\n", att.compose() == MultiplyCompositeOp ? 1 : 0);
+    att.strokeWidth(2.5);
+    att.fontWeight(700);
+    att.textKerning(1.5);
+    printf("strokew=%g\n", att.strokeWidth());
+    printf("fontw=%zu\n", att.fontWeight());
+    printf("kern=%g\n", att.textKerning());
+    att.strokeColor(Color("blue"));
+    printf("strokecol_b=%g\n", att.strokeColor().quantumBlue() / QuantumRange);
+    double dashes[3] = {4.0, 2.0, 0.0};
+    att.strokeDashArray(dashes);
+    printf("dash0=%g\n", att.strokeDashArray()[0]);
+    att.defineSet("png", "compression-level", true);
+    printf("defset=%d\n", att.defineSet("png", "compression-level") ? 1 : 0);
+    double cx, cy, cz;
+    att.chromaRedPrimary(0.64, 0.33, 0.03);
+    att.chromaRedPrimary(&cx, &cy, &cz);
+    printf("chroma_rx=%g\n", cx);
+    printf("channels=%zu\n", att.channels());
+    printf("classtype=%d\n", (int)att.classType());
+
+    // stats / moments / phash
+    Image st("gradient:black-white");
+    st.resize(Geometry("16x16!"));
+    ImageStatistics stats = st.statistics();
+    double mean01 = stats.channel().mean() / QuantumRange;
+    printf("stat_mean_mid=%d\n", (mean01 > 0.4 && mean01 < 0.6) ? 1 : 0);
+    ImageMoments mom = st.moments();
+    printf("mom_cx_pos=%d\n", mom.channel().centroidX() > 0 ? 1 : 0);
+    ImagePerceptualHash ph = st.perceptualHash();
+    printf("phash_n=%zu\n", ph.hash_.size());
+    printf("phash_self=%g\n", ph.sumSquaredDifferences(ph));
+
+    // erase / isOpaque / formatExpression
+    Image er(Geometry(5, 5), Color("red"));
+    printf("opaque=%d\n", er.isOpaque() ? 1 : 0);
+    er.backgroundColor(Color("blue"));
+    er.erase();
+    Color ec = er.pixelColor(2, 2);
+    printf("erase_b=%d\n",
+           (int)(ec.quantumBlue() / QuantumRange * 255 + 0.5));
+    printf("fmtexpr=%s\n", er.formatExpression("%wx%h").c_str());
+    printf("identtype=%d\n", (int)er.identifyType() != 0 ? 1 : 0);
+
+    // haldClut identity leaves colors unchanged
+    Image hc(Geometry(4, 4), Color("rgb(200,60,30)"));
+    Image ident("hald:8");
+    hc.haldClut(ident);
+    Color hcc = hc.pixelColor(1, 1);
+    printf("hald_r=%d\n", (int)(hcc.quantumRed() / QuantumRange * 255 + 0.5));
+
+    // channel extraction + separate + uniqueColors
+    Image sep(Geometry(4, 4), Color("rgb(255,128,0)"));
+    Image rch = sep.separate(RedChannel);
+    printf("sep_r=%d\n",
+           (int)(rch.pixelColor(0, 0).quantumRed() / QuantumRange * 255
+                 + 0.5));
+    Image uniq = sep.uniqueColors();
+    printf("uniq_w=%zu\n", uniq.columns());
+
+    // copyPixels
+    Image dst(Geometry(8, 8), Color("black"));
+    Image srcp(Geometry(4, 4), Color("white"));
+    dst.copyPixels(srcp, Geometry(2, 2, 0, 0), Offset(5, 5));
+    printf("copy_w=%d\n",
+           (int)(dst.pixelColor(5, 5).quantumRed() / QuantumRange * 255
+                 + 0.5));
+    printf("copy_b=%d\n",
+           (int)(dst.pixelColor(0, 0).quantumRed() / QuantumRange * 255
+                 + 0.5));
+
+    // raise + levelColors + compareChannel
+    Image rs(Geometry(20, 20), Color("gray50"));
+    rs.raise(Geometry(3, 3), true);
+    Image lc(Geometry(4, 4), Color("gray50"));
+    lc.levelColors(Color("black"), Color("white"), true);
+    Image cmpa(Geometry(4, 4), Color("red"));
+    Image cmpb(Geometry(4, 4), Color("red"));
+    double chdist = cmpa.compareChannel(GreenChannel, cmpb,
+                                        RootMeanSquaredErrorMetric);
+    printf("chcmp_zero=%d\n", chdist == 0.0 ? 1 : 0);
+    printf("setmetric=%d\n", cmpa.setColorMetric(cmpb) ? 1 : 0);
+
+    // fontTypeMetrics
+    TypeMetric tm;
+    att.fontTypeMetrics("Hello", &tm);
+    printf("tm_w_pos=%d\n", tm.textWidth() > 0 ? 1 : 0);
+    printf("tm_asc_pos=%d\n", tm.ascent() > 0 ? 1 : 0);
+
+    // subImageSearch: find a structured patch inside a dark canvas
+    Image hay(Geometry(16, 16), Color("black"));
+    Image patch("gradient:white-black");
+    patch.resize(Geometry("4x4!"));
+    hay.copyPixels(patch, Geometry(4, 4, 0, 0), Offset(9, 6));
+    Geometry foundAt;
+    double simScore = 0.0;
+    Image found = hay.subImageSearch(patch, RootMeanSquaredErrorMetric,
+                                     &foundAt, &simScore);
+    printf("search_x=%ld\n", (long)foundAt.xOff());
+    printf("search_y=%ld\n", (long)foundAt.yOff());
+    printf("search_w=%zu\n", found.columns());
+
+    // transparentChroma
+    Image tc(Geometry(4, 4), Color("blue"));
+    tc.alpha(true);
+    tc.transparentChroma(Color("rgb(0,0,200)"), Color("rgb(40,40,255)"));
+    printf("tchroma_a=%g\n",
+           tc.pixelColor(1, 1).quantumAlpha() / QuantumRange);
+
     // ResourceLimits + CoderInfo services
     ResourceLimits::width(1 << 20);
     printf("limit_w=%llu\n", ResourceLimits::width());

@@ -144,3 +144,49 @@ def test_channel_scoped_ops(demo_output):
     out, _ = demo_output
     assert out["ch_r"] == "255"   # red negated 0 -> 255
     assert out["ch_g"] == "128"   # green untouched
+
+
+def test_widened_attribute_pairs(demo_output):
+    out, _ = demo_output
+    assert out["adjoin"] == "0"
+    assert out["scene"] == "7"
+    assert out["endian"] == "2"          # MSBEndian
+    assert out["interlace"] == "3"       # PlaneInterlace
+    assert out["interp"] == "5"          # BilinearInterpolatePixel
+    assert out["vpm"] == "6"             # TileVirtualPixelMethod
+    assert out["intent"] == "2"          # PerceptualIntent
+    assert out["compose_mult"] == "1"
+    assert out["strokew"] == "2.5"
+    assert out["fontw"] == "700"
+    assert out["kern"] == "1.5"
+    assert out["strokecol_b"] == "1"
+    assert out["dash0"] == "4"
+    assert out["defset"] == "1"
+    assert abs(float(out["chroma_rx"]) - 0.64) < 1e-9
+    assert out["channels"] == "3"
+    assert out["classtype"] == "1"       # DirectClass
+
+
+def test_widened_analysis(demo_output):
+    out, _ = demo_output
+    assert out["stat_mean_mid"] == "1"
+    assert out["mom_cx_pos"] == "1"
+    assert int(out["phash_n"]) >= 42
+    assert float(out["phash_self"]) == 0.0
+    assert out["tm_w_pos"] == "1" and out["tm_asc_pos"] == "1"
+    assert out["identtype"] == "1"
+
+
+def test_widened_operations(demo_output):
+    out, _ = demo_output
+    assert out["opaque"] == "1"
+    assert out["erase_b"] == "255"       # erased to blue background
+    assert out["fmtexpr"] == "5x5"
+    assert out["hald_r"] == "200"        # identity hald leaves color alone
+    assert out["sep_r"] == "255"         # red channel -> gray 255
+    assert out["uniq_w"] == "1"          # one unique color
+    assert out["copy_w"] == "255" and out["copy_b"] == "0"
+    assert out["chcmp_zero"] == "1" and out["setmetric"] == "1"
+    assert out["search_x"] == "9" and out["search_y"] == "6"
+    assert out["search_w"] == "4"
+    assert float(out["tchroma_a"]) == 0.0
