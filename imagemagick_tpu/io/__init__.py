@@ -84,6 +84,9 @@ _PSEUDO = {
                                                          _CURRENT_SETTINGS),
     "thumbnail": lambda arg, w, h: pseudo.thumbnail_file(arg, w, h,
                                                          _CURRENT_SETTINGS),
+    "stegano": lambda arg, w, h: pseudo.stegano_file(arg, w, h,
+                                                     _CURRENT_SETTINGS),
+    "vid": lambda arg, w, h: pseudo.vid_file(arg, w, h, _CURRENT_SETTINGS),
 }
 
 def _null_image(w, h):
@@ -135,8 +138,13 @@ def detect_format(data: bytes) -> Optional[str]:
         return "ps"
     if data[128:132] == b"DICM":
         return "dcm"
+    if data[:5] == b"SFW95":
+        return "pwp"
     if data[:3] == b"SFW":
         return "sfw"
+    if data[:4] in (b"\x00\x01\x00\x00", b"OTTO", b"true", b"ttcf") \
+            and len(data) > 512:
+        return "ttf"
     if data[60:68] == b"vIMGView":
         return "pdb"
     if data[80:82] == b"CT" and len(data) > 2048 and data[:4] != b"\x00\x00\x00\x00":
@@ -300,6 +308,12 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = formats4.decode_tim(data)
     elif use == "cube":
         images = [formats4.decode_cube(data)]
+    elif use == "pwp":
+        images = formats4.decode_pwp(data)
+    elif use == "mvg":
+        images = [formats4.decode_mvg(data)]
+    elif use in ("ttf", "otf", "ttc"):
+        images = [formats4.decode_ttf(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -489,7 +503,8 @@ _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "pict", "pct",
                   "aai", "hrz", "scr", "rgf", "txt", "inline", "pgx",
                   "vips", "mono", "uyvy", "cals", "cal", "art", "sct",
-                  "xwd", "sfw", "pdb", "tim", "cube"}
+                  "xwd", "sfw", "pdb", "tim", "cube", "pwp", "mvg", "ttf",
+                  "otf"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",

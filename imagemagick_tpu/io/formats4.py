@@ -954,6 +954,102 @@ def decode_sfw(data: bytes):
 
 
 # ---------------------------------------------------------------------------
+# Seattle FilmWorks multi-frame PWP (pwp.c: "SFW95" container of embedded
+# "SFW94A" frames)
+# ---------------------------------------------------------------------------
+
+def decode_pwp(data: bytes):
+    if not data.startswith(b"SFW95"):
+        raise ValueError("PWP: improper header")
+    images = []
+    parts = data.split(b"SFW94A")
+    for chunk in parts[1:]:
+        try:
+            images.extend(decode_sfw(b"SFW94A" + chunk))
+        except Exception:
+            continue
+    if not images:
+        raise ValueError("PWP: no decodable SFW frames")
+    return images
+
+
+# ---------------------------------------------------------------------------
+# MVG vector text (mvg.c: canvas from the "viewbox" primitive, then the
+# framework's MVG rasterizer in ops/draw.py)
+# ---------------------------------------------------------------------------
+
+def decode_mvg(data: bytes, width: Optional[int] = None,
+               height: Optional[int] = None) -> Image:
+    import jax.numpy as jnp
+
+    from ..ops import draw as dw
+
+    text = data.decode("utf-8", "replace")
+    w, h = width, height
+    m = re.search(r"viewbox\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)"
+                  r"\s+([0-9.+-]+)", text, re.I)
+    if m and not (w and h):
+        x1, y1, x2, y2 = (float(v) for v in m.groups())
+        w = int(round(x2 - x1))
+        h = int(round(y2 - y1))
+    w = w or 256
+    h = h or 256
+    canvas = jnp.ones((h, w, 3), jnp.float32)
+    out = dw.draw(canvas, text)
+    return Image(np.asarray(out), ImageSpec(colorspace="srgb"))
+
+
+# ---------------------------------------------------------------------------
+# TTF/OTF font preview (ttf.c: 800x480 sample sheet — alphabet rows and a
+# pangram at increasing point sizes, rendered with the font itself)
+# ---------------------------------------------------------------------------
+
+def decode_ttf(data: bytes) -> Image:
+    import io as _io
+
+    from PIL import Image as PImage
+    from PIL import ImageDraw, ImageFont
+
+    W, H = 800, 480
+    page = PImage.new("RGB", (W, H), (255, 255, 255))
+    dr = ImageDraw.Draw(page)
+    y = 10
+    f12 = ImageFont.truetype(_io.BytesIO(data), 18)
+    for line in ("abcdefghijklmnopqrstuvwxyz",
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                 "0123456789.:,;(*!?}^)#${%^&-+@"):
+        dr.text((12, y), line, font=f12, fill=(0, 0, 0))
+        y += 28
+    for ps in (11, 12, 14, 16, 18, 20, 22, 24, 26, 28):
+        f = ImageFont.truetype(_io.BytesIO(data), ps)
+        dr.text((12, y), "%d The quick brown fox jumps over the lazy dog."
+                % ps, font=f, fill=(0, 0, 0))
+        y += ps + 10
+        if y > H - 30:
+            break
+    arr = np.asarray(page, np.uint8).astype(np.float32) / 255.0
+    return Image(arr, ImageSpec(colorspace="srgb"))
+
+
+# ---------------------------------------------------------------------------
+# STEGANO extraction (stegano.c read side): recover the LSB-embedded
+# watermark written by SteganoImage. This framework's embedder
+# (ops/visual_effects.stegano) stores the bilevel watermark in the LSB of
+# every channel at the top-left, so extraction reads the red LSB.
+# ---------------------------------------------------------------------------
+
+def decode_stegano(host: Image, width: int, height: int) -> Image:
+    arr = _flat(host)
+    q = (np.clip(arr[..., 0], 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    bits = (q & 1).astype(np.float32)
+    h = min(height, bits.shape[0])
+    w = min(width, bits.shape[1])
+    out = np.zeros((height, width), np.float32)
+    out[:h, :w] = bits[:h, :w]
+    return Image(out[..., None], ImageSpec(colorspace="gray", depth=1))
+
+
+# ---------------------------------------------------------------------------
 # Palm Database ImageViewer PDB (pdb.c: 78-byte MSB database header with
 # type/id "vIMG"/"View", record list, 58-byte image record; 1/2/4-bit
 # grayscale MSB-first with INVERTED values (index = (2^bpp-1) - bits),

@@ -284,3 +284,43 @@ def thumbnail_file(filename: str, width=None, height=None, settings=None) -> Ima
     h = height or int(round(w * base.height / base.width))
     return base.replace(data=thumb_op(base.data, h, w,
                                       has_alpha=base.spec.alpha))
+
+
+def stegano_file(filename: str, width=None, height=None,
+                 settings=None) -> Image:
+    """stegano: pseudo-coder (coders/stegano.c read side): extract the
+    LSB watermark from a host image; geometry comes from -size."""
+    from . import formats4, read_images
+
+    if not (width and height):
+        raise ValueError("stegano: requires -size WxH")
+    host = read_images(filename)[0]
+    return formats4.decode_stegano(host, int(width), int(height))
+
+
+def vid_file(pattern: str, width=None, height=None, settings=None) -> Image:
+    """vid: pseudo-coder (coders/vid.c): visual image directory — a
+    thumbnail montage of the files matching a glob."""
+    import glob as _glob
+
+    from . import read_images
+    from ..ops import montage as mtg
+    from ..ops.resize import thumbnail as thumb_op
+
+    names = sorted(_glob.glob(pattern)) or [pattern]
+    tiles = []
+    labels = []
+    for name in names[:64]:
+        try:
+            im = read_images(name)[0]
+        except Exception:
+            continue
+        tw = int(width or 120)
+        th = max(1, int(round(tw * im.height / max(1, im.width))))
+        tiles.append(Image(np.asarray(
+            thumb_op(im.data, th, tw, has_alpha=im.spec.alpha)), im.spec))
+        labels.append(name.rsplit("/", 1)[-1])
+    if not tiles:
+        raise FileNotFoundError("vid: no readable files match %r" % pattern)
+    del labels
+    return mtg.montage(tiles)

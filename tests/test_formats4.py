@@ -379,8 +379,7 @@ def test_pdb_rle():
     assert lit == b"\xaa\xbb"
 
 
-def test_sfw_roundtrip(rgb):
-    # scramble a real JPEG into SFW form, then decode through the sfw path
+def _scramble_sfw(rgb):
     jpeg = bytearray(image_to_blob(rgb, "jpeg", quality=95))
     # strip DHT segments (C4) like SFW files lack, scramble marker codes
     out = bytearray()
@@ -417,9 +416,72 @@ def test_sfw_roundtrip(rgb):
     # replace trailing EOI
     if out[-2:] == b"\xff\xd9":
         out[-2:] = b"\xff\xc9"
-    sfw = b"SFW94A" + bytes(out)
+    return b"SFW94A" + bytes(out)
+
+
+def test_sfw_roundtrip(rgb):
+    # scramble a real JPEG into SFW form, then decode through the sfw path
+    sfw = _scramble_sfw(rgb)
     back = image_from_blob(sfw)[0]       # magic-sniffed via SFW prefix
     assert (back.height, back.width) == (13, 17)
     rgbf = np.asarray(rgb.data)
     got = np.asarray(back.data)
     assert np.mean((got - rgbf) ** 2) < 0.01   # lossy JPEG tolerance
+
+
+def test_pwp_container(rgb):
+    pwp = b"SFW95" + b"\x00" * 8 + _scramble_sfw(rgb) + _scramble_sfw(rgb)
+    imgs = image_from_blob(pwp)          # magic-sniffed SFW95
+    assert len(imgs) == 2
+    assert (imgs[0].height, imgs[0].width) == (13, 17)
+
+
+def test_mvg_decode():
+    mvg = (b"viewbox 0 0 40 30\n"
+           b"fill 'red'\nrectangle 5,5 20,20\n")
+    img = image_from_blob(mvg, "mvg")[0]
+    assert (img.height, img.width) == (30, 40)
+    arr = np.asarray(img.data)
+    np.testing.assert_allclose(arr[10, 10], [1, 0, 0], atol=1e-3)
+    np.testing.assert_allclose(arr[25, 35], [1, 1, 1], atol=1e-3)
+
+
+def test_ttf_preview():
+    data = open("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+                "rb").read()
+    img = image_from_blob(data)          # magic-sniffed \x00\x01\x00\x00
+    assert (img[0].height, img[0].width) == (480, 800)
+    arr = np.asarray(img[0].data)
+    assert arr.min() < 0.5               # some dark glyph pixels
+
+
+def test_stegano_extract_roundtrip(tmp_path):
+    import jax
+
+    from imagemagick_tpu.io import read_images, write_image
+    from imagemagick_tpu.core.image import Image as Im
+    from imagemagick_tpu.core.spec import ImageSpec as Spec
+    from imagemagick_tpu.ops.visual_effects import stegano
+
+    rng = np.random.default_rng(2)
+    host = rng.random((20, 24, 3)).astype(np.float32)
+    wm = (rng.random((6, 8, 1)) > 0.5).astype(np.float32)
+    stamped = np.asarray(stegano(host, wm))
+    write_image(Im(stamped, Spec(colorspace="srgb")),
+                str(tmp_path / "host.png"))
+    out = read_images("stegano:" + str(tmp_path / "host.png"), size="8x6")[0]
+    np.testing.assert_array_equal(np.asarray(out.data)[..., 0], wm[..., 0])
+
+
+def test_vid_montage(tmp_path):
+    from imagemagick_tpu.io import read_images, write_image
+    from imagemagick_tpu.core.image import Image as Im
+    from imagemagick_tpu.core.spec import ImageSpec as Spec
+
+    for i, color in enumerate([(1, 0, 0), (0, 1, 0)]):
+        arr = np.broadcast_to(np.asarray(color, np.float32),
+                              (10, 10, 3)).copy()
+        write_image(Im(arr, Spec(colorspace="srgb")),
+                    str(tmp_path / f"t{i}.png"))
+    img = read_images("vid:" + str(tmp_path / "t*.png"))[0]
+    assert img.width > 10 and img.height > 5
