@@ -60,6 +60,7 @@ _MAGIC = [
     (b"data:", "inline"),
     (b"# ImageMagick pixel enumeration", "txt"),
     (b"srcdocid:", "cals"),
+    (b"\x52\xcc", "rle"),
 ]
 
 _PSEUDO = {
@@ -208,6 +209,10 @@ def read_images(filename: str, size: Optional[str] = None,
         return [formats2.decode_mono(data, w, h)]
     if ext == "uyvy" and w and h:
         return [formats4.decode_uyvy(data, w, h)]
+    if ext == "yuv" and w and h:
+        return [formats4.decode_yuv(data, w, h)]
+    if ext == "bayer" and w and h:
+        return [formats4.decode_bayer(data, w, h)]
     return image_from_blob(data, ext)
 
 
@@ -314,6 +319,14 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [formats4.decode_mvg(data)]
     elif use in ("ttf", "otf", "ttc"):
         images = [formats4.decode_ttf(data)]
+    elif use == "cut":
+        images = [formats4.decode_cut(data)]
+    elif use == "rle":
+        images = [formats4.decode_rle(data)]
+    elif use == "mac":
+        images = [formats4.decode_mac(data)]
+    elif use == "pix":
+        images = [formats4.decode_pix(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -493,6 +506,13 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats4.encode_pdb(images[0])
     if fmt == "tim":
         return formats4.encode_tim(images[0])
+    if fmt == "yuv":
+        return formats4.encode_yuv(images[0])
+    if fmt == "bayer":
+        return formats4.encode_bayer(images[0], depth=depth)
+    if fmt in ("ps", "ps2", "ps3"):
+        # PostScript levels share the EPS writer (coders/ps2.c/ps3.c roles)
+        return codecs.encode(images, "eps", quality=quality, depth=depth)
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
@@ -504,7 +524,7 @@ _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "aai", "hrz", "scr", "rgf", "txt", "inline", "pgx",
                   "vips", "mono", "uyvy", "cals", "cal", "art", "sct",
                   "xwd", "sfw", "pdb", "tim", "cube", "pwp", "mvg", "ttf",
-                  "otf"}
+                  "otf", "cut", "rle", "mac", "pix", "yuv", "bayer"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",
@@ -512,7 +532,7 @@ _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "aai", "hrz", "rgf", "cip", "pgx", "vips", "inline",
                    "cals", "cal", "art", "xwd", "braille", "brf", "ubrl",
                    "ubrl6", "isobrl", "isobrl6", "uil", "html", "htm",
-                   "pdb", "tim"}
+                   "pdb", "tim", "yuv", "bayer", "ps", "ps2", "ps3"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

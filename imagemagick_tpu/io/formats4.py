@@ -954,6 +954,319 @@ def decode_sfw(data: bytes):
 
 
 # ---------------------------------------------------------------------------
+# Dr. Halo CUT (cut.c: u16le w,h,reserved; per row u16le byte-count then
+# RLE — ctrl>=0x80 is a run of (ctrl&0x7F) copies, else ctrl literals,
+# 0 terminates the row. Without the companion .PAL the raster decodes as
+# grayscale, like the reference's fallback.)
+# ---------------------------------------------------------------------------
+
+def decode_cut(data: bytes) -> Image:
+    if len(data) < 6:
+        raise ValueError("CUT: truncated header")
+    w, h, reserved = struct.unpack("<HHH", data[:6])
+    if w == 0 or h == 0 or reserved != 0:
+        raise ValueError("CUT: improper header")
+    pos = 6
+    rows = []
+    for _ in range(h):
+        if pos + 2 > len(data):
+            raise ValueError("CUT: truncated row")
+        pos += 2                      # encoded byte count (unused)
+        row = bytearray()
+        while pos < len(data):
+            ctrl = data[pos]
+            pos += 1
+            if (ctrl & 0x7F) == 0:
+                break
+            if ctrl >= 0x80:
+                row += bytes([data[pos]]) * (ctrl & 0x7F)
+                pos += 1
+            else:
+                row += data[pos:pos + ctrl]
+                pos += ctrl
+        rows.append(bytes(row))
+    ldblk = len(rows[0]) if rows else 0
+    if ldblk == (w + 7) // 8:         # 1-bit
+        packed = np.frombuffer(b"".join(r.ljust(ldblk, b"\0")[:ldblk]
+                                        for r in rows),
+                               np.uint8).reshape(h, ldblk)
+        bits = np.unpackbits(packed, axis=1)[:, :w]
+        arr = bits.astype(np.float32)
+        return Image(arr[..., None], ImageSpec(colorspace="gray", depth=1))
+    arr = np.zeros((h, w), np.uint8)
+    for y, r in enumerate(rows):
+        n = min(w, len(r))
+        arr[y, :n] = np.frombuffer(r[:n], np.uint8)
+    return Image((arr.astype(np.float32) / 255.0)[..., None],
+                 ImageSpec(colorspace="gray"))
+
+
+# ---------------------------------------------------------------------------
+# Utah Raster Toolkit RLE (rle.c: magic 52 CC; u16le x,y,w,h; flags/
+# planes/bpp/ncolormaps/log2-maplen bytes; optional background bytes;
+# colormaps as u16le entries (high byte significant); opcode stream
+# SkipLines/SetColor/SkipPixels/ByteData/RunData with 0x40 long form;
+# rows bottom-up; read-only like the reference)
+# ---------------------------------------------------------------------------
+
+def decode_rle(data: bytes) -> Image:
+    if data[:2] != b"\x52\xcc":
+        raise ValueError("RLE: improper header")
+    pos = 2
+    _x, _y, w, h = struct.unpack_from("<4H", data, pos)
+    pos += 8
+    flags, planes, bpp, ncmaps, maplog = data[pos:pos + 5]
+    pos += 5
+    if bpp != 8 or w == 0 or h == 0 or planes == 0 or planes > 4:
+        raise ValueError("RLE: unsupported geometry")
+    maplen = 1 << maplog
+    has_alpha = bool(flags & 0x04)
+    if flags & 0x02:
+        pos += 1                               # no background, pad byte
+    else:
+        pos += planes                          # background bytes
+    if planes % 2 == 0:
+        pos += 1
+    nplanes = planes + (1 if has_alpha else 0)
+    cmap = None
+    if ncmaps:
+        entries = np.frombuffer(data, "<u2", ncmaps * maplen, pos)
+        pos += 2 * ncmaps * maplen
+        cmap = (entries.reshape(ncmaps, maplen) >> 8).astype(np.uint8)
+    if flags & 0x08:                           # comment block
+        (clen,) = struct.unpack_from("<H", data, pos)
+        pos += 2 + clen + (clen & 1)
+    pix = np.zeros((h, w, nplanes), np.uint8)
+    x = y = 0
+    plane = 0
+
+    def operand(long_form):
+        nonlocal pos
+        v = data[pos]
+        pos += 1
+        if long_form:
+            (v,) = struct.unpack_from("<h", data, pos)
+            pos += 2
+        return v
+
+    while pos < len(data):
+        op = data[pos]
+        pos += 1
+        code = op & 0x3F
+        if code == 0x07:                       # EOF
+            break
+        if code == 0x01:                       # SkipLines
+            y += operand(op & 0x40)
+            x = 0
+        elif code == 0x02:                     # SetColor
+            plane = data[pos]
+            pos += 1
+            if plane == 255:
+                plane = nplanes - 1
+            x = 0
+        elif code == 0x03:                     # SkipPixels
+            x += operand(op & 0x40)
+        elif code == 0x05:                     # ByteData
+            n = operand(op & 0x40) + 1
+            chunk = np.frombuffer(data, np.uint8, min(n, len(data) - pos),
+                                  pos)
+            pos += n + (n & 1)
+            yy = h - y - 1
+            if 0 <= yy < h and plane < nplanes:
+                m = min(n, w - x, len(chunk))
+                if m > 0:
+                    pix[yy, x:x + m, plane] = chunk[:m]
+            x += n
+        elif code == 0x06:                     # RunData
+            n = operand(op & 0x40) + 1
+            val = data[pos]
+            pos += 2                           # value + pad
+            yy = h - y - 1
+            if 0 <= yy < h and plane < nplanes:
+                m = min(n, w - x)
+                if m > 0:
+                    pix[yy, x:x + m, plane] = val
+            x += n
+        else:
+            break
+    if cmap is not None:
+        if ncmaps == 1:
+            pix = cmap[0][pix & (maplen - 1)]
+        elif planes == 1 and ncmaps >= 3:
+            # palette image: expand through the three maps to RGB
+            idx = pix[..., 0] & (maplen - 1)
+            rgb = np.stack([cmap[0][idx], cmap[1][idx], cmap[2][idx]], -1)
+            if has_alpha:
+                rgb = np.concatenate([rgb, pix[..., 1:2]], -1)
+            pix = rgb
+            planes = 3
+            nplanes = planes + (1 if has_alpha else 0)
+        elif planes >= 3 and ncmaps >= 3:
+            for c in range(min(planes, ncmaps)):
+                pix[..., c] = cmap[c][pix[..., c] & (maplen - 1)]
+    arr = pix.astype(np.float32) / 255.0
+    cs = "gray" if planes == 1 else "srgb"
+    return Image(arr, ImageSpec(colorspace=cs, alpha=has_alpha))
+
+
+# ---------------------------------------------------------------------------
+# MacPaint MAC (mac.c: u16le type word — 0 means a 512-byte header, else
+# 640 — then PackBits-style RLE of INVERTED bytes; fixed 576x720 1-bit,
+# wire bit 1 = black)
+# ---------------------------------------------------------------------------
+
+def decode_mac(data: bytes) -> Image:
+    if len(data) < 2:
+        raise ValueError("MAC: truncated")
+    (tword,) = struct.unpack("<H", data[:2])
+    if tword & 0xFF:
+        raise ValueError("MAC: improper header")
+    pos = 512 if tword == 0 else 640
+    W, H = 576, 720
+    stride = W // 8
+    out = bytearray()
+    need = stride * H
+    n = len(data)
+    while len(out) < need and pos < n:
+        count = data[pos]
+        pos += 1
+        if count == 0 or count >= 128:
+            if pos >= n:
+                break
+            byte = (~data[pos]) & 0xFF
+            pos += 1
+            run = ((~count) & 0xFF) + 2
+            out += bytes([byte]) * run
+        else:
+            take = count + 1
+            chunk = data[pos:pos + take]
+            pos += take
+            out += bytes((~b) & 0xFF for b in chunk)
+    out = out[:need].ljust(need, b"\xff")
+    rows = np.frombuffer(bytes(out), np.uint8).reshape(H, stride)
+    bits = np.unpackbits(rows, axis=1)[:, :W]   # MSB-first; 1 = white
+    return Image(bits.astype(np.float32)[..., None],
+                 ImageSpec(colorspace="gray", depth=1))
+
+
+# ---------------------------------------------------------------------------
+# Alias/Wavefront PIX (pix.c: u16be w,h,xoff,yoff,bpp; run-length rows —
+# count byte then BGR triplet (24-bit) or gray byte (8-bit))
+# ---------------------------------------------------------------------------
+
+def decode_pix(data: bytes) -> Image:
+    if len(data) < 10:
+        raise ValueError("PIX: truncated header")
+    w, h, _, _, bpp = struct.unpack(">5H", data[:10])
+    if w == 0 or h == 0 or bpp not in (8, 24):
+        raise ValueError("PIX: improper header")
+    nch = 1 if bpp == 8 else 3
+    out = np.zeros((h * w, nch), np.uint8)
+    pos = 10
+    i = 0
+    total = h * w
+    while i < total and pos < len(data):
+        count = data[pos]
+        pos += 1
+        if count == 0:
+            break
+        if bpp == 8:
+            val = data[pos:pos + 1]
+            pos += 1
+            out[i:i + count, 0] = val[0]
+        else:
+            b, g, r = data[pos:pos + 3]
+            pos += 3
+            out[i:i + count] = (r, g, b)
+        i += count
+    arr = out.reshape(h, w, nch).astype(np.float32) / 255.0
+    return Image(arr, ImageSpec(colorspace="gray" if nch == 1 else "srgb"))
+
+
+# ---------------------------------------------------------------------------
+# Raw planar YUV (yuv.c: Y plane then 2x2-subsampled U,V planes — 4:2:0,
+# the reference's default sampling; geometry from -size)
+# ---------------------------------------------------------------------------
+
+def decode_yuv(data: bytes, width: int, height: int) -> Image:
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    need = width * height + 2 * cw * ch
+    if len(data) < need:
+        raise ValueError("YUV: truncated for %dx%d 4:2:0" % (width, height))
+    yplane = np.frombuffer(data, np.uint8, width * height).reshape(
+        height, width)
+    u = np.frombuffer(data, np.uint8, cw * ch, width * height).reshape(
+        ch, cw)
+    v = np.frombuffer(data, np.uint8, cw * ch,
+                      width * height + cw * ch).reshape(ch, cw)
+    u2 = np.repeat(np.repeat(u, 2, 0), 2, 1)[:height, :width]
+    v2 = np.repeat(np.repeat(v, 2, 0), 2, 1)[:height, :width]
+    ycbcr = np.stack([yplane, u2, v2], -1).astype(np.float32) / 255.0
+    return Image(ycbcr, ImageSpec(colorspace="ycbcr"))
+
+
+def encode_yuv(img: Image) -> bytes:
+    from ..ops.colorspace import rgb_to_ycbcr
+
+    arr = _flat(img)
+    if img.spec.colorspace != "ycbcr":
+        arr = np.asarray(rgb_to_ycbcr(_rgb(arr)))
+    h, w = arr.shape[:2]
+    q = _u8(arr)
+    yb = q[..., 0].tobytes()
+    u = q[0::2, 0::2, 1]
+    v = q[0::2, 0::2, 2]
+    return yb + u.tobytes() + v.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# BAYER mosaic (bayer.c: raw RGGB mosaic via -size; read demosaics with
+# bilinear interpolation — a vectorized convolution instead of the
+# reference's mask/resize composition — write remosaics)
+# ---------------------------------------------------------------------------
+
+def decode_bayer(data: bytes, width: int, height: int) -> Image:
+    depth = 16 if len(data) >= width * height * 2 else 8
+    if depth == 8:
+        mosaic = np.frombuffer(data, np.uint8, width * height).reshape(
+            height, width).astype(np.float32) / 255.0
+    else:
+        mosaic = np.frombuffer(data, "<u2", width * height).reshape(
+            height, width).astype(np.float32) / 65535.0
+    yy, xx = np.mgrid[0:height, 0:width]
+    r_mask = ((yy % 2 == 0) & (xx % 2 == 0)).astype(np.float32)
+    g_mask = ((yy % 2) != (xx % 2)).astype(np.float32)
+    b_mask = ((yy % 2 == 1) & (xx % 2 == 1)).astype(np.float32)
+
+    def interp(mask):
+        vals = mosaic * mask
+        k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], np.float32)
+        pv = np.pad(vals, 1, mode="reflect")
+        pm = np.pad(mask, 1, mode="reflect")
+        num = sum(k[dy, dx] * pv[dy:dy + height, dx:dx + width]
+                  for dy in range(3) for dx in range(3))
+        den = sum(k[dy, dx] * pm[dy:dy + height, dx:dx + width]
+                  for dy in range(3) for dx in range(3))
+        return num / np.maximum(den, 1e-12)
+
+    arr = np.stack([interp(r_mask), interp(g_mask), interp(b_mask)],
+                   -1).astype(np.float32)
+    return Image(arr, ImageSpec(colorspace="srgb", depth=depth))
+
+
+def encode_bayer(img: Image, depth: int = 8) -> bytes:
+    arr = _rgb(_flat(img))
+    h, w = arr.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w]
+    chan = np.where((yy % 2 == 0) & (xx % 2 == 0), 0,
+                    np.where((yy % 2 == 1) & (xx % 2 == 1), 2, 1))
+    mosaic = np.take_along_axis(arr, chan[..., None], axis=2)[..., 0]
+    if depth <= 8:
+        return _u8(mosaic).tobytes()
+    return (np.clip(mosaic, 0, 1) * 65535 + 0.5).astype("<u2").tobytes()
+
+
+# ---------------------------------------------------------------------------
 # Seattle FilmWorks multi-frame PWP (pwp.c: "SFW95" container of embedded
 # "SFW94A" frames)
 # ---------------------------------------------------------------------------

@@ -485,3 +485,112 @@ def test_vid_montage(tmp_path):
                     str(tmp_path / f"t{i}.png"))
     img = read_images("vid:" + str(tmp_path / "t*.png"))[0]
     assert img.width > 10 and img.height > 5
+
+
+def test_cut_decode_8bit():
+    # 3x2 8-bit: row RLE with a run and literals
+    rows = [bytes([0x83, 100, 0]),                 # run of 3 x 100
+            bytes([0x03, 10, 20, 30, 0])]          # 3 literals
+    body = b"".join(struct.pack("<H", len(r)) + r for r in rows)
+    blob = struct.pack("<HHH", 3, 2, 0) + body
+    img = image_from_blob(blob, "cut")[0]
+    arr = np.asarray(img.data)[..., 0] * 255.0
+    np.testing.assert_allclose(arr[0], [100, 100, 100], atol=0.5)
+    np.testing.assert_allclose(arr[1], [10, 20, 30], atol=0.5)
+
+
+def test_rle_decode_rgb():
+    # 2x2 3-plane image via RunData/ByteData opcodes, bottom-up rows
+    head = b"\x52\xcc" + struct.pack("<4H", 0, 0, 2, 2)
+    head += bytes([0x02, 3, 8, 0, 0])    # no-background flag, 3 planes
+    head += b"\x00"                       # pad (planes odd -> no bg pad?)
+    body = bytearray()
+    # y=0 (file bottom row -> image row 1): red run across both pixels
+    body += bytes([0x02, 0])              # SetColor plane 0 (red)
+    body += bytes([0x06, 1, 255, 0])      # RunData len 2 value 255
+    body += bytes([0x01, 1])              # SkipLines 1 -> y=1
+    body += bytes([0x02, 1])              # plane 1 (green)
+    body += bytes([0x05, 1, 11, 22])      # ByteData 2 literals
+    body += bytes([0x07, 0])              # EOF op
+    img = formats4.decode_rle(bytes(head) + bytes(body))
+    arr = np.asarray(img.data) * 255
+    np.testing.assert_allclose(arr[1, :, 0], [255, 255], atol=0.5)  # bottom
+    np.testing.assert_allclose(arr[0, :, 1], [11, 22], atol=0.5)    # top
+
+
+def test_rle_no_background_flag():
+    # flags bit 0x02 -> single pad byte instead of planes bg bytes
+    head = b"\x52\xcc" + struct.pack("<4H", 0, 0, 1, 1)
+    head += bytes([0x02 | 0x00, 1, 8, 0, 0]) + b"\x00"
+    body = bytes([0x06, 0, 77, 0, 0x07, 0])
+    img = formats4.decode_rle(head + body)
+    assert abs(float(np.asarray(img.data)[0, 0, 0]) * 255 - 77) < 0.5
+
+
+def test_mac_decode():
+    # 512-byte header (type 0); encode an all-black page: wire bytes 0xFF
+    # inverted from runs. Run op: count>=128 -> run of (~count)+2 copies.
+    stride, H = 72, 720
+    payload = bytearray()
+    total = stride * H
+    while total > 0:
+        n = min(129, total)            # run length 2..129 representable
+        if n < 2:
+            payload += bytes([0x00, 0xFF])  # literal 1 wire byte, all ink
+            total -= 1
+            continue
+        count = (~(n - 2)) & 0xFF
+        payload += bytes([count, 0xFF])  # wire 0xFF = all ink = black
+        total -= n
+    blob = struct.pack("<H", 0) + b"\x00" * 510 + bytes(payload)
+    img = image_from_blob(blob, "mac")[0]
+    arr = np.asarray(img.data)
+    assert arr.shape == (720, 576, 1)
+    assert float(arr.mean()) == 0.0     # all black
+
+
+def test_pix_decode():
+    # 2x1 24-bit: count 2 of BGR (10,20,30) -> RGB (30,20,10)
+    blob = struct.pack(">5H", 2, 1, 0, 0, 24) + bytes([2, 10, 20, 30])
+    img = image_from_blob(blob, "pix")[0]
+    arr = np.asarray(img.data) * 255
+    np.testing.assert_allclose(arr[0, 0], [30, 20, 10], atol=0.5)
+    np.testing.assert_allclose(arr[0, 1], [30, 20, 10], atol=0.5)
+
+
+def test_yuv_roundtrip():
+    rng = np.random.default_rng(4)
+    img = Image(rng.random((8, 10, 3), np.float32),
+                ImageSpec(colorspace="srgb"))
+    blob = image_to_blob(img, "yuv")
+    assert len(blob) == 8 * 10 + 2 * 4 * 5
+    back = formats4.decode_yuv(blob, 10, 8)
+    assert back.spec.colorspace == "ycbcr"
+
+
+def test_bayer_roundtrip_flat():
+    # flat-color images survive mosaic->demosaic exactly
+    img = Image(np.full((6, 8, 3), 0.25, np.float32),
+                ImageSpec(colorspace="srgb"))
+    blob = image_to_blob(img, "bayer", depth=8)
+    assert len(blob) == 6 * 8
+    back = formats4.decode_bayer(blob, 8, 6)
+    np.testing.assert_allclose(np.asarray(back.data),
+                               np.asarray(img.data), atol=1 / 254)
+
+
+def test_bayer_mosaic_layout():
+    # RGGB: top-left sample comes from red, (1,1) from blue
+    arr = np.zeros((2, 2, 3), np.float32)
+    arr[0, 0, 0] = 1.0      # red at (0,0)
+    arr[1, 1, 2] = 0.5      # blue at (1,1)
+    blob = image_to_blob(Image(arr, ImageSpec(colorspace="srgb")), "bayer",
+                         depth=8)
+    vals = np.frombuffer(blob, np.uint8).reshape(2, 2)
+    assert vals[0, 0] == 255 and vals[1, 1] == 128
+    assert vals[0, 1] == 0 and vals[1, 0] == 0   # green samples
+
+
+def test_ps_write_alias(rgb):
+    blob = image_to_blob(rgb, "ps")
+    assert blob[:2] == b"%!"
