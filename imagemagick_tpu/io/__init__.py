@@ -61,6 +61,8 @@ _MAGIC = [
     (b"# ImageMagick pixel enumeration", "txt"),
     (b"srcdocid:", "cals"),
     (b"\x52\xcc", "rle"),
+    (b"\xc5\xd0\xd3\xc6", "ept"),
+    (b"\xff\x57\x50\x43", "wpg"),
 ]
 
 _PSEUDO = {
@@ -327,6 +329,10 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [formats4.decode_mac(data)]
     elif use == "pix":
         images = [formats4.decode_pix(data)]
+    elif use in ("ept", "ept2", "ept3"):
+        images = formats4.decode_ept(data)
+    elif use == "wpg":
+        images = [formats4.decode_wpg(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -513,6 +519,8 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
     if fmt in ("ps", "ps2", "ps3"):
         # PostScript levels share the EPS writer (coders/ps2.c/ps3.c roles)
         return codecs.encode(images, "eps", quality=quality, depth=depth)
+    if fmt in ("ept", "ept2", "ept3"):
+        return formats4.encode_ept(images[0])
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
@@ -524,7 +532,8 @@ _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "aai", "hrz", "scr", "rgf", "txt", "inline", "pgx",
                   "vips", "mono", "uyvy", "cals", "cal", "art", "sct",
                   "xwd", "sfw", "pdb", "tim", "cube", "pwp", "mvg", "ttf",
-                  "otf", "cut", "rle", "mac", "pix", "yuv", "bayer"}
+                  "otf", "cut", "rle", "mac", "pix", "yuv", "bayer",
+                  "ept", "wpg"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",
@@ -532,7 +541,8 @@ _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "aai", "hrz", "rgf", "cip", "pgx", "vips", "inline",
                    "cals", "cal", "art", "xwd", "braille", "brf", "ubrl",
                    "ubrl6", "isobrl", "isobrl6", "uil", "html", "htm",
-                   "pdb", "tim", "yuv", "bayer", "ps", "ps2", "ps3"}
+                   "pdb", "tim", "yuv", "bayer", "ps", "ps2", "ps3",
+                   "ept"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

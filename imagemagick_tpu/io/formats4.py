@@ -1267,6 +1267,178 @@ def encode_bayer(img: Image, depth: int = 8) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# DOS EPS / EPT (ept.c: C5 D0 D3 C6 header with offsets/lengths for a
+# PostScript section and a TIFF preview; decode prefers the PostScript
+# via the ghostscript delegate, falling back to the TIFF; write emits
+# EPS + TIFF preview)
+# ---------------------------------------------------------------------------
+
+_EPT_MAGIC = 0xC6D3D0C5
+
+
+def decode_ept(data: bytes):
+    if len(data) < 30 or struct.unpack("<I", data[:4])[0] != _EPT_MAGIC:
+        raise ValueError("EPT: improper header")
+    ps_off, ps_len, _, _, tiff_off, tiff_len = struct.unpack(
+        "<6I", data[4:28])
+    if ps_len:
+        try:
+            from . import delegates
+
+            return delegates.decode_postscript(
+                data[ps_off:ps_off + ps_len], "eps")
+        except Exception:
+            pass
+    if tiff_len:
+        from . import codecs
+
+        return codecs.decode(data[tiff_off:tiff_off + tiff_len], "tiff")
+    raise ValueError("EPT: no decodable section")
+
+
+def encode_ept(img: Image) -> bytes:
+    from . import image_to_blob
+
+    eps = image_to_blob(img, "eps")
+    tiff = image_to_blob(img, "tiff")
+    ps_off = 30
+    tiff_off = ps_off + len(eps)
+    head = struct.pack("<7I", _EPT_MAGIC, ps_off, len(eps), 0, 0,
+                       tiff_off, len(tiff))
+    head += b"\xff\xff"          # checksum: -1 = unused
+    return head + eps + tiff
+
+
+# ---------------------------------------------------------------------------
+# WordPerfect Graphics WPG, level 1 (wpg.c: FF 'WPC' header, record
+# stream with WP variable-length sizes; bitmap type 1 (0x0B) / type 2
+# (0x14) rasters, palette records (0x0E), byte-RLE with repeat-previous-
+# row opcodes; 1/2/4/8 bpp MSB-first)
+# ---------------------------------------------------------------------------
+
+def _wp_dword(data: bytes, pos: int):
+    b = data[pos]
+    pos += 1
+    if b < 0xFF:
+        return b, pos
+    v = data[pos] | (data[pos + 1] << 8)
+    pos += 2
+    if v < 0x8000:
+        return v, pos
+    v = (v & 0x7FFF) << 16
+    v += data[pos] | (data[pos + 1] << 8)
+    return v, pos + 2
+
+
+def _wpg_unpack(data: bytes, pos: int, end: int, w: int, h: int, bpp: int):
+    ldblk = (bpp * w + 7) // 8
+    rows = []
+    cur = bytearray()
+    prev = bytes(ldblk)
+
+    def flush_row():
+        nonlocal cur, prev
+        row = bytes(cur[:ldblk].ljust(ldblk, b"\0"))
+        rows.append(row)
+        prev = row
+        cur = bytearray()
+
+    while pos < end and len(rows) < h:
+        b = data[pos]
+        pos += 1
+        rc = b & 0x7F
+        if b & 0x80:
+            if rc:
+                val = data[pos]
+                pos += 1
+                cur += bytes([val]) * rc
+            else:
+                rc = data[pos]
+                pos += 1
+                cur += b"\xff" * rc
+        else:
+            if rc:
+                cur += data[pos:pos + rc]
+                pos += rc
+            else:
+                rc = data[pos]
+                pos += 1
+                if cur:
+                    flush_row()
+                for _ in range(rc):
+                    if len(rows) >= h:
+                        break
+                    rows.append(prev)
+                continue
+        while len(cur) >= ldblk and len(rows) < h:
+            row = bytes(cur[:ldblk])
+            rows.append(row)
+            prev = row
+            cur = bytearray(cur[ldblk:])
+    while len(rows) < h:
+        rows.append(prev)
+    return rows
+
+
+def decode_wpg(data: bytes) -> Image:
+    if len(data) < 16 or struct.unpack("<I", data[:4])[0] != 0x435057FF:
+        raise ValueError("WPG: improper header")
+    (offset,) = struct.unpack("<I", data[4:8])
+    filetype = data[9]
+    if filetype != 0x16:
+        raise ValueError("WPG: not a level-1 graphics file")
+    pos = offset
+    palette = None
+    result = None
+    while pos < len(data) - 1:
+        rectype = data[pos]
+        pos += 1
+        try:
+            length, pos = _wp_dword(data, pos)
+        except IndexError:
+            break
+        nxt = pos + length
+        if rectype == 0x0E and length >= 4:          # palette
+            start, nent = struct.unpack_from("<HH", data, pos)
+            entries = np.frombuffer(
+                data, np.uint8, min(3 * nent, length - 4),
+                pos + 4).reshape(-1, 3)
+            palette = np.zeros((256, 3), np.uint8)
+            palette[start:start + len(entries)] = entries
+        elif rectype in (0x0B, 0x14):
+            if rectype == 0x0B:
+                w, h, bpp = struct.unpack_from("<3H", data, pos)
+                rpos = pos + 10
+            else:
+                w, h, bpp = struct.unpack_from("<3H", data, pos + 10)
+                rpos = pos + 20
+            if w and h and bpp in (1, 2, 4, 8):
+                rows = _wpg_unpack(data, rpos, nxt, w, h, bpp)
+                packed = np.frombuffer(b"".join(rows), np.uint8).reshape(
+                    h, -1)
+                if bpp == 8:
+                    idx = packed[:, :w]
+                else:
+                    bits = np.unpackbits(packed, axis=1)
+                    vals = bits.reshape(h, -1, bpp)
+                    weights = (1 << np.arange(bpp - 1, -1, -1))
+                    idx = (vals * weights).sum(-1)[:, :w].astype(np.uint8)
+                if palette is not None:
+                    arr = palette[idx].astype(np.float32) / 255.0
+                    result = Image(arr, ImageSpec(colorspace="srgb"))
+                else:
+                    maxv = (1 << bpp) - 1
+                    arr = (idx.astype(np.float32) / maxv)[..., None]
+                    result = Image(arr, ImageSpec(
+                        colorspace="gray", depth=min(bpp, 8)))
+                break
+        pos = nxt
+    if result is None:
+        raise ValueError("WPG: no raster record found")
+    return result
+
+
+# ---------------------------------------------------------------------------
 # Seattle FilmWorks multi-frame PWP (pwp.c: "SFW95" container of embedded
 # "SFW94A" frames)
 # ---------------------------------------------------------------------------

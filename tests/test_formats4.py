@@ -594,3 +594,42 @@ def test_bayer_mosaic_layout():
 def test_ps_write_alias(rgb):
     blob = image_to_blob(rgb, "ps")
     assert blob[:2] == b"%!"
+
+
+def test_ept_roundtrip(rgb):
+    blob = image_to_blob(rgb, "ept")
+    assert struct.unpack("<I", blob[:4])[0] == 0xC6D3D0C5
+    back = image_from_blob(blob)        # magic-sniffed
+    assert back[0].width == 17 and back[0].height == 13
+
+
+def test_wpg_decode_8bpp_palette():
+    # header: FF 'WPC', data at 16, type 0x16
+    head = struct.pack("<II", 0x435057FF, 16) + bytes([1, 0x16]) + b"\x00" * 6
+    # palette record 0x0E: start 0, 3 entries
+    pal = bytes([0x0E, 4 + 9]) + struct.pack("<HH", 0, 3) + bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255])
+    # bitmap type1 0x0B: 3x2, 8bpp; RLE: literal row (3 bytes), repeat prev
+    raster = bytes([0x03, 0, 1, 2,       # literal 3 bytes -> row 0
+                    0x00, 0x01])          # repeat previous row once
+    bm = bytes([0x0B]) + bytes([10 + len(raster)]) + struct.pack(
+        "<5H", 3, 2, 8, 0, 0) + raster
+    img = image_from_blob(head + pal + bm)[0]
+    arr = np.asarray(img.data) * 255
+    np.testing.assert_allclose(arr[0, 0], [255, 0, 0], atol=0.5)
+    np.testing.assert_allclose(arr[0, 1], [0, 255, 0], atol=0.5)
+    np.testing.assert_allclose(arr[1, 2], [0, 0, 255], atol=0.5)
+
+
+def test_wpg_decode_1bpp_runs():
+    head = struct.pack("<II", 0x435057FF, 16) + bytes([1, 0x16]) + b"\x00" * 6
+    # 8x2 1bpp without palette: row of 0xFF (run-of-0xFF opcode), then
+    # explicit repeat-value run
+    raster = bytes([0x80, 0x01,          # rc=0 -> next byte count of 0xFF
+                    0x81, 0x00])          # run of 1 x 0x00
+    bm = bytes([0x0B]) + bytes([10 + len(raster)]) + struct.pack(
+        "<5H", 8, 2, 1, 0, 0) + raster
+    img = image_from_blob(head + bm)[0]
+    arr = np.asarray(img.data)[..., 0]
+    np.testing.assert_allclose(arr[0], 1.0)
+    np.testing.assert_allclose(arr[1], 0.0)
