@@ -63,6 +63,8 @@ _MAGIC = [
     (b"\x52\xcc", "rle"),
     (b"\xc5\xd0\xd3\xc6", "ept"),
     (b"\xff\x57\x50\x43", "wpg"),
+    (b"iiii", "ipl"),
+    (b"mmmm", "ipl"),
 ]
 
 _PSEUDO = {
@@ -215,6 +217,8 @@ def read_images(filename: str, size: Optional[str] = None,
         return [formats4.decode_yuv(data, w, h)]
     if ext == "bayer" and w and h:
         return [formats4.decode_bayer(data, w, h)]
+    if ext == "map" and w and h:
+        return [formats4.decode_map(data, w, h)]
     return image_from_blob(data, ext)
 
 
@@ -333,6 +337,10 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = formats4.decode_ept(data)
     elif use == "wpg":
         images = [formats4.decode_wpg(data)]
+    elif use == "ipl":
+        images = formats4.decode_ipl(data)
+    elif use == "ftxt":
+        images = [formats4.decode_ftxt(data)]
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -521,6 +529,14 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return codecs.encode(images, "eps", quality=quality, depth=depth)
     if fmt in ("ept", "ept2", "ept3"):
         return formats4.encode_ept(images[0])
+    if fmt == "ipl":
+        return formats4.encode_ipl(images[0], depth=depth)
+    if fmt == "map":
+        return formats4.encode_map(images[0])
+    if fmt == "ftxt":
+        return formats4.encode_ftxt(images[0])
+    if fmt == "ashlar":
+        return formats4.encode_ashlar(images)
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
@@ -533,7 +549,7 @@ _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "vips", "mono", "uyvy", "cals", "cal", "art", "sct",
                   "xwd", "sfw", "pdb", "tim", "cube", "pwp", "mvg", "ttf",
                   "otf", "cut", "rle", "mac", "pix", "yuv", "bayer",
-                  "ept", "wpg"}
+                  "ept", "wpg", "ipl", "ftxt", "map"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",
@@ -542,7 +558,7 @@ _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "cals", "cal", "art", "xwd", "braille", "brf", "ubrl",
                    "ubrl6", "isobrl", "isobrl6", "uil", "html", "htm",
                    "pdb", "tim", "yuv", "bayer", "ps", "ps2", "ps3",
-                   "ept"}
+                   "ept", "ipl", "ftxt", "map", "ashlar"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

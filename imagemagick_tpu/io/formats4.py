@@ -1267,6 +1267,181 @@ def encode_bayer(img: Image, depth: int = 8) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# IPLab IPL (ipl.c: "iiii" LSB / "mmmm" MSB magick, 8 reserved bytes,
+# "data" tag, then u32 size/width/height/colors/z/time/byteType and z
+# grayscale frames whose sample type byteType selects)
+# ---------------------------------------------------------------------------
+
+_IPL_TYPES = {0: ("u1", 8), 1: ("i2", 16), 2: ("u2", 16), 3: ("i4", 32),
+              4: ("f4", 32), 5: ("u1", 8), 6: ("u2", 16), 10: ("f8", 64)}
+
+
+def decode_ipl(data: bytes):
+    if data[:4] == b"iiii":
+        e = "<"
+    elif data[:4] == b"mmmm":
+        e = ">"
+    else:
+        raise ValueError("IPL: improper header")
+    if data[12:16] != b"data":
+        raise ValueError("IPL: missing data tag")
+    _size, w, h, _colors, z, _time, btype = struct.unpack(
+        e + "7I", data[16:44])
+    if w == 0 or h == 0:
+        raise ValueError("IPL: improper geometry")
+    dtype_s, _depth = _IPL_TYPES.get(btype, ("u2", 16))
+    dt = np.dtype(dtype_s).newbyteorder(e)
+    frames = []
+    off = 44
+    for _ in range(max(z, 1)):
+        raw = np.frombuffer(data, dt, w * h, off).reshape(h, w)
+        off += w * h * dt.itemsize
+        if dt.kind == "f":
+            arr = raw.astype(np.float32)
+        elif dt.kind == "i":
+            info = np.iinfo(dt)
+            arr = (raw.astype(np.float32) - info.min) / (info.max - info.min)
+        else:
+            arr = raw.astype(np.float32) / np.iinfo(dt).max
+        frames.append(Image(arr[..., None],
+                            ImageSpec(colorspace="gray",
+                                      depth=min(_depth, 32))))
+    return frames
+
+
+def encode_ipl(img: Image, depth: int = 16) -> bytes:
+    arr = _flat(img)
+    gray = _luma(arr) if arr.shape[-1] > 1 else arr[..., 0]
+    h, w = gray.shape
+    if depth <= 8:
+        btype, payload = 0, _u8(gray).tobytes()
+    else:
+        btype = 2
+        payload = (np.clip(gray, 0, 1) * 65535 + 0.5).astype(
+            "<u2").tobytes()
+    head = b"iiii" + b"\x64\x00\x00\x00" + b"\x00" * 4 + b"data"
+    head += struct.pack("<7I", len(payload), w, h, 1, 1, 0, btype)
+    return head + payload
+
+
+# ---------------------------------------------------------------------------
+# Colormap MAP (map.c: raw colormap entries — 3 bytes (or 6 at 16-bit) per
+# color — followed by index bytes; geometry from -size, colors from the
+# blob partition at 256 by default)
+# ---------------------------------------------------------------------------
+
+def decode_map(data: bytes, width: int, height: int,
+               colors: int = 256) -> Image:
+    need_idx = width * height
+    pal_bytes = len(data) - need_idx
+    if pal_bytes >= colors * 3:
+        ncol = colors
+    else:
+        ncol = max(2, pal_bytes // 3)
+    cmap = np.frombuffer(data, np.uint8, ncol * 3).reshape(ncol, 3)
+    idx = np.frombuffer(data, np.uint8, need_idx,
+                        ncol * 3).reshape(height, width)
+    arr = cmap[np.minimum(idx, ncol - 1)].astype(np.float32) / 255.0
+    return Image(arr, ImageSpec(colorspace="srgb"))
+
+
+def encode_map(img: Image, colors: int = 256) -> bytes:
+    import jax.numpy as jnp
+
+    from ..ops.quantize import kmeans
+
+    arr = _rgb(_flat(img))
+    pal, labels = kmeans(jnp.asarray(arr), colors)
+    pal8 = _u8(np.asarray(pal))
+    return pal8.tobytes() + np.asarray(labels, np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Formatted text FTXT (ftxt.c: default format "\x,\y:\c\n" — one line per
+# pixel, channels joined by ',' at quantum scale)
+# ---------------------------------------------------------------------------
+
+_FTXT_LINE = re.compile(rb"^\s*(\d+),(\d+):(.*)$")
+
+
+def decode_ftxt(data: bytes) -> Image:
+    pts = []
+    w = h = 0
+    for line in data.splitlines():
+        m = _FTXT_LINE.match(line)
+        if not m:
+            continue
+        x, y = int(m.group(1)), int(m.group(2))
+        vals = []
+        for tok in m.group(3).split(b","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            try:
+                vals.append(float(int(tok, 16)) if tok.startswith(b"#")
+                            else float(tok))
+            except ValueError:
+                pass
+        if vals:
+            pts.append((x, y, vals))
+            w = max(w, x + 1)
+            h = max(h, y + 1)
+    if not pts:
+        raise ValueError("FTXT: no pixel lines")
+    nch = min(max(len(v) for _, _, v in pts), 5)
+    arr = np.zeros((h, w, nch), np.float32)
+    for x, y, vals in pts:
+        row = (vals + [0.0] * nch)[:nch]
+        arr[y, x] = [v / 65535.0 for v in row]
+    cs = "gray" if nch == 1 else "srgb"
+    return Image(arr, ImageSpec(colorspace=cs, alpha=nch in (2, 4)))
+
+
+def encode_ftxt(img: Image) -> bytes:
+    arr = _flat(img)
+    h, w, c = arr.shape
+    q = np.clip(arr, 0.0, 1.0) * 65535.0
+    lines = []
+    for y in range(h):
+        for x in range(w):
+            vals = ",".join("%g" % v for v in q[y, x])
+            lines.append("%d,%d:%s" % (x, y, vals))
+    return ("\n".join(lines) + "\n").encode()
+
+
+# ---------------------------------------------------------------------------
+# ASHLAR (ashlar.c, write-only): pack a sequence of images onto one
+# canvas with a shelf best-fit — emitted as PNG wrapped composition
+# ---------------------------------------------------------------------------
+
+def encode_ashlar(images, inner_fmt: str = "png") -> bytes:
+    from . import image_to_blob
+
+    tiles = [(_flat(im), i) for i, im in enumerate(images)]
+    tiles.sort(key=lambda t: -t[0].shape[0])
+    total = sum(t[0].shape[0] * t[0].shape[1] for t in tiles)
+    W = max(int(np.ceil(np.sqrt(total * 1.2))),
+            max(t[0].shape[1] for t in tiles))
+    x = y = shelf = 0
+    placed = []
+    for arr, _ in tiles:
+        th, tw = arr.shape[:2]
+        if x + tw > W:
+            x = 0
+            y += shelf
+            shelf = 0
+        placed.append((y, x, arr))
+        x += tw
+        shelf = max(shelf, th)
+    H = y + shelf
+    canvas = np.ones((H, W, 3), np.float32)
+    for py, px, arr in placed:
+        canvas[py:py + arr.shape[0], px:px + arr.shape[1]] = _rgb(arr)
+    return image_to_blob(Image(canvas, ImageSpec(colorspace="srgb")),
+                         inner_fmt)
+
+
+# ---------------------------------------------------------------------------
 # DOS EPS / EPT (ept.c: C5 D0 D3 C6 header with offsets/lengths for a
 # PostScript section and a TIFF preview; decode prefers the PostScript
 # via the ghostscript delegate, falling back to the TIFF; write emits

@@ -633,3 +633,48 @@ def test_wpg_decode_1bpp_runs():
     arr = np.asarray(img.data)[..., 0]
     np.testing.assert_allclose(arr[0], 1.0)
     np.testing.assert_allclose(arr[1], 0.0)
+
+
+def test_ipl_roundtrip(rgb):
+    blob = image_to_blob(rgb, "ipl")
+    assert blob[:4] == b"iiii" and blob[12:16] == b"data"
+    back = image_from_blob(blob)[0]     # magic-sniffed
+    luma = np.asarray(rgb.data) @ [0.212656, 0.715158, 0.072186]
+    np.testing.assert_allclose(np.asarray(back.data)[..., 0], luma,
+                               atol=1 / 65534)
+
+
+def test_ipl_msb_float():
+    gray = np.linspace(0, 1, 12, dtype=np.float32).reshape(3, 4)
+    head = b"mmmm" + b"\x00" * 8 + b"data"
+    head += struct.pack(">7I", gray.nbytes, 4, 3, 1, 1, 0, 4)
+    back = formats4.decode_ipl(head + gray.astype(">f4").tobytes())[0]
+    np.testing.assert_allclose(np.asarray(back.data)[..., 0], gray,
+                               atol=1e-6)
+
+
+def test_map_roundtrip():
+    # two-color image survives a 256-color MAP round trip
+    arr = np.zeros((4, 6, 3), np.float32)
+    arr[:, 3:] = [1.0, 0.0, 0.0]
+    img = Image(arr, ImageSpec(colorspace="srgb"))
+    blob = image_to_blob(img, "map")
+    back = formats4.decode_map(blob, 6, 4)
+    np.testing.assert_allclose(np.asarray(back.data), arr, atol=1 / 254)
+
+
+def test_ftxt_roundtrip(rgb):
+    blob = image_to_blob(rgb, "ftxt")
+    assert blob.startswith(b"0,0:")
+    back = image_from_blob(blob, "ftxt")[0]
+    assert (back.height, back.width) == (13, 17)
+    np.testing.assert_allclose(np.asarray(back.data),
+                               np.asarray(rgb.data), atol=1e-4)
+
+
+def test_ashlar_write(rgb):
+    imgs = [rgb, rgb, rgb]
+    blob = image_to_blob(imgs, "ashlar")
+    packed = image_from_blob(blob, "png")[0]
+    # three 17x13 tiles packed: canvas holds all of them
+    assert packed.width * packed.height >= 3 * 17 * 13
