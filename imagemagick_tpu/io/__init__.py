@@ -341,6 +341,8 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = formats4.decode_ipl(data)
     elif use == "ftxt":
         images = [formats4.decode_ftxt(data)]
+    elif use == "magick" or use == "h":
+        images = formats4.decode_magick(data)
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -537,6 +539,8 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats4.encode_ftxt(images[0])
     if fmt == "ashlar":
         return formats4.encode_ashlar(images)
+    if fmt in ("magick", "h"):
+        return formats4.encode_magick(images[0])
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 
@@ -549,7 +553,7 @@ _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "vips", "mono", "uyvy", "cals", "cal", "art", "sct",
                   "xwd", "sfw", "pdb", "tim", "cube", "pwp", "mvg", "ttf",
                   "otf", "cut", "rle", "mac", "pix", "yuv", "bayer",
-                  "ept", "wpg", "ipl", "ftxt", "map"}
+                  "ept", "wpg", "ipl", "ftxt", "map", "magick"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",
@@ -558,7 +562,7 @@ _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "cals", "cal", "art", "xwd", "braille", "brf", "ubrl",
                    "ubrl6", "isobrl", "isobrl6", "uil", "html", "htm",
                    "pdb", "tim", "yuv", "bayer", "ps", "ps2", "ps3",
-                   "ept", "ipl", "ftxt", "map", "ashlar"}
+                   "ept", "ipl", "ftxt", "map", "ashlar", "magick"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

@@ -1267,6 +1267,44 @@ def encode_bayer(img: Image, depth: int = 8) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# MAGICK C-header image (magick.c: "static const unsigned char
+# MagickImage[] = { 0x.., ... };" wrapping a GIF/PNM blob — write emits
+# the header, read extracts the hex bytes and decodes the inner blob)
+# ---------------------------------------------------------------------------
+
+def decode_magick(data: bytes):
+    from . import image_from_blob
+
+    hexbytes = re.findall(rb"0[xX]([0-9a-fA-F]{2})", data)
+    if len(hexbytes) < 8:
+        raise ValueError("MAGICK: no embedded image bytes")
+    blob = bytes(int(h, 16) for h in hexbytes)
+    return image_from_blob(blob)
+
+
+def encode_magick(img: Image, name: str = "MagickImage") -> bytes:
+    from . import image_to_blob
+
+    inner = image_to_blob(img, "gif" if not img.spec.alpha else "png")
+    lines = ["/*", "  %s (%s)." % (name, "GIF" if not img.spec.alpha
+                                   else "PNG"), "*/",
+             "static const unsigned char", "  %s[] =" % name, "  {"]
+    row = []
+    body = []
+    for i, b in enumerate(inner):
+        row.append("0x%02X" % b)
+        if len(row) == 12:
+            body.append(", ".join(row) + ",")
+            row = []
+    if row:
+        body.append(", ".join(row))
+    else:
+        body[-1] = body[-1].rstrip(",")
+    lines += ["    " + r for r in body] + ["  };", ""]
+    return "\n".join(lines).encode()
+
+
+# ---------------------------------------------------------------------------
 # IPLab IPL (ipl.c: "iiii" LSB / "mmmm" MSB magick, 8 reserved bytes,
 # "data" tag, then u32 size/width/height/colors/z/time/byteType and z
 # grayscale frames whose sample type byteType selects)

@@ -678,3 +678,12 @@ def test_ashlar_write(rgb):
     packed = image_from_blob(blob, "png")[0]
     # three 17x13 tiles packed: canvas holds all of them
     assert packed.width * packed.height >= 3 * 17 * 13
+
+
+def test_magick_header_roundtrip(rgb):
+    blob = image_to_blob(rgb, "magick")
+    text = blob.decode()
+    assert "static const unsigned char" in text
+    assert "MagickImage[] =" in text
+    back = image_from_blob(blob, "magick")[0]
+    assert (back.height, back.width) == (13, 17)
