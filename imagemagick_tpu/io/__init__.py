@@ -65,6 +65,7 @@ _MAGIC = [
     (b"\xff\x57\x50\x43", "wpg"),
     (b"iiii", "ipl"),
     (b"mmmm", "ipl"),
+    (b"TIM2", "tim2"),
 ]
 
 _PSEUDO = {
@@ -343,6 +344,11 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [formats4.decode_ftxt(data)]
     elif use == "magick" or use == "h":
         images = formats4.decode_magick(data)
+    elif use == "tim2":
+        images = formats4.decode_tim2(data)
+    elif use == "uhdr":
+        # Ultra HDR is a JPEG with an embedded gainmap; decode the base
+        images = codecs.decode(data, "jpeg")
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
@@ -553,7 +559,8 @@ _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "vips", "mono", "uyvy", "cals", "cal", "art", "sct",
                   "xwd", "sfw", "pdb", "tim", "cube", "pwp", "mvg", "ttf",
                   "otf", "cut", "rle", "mac", "pix", "yuv", "bayer",
-                  "ept", "wpg", "ipl", "ftxt", "map", "magick"}
+                  "ept", "wpg", "ipl", "ftxt", "map", "magick", "tim2",
+                  "uhdr"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",

@@ -1267,6 +1267,112 @@ def encode_bayer(img: Image, depth: int = 8) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PlayStation 2 TIM2 (tim2.c: "TIM2" + version 4 file header — 16 or 128
+# bytes by format_type — then a 48-byte picture header; pixels before the
+# CLUT; A1B5G5R5 / RGB24 / RGBA32 (alpha doubled) encodings; 4/8bpp CLUT
+# indices with the CSM1 page-block deshuffle)
+# ---------------------------------------------------------------------------
+
+def _tim2_colors(words: np.ndarray, depth: int):
+    if depth == 16:
+        r = ((words & 0x1F) << 3).astype(np.float32) / 255.0
+        g = (((words >> 5) & 0x1F) << 3).astype(np.float32) / 255.0
+        b = (((words >> 10) & 0x1F) << 3).astype(np.float32) / 255.0
+        a = np.where((words >> 15) & 1, 1.0, 0.0).astype(np.float32)
+        return np.stack([r, g, b, a], -1)
+    raise ValueError("bad depth")
+
+
+def decode_tim2(data: bytes):
+    if data[:4] != b"TIM2":
+        raise ValueError("TIM2: improper header")
+    vers, ftype = data[4], data[5]
+    if vers != 0x04:
+        raise ValueError("TIM2: unsupported version")
+    (count,) = struct.unpack_from("<H", data, 6)
+    pos = 16 if ftype == 0 else 128
+    images = []
+    for _ in range(max(count, 1)):
+        (total_size, clut_size, image_size, header_size, clut_colors) = \
+            struct.unpack_from("<3IHH", data, pos)
+        img_format, mipmaps, clut_type, bpp_type = data[pos + 16:pos + 20]
+        w, h = struct.unpack_from("<HH", data, pos + 20)
+        del img_format
+        if mipmaps != 1:
+            raise ValueError("TIM2: mipmaps unsupported")
+        px = pos + header_size
+        cl = px + image_size
+        bpp = {1: 16, 2: 24, 3: 32, 4: 4, 5: 8}.get(bpp_type)
+        if bpp is None or w == 0 or h == 0:
+            raise ValueError("TIM2: improper picture header")
+        cmap = None
+        if clut_type and clut_size:
+            cdepth = {1: 16, 2: 24, 3: 32}.get(clut_type & 0x0F)
+            if cdepth == 16:
+                cw = np.frombuffer(data, "<u2", clut_colors, cl)
+                cmap = _tim2_colors(cw.astype(np.uint32), 16)
+            elif cdepth == 24:
+                cb = np.frombuffer(data, np.uint8, clut_colors * 3,
+                                   cl).reshape(-1, 3)
+                cmap = np.concatenate(
+                    [cb.astype(np.float32) / 255.0,
+                     np.ones((len(cb), 1), np.float32)], -1)
+            else:
+                cb = np.frombuffer(data, np.uint8, clut_colors * 4,
+                                   cl).reshape(-1, 4)
+                cmap = np.concatenate(
+                    [cb[:, :3].astype(np.float32) / 255.0,
+                     np.minimum(cb[:, 3:].astype(np.int64) * 2, 255)
+                     .astype(np.float32) / 255.0], -1)
+            if (clut_type >> 4) == 0 and len(cmap) >= 32:
+                # CSM1: swap blocks 2 and 3 (8 colors each) in every
+                # 32-color page
+                cm = cmap.copy()
+                for page in range(len(cmap) // 32):
+                    i = page * 32
+                    cm[i + 8:i + 16] = cmap[i + 16:i + 24]
+                    cm[i + 16:i + 24] = cmap[i + 8:i + 16]
+                cmap = cm
+        if bpp == 16:
+            words = np.frombuffer(data, "<u2", w * h, px).reshape(h, w)
+            arr = _tim2_colors(words.astype(np.uint32), 16)
+            alpha = True
+        elif bpp == 24:
+            arr = np.frombuffer(data, np.uint8, w * h * 3, px).reshape(
+                h, w, 3).astype(np.float32) / 255.0
+            alpha = False
+        elif bpp == 32:
+            raw = np.frombuffer(data, np.uint8, w * h * 4, px).reshape(
+                h, w, 4)
+            arr = np.concatenate(
+                [raw[..., :3].astype(np.float32) / 255.0,
+                 np.minimum(raw[..., 3:].astype(np.int64) * 2, 255)
+                 .astype(np.float32) / 255.0], -1)
+            alpha = True
+        else:
+            if bpp == 4:
+                raw = np.frombuffer(data, np.uint8, (w * h + 1) // 2, px)
+                lo = raw & 0x0F
+                hi = raw >> 4
+                idx = np.stack([lo, hi], -1).reshape(-1)[:w * h].reshape(
+                    h, w)
+            else:
+                idx = np.frombuffer(data, np.uint8, w * h, px).reshape(h, w)
+            if cmap is None:
+                cmap = np.concatenate(
+                    [np.repeat(np.linspace(0, 1, 1 << bpp,
+                                           dtype=np.float32)[:, None], 3, 1),
+                     np.ones((1 << bpp, 1), np.float32)], -1)
+            arr = cmap[np.minimum(idx, len(cmap) - 1)]
+            alpha = True
+        images.append(Image(arr.astype(np.float32),
+                            ImageSpec(colorspace="srgb", alpha=alpha)))
+        pos += total_size if total_size else header_size + image_size + \
+            clut_size
+    return images
+
+
+# ---------------------------------------------------------------------------
 # MAGICK C-header image (magick.c: "static const unsigned char
 # MagickImage[] = { 0x.., ... };" wrapping a GIF/PNM blob — write emits
 # the header, read extracts the hex bytes and decodes the inner blob)

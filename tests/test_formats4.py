@@ -687,3 +687,33 @@ def test_magick_header_roundtrip(rgb):
     assert "MagickImage[] =" in text
     back = image_from_blob(blob, "magick")[0]
     assert (back.height, back.width) == (13, 17)
+
+
+def test_tim2_16bpp():
+    # 2x1 direct 16bpp: red (0x1F | A bit) and green
+    words = np.array([0x1F | 0x8000, (0x1F << 5) | 0x8000], "<u2")
+    ihdr = struct.pack("<3IHH", 48 + 4, 0, 4, 48, 0)
+    ihdr += bytes([0, 1, 0, 1])                 # format, mips, clut, 16bpp
+    ihdr += struct.pack("<HH", 2, 1)
+    ihdr += b"\x00" * 24                        # GsTex registers
+    blob = b"TIM2" + bytes([4, 0]) + struct.pack("<H", 1) + b"\x00" * 8
+    blob += ihdr + words.tobytes()
+    img = image_from_blob(blob)[0]              # magic-sniffed
+    arr = np.asarray(img.data)
+    np.testing.assert_allclose(arr[0, 0], [0xF8 / 255, 0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(arr[0, 1], [0, 0xF8 / 255, 0, 1], atol=1e-6)
+
+
+def test_tim2_8bpp_clut32():
+    # 2x1 8bpp with a 32-bit CLUT; alpha 0x80 -> 1.0
+    idx = bytes([0, 1])
+    clut = bytes([255, 0, 0, 0x80, 0, 0, 255, 0x40])
+    ihdr = struct.pack("<3IHH", 48 + 2 + 8, 8, 2, 48, 2)
+    ihdr += bytes([0, 1, 0x13, 5])              # CSM2 32-bit clut, 8bpp
+    ihdr += struct.pack("<HH", 2, 1) + b"\x00" * 24
+    blob = b"TIM2" + bytes([4, 0]) + struct.pack("<H", 1) + b"\x00" * 8
+    blob += ihdr + idx + clut
+    img = image_from_blob(blob, "tim2")[0]
+    arr = np.asarray(img.data)
+    np.testing.assert_allclose(arr[0, 0], [1, 0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(arr[0, 1], [0, 0, 1, 128 / 255], atol=1e-2)
