@@ -346,6 +346,8 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = formats4.decode_magick(data)
     elif use == "tim2":
         images = formats4.decode_tim2(data)
+    elif use == "jnx":
+        images = formats4.decode_jnx(data)
     elif use == "uhdr":
         # Ultra HDR is a JPEG with an embedded gainmap; decode the base
         images = codecs.decode(data, "jpeg")
@@ -560,7 +562,7 @@ _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "xwd", "sfw", "pdb", "tim", "cube", "pwp", "mvg", "ttf",
                   "otf", "cut", "rle", "mac", "pix", "yuv", "bayer",
                   "ept", "wpg", "ipl", "ftxt", "map", "magick", "tim2",
-                  "uhdr"}
+                  "uhdr", "jnx"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",

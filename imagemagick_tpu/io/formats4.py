@@ -1373,6 +1373,63 @@ def decode_tim2(data: bytes):
 
 
 # ---------------------------------------------------------------------------
+# Garmin JNX raster maps (jnx.c: version 3/4 header with geo extents,
+# per-level tile tables, tiles as JPEG streams minus their SOI marker)
+# ---------------------------------------------------------------------------
+
+def decode_jnx(data: bytes):
+    from . import codecs
+
+    if len(data) < 52:
+        raise ValueError("JNX: truncated header")
+    version = struct.unpack_from("<i", data, 0)[0]
+    if version not in (3, 4):
+        raise ValueError("JNX: unsupported version %d" % version)
+    levels = struct.unpack_from("<i", data, 24)[0]
+    if not (0 < levels <= 20):
+        raise ValueError("JNX: improper level count")
+    pos = 48 if version == 3 else 52
+    level_info = []
+    for _ in range(levels):
+        count, offset = struct.unpack_from("<ii", data, pos)
+        pos += 12
+        if version > 3:
+            pos += 4
+            while pos + 1 < len(data) and \
+                    struct.unpack_from("<H", data, pos)[0] != 0:
+                pos += 2
+            pos += 2
+        if count > 50000:
+            raise ValueError("JNX: improper tile count")
+        level_info.append((count, offset))
+    images = []
+    for count, offset in level_info:
+        pos = offset
+        for _ in range(count):
+            if pos + 28 > len(data):
+                break
+            ne_x, ne_y, sw_x, sw_y = struct.unpack_from("<4i", data, pos)
+            length, toff = struct.unpack_from("<Ii", data, pos + 20)
+            pos += 28
+            if toff == -1 or toff + length > len(data):
+                continue
+            jpeg = b"\xff\xd8" + data[toff:toff + length]
+            try:
+                tile = codecs.decode(jpeg, "jpeg")[0]
+            except Exception:
+                continue
+            scale = 180.0 / 0x7FFFFFFF
+            tile.properties["jnx:northeast"] = "%.10g,%.10g" % (
+                ne_x * scale, ne_y * scale)
+            tile.properties["jnx:southwest"] = "%.10g,%.10g" % (
+                sw_x * scale, sw_y * scale)
+            images.append(tile)
+    if not images:
+        raise ValueError("JNX: no decodable tiles")
+    return images
+
+
+# ---------------------------------------------------------------------------
 # MAGICK C-header image (magick.c: "static const unsigned char
 # MagickImage[] = { 0x.., ... };" wrapping a GIF/PNM blob — write emits
 # the header, read extracts the hex bytes and decodes the inner blob)

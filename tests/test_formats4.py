@@ -717,3 +717,21 @@ def test_tim2_8bpp_clut32():
     arr = np.asarray(img.data)
     np.testing.assert_allclose(arr[0, 0], [1, 0, 0, 1], atol=1e-6)
     np.testing.assert_allclose(arr[0, 1], [0, 0, 1, 128 / 255], atol=1e-2)
+
+
+def test_jnx_decode(rgb):
+    jpeg = image_to_blob(rgb, "jpeg", quality=90)
+    tile = jpeg[2:]                     # strip SOI like JNX storage does
+    # v3 header: version, serial, 4 geo extents, levels=1, expire, id,
+    # crc, signature, offset
+    head = struct.pack("<12i", 3, 0, 100, 100, -100, -100, 1, 0, 0, 0, 0, 0)
+    level_off = len(head) + 12
+    level = struct.pack("<iii", 1, level_off, 0)
+    tile_off = level_off + 28
+    entry = struct.pack("<4iHHIi", 50, 60, -50, -60, 17, 13, len(tile),
+                        tile_off)
+    blob = head + level + entry + tile
+    imgs = image_from_blob(blob, "jnx")
+    assert len(imgs) == 1
+    assert imgs[0].width == 17 and imgs[0].height == 13
+    assert "jnx:northeast" in imgs[0].properties
