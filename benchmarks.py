@@ -46,6 +46,22 @@ def _time_chain(make_step, x, n1=1, n2=11, reps=4):
     return max((tn - t1) / (n2 - n1), 1e-9)
 
 
+def _roofline(name, per, read_px, write_px, flops=0.0):
+    """Minimum-traffic roofline note: effective HBM GB/s (+ TF/s when a
+    meaningful FLOP count exists) against v5e peaks."""
+    traffic = (read_px + write_px) * 4 / 1e9
+    rec = {"note": f"{name} roofline",
+           "min_traffic_GB": round(traffic, 4),
+           "effective_GBs": round(traffic / per, 1),
+           "hbm_utilization": round(traffic / per / HBM_GBS, 3)}
+    if flops:
+        rec["effective_TFs"] = round(flops / per / 1e12, 2)
+        rec["mxu_utilization"] = round(flops / per / 1e12 / PEAK_BF16_TF, 4)
+    rec["bound"] = ("HBM" if rec["hbm_utilization"] >
+                    rec.get("mxu_utilization", 0.0) else "MXU")
+    print(json.dumps(rec))
+
+
 def _report(name, mp, per_step, extra=""):
     print(json.dumps({
         "metric": f"bench_{name}_megapixels_per_sec",
@@ -118,6 +134,9 @@ def config2_blur_unsharp_lab():
         per_f = _time_chain(step_fused, xf, n2=6 if QUICK else 11)
         _report("config2_fused", mp, per_f,
                 f"1080p batch {N}, rank-2 pallas + lab epilogue")
+        # traffic: kernel read+write, two Lab conversion passes r/w each
+        px = N * H * W * C
+        _roofline("config2_fused", per_f, 3 * px, 3 * px)
         return mp / per_f
     return mp / per
 
@@ -152,6 +171,9 @@ def config3_document():
         per_f = _time_chain(step_fused, x, n2=6 if QUICK else 11)
         _report("config3_fused", mp, per_f,
                 f"letter-page batch {N}, fused pallas morph/edge")
+        # otsu histogram pass + fused kernel read/write (1 channel)
+        px = N * 1056 * 816
+        _roofline("config3_fused", per_f, 2 * px, px)
         return mp / per_f
     return mp / per
 
@@ -179,6 +201,12 @@ def config4_fft():
     per = _time_chain(step, x, n2=6)
     mp = 2160 * 4096 / 1e6
     _report("config4_fft_4k", mp, per, "2160x4096 wiener")
+    # 2 complex 2-D FFTs: ~2 * 5 N log2(N) real flops over H+W passes
+    n = 2160 * 4096
+    import math as _m
+
+    flops = 2 * 5.0 * n * _m.log2(n)
+    _roofline("config4_fft", per, 4 * n, n, flops=flops)
     return mp / per
 
 
