@@ -13,6 +13,20 @@ Public surface:
   * ``tmagick`` CLI (cli/)              — magick-compatible command line
 """
 
+import os as _os
+
+if _os.environ.get("IMTPU_PLATFORM"):
+    # Escape hatch for degraded accelerator workers: a sitecustomize-pinned
+    # PJRT plugin ignores JAX_PLATFORMS set in the environment, so honor an
+    # explicit override through jax.config before the backend initializes
+    # (e.g. IMTPU_PLATFORM=cpu tmagick ... when the TPU tunnel is down).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["IMTPU_PLATFORM"])
+    except Exception:
+        pass
+
 from .core.image import Image, stack
 from .core.spec import ImageSpec
 from .core.geometry import parse_geometry, parse_meta_geometry
