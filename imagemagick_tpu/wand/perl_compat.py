@@ -565,7 +565,7 @@ def apply(wand, name, **kw):
     if n == "identify":
         from ..io import identify as idf
 
-        return idf.identify_text(wand.current, verbose=True)
+        return idf.describe(wand.current, "", verbose=True)
     if n == "histogram":
         return [[list(map(float, color)), int(count)]
                 for color, count in wand.get_image_histogram()[:64]]
@@ -574,6 +574,184 @@ def apply(wand, name, **kw):
         from ..core.color import parse_color
 
         return [float(v) for v in parse_color(str(kw.get("color", "black")))]
+
+    # --- round-2 widening: remaining Magick.xs Mogrify methods ---
+    if n in ("colorfloodfill", "floodfillpaint"):
+        w_, h_, x, y = _geom_or_parts(kw)
+        del w_, h_
+        wand.floodfill_paint_image(str(kw.get("fill", "black")),
+                                   _q(kw.get("fuzz"), 0.0),
+                                   kw.get("bordercolor"), x, y,
+                                   bool(kw.get("invert", False)))
+        return None
+    if n == "mattefloodfill":
+        w_, h_, x, y = _geom_or_parts(kw)
+        del w_, h_
+        alpha = _q(kw.get("opacity"), 0.0)
+        r, g, b = [float(v) for v in
+                   wand.get_image_pixel_color(x, y)._rgba[:3]]
+        fill = "rgba(%d,%d,%d,%g)" % (int(r * 255), int(g * 255),
+                                      int(b * 255), 1.0 - alpha)
+        wand.floodfill_paint_image(fill, _q(kw.get("fuzz"), 0.0), None,
+                                   x, y, bool(kw.get("invert", False)))
+        return None
+    if n in ("map", "remap"):
+        wand.remap_image(kw["image"], bool(kw.get("dither", False)))
+        return None
+    if n == "numbercolors":
+        return int(wand.get_image_colors())
+    if n in ("sync", "condense", "sans0", "sans1"):
+        return None                      # legacy no-ops (Magick.xs)
+    if n == "convolve":
+        coeffs = kw.get("coefficients", kw.get("kernel", []))
+        if isinstance(coeffs, str):
+            coeffs = [float(v) for v in coeffs.replace(",", " ").split()]
+        order = int(round(len(coeffs) ** 0.5))
+        wand.convolve_image([coeffs[i * order:(i + 1) * order]
+                             for i in range(order)])
+        return None
+    if n == "clip":
+        wand.clip_image()
+        return None
+    if n in ("clipmask", "mask"):
+        wand.set_image_mask(kw.get("mask") or kw.get("image"),
+                            "read" if n == "clipmask" else "write")
+        return None
+    if n == "affinetransform":
+        mat = kw.get("affine", kw.get("matrix", [1, 0, 0, 1, 0, 0]))
+        if isinstance(mat, str):
+            mat = [float(v) for v in mat.replace(",", " ").split()]
+        wand.affine_transform_image(mat)
+        return None
+    if n == "difference":
+        return wand.get_image_distortion(kw["image"], "mae")
+    if n == "resample":
+        wand.resample_image(float(kw.get("x", kw.get("density", 72.0))),
+                            float(kw.get("y", kw.get("x",
+                                                     kw.get("density",
+                                                            72.0)))),
+                            str(kw.get("filter", "lanczos")).lower())
+        return None
+    if n == "describe":
+        from ..io import identify as idf
+
+        return idf.describe(wand.current, "", verbose=True)
+    if n in ("channel", "separate"):
+        wand.separate_image_channel(str(kw.get("channel", "gray")).lower())
+        return None
+    if n == "uniquecolors":
+        merged = wand.unique_image_colors()
+        wand.images = merged.images
+        wand.iterator = 0
+        return None
+    if n == "linearstretch":
+        wand.linear_stretch_image(_q(kw.get("black-point"), 0.0),
+                                  _q(kw.get("white-point"), 1.0))
+        return None
+    if n == "colormatrix":
+        mat = kw.get("matrix", [])
+        if isinstance(mat, str):
+            mat = [float(v) for v in mat.replace(",", " ").split()]
+        order = int(round(len(mat) ** 0.5))
+        wand.color_matrix_image([mat[i * order:(i + 1) * order]
+                                 for i in range(order)])
+        return None
+    if n == "sparsecolor":
+        pts = kw.get("points", [])
+        if isinstance(pts, str):
+            pts = [float(v) for v in pts.replace(",", " ").split()]
+        from .cpp_support import sparse_color_flat
+
+        sparse_color_flat(wand, str(kw.get("method",
+                                           "voronoi")).lower(), pts)
+        return None
+    if n == "selectiveblur":
+        wand.selective_blur_image(float(kw.get("radius", 0.0)),
+                                  float(kw.get("sigma", 1.0)),
+                                  _q(kw.get("threshold"), 0.1))
+        return None
+    if n == "forwardfouriertransform":
+        wand.forward_fourier_transform_image(
+            bool(kw.get("magnitude", True)))
+        return None
+    if n == "inversefouriertransform":
+        wand.inverse_fourier_transform_image(
+            kw["image"], bool(kw.get("magnitude", True)))
+        return None
+    if n == "colordecisionlist":
+        wand.color_decision_list_image(str(kw.get("filename",
+                                                  kw.get("cdl", ""))))
+        return None
+    if n == "levelcolors":
+        wand.level_image_colors(str(kw.get("black-point", "black")),
+                                str(kw.get("white-point", "white")),
+                                bool(kw.get("invert", True)))
+        return None
+    if n == "mode":
+        w_, h_, _, _ = _geom_or_parts(kw, (3, 3, 0, 0))
+        wand.statistic_image("mode", w_, h_ or w_)
+        return None
+    if n == "perceptible":
+        wand.evaluate_image("max", float(kw.get("epsilon", 1e-6)))
+        return None
+    if n == "poly":
+        terms = kw.get("terms", [])
+        if isinstance(terms, str):
+            terms = [float(v) for v in terms.replace(",", " ").split()]
+        wand.polynomial_image(terms)
+        return None
+    if n == "meanshift":
+        w_, h_, _, _ = _geom_or_parts(kw, (3, 3, 0, 0))
+        wand.mean_shift_image(w_, h_ or w_,
+                              _q(kw.get("distance"), 0.1))
+        return None
+    if n == "copypixels":
+        from .cpp_support import copy_pixels
+
+        g = str(kw.get("geometry", ""))
+        copy_pixels(wand, kw["image"], g or "%dx%d+0+0" % (
+            kw["image"].get_image_width(),
+            kw["image"].get_image_height()),
+            int(kw.get("x", kw.get("dx", 0))),
+            int(kw.get("y", kw.get("dy", 0))))
+        return None
+    if n == "color":
+        wand.set_image_color(str(kw.get("color", "black")))
+        return None
+    if n == "rangethreshold":
+        g = str(kw.get("geometry", "0x0"))
+        vals = [_q(v) for v in g.replace("x", ",").split(",")]
+        vals = (vals + [0.0, 0.0, 1.0, 1.0])[:4]
+        wand.range_threshold_image(*vals)
+        return None
+    if n == "colorthreshold":
+        wand.color_threshold_image(str(kw.get("start-color", "black")),
+                                   str(kw.get("stop-color", "white")))
+        return None
+    if n == "bilateralblur":
+        radius = float(kw.get("radius", 0.0))
+        win = max(3, int(2 * radius + 1)) if radius else 5
+        wand.bilateral_blur_image(win, win,
+                                  float(kw.get("intensity-sigma", 0.75)),
+                                  float(kw.get("spatial-sigma", 0.25)))
+        return None
+    if n == "sortpixels":
+        import jax.numpy as jnp
+
+        img = wand.current
+        luma = jnp.mean(img.data[..., :3] if img.data.shape[-1] >= 3
+                        else img.data, axis=-1)
+        order = jnp.argsort(luma, axis=-1)
+        wand._set_current(img.replace(
+            data=jnp.take_along_axis(img.data, order[..., None], axis=-2)))
+        return None
+    if n == "integral":
+        import jax.numpy as jnp
+
+        img = wand.current
+        wand._set_current(img.replace(
+            data=jnp.cumsum(jnp.cumsum(img.data, axis=-3), axis=-2)))
+        return None
 
     raise ValueError(f"PerlMagick method {name!r} is not supported")
 

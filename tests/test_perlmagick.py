@@ -151,3 +151,43 @@ def test_rpc_server_direct():
     assert by_id[4]["result"] == [8, 4]
     assert "not supported" in by_id[5]["error"]
     assert by_id[6]["result"] is None
+
+
+def test_mogrify_method_tail():
+    """Round-2 widening: the remaining Magick.xs Mogrify names dispatch."""
+    import numpy as np
+
+    from imagemagick_tpu.wand import api, perl_compat as pc
+
+    w = api.MagickWand()
+    w.new_image(16, 12, "gray50")
+    assert pc.apply(w, "NumberColors") >= 1
+    pc.apply(w, "Sync")
+    pc.apply(w, "Convolve", coefficients="0,0,0,0,1,0,0,0,0")
+    pc.apply(w, "Mode", geometry="3x3")
+    pc.apply(w, "Perceptible", epsilon=1e-6)
+    pc.apply(w, "LinearStretch")
+    pc.apply(w, "LevelColors")
+    pc.apply(w, "SelectiveBlur", radius=0, sigma=1, threshold="10%")
+    pc.apply(w, "RangeThreshold", geometry="20%x80%")
+    pc.apply(w, "Integral")
+    txt = pc.apply(w, "Describe")
+    assert "Channel statistics" in txt
+    w2 = api.MagickWand()
+    w2.new_image(16, 12, "red")
+    pc.apply(w2, "SortPixels")
+    assert pc.apply(w2, "Difference", image=w2) == 0.0
+    pc.apply(w2, "Color", color="blue")
+    px = np.asarray(w2.current.data)[0, 0]
+    assert px[2] > 0.9 and px[0] < 0.1
+    w3 = api.MagickWand()
+    w3.new_image(8, 8, "white")
+    pc.apply(w3, "CopyPixels", image=w2, geometry="4x4+0+0", x=2, y=2)
+    assert np.asarray(w3.current.data)[3, 3, 2] > 0.9
+    pc.apply(w3, "UniqueColors")
+    assert w3.get_image_height() == 1
+    # floodfill family
+    w4 = api.MagickWand()
+    w4.new_image(8, 8, "white")
+    pc.apply(w4, "FloodfillPaint", x=0, y=0, fill="black", fuzz="5%")
+    assert float(np.asarray(w4.current.data).mean()) < 0.1
