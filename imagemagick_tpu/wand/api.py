@@ -2570,6 +2570,41 @@ class DrawingWand:
     def get_exception(self):
         return (0, "")
 
+    def clear_exception(self):
+        """DrawClearException (drawing-wand.c)."""
+        return True
+
+    def get_exception_type(self):
+        return 0
+
+    def alpha(self, x: float, y: float, method: str = "floodfill"):
+        """DrawAlpha (drawing-wand.c DrawAlpha): queue an alpha paint
+        primitive at the point."""
+        self._mvg.append(f"alpha {x},{y} {method}")
+
+    def annotation(self, x: float, y: float, text: str):
+        """DrawAnnotation: queue text at the point."""
+        esc = text.replace("'", "\\'")
+        self._mvg.append(f"text {x},{y} '{esc}'")
+
+    def set_font_resolution(self, x: float, y: float):
+        """DrawSetFontResolution (stored; glyphs raster at pointsize)."""
+        self._font_resolution = (float(x), float(y))
+        return True
+
+    def get_font_resolution(self):
+        return getattr(self, "_font_resolution", (96.0, 96.0))
+
+    def get_type_metrics(self, text: str, multiline: bool = False):
+        """DrawGetTypeMetrics via the annotate machinery."""
+        from ..ops.draw import get_type_metrics as _gtm
+
+        return _gtm(text, size=self.gc_font_size or 12.0)
+
+    def reset_vector_graphics(self):
+        """DrawResetVectorGraphics."""
+        self._mvg = []
+
     def render(self):
         """DrawRender: MVG is rendered lazily by MagickDrawImage."""
         return True
