@@ -1854,10 +1854,31 @@ class MagickWand:
     set_progress_monitor = set_image_progress_monitor
 
     def animate_images(self, server_name: str = ""):
-        raise RuntimeError("X11 display is out of scope; write a GIF instead")
+        """MagickAnimateImages/MagickDisplayImage: in-terminal sixel
+        rendering replaces the X server (cli/tools display semantics);
+        silent no-op off-TTY."""
+        from . import cpp_support
+
+        cpp_support.display(self)
+        return True
 
     display_image = animate_images
     display_images = animate_images
+
+    def get_image_iterations(self) -> int:
+        """MagickGetImageIterations."""
+        try:
+            return int(self.get_image_property("iterations") or 0)
+        except Exception:
+            return 0
+
+    def identify_image_type(self) -> str:
+        """MagickIdentifyImageType (pixel inspection, not the stored
+        type attribute)."""
+        from ..ops import attribute as attr
+
+        img = self.current
+        return attr.image_type(img.data, img.spec.alpha)
 
     # ------------------------------------------------------------------
     # magick-property.c exports: wand-level settings get/set pairs.
