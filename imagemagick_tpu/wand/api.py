@@ -96,6 +96,212 @@ class PixelWand:
             return f"srgb({r * 255:.0f},{g * 255:.0f},{b * 255:.0f})"
         return f"srgba({r * 255:.0f},{g * 255:.0f},{b * 255:.0f},{a:.3g})"
 
+    # --- full pixel-wand.c surface (62 exports) ---
+
+    def get_color_as_string(self) -> str:
+        return self.get_color_string()
+
+    def get_color_as_normalized_string(self) -> str:
+        r, g, b, a = self._rgba
+        if a >= 1.0:
+            return f"srgb({r:.6g},{g:.6g},{b:.6g})"
+        return f"srgba({r:.6g},{g:.6g},{b:.6g},{a:.6g})"
+
+    # quantum-scale accessors (Q16 convention, pixel-wand.c)
+    def get_red_quantum(self):
+        return self._rgba[0] * 65535.0
+
+    def get_green_quantum(self):
+        return self._rgba[1] * 65535.0
+
+    def get_blue_quantum(self):
+        return self._rgba[2] * 65535.0
+
+    def get_alpha_quantum(self):
+        return self._rgba[3] * 65535.0
+
+    def set_red_quantum(self, q):
+        self._rgba[0] = float(q) / 65535.0
+
+    def set_green_quantum(self, q):
+        self._rgba[1] = float(q) / 65535.0
+
+    def set_blue_quantum(self, q):
+        self._rgba[2] = float(q) / 65535.0
+
+    def set_alpha_quantum(self, q):
+        self._rgba[3] = float(q) / 65535.0
+
+    # CMYK facade over the stored RGB (pixel-wand.c stores both)
+    def _cmyk(self):
+        r, g, b = self._rgba[:3]
+        k = 1.0 - max(r, g, b)
+        d = max(1.0 - k, 1e-12)
+        return ((1 - r - k) / d, (1 - g - k) / d, (1 - b - k) / d, k)
+
+    def _set_cmyk(self, c, m, y, k):
+        self._rgba[0] = (1 - c) * (1 - k)
+        self._rgba[1] = (1 - m) * (1 - k)
+        self._rgba[2] = (1 - y) * (1 - k)
+
+    def get_cyan(self):
+        return self._cmyk()[0]
+
+    def get_magenta(self):
+        return self._cmyk()[1]
+
+    def get_yellow(self):
+        return self._cmyk()[2]
+
+    def get_black(self):
+        return self._cmyk()[3]
+
+    def set_cyan(self, v):
+        c, m, y, k = self._cmyk()
+        self._set_cmyk(float(v), m, y, k)
+
+    def set_magenta(self, v):
+        c, m, y, k = self._cmyk()
+        self._set_cmyk(c, float(v), y, k)
+
+    def set_yellow(self, v):
+        c, m, y, k = self._cmyk()
+        self._set_cmyk(c, m, float(v), k)
+
+    def set_black(self, v):
+        c, m, y, k = self._cmyk()
+        self._set_cmyk(c, m, y, float(v))
+
+    def get_cyan_quantum(self):
+        return self.get_cyan() * 65535.0
+
+    def get_magenta_quantum(self):
+        return self.get_magenta() * 65535.0
+
+    def get_yellow_quantum(self):
+        return self.get_yellow() * 65535.0
+
+    def get_black_quantum(self):
+        return self.get_black() * 65535.0
+
+    def set_cyan_quantum(self, q):
+        self.set_cyan(float(q) / 65535.0)
+
+    def set_magenta_quantum(self, q):
+        self.set_magenta(float(q) / 65535.0)
+
+    def set_yellow_quantum(self, q):
+        self.set_yellow(float(q) / 65535.0)
+
+    def set_black_quantum(self, q):
+        self.set_black(float(q) / 65535.0)
+
+    def get_hsl(self):
+        """PixelGetHSL (colorspace.c RGB->HSL triplet)."""
+        import colorsys
+
+        r, g, b = self._rgba[:3]
+        h, l, s = colorsys.rgb_to_hls(r, g, b)
+        return (h, s, l)
+
+    def set_hsl(self, hue, saturation, lightness):
+        import colorsys
+
+        r, g, b = colorsys.hls_to_rgb(float(hue), float(lightness),
+                                      float(saturation))
+        self._rgba[:3] = [r, g, b]
+
+    def get_fuzz(self):
+        return getattr(self, "_fuzz", 0.0)
+
+    def set_fuzz(self, f):
+        self._fuzz = float(f)
+
+    def get_index(self):
+        return getattr(self, "_index", 0)
+
+    def set_index(self, i):
+        self._index = int(i)
+
+    def get_color_count(self):
+        return getattr(self, "_count", 0)
+
+    def set_color_count(self, n):
+        self._count = int(n)
+
+    def set_color_from_wand(self, other: "PixelWand"):
+        self._rgba = list(other._rgba)
+
+    set_pixel_color = set_color_from_wand
+
+    def get_pixel(self):
+        """PixelGetPixel: PixelInfo-like tuple in quantum scale."""
+        return tuple(v * 65535.0 for v in self._rgba)
+
+    get_magick_color = get_pixel
+    get_quantum_packet = get_pixel
+
+    def get_quantum_pixel(self):
+        return tuple(v * 65535.0 for v in self._rgba)
+
+    def set_quantum_pixel(self, quad):
+        self._rgba = [float(v) / 65535.0 for v in list(quad)[:4]]
+
+    def is_similar(self, other: "PixelWand", fuzz: float = 0.0) -> bool:
+        """IsPixelWandSimilar."""
+        d2 = sum((a - b) ** 2 for a, b in zip(self._rgba, other._rgba))
+        return d2 ** 0.5 <= fuzz + 1e-12
+
+    def clone(self) -> "PixelWand":
+        w = PixelWand(list(self._rgba))
+        return w
+
+    def clear(self):
+        self._rgba = list(parse_color("black"))
+
+    def get_exception(self):
+        return (0, "")
+
+    def get_exception_type(self):
+        return 0
+
+    def clear_exception(self):
+        return True
+
+
+def new_pixel_wand(color="black") -> PixelWand:
+    """NewPixelWand (pixel-wand.c)."""
+    return PixelWand(color)
+
+
+def new_pixel_wands(n: int) -> list:
+    return [PixelWand() for _ in range(n)]
+
+
+def clone_pixel_wand(w: PixelWand) -> PixelWand:
+    return w.clone()
+
+
+def clone_pixel_wands(ws) -> list:
+    return [w.clone() for w in ws]
+
+
+def destroy_pixel_wand(w):
+    """DestroyPixelWand (no-op: Python owns the memory)."""
+    return None
+
+
+def destroy_pixel_wands(ws):
+    return None
+
+
+def is_pixel_wand(w) -> bool:
+    return isinstance(w, PixelWand)
+
+
+def is_pixel_wand_similar(a, b, fuzz=0.0) -> bool:
+    return a.is_similar(b, fuzz)
+
 
 class MagickWand:
     """The wand: image list + iterator + settings (NewMagickWand analog)."""
@@ -1220,6 +1426,20 @@ class MagickWand:
 
     def set_image_gravity(self, gravity):
         self.gravity = gravity
+
+    def get_gravity(self):
+        """MagickGetGravity (magick-property.c)."""
+        return self.gravity
+
+    def set_gravity(self, gravity):
+        self.gravity = gravity
+
+    def get_font(self):
+        """MagickGetFont (magick-property.c)."""
+        return self.font
+
+    def set_font(self, font):
+        self.font = font
 
     def set_background_color(self, color):
         self.background = color if isinstance(color, PixelWand) else PixelWand(color)
@@ -2636,6 +2856,106 @@ def new_magick_wand() -> MagickWand:
     return MagickWand()
 
 
+def new_magick_wand_from_image(image) -> MagickWand:
+    """NewMagickWandFromImage: adopt a core Image (or another wand's
+    current image) into a fresh wand."""
+    w = MagickWand()
+    if isinstance(image, MagickWand):
+        image = image.current
+    w.images = [image]
+    w.iterator = 0
+    return w
+
+
+def clone_magick_wand(w: MagickWand) -> MagickWand:
+    return w.clone()
+
+
+def clear_magick_wand(w: MagickWand):
+    w.clear()
+
+
+def destroy_magick_wand(w):
+    """DestroyMagickWand (no-op: Python owns the memory)."""
+    return None
+
+
+def is_magick_wand(w) -> bool:
+    return isinstance(w, MagickWand)
+
+
+def magick_wand_genesis():
+    """MagickWandGenesis (environment setup is implicit)."""
+    return None
+
+
+def magick_wand_terminus():
+    return None
+
+
+def magick_relinquish_memory(_blob=None):
+    return None
+
+
+def magick_query_formats(pattern: str = "*") -> list:
+    """MagickQueryFormats."""
+    import fnmatch
+
+    from .. import io as iio
+
+    fmts = sorted(set(iio.supported_read_formats())
+                  | set(iio.supported_write_formats()))
+    return [f.upper() for f in fmts
+            if fnmatch.fnmatch(f.upper(), pattern.upper())]
+
+
+def magick_query_fonts(pattern: str = "*") -> list:
+    """MagickQueryFonts: system fonts discoverable by the draw layer."""
+    import fnmatch
+    import glob as _glob
+    import os as _os
+
+    names = []
+    for d in ("/usr/share/fonts", _os.path.expanduser("~/.fonts")):
+        for f in _glob.glob(_os.path.join(d, "**", "*.ttf"),
+                            recursive=True):
+            names.append(_os.path.splitext(_os.path.basename(f))[0])
+    return sorted({n for n in names
+                   if fnmatch.fnmatch(n.lower(), pattern.lower())})
+
+
+def magick_query_configure_option(option: str) -> str:
+    """MagickQueryConfigureOption."""
+    table = {"VERSION": "7.1-compatible (imagemagick_tpu)",
+             "QuantumDepth": "Q16", "HDRI": "enabled",
+             "DELEGATES": "ghostscript ffmpeg freetype lcms",
+             "FEATURES": "TPU XLA Pallas HDRI"}
+    for k, v in table.items():
+        if k.lower() == option.lower():
+            return v
+    raise KeyError(option)
+
+
+def magick_query_configure_options(pattern: str = "*") -> list:
+    import fnmatch
+
+    keys = ["VERSION", "QuantumDepth", "HDRI", "DELEGATES", "FEATURES"]
+    return [k for k in keys if fnmatch.fnmatch(k.upper(), pattern.upper())]
+
+
+def magick_query_multiline_font_metrics(wand, drawing, text: str):
+    """MagickQueryMultilineFontMetrics."""
+    from ..ops.draw import get_type_metrics
+
+    size = getattr(drawing, "gc_font_size", None) or wand.pointsize or 12.0
+    lines = text.split("\n") or [""]
+    ms = [get_type_metrics(ln, size=size) for ln in lines]
+    out = dict(ms[0])
+    out["width"] = max(m["width"] for m in ms)
+    out["height"] = sum(m["height"] for m in ms)
+    return out
+
+
 class WandView:
     """Region-callback processing (wand-view.c / image-view.c analog).
 
@@ -2740,6 +3060,31 @@ class PixelIterator:
 
     def get_iterator_row(self) -> int:
         return self.row
+
+    def get_previous_row(self):
+        """PixelGetPreviousIteratorRow."""
+        if self.row <= 0:
+            return None
+        self.row -= 2
+        return self.get_next_row()
+
+    def clone(self) -> "PixelIterator":
+        it = PixelIterator(self.wand, self.x0, self.y0, self.width,
+                           self.height)
+        it.row = self.row
+        return it
+
+    def clear(self):
+        self.reset()
+
+    def get_exception(self):
+        return (0, "")
+
+    def get_exception_type(self):
+        return 0
+
+    def clear_exception(self):
+        return True
 
     def sync_iterator(self):
         """Write the (possibly modified) PixelWands back to the image."""

@@ -258,3 +258,52 @@ def test_fft_wand_methods(wand):
     ph = MagickWand(); ph.add_image(pair.images[1])
     mag.inverse_fourier_transform_image(ph)
     assert mag.current.data.shape == wand.current.data.shape
+
+
+def test_pixelwand_full_surface():
+    """pixel-wand.c 62-export parity: quantum/CMYK/HSL/fuzz/index."""
+    from imagemagick_tpu.wand import api
+
+    px = api.new_pixel_wand("rgb(255,128,0)")
+    assert px.get_red_quantum() == 65535.0
+    px.set_green_quantum(65535.0)
+    assert abs(px.green - 1.0) < 1e-6
+    c = api.new_pixel_wand("cyan")
+    assert abs(c.get_cyan() - 1.0) < 1e-6 and abs(c.get_black()) < 1e-6
+    c.set_black(1.0)
+    assert max(c.get_color()[:3]) < 1e-6          # K=1 -> black
+    h, s, l = api.new_pixel_wand("red").get_hsl()
+    assert abs(h) < 1e-6 and abs(s - 1.0) < 1e-6 and abs(l - 0.5) < 1e-6
+    px.set_fuzz(0.1)
+    assert px.get_fuzz() == 0.1
+    px.set_index(3)
+    assert px.get_index() == 3
+    a = api.new_pixel_wand("white")
+    b = a.clone()
+    assert api.is_pixel_wand_similar(a, b, 0.0)
+    b.set_color("grey90")
+    assert not api.is_pixel_wand_similar(a, b, 0.01)
+    assert a.get_color_as_normalized_string() == "srgb(1,1,1)"
+    q = a.get_quantum_pixel()
+    a.set_quantum_pixel(q)
+    assert a.red == 1.0
+
+
+def test_magickwand_module_functions():
+    """magick-wand.c module surface: genesis/clone/query helpers."""
+    from imagemagick_tpu.wand import api
+
+    api.magick_wand_genesis()
+    w = api.new_magick_wand()
+    w.new_image(3, 2, "lime")
+    w2 = api.clone_magick_wand(w)
+    assert w2.get_image_width() == 3
+    w3 = api.new_magick_wand_from_image(w.current)
+    assert w3.get_image_height() == 2
+    assert "PNG" in api.magick_query_formats("PN*")
+    assert api.magick_query_configure_option("QuantumDepth") == "Q16"
+    assert "VERSION" in api.magick_query_configure_options("*")
+    assert api.is_magick_wand(w) and not api.is_magick_wand(42)
+    api.clear_magick_wand(w2)
+    assert len(w2.images) == 0
+    api.magick_wand_terminus()
