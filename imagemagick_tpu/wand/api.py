@@ -2993,6 +2993,53 @@ class WandView:
         out = fn(a, b) if fn else b
         self.update(lambda _: out)
 
+    # wand-view.c export-name parity
+    get_pixels = get
+    update_iterator = update
+    transfer_iterator = transfer
+    duplex_transfer_iterator = transfer
+
+    def get_iterator(self, fn):
+        """GetWandViewIterator: read-only visit."""
+        fn(self.get())
+        return True
+
+    set_iterator = update_iterator
+
+    def get_extent(self):
+        """GetWandViewExtent -> RectangleInfo-like tuple."""
+        return (self.width, self.height, self.x, self.y)
+
+    def get_wand(self) -> "MagickWand":
+        return self.wand
+
+    def clone(self) -> "WandView":
+        return WandView(self.wand, self.x, self.y, self.width, self.height)
+
+    def get_exception(self):
+        return (0, "")
+
+
+def new_wand_view(wand: MagickWand) -> WandView:
+    """NewWandView (full canvas)."""
+    return WandView(wand)
+
+
+def new_wand_view_extent(wand: MagickWand, x, y, width, height) -> WandView:
+    return WandView(wand, x, y, width, height)
+
+
+def clone_wand_view(v: WandView) -> WandView:
+    return v.clone()
+
+
+def destroy_wand_view(v):
+    return None
+
+
+def is_wand_view(v) -> bool:
+    return isinstance(v, WandView)
+
 
 class PixelIterator:
     """Row-wise pixel access (pixel-iterator.c, 922 LoC analog).
