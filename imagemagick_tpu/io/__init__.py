@@ -42,7 +42,8 @@ _MAGIC = [
     (b"P5", "pnm"), (b"P6", "pnm"), (b"P7", "pam"), (b"PF", "pfm"), (b"Pf", "pfm"),
     (b"qoif", "qoi"),
     (b"8BPS", "psd"),
-    (b"\x00\x00\x01\x00", "ico"),
+    # ICO handled below with a count-field sanity check (the 4-byte
+    # magic alone collides with e.g. 1-wide ART headers)
     (b"SDPX", "dpx"),
     (b"XPDS", "dpx"),
     (b"\x80\x2a\x5f\xd7", "cin"),
@@ -123,6 +124,10 @@ def detect_format(data: bytes) -> Optional[str]:
             if fmt == "webp" and data[8:12] != b"WEBP":
                 continue
             return fmt
+    if data[:4] == b"\x00\x00\x01\x00" and len(data) > 6:
+        count = data[4] | (data[5] << 8)
+        if 0 < count <= 0x40:
+            return "ico"
     if data[4:12] in (b"ftypavif", b"ftypheic", b"ftypmif1"):
         return "avif" if b"avif" in data[4:12] else "heic"
     if data[:8] == b"farbfeld":
@@ -260,6 +265,8 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [formats2.decode_dcm(data)]
     elif use == "xcf":
         images = [formats2.decode_xcf(data)]
+    elif use == "sun":
+        images = [formats2.decode_sun(data)]
     elif use == "fits" or use == "fts":
         images = [formats2.decode_fits(data)]
     elif use == "wbmp":
@@ -549,6 +556,21 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats4.encode_ashlar(images)
     if fmt in ("magick", "h"):
         return formats4.encode_magick(images[0])
+    if fmt == "svg":
+        # raster-in-SVG wrapper (the reference embeds the raster too
+        # unless a tracing delegate like autotrace is installed)
+        import base64 as _b64
+
+        png = image_to_blob(images[0], "png")
+        w0, h0 = images[0].width, images[0].height
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<svg xmlns="http://www.w3.org/2000/svg" '
+            f'xmlns:xlink="http://www.w3.org/1999/xlink" '
+            f'width="{w0}" height="{h0}">\n'
+            f'<image width="{w0}" height="{h0}" '
+            f'xlink:href="data:image/png;base64,'
+            f'{_b64.b64encode(png).decode()}"/>\n</svg>\n').encode()
     return codecs.encode(images, fmt, quality=quality, depth=depth)
 
 

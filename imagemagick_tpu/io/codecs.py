@@ -183,6 +183,12 @@ def encode(images, fmt: str, quality: int = 92, depth: int = 8) -> bytes:
         kwargs["subsampling"] = 0 if quality >= 90 else 2
     if pil_fmt == "PNG" and depth > 8:
         pass  # 16-bit PNG handled in _to_pil via mode I;16
+    if pil_fmt == "ICO":
+        # PIL's default sizes list drops every entry larger than the
+        # source, which can produce an empty (6-byte) ICO — pin the
+        # actual frame size (<=256 per the format)
+        w0, h0 = pil_frames[0].size
+        kwargs["sizes"] = [(min(w0, 256), min(h0, 256))]
     icc = images[0].profiles.get("icc")
     if icc:
         kwargs["icc_profile"] = icc

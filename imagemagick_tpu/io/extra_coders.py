@@ -272,6 +272,7 @@ def decode_svg(data: bytes, width: Optional[int] = None,
 
     text = data.decode("utf-8", "replace")
     text = re.sub(r'xmlns(:\w+)?="[^"]*"', "", text, count=4)
+    text = text.replace("xlink:href=", "href=")
     root = ET.fromstring(text)
 
     def dim(v, default):
@@ -290,6 +291,7 @@ def decode_svg(data: bytes, width: Optional[int] = None,
     h = height or int(dim(root.get("height"), vh))
 
     mvg_parts: List[str] = []
+    overlays: List[tuple] = []
     sx, sy = w / vw, h / vh
     if sx != 1.0 or sy != 1.0:
         mvg_parts.append(f"scale {sx},{sy}")
@@ -333,6 +335,24 @@ def decode_svg(data: bytes, width: Optional[int] = None,
         elif tag == "text":
             x, y = float(a.get("x", 0)), float(a.get("y", 0))
             mvg_parts.append(f"text {x},{y} '{(el.text or '').strip()}'")
+        elif tag == "image":
+            href = a.get("href") or a.get(
+                "{http://www.w3.org/1999/xlink}href") or ""
+            if href.startswith("data:"):
+                import base64 as _b64
+
+                payload = href.split("base64,", 1)[-1]
+                try:
+                    from . import codecs as _codecs
+
+                    inner = _codecs.decode(_b64.b64decode(payload), None)[0]
+                    overlays.append((float(a.get("x", 0)),
+                                     float(a.get("y", 0)),
+                                     float(a.get("width", inner.width)),
+                                     float(a.get("height", inner.height)),
+                                     inner))
+                except Exception:
+                    pass
         for child in el:
             walk(child)
         mvg_parts.append("pop graphic-context")
@@ -343,4 +363,23 @@ def decode_svg(data: bytes, width: Optional[int] = None,
     canvas = jnp.ones((h, w, 4), jnp.float32).at[..., 3].set(0.0)
     bg = root.get("style", "")
     out = dw.draw(canvas, " ".join(mvg_parts), has_alpha=True)
+    for ox, oy, ow, oh, inner in overlays:
+        arr = np.asarray(inner.data, np.float32)
+        if arr.ndim == 4:
+            arr = arr[0]
+        if int(ow) != arr.shape[1] or int(oh) != arr.shape[0]:
+            from ..ops.resize import resize as _resize
+
+            arr = np.asarray(_resize(arr[None], max(int(oh), 1),
+                                     max(int(ow), 1), "triangle")[0])
+        if arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, -1)
+        if arr.shape[-1] == 3:
+            arr = np.concatenate([arr, np.ones_like(arr[..., :1])], -1)
+        y0, x0 = int(oy), int(ox)
+        hh = min(arr.shape[0], h - y0)
+        ww = min(arr.shape[1], w - x0)
+        if hh > 0 and ww > 0:
+            out = out.at[y0:y0 + hh, x0:x0 + ww, :].set(
+                jnp.asarray(arr[:hh, :ww, :4]))
     return Image(out, ImageSpec(colorspace="srgb", alpha=True))

@@ -737,6 +737,84 @@ def encode_sun(img: Image) -> bytes:
         + payload
 
 
+def decode_sun(data: bytes) -> Image:
+    """SUN rasterfile read (coders/sun.c): types 0/1 (standard/old) and 2
+    (byte-RLE), depths 1/8/24/32, optional RGB colormap, rows padded to
+    16 bits."""
+    if len(data) < 32:
+        raise ValueError("SUN: truncated header")
+    magic, w, h, depth, length, rtype, maptype, maplen = struct.unpack(
+        ">8I", data[:32])
+    if magic != 0x59A66A95:
+        raise ValueError("SUN: bad magic")
+    if w == 0 or h == 0 or depth not in (1, 8, 24, 32):
+        raise ValueError("SUN: unsupported geometry/depth")
+    pos = 32
+    cmap = None
+    if maptype and maplen:
+        if maptype == 1 and maplen % 3 == 0:          # RGB planes
+            n = maplen // 3
+            raw = np.frombuffer(data, np.uint8, maplen, pos)
+            cmap = np.stack([raw[:n], raw[n:2 * n], raw[2 * n:]], -1)
+        pos += maplen
+    if depth == 1:
+        stride = ((w + 15) // 16) * 2
+    elif depth == 8:
+        stride = w + (w & 1)
+    else:
+        bpp = depth // 8
+        stride = w * bpp + ((w * bpp) & 1)
+    need = stride * h
+    if rtype == 2:                                     # RT_BYTE_ENCODED
+        out = bytearray()
+        i = pos
+        n = len(data)
+        while len(out) < need and i < n:
+            b = data[i]
+            i += 1
+            if b == 0x80:
+                if i >= n:
+                    break
+                cnt = data[i]
+                i += 1
+                if cnt == 0:
+                    out.append(0x80)
+                else:
+                    if i >= n:
+                        break
+                    out += bytes([data[i]]) * (cnt + 1)
+                    i += 1
+            else:
+                out.append(b)
+        raw = bytes(out[:need].ljust(need, b"\0"))
+    else:
+        if len(data) < pos + need:
+            raise ValueError("SUN: truncated pixel data")
+        raw = data[pos:pos + need]
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    if depth == 1:
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        arr = (1.0 - bits).astype(np.float32)[..., None]   # 1 = black
+        return Image(arr, ImageSpec(colorspace="gray", depth=1))
+    if depth == 8:
+        idx = rows[:, :w]
+        if cmap is not None:
+            arr = cmap[np.minimum(idx, len(cmap) - 1)].astype(
+                np.float32) / 255.0
+            return Image(arr, ImageSpec(colorspace="srgb"))
+        return Image((idx.astype(np.float32) / 255.0)[..., None],
+                     ImageSpec(colorspace="gray"))
+    bpp = depth // 8
+    px = rows[:, :w * bpp].reshape(h, w, bpp)
+    if depth == 32:
+        # x-B-G-R (type-independent: alpha byte first)
+        arr = px[..., :0:-1].astype(np.float32) / 255.0
+    else:
+        # BGR unless RT_FORMAT_RGB (type 3 is RGB; types 0/1/2 are BGR)
+        arr = px[..., ::-1].astype(np.float32) / 255.0
+    return Image(arr.astype(np.float32), ImageSpec(colorspace="srgb"))
+
+
 # ---------------------------------------------------------------------------
 # OTB (Nokia on-the-air bitmap) and MONO (raw 1-bit LSB)
 # ---------------------------------------------------------------------------
