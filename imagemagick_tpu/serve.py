@@ -1,0 +1,172 @@
+"""Production serving daemon: a persistent HTTP worker over the CLI engine.
+
+The reference is a one-shot process per command; for TPU serving the
+economics invert — compilation is expensive once and ~free thereafter, so
+a resident worker that keeps the XLA executable cache warm across
+requests is the natural deployment unit (the role the DPC server plays
+for storage in the reference, SURVEY §2.5, inverted for compute).
+
+Endpoints (stdlib http.server; no external dependencies):
+
+  GET  /healthz            -> {"ok": true, "platform": "...", "devices": N}
+  GET  /formats            -> {"read": [...], "write": [...]}
+  POST /convert?args=...   -> body: input image bytes; `args` is a shell-
+                              style CLI argument string (e.g.
+                              "-resize 256x256 -colorspace gray");
+                              `of` selects the output format (default png)
+  POST /identify           -> body: image bytes -> verbose identify text
+
+Run:  python -m imagemagick_tpu.serve [--port 8089] [--host 127.0.0.1]
+
+Requests are serialized through one lock: device dispatch is serial
+anyway, and repeated arg-shapes hit the warm jit cache (the second
+identical request measures device-bound, not compile-bound).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import shlex
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+_LOCK = threading.Lock()
+
+
+class _Stdin:
+    """sys.stdin stand-in exposing only .buffer (what the CLI uses)."""
+
+    def __init__(self, data: bytes):
+        self.buffer = io.BytesIO(data)
+
+
+class _Stdout:
+    def __init__(self):
+        self.buffer = io.BytesIO()
+
+    def write(self, s):        # text writes (identify and friends)
+        self.buffer.write(s.encode() if isinstance(s, str) else s)
+
+    def flush(self):
+        pass
+
+
+def _run_cli(argv, body: bytes) -> bytes:
+    """Run the in-process CLI with stdio redirected to byte buffers."""
+    from .cli.main import main as cli_main
+
+    old_in, old_out = sys.stdin, sys.stdout
+    sin, sout = _Stdin(body), _Stdout()
+    try:
+        sys.stdin, sys.stdout = sin, sout
+        rc = cli_main(argv)
+    finally:
+        sys.stdin, sys.stdout = old_in, old_out
+    if rc != 0:
+        raise ValueError("command failed with exit code %d" % rc)
+    return sout.buffer.getvalue()
+
+
+_MIME = {"png": "image/png", "jpeg": "image/jpeg", "jpg": "image/jpeg",
+         "gif": "image/gif", "webp": "image/webp", "tiff": "image/tiff",
+         "bmp": "image/bmp", "miff": "application/octet-stream"}
+
+
+class Handler(BaseHTTPRequestHandler):
+    server_version = "imagemagick-tpu/0.1"
+
+    def log_message(self, fmt, *args):   # quiet by default
+        if self.server.verbose:          # type: ignore[attr-defined]
+            sys.stderr.write(fmt % args + "\n")
+
+    def _reply(self, code, body: bytes, ctype="application/json"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _err(self, code, msg):
+        self._reply(code, json.dumps({"error": msg}).encode())
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        if url.path == "/healthz":
+            try:
+                import jax
+
+                devs = jax.devices()
+                info = {"ok": True, "platform": devs[0].platform,
+                        "devices": len(devs)}
+            except Exception as exc:
+                info = {"ok": False, "error": str(exc)}
+            self._reply(200 if info.get("ok") else 503,
+                        json.dumps(info).encode())
+        elif url.path == "/formats":
+            from . import io as iio
+
+            self._reply(200, json.dumps(
+                {"read": iio.supported_read_formats(),
+                 "write": iio.supported_write_formats()}).encode())
+        else:
+            self._err(404, "unknown path %s" % url.path)
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        q = parse_qs(url.query)
+        length = int(self.headers.get("Content-Length", "0"))
+        body = self.rfile.read(length)
+        if not body:
+            return self._err(400, "empty body")
+        try:
+            if url.path == "/convert":
+                args = shlex.split(q.get("args", [""])[0])
+                of = q.get("of", ["png"])[0].lower()
+                with _LOCK:
+                    out = _run_cli(["-", *args, f"{of}:-"], body)
+                self._reply(200, out, _MIME.get(of,
+                                                "application/octet-stream"))
+            elif url.path == "/identify":
+                from . import io as iio
+                from .io import identify as ident
+
+                with _LOCK:
+                    img = iio.image_from_blob(body)[0]
+                    text = ident.describe(img, "request", verbose=True)
+                self._reply(200, text.encode(), "text/plain")
+            else:
+                self._err(404, "unknown path %s" % url.path)
+        except Exception as exc:                    # noqa: BLE001
+            self._err(400, "%s: %s" % (type(exc).__name__, exc))
+
+
+def make_server(host="127.0.0.1", port=8089, verbose=False):
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.verbose = verbose                           # type: ignore[attr-defined]
+    return srv
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8089)
+    ap.add_argument("--verbose", action="store_true")
+    ns = ap.parse_args(argv)
+    srv = make_server(ns.host, ns.port, ns.verbose)
+    print(json.dumps({"serving": f"http://{ns.host}:{ns.port}",
+                      "endpoints": ["/healthz", "/formats", "/convert",
+                                    "/identify"]}))
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,75 @@
+"""Serving daemon (imagemagick_tpu/serve.py): warm-worker HTTP API."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from imagemagick_tpu.core.image import Image
+from imagemagick_tpu.core.spec import ImageSpec
+from imagemagick_tpu.io import image_from_blob, image_to_blob
+from imagemagick_tpu import serve
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = serve.make_server(port=0)          # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def _conn(addr):
+    return http.client.HTTPConnection(addr[0], addr[1], timeout=120)
+
+
+def test_healthz_and_formats(server):
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    info = json.loads(r.read())
+    assert r.status in (200, 503) and "ok" in info
+    c.request("GET", "/formats")
+    fmts = json.loads(_conn(server).getresponse().read()) if False else None
+    c2 = _conn(server)
+    c2.request("GET", "/formats")
+    fmts = json.loads(c2.getresponse().read())
+    assert "png" in fmts["read"] and "png" in fmts["write"]
+
+
+def test_convert_roundtrip(server):
+    rng = np.random.default_rng(0)
+    img = Image(rng.random((32, 48, 3)).astype(np.float32),
+                ImageSpec(colorspace="srgb"))
+    blob = image_to_blob(img, "png")
+    c = _conn(server)
+    c.request("POST", "/convert?args=-resize%2016x16!%20-colorspace%20gray"
+              "&of=png", body=blob)
+    r = c.getresponse()
+    out = r.read()
+    assert r.status == 200, out
+    back = image_from_blob(out, "png")[0]
+    assert (back.height, back.width) == (16, 16)
+    assert back.spec.colorspace in ("gray", "srgb")
+
+
+def test_identify_endpoint(server):
+    img = Image(np.full((4, 6, 3), 0.25, np.float32),
+                ImageSpec(colorspace="srgb"))
+    c = _conn(server)
+    c.request("POST", "/identify", body=image_to_blob(img, "png"))
+    r = c.getresponse()
+    text = r.read().decode()
+    assert r.status == 200
+    assert "Geometry: 6x4+0+0" in text
+
+
+def test_error_surface(server):
+    c = _conn(server)
+    c.request("POST", "/convert?args=-resize%2010x10", body=b"not an image")
+    r = c.getresponse()
+    assert r.status == 400
+    assert "error" in json.loads(r.read())
