@@ -213,8 +213,12 @@ def read_images(filename: str, size: Optional[str] = None,
     with open(rest, "rb") as f:
         data = f.read()
     ext = fmt or os.path.splitext(rest)[1].lstrip(".").lower()
-    if ext in ("gray", "rgb", "rgba", "bgr", "bgra", "cmyk", "ycbcr") and w and h:
+    if ext in ("gray", "rgb", "rgba", "bgr", "bgra", "cmyk",
+               "ycbcr") and w and h:
         return [extra_coders.decode_raw(data, ext, w, h)]
+    if ext in ("raw", "r") and w and h:
+        # raw.c: single-channel quantum stream
+        return [extra_coders.decode_raw(data, "gray", w, h)]
     if ext == "mono" and w and h:
         return [formats2.decode_mono(data, w, h)]
     if ext == "uyvy" and w and h:
@@ -556,6 +560,12 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats4.encode_ashlar(images)
     if fmt in ("magick", "h"):
         return formats4.encode_magick(images[0])
+    if fmt == "dcx":
+        return formats4.encode_dcx(images)
+    if fmt == "cur":
+        return formats4.encode_cur(images[0])
+    if fmt == "raw":
+        return extra_coders.encode_raw(images[0], "gray", depth=depth)
     if fmt == "svg":
         # raster-in-SVG wrapper (the reference embeds the raster too
         # unless a tracing delegate like autotrace is installed)
@@ -584,7 +594,7 @@ _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "xwd", "sfw", "pdb", "tim", "cube", "pwp", "mvg", "ttf",
                   "otf", "cut", "rle", "mac", "pix", "yuv", "bayer",
                   "ept", "wpg", "ipl", "ftxt", "map", "magick", "tim2",
-                  "uhdr", "jnx"}
+                  "uhdr", "jnx", "raw"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",
@@ -593,7 +603,8 @@ _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "cals", "cal", "art", "xwd", "braille", "brf", "ubrl",
                    "ubrl6", "isobrl", "isobrl6", "uil", "html", "htm",
                    "pdb", "tim", "yuv", "bayer", "ps", "ps2", "ps3",
-                   "ept", "ipl", "ftxt", "map", "ashlar", "magick"}
+                   "ept", "ipl", "ftxt", "map", "ashlar", "magick",
+                   "dcx", "cur", "raw"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

@@ -1430,6 +1430,36 @@ def decode_jnx(data: bytes):
 
 
 # ---------------------------------------------------------------------------
+# DCX multi-page PCX container (pcx.c DCX path: u32le magic 0x3ADE68B1 +
+# 1024-slot offset table + PCX frames) and CUR cursor write (icon.c CUR
+# registration: ICO directory with type 2 + hotspot fields)
+# ---------------------------------------------------------------------------
+
+def encode_dcx(images) -> bytes:
+    from . import image_to_blob
+
+    frames = [image_to_blob(im, "pcx") for im in images[:1023]]
+    table = np.zeros(1024, "<u4")
+    pos = 4 + 1024 * 4
+    for i, f in enumerate(frames):
+        table[i] = pos
+        pos += len(f)
+    return struct.pack("<I", 0x3ADE68B1) + table.tobytes() + b"".join(frames)
+
+
+def encode_cur(img: Image, hotspot=(0, 0)) -> bytes:
+    from . import image_to_blob
+
+    ico = bytearray(image_to_blob(img, "ico"))
+    if len(ico) < 22 or ico[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("CUR: inner ICO encode failed")
+    ico[2] = 2                                    # resource type: cursor
+    # directory entry planes/bpp fields become the hotspot
+    struct.pack_into("<HH", ico, 10, int(hotspot[0]), int(hotspot[1]))
+    return bytes(ico)
+
+
+# ---------------------------------------------------------------------------
 # MAGICK C-header image (magick.c: "static const unsigned char
 # MagickImage[] = { 0x.., ... };" wrapping a GIF/PNM blob — write emits
 # the header, read extracts the hex bytes and decodes the inner blob)

@@ -735,3 +735,42 @@ def test_jnx_decode(rgb):
     assert len(imgs) == 1
     assert imgs[0].width == 17 and imgs[0].height == 13
     assert "jnx:northeast" in imgs[0].properties
+
+
+def test_dcx_write_pil_reads(rgb, tmp_path):
+    blob = image_to_blob([rgb, rgb], "dcx")
+    assert struct.unpack("<I", blob[:4])[0] == 0x3ADE68B1
+    from PIL import Image as P
+    import io as _io
+
+    im = P.open(_io.BytesIO(blob))
+    assert im.size == (17, 13)
+    im.seek(1)                      # second frame exists
+    # and our own PIL-bridged reader decodes it
+    back = image_from_blob(blob, "dcx")
+    assert back[0].width == 17
+
+
+def test_cur_write(rgb):
+    blob = image_to_blob(rgb, "cur")
+    assert blob[:4] == b"\x00\x00\x02\x00"      # cursor resource type
+    # directory entry geometry + the embedded PNG frame both intact
+    assert blob[6] == 17 and blob[7] == 13
+    off = struct.unpack_from("<I", blob, 18)[0]
+    assert blob[off:off + 8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_raw_alias(rgb):
+    blob = image_to_blob(rgb, "raw", depth=8)
+    assert len(blob) == 17 * 13
+    from imagemagick_tpu.io import read_images
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as f:
+        f.write(blob)
+        name = f.name
+    try:
+        back = read_images(name, size="17x13")[0]
+        assert back.spec.colorspace == "gray"
+    finally:
+        os.unlink(name)
