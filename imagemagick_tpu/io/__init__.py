@@ -67,6 +67,7 @@ _MAGIC = [
     (b"iiii", "ipl"),
     (b"mmmm", "ipl"),
     (b"TIM2", "tim2"),
+    (b"#PES", "pes"),
 ]
 
 _PSEUDO = {
@@ -359,6 +360,8 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = formats4.decode_tim2(data)
     elif use == "jnx":
         images = formats4.decode_jnx(data)
+    elif use == "pes":
+        images = [formats4.decode_pes(data)]
     elif use == "uhdr":
         # Ultra HDR is a JPEG with an embedded gainmap; decode the base
         images = codecs.decode(data, "jpeg")
@@ -594,7 +597,7 @@ _FORMATS2_READ = {"dpx", "cin", "dcm", "dicom", "xcf", "fits", "fts",
                   "xwd", "sfw", "pdb", "tim", "cube", "pwp", "mvg", "ttf",
                   "otf", "cut", "rle", "mac", "pix", "yuv", "bayer",
                   "ept", "wpg", "ipl", "ftxt", "map", "magick", "tim2",
-                  "uhdr", "jnx", "raw"}
+                  "uhdr", "jnx", "raw", "pes"}
 _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "fl32", "vicar", "vic", "sun", "otb", "mono", "bgra",
                    "cmyk", "ycbcr", "uyvy", "fax", "g3", "g4", "mat",

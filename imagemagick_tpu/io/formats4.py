@@ -1430,6 +1430,104 @@ def decode_jnx(data: bytes):
 
 
 # ---------------------------------------------------------------------------
+# Brother PES embroidery (pes.c: "#PES" header, PEC stitch stream with
+# 7-bit normal / 12-bit jump deltas and 254,176 color-change markers;
+# rendered — like the reference — by emitting the stitch blocks as SVG
+# paths in the thread palette and rasterizing)
+# ---------------------------------------------------------------------------
+
+_PES_COLORS = [
+    (0, 0, 0), (14, 31, 124), (10, 85, 163), (48, 135, 119),
+    (75, 107, 175), (237, 23, 31), (209, 92, 0), (145, 54, 151),
+    (228, 154, 203), (145, 95, 172), (157, 214, 125), (232, 169, 0),
+    (254, 186, 53), (255, 255, 0), (112, 188, 31), (192, 148, 0),
+    (168, 168, 168), (123, 111, 0), (255, 255, 179), (79, 85, 86),
+    (0, 0, 0), (11, 61, 145), (119, 1, 118), (41, 49, 51),
+    (42, 19, 1), (246, 74, 138), (178, 118, 36), (252, 187, 196),
+    (254, 55, 15), (240, 240, 240), (106, 28, 138), (168, 221, 196),
+    (37, 132, 187), (254, 179, 67), (255, 240, 141), (208, 166, 96),
+    (209, 84, 0), (102, 186, 73), (19, 74, 70), (135, 135, 135),
+    (216, 202, 198), (67, 86, 7), (254, 227, 197), (249, 147, 188),
+    (0, 56, 34), (178, 175, 212), (104, 106, 176), (239, 227, 185),
+    (247, 56, 102), (181, 76, 100), (19, 43, 26), (199, 1, 85),
+    (254, 158, 50), (168, 222, 235), (0, 103, 26), (78, 41, 144),
+    (47, 126, 32), (253, 217, 222), (255, 217, 17), (9, 91, 166),
+    (240, 249, 112), (227, 243, 91), (255, 200, 100), (255, 200, 150),
+    (255, 200, 200)]
+
+
+def decode_pes(data: bytes) -> Image:
+    from .extra_coders import decode_svg
+
+    if data[:4] != b"#PES":
+        raise ValueError("PES: improper header")
+    (pec_offset,) = struct.unpack_from("<i", data, 8)
+    pos = 12 + pec_offset + 36
+    if pos >= len(data):
+        raise ValueError("PES: truncated")
+    ncolors = data[pos] + 1
+    color_idx = [min(max(data[pos + 1 + i], 0), len(_PES_COLORS) - 1)
+                 for i in range(min(ncolors, 255))]
+    pos += 1 + ncolors + (532 - ncolors - 21)
+    stitches = []
+    block_offsets = [0]
+    x = y = 0
+    n = len(data)
+    while pos + 1 < n:
+        a, b = data[pos], data[pos + 1]
+        pos += 2
+        if a == 0xFF and b == 0:
+            break
+        if a == 254 and b == 176:
+            block_offsets.append(len(stitches))
+            pos += 1
+            continue
+        if a & 0x80:                       # jump: 12-bit signed
+            dx = ((a & 0x0F) << 8) + b
+            if dx & 0x800:
+                dx -= 0x1000
+            if pos >= n:
+                break
+            b = data[pos]
+            pos += 1
+        else:                              # normal: 7-bit signed
+            dx = a - 0x80 if a & 0x40 else a
+        if b & 0x80:
+            dy = ((b & 0x0F) << 8) + (data[pos] if pos < n else 0)
+            pos += 1
+            if dy & 0x800:
+                dy -= 0x1000
+        else:
+            dy = b - 0x80 if b & 0x40 else b
+        x += dx
+        y += dy
+        stitches.append((x, y))
+    if not stitches:
+        raise ValueError("PES: no stitches")
+    block_offsets.append(len(stitches))
+    xs = [p[0] for p in stitches]
+    ys = [p[1] for p in stitches]
+    x1, x2 = min(xs), max(xs)
+    y1, y2 = min(ys), max(ys)
+    w = max(int(x2 - x1), 1)
+    h = max(int(y2 - y1), 1)
+    parts = ['<svg width="%d" height="%d">' % (w, h)]
+    for bi in range(len(block_offsets) - 1):
+        s, e = block_offsets[bi], block_offsets[bi + 1]
+        if e <= s:
+            continue
+        ci = color_idx[bi] if bi < len(color_idx) else 0
+        r, g, b_ = _PES_COLORS[ci]
+        d = "M %g %g " % (stitches[s][0] - x1, stitches[s][1] - y1)
+        d += " ".join("L %g %g" % (px - x1, py - y1)
+                      for px, py in stitches[s + 1:e])
+        parts.append('<path stroke="#%02x%02x%02x" fill="none" d="%s"/>'
+                     % (r, g, b_, d))
+    parts.append("</svg>")
+    return decode_svg("\n".join(parts).encode())
+
+
+# ---------------------------------------------------------------------------
 # DCX multi-page PCX container (pcx.c DCX path: u32le magic 0x3ADE68B1 +
 # 1024-slot offset table + PCX frames) and CUR cursor write (icon.c CUR
 # registration: ICO directory with type 2 + hotspot fields)

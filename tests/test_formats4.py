@@ -774,3 +774,29 @@ def test_raw_alias(rgb):
         assert back.spec.colorspace == "gray"
     finally:
         os.unlink(name)
+
+
+def test_pes_decode():
+    # hand-built PES: pec_offset points right after the 12-byte header;
+    # one color, a square of normal stitches in red (thread index 5)
+    pec_off = 0
+    head = b"#PES" + b"0001" + struct.pack("<i", pec_off)
+    body = bytearray(b"\x00" * 36)      # discarded region
+    body += bytes([0])                  # ncolors-1 -> 1 color
+    body += bytes([5])                  # thread 5 = (237,23,31)
+    body += b"\x00" * (532 - 1 - 21)    # pad to the stitch stream
+    # stitches: start 0,0 then +20,0 / 0,+20 / -20,0 / 0,-20 (7-bit)
+    st = bytearray()
+    st += bytes([0, 0])
+    st += bytes([20, 0])
+    st += bytes([0, 20])
+    st += bytes([0x40 | (0x7F & -20) & 0x7F, 0])   # -20 via 7-bit signed
+    st += bytes([0, 0x40 | (0x7F & -20) & 0x7F])
+    st += b"\xff\x00"                   # terminator
+    blob = head + bytes(body) + bytes(st)
+    img = image_from_blob(blob)[0]      # magic-sniffed
+    arr = np.asarray(img.data)
+    assert arr.shape[0] >= 19 and arr.shape[1] >= 19
+    # some stitched pixels carry the thread color (red-dominant)
+    reds = (arr[..., 0] > 0.5) & (arr[..., 1] < 0.4)
+    assert reds.sum() > 10
