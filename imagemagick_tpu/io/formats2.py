@@ -553,8 +553,16 @@ def decode_fits(data: bytes) -> Image:
     dt = {8: "u1", 16: ">i2", 32: ">i4", -32: ">f4", -64: ">f8"}[bitpix]
     arr = np.frombuffer(data, dt, w * h * c, pos).astype(np.float64)
     arr = arr * bscale + bzero
-    lo, hi = arr.min(), arr.max()
-    arr = (arr - lo) / max(hi - lo, 1e-12)
+    if bitpix > 0:
+        # integer data: the reference maps over the full pixel range
+        # (fits.c:470 GetFITSPixelRange), no data-extrema stretch — this
+        # also makes 16-bit round trips exact
+        arr = arr / float((1 << bitpix) - 1)
+        arr = np.clip(arr, 0.0, 1.0)
+    else:
+        # float data: normalize by extrema (fits.c:463 GetFITSPixelExtrema)
+        lo, hi = arr.min(), arr.max()
+        arr = (arr - lo) / max(hi - lo, 1e-12)
     arr = arr.reshape(c, h, w) if naxis >= 3 else arr.reshape(1, h, w)
     arr = np.moveaxis(arr, 0, -1)[::-1]  # bottom-up -> top-down
     return Image(arr.astype(np.float32),

@@ -39,6 +39,8 @@ SKIP = {
     "palm",             # palette format (own tests)
     "pict", "pct",      # own round-trip tests
     "pam", "im",
+    "cur",              # write-only interop: PNG-frame cursors (Vista+)
+                        # that Pillow's DIB-only CUR reader rejects
 }
 
 LOSSY = {"jpeg", "jpg", "webp", "jxl", "pdb", "j2k", "jp2"}
@@ -52,7 +54,9 @@ def _fmts():
 
 @pytest.mark.parametrize("fmt", _fmts())
 def test_roundtrip_odd_size(fmt):
-    rng = np.random.default_rng(hash(fmt) % 2**31)
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(fmt.encode()))
     arr = rng.random((11, 13, 3)).astype(np.float32)
     img = Image(arr, ImageSpec(colorspace="srgb"))
     blob = image_to_blob(img, fmt)
@@ -78,7 +82,7 @@ def test_roundtrip_odd_size(fmt):
 
 @pytest.mark.parametrize("fmt", _fmts())
 def test_roundtrip_single_pixel(fmt):
-    if fmt == "pcx":
+    if fmt in ("pcx", "dcx"):
         pytest.skip("Pillow's PCX codec cannot round-trip 1x1 images")
     img = Image(np.full((1, 1, 3), 0.5, np.float32),
                 ImageSpec(colorspace="srgb"))
