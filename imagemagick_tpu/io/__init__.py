@@ -368,7 +368,17 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     else:
-        images = codecs.decode(data, use)
+        images = None
+        if use in ("tiff", "tif"):
+            # Pillow silently truncates 48-bit RGB TIFF to 8-bit; take
+            # the native deep reader first and fall back for everything
+            # it does not cover (compressed, sub-16-bit, multi-strip)
+            try:
+                images = [formats4.decode_tiff16(data)]
+            except Exception:
+                images = None
+        if images is None:
+            images = codecs.decode(data, use)
     if use in ("jpeg", "jpg", "png", "tiff", "tif"):
         from ..core.metadata import extract_metadata
 
@@ -504,7 +514,11 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
     if fmt == "sun":
         return formats2.encode_sun(images[0])
     if fmt == "mat":
-        return formats3.encode_mat(images[0])
+        return formats3.encode_mat(images[0], depth=depth)
+    if fmt in ("tiff", "tif") and depth > 8 and len(images) == 1 \
+            and not images[0].profiles:
+        # Pillow cannot save 48-bit RGB TIFF; use the native writer
+        return formats4.encode_tiff16(images[0])
     if fmt in ("viff", "xv", "vif"):
         return formats3.encode_viff(images[0])
     if fmt == "rla":

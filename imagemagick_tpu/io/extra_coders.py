@@ -75,8 +75,12 @@ def encode_raw(img: Image, fmt: str, depth: int = 8) -> bytes:
     if fmt == "gray" and arr.shape[-1] > 1:
         arr = arr.mean(-1, keepdims=True)
     if arr.shape[-1] < nch:
-        arr = np.concatenate([np.repeat(arr[..., :1], 3, -1),
-                              np.ones_like(arr[..., :1])], -1)[..., :nch]
+        if arr.shape[-1] >= 3:        # RGB -> RGBA/CMYK: append opaque
+            arr = np.concatenate([arr[..., :3],
+                                  np.ones_like(arr[..., :1])], -1)[..., :nch]
+        else:                          # gray -> expand channels
+            arr = np.concatenate([np.repeat(arr[..., :1], 3, -1),
+                                  np.ones_like(arr[..., :1])], -1)[..., :nch]
     arr = arr[..., :nch]
     if fmt == "bgr":
         arr = arr[..., ::-1]

@@ -174,9 +174,9 @@ def _decode_mat4(data: bytes) -> Image:
     return _mat_image(arr.reshape(ncols, mrows).T)
 
 
-def encode_mat(img: Image) -> bytes:
-    """Level-5 MAT-file with one uint8 matrix named 'imtpu' (mat.c write
-    side emits the same single-matrix layout)."""
+def encode_mat(img: Image, depth: int = 8) -> bytes:
+    """Level-5 MAT-file with one uint8/uint16 matrix named 'imtpu'
+    (mat.c write side emits the same single-matrix layout)."""
     arr = np.clip(np.asarray(img.to_numpy()), 0.0, 1.0)
     if arr.ndim == 4:
         arr = arr[0]
@@ -184,16 +184,20 @@ def encode_mat(img: Image) -> bytes:
         arr = arr[..., 0]
     else:
         arr = arr[..., :3]
-    q = (arr * 255.0 + 0.5).astype(np.uint8)
+    if depth > 8:
+        q = (arr * 65535.0 + 0.5).astype("<u2")
+    else:
+        q = (arr * 255.0 + 0.5).astype(np.uint8)
     # column-major payload
     if q.ndim == 2:
-        payload = q.T.tobytes()
+        payload = np.ascontiguousarray(q.T).tobytes()
         dims = (q.shape[0], q.shape[1])
-        mx = _MX_UINT8
+        mx = _MX_UINT16 if depth > 8 else _MX_UINT8
     else:
-        payload = np.transpose(q, (2, 1, 0)).tobytes()
+        payload = np.ascontiguousarray(
+            np.transpose(q, (2, 1, 0))).tobytes()
         dims = (q.shape[0], q.shape[1], q.shape[2])
-        mx = _MX_UINT8
+        mx = _MX_UINT16 if depth > 8 else _MX_UINT8
 
     def element(t, body):
         pad = (-len(body)) % 8
@@ -204,7 +208,7 @@ def encode_mat(img: Image) -> bytes:
     matrix = (element(_MI_UINT32, struct.pack("<II", mx, 0))
               + element(_MI_INT32, dims_body)
               + element(_MI_INT8, name)
-              + element(_MI_UINT8, payload))
+              + element(_MI_UINT16 if depth > 8 else _MI_UINT8, payload))
     header = (b"MATLAB 5.0 MAT-file, created by imagemagick_tpu"
               .ljust(116) + b"\0" * 8 + struct.pack("<H", 0x0100) + b"IM")
     return header + element(_MI_MATRIX, matrix)

@@ -1528,6 +1528,97 @@ def decode_pes(data: bytes) -> Image:
 
 
 # ---------------------------------------------------------------------------
+# 16-bit TIFF (tiff.c deep-pixel path): classic little-endian TIFF with
+# one uncompressed strip — written natively because Pillow cannot save
+# 48-bit RGB; a matching minimal reader covers what Pillow cannot load
+# ---------------------------------------------------------------------------
+
+def encode_tiff16(img: Image) -> bytes:
+    arr = _flat(img)
+    if arr.shape[-1] == 2:
+        arr = arr[..., :1]
+    elif arr.shape[-1] > 3:
+        arr = arr[..., :3]
+    h, w, c = arr.shape
+    q = (np.clip(arr, 0.0, 1.0) * 65535.0 + 0.5).astype("<u2")
+    payload = q.tobytes()
+    entries = []
+
+    def entry(tag, typ, count, value):
+        entries.append(struct.pack("<HHI", tag, typ, count)
+                       + struct.pack("<I", value))
+
+    nent = 10
+    ifd_off = 8
+    data_off = ifd_off + 2 + nent * 12 + 4
+    bits_off = data_off
+    extra = b""
+    if c == 3:
+        extra = struct.pack("<3H", 16, 16, 16) + b"\x00\x00"
+        strip_off = data_off + len(extra)
+    else:
+        strip_off = data_off
+    entry(256, 3, 1, w)                       # ImageWidth
+    entry(257, 3, 1, h)                       # ImageLength
+    if c == 3:
+        entry(258, 3, 3, bits_off)            # BitsPerSample offset
+    else:
+        entry(258, 3, 1, 16)
+    entry(259, 3, 1, 1)                       # no compression
+    entry(262, 3, 1, 2 if c == 3 else 1)      # photometric
+    entry(273, 4, 1, strip_off)               # StripOffsets
+    entry(277, 3, 1, c)                       # SamplesPerPixel
+    entry(278, 3, 1, h)                       # RowsPerStrip
+    entry(279, 4, 1, len(payload))            # StripByteCounts
+    entry(284, 3, 1, 1)                       # chunky planar config
+    head = b"II*\x00" + struct.pack("<I", ifd_off)
+    ifd = struct.pack("<H", nent) + b"".join(entries) + struct.pack("<I", 0)
+    return head + ifd + extra + payload
+
+
+def decode_tiff16(data: bytes) -> Image:
+    """Minimal reader for the uncompressed chunky TIFFs encode_tiff16
+    emits (and similar deep files Pillow rejects)."""
+    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("TIFF16: bad magic")
+    e = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+    (nent,) = struct.unpack_from(e + "H", data, ifd_off)
+    tags = {}
+    for i in range(nent):
+        tag, typ, count, raw = struct.unpack_from(
+            e + "HHI4s", data, ifd_off + 2 + i * 12)
+        tags[tag] = (typ, count, raw)
+
+    def val(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, count, raw = tags[tag]
+        size = {1: 1, 3: 2, 4: 4}.get(typ, 4)
+        if count * size <= 4:
+            if typ == 3:
+                return struct.unpack(e + "H", raw[:2])[0]
+            return struct.unpack(e + "I", raw)[0]
+        (off,) = struct.unpack(e + "I", raw)
+        if typ == 3:
+            return struct.unpack_from(e + "H", data, off)[0]
+        return struct.unpack_from(e + "I", data, off)[0]
+
+    w, h = val(256), val(257)
+    bps = val(258, 8)
+    comp = val(259, 1)
+    spp = val(277, 1)
+    strip = val(273)
+    if comp != 1 or bps != 16 or not w or not h:
+        raise ValueError("TIFF16: only uncompressed 16-bit supported")
+    dt = np.dtype("u2").newbyteorder(e)
+    arr = np.frombuffer(data, dt, w * h * spp, strip).reshape(h, w, spp)
+    cs = "gray" if spp == 1 else "srgb"
+    return Image((arr.astype(np.float32) / 65535.0),
+                 ImageSpec(colorspace=cs, alpha=spp == 4, depth=16))
+
+
+# ---------------------------------------------------------------------------
 # DCX multi-page PCX container (pcx.c DCX path: u32le magic 0x3ADE68B1 +
 # 1024-slot offset table + PCX frames) and CUR cursor write (icon.c CUR
 # registration: ICO directory with type 2 + hotspot fields)

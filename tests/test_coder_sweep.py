@@ -92,3 +92,50 @@ def test_roundtrip_single_pixel(fmt):
         pytest.skip(f"{fmt}: rejects 1x1 (documented geometry limit)")
     back = image_from_blob(blob, fmt)[0]
     assert (back.height, back.width) == (1, 1), fmt
+
+
+SIZED = ["gray", "rgb", "rgba", "bgr", "cmyk", "mono", "yuv", "bayer",
+         "map", "raw"]
+
+
+@pytest.mark.parametrize("fmt", SIZED)
+def test_sized_raw_roundtrip(fmt, tmp_path):
+    """-size-parameterized raw streams round-trip through real files."""
+    import os
+
+    from imagemagick_tpu.io import read_images, write_image
+
+    rng = np.random.default_rng(11)
+    arr = rng.random((10, 14, 3)).astype(np.float32)
+    img = Image(arr, ImageSpec(colorspace="srgb"))
+    path = str(tmp_path / f"t.{fmt}")
+    write_image(img, f"{fmt}:{path}", depth=8)
+    assert os.path.getsize(path) > 0
+    back = read_images(path, size="14x10")[0]
+    assert (back.height, back.width) == (10, 14), fmt
+    got = np.asarray(back.data)
+    if fmt in ("rgb", "rgba", "bgr"):
+        np.testing.assert_allclose(got[..., :3],
+                                   np.round(arr * 255) / 255,
+                                   atol=1 / 254, err_msg=fmt)
+    elif fmt in ("gray", "raw", "mono"):
+        assert got.shape[-1] == 1
+
+
+DEEP = ["png", "tiff", "miff", "ppm", "vips", "pgx", "exr", "fits",
+        "pfm", "fl32", "mat"]
+
+
+@pytest.mark.parametrize("fmt", DEEP)
+def test_deep_roundtrip_16bit_precision(fmt):
+    """Formats claiming >8-bit depth must beat 8-bit quantization error."""
+    grad = np.linspace(0.0, 1.0, 31 * 9, dtype=np.float32)
+    arr = grad.reshape(9, 31, 1).repeat(3, axis=2)
+    img = Image(arr.copy(), ImageSpec(colorspace="srgb", depth=16))
+    blob = image_to_blob(img, fmt, depth=16)
+    back = image_from_blob(blob, fmt)[0]
+    got = np.asarray(back.data)
+    if got.shape[-1] == 1:
+        got = np.repeat(got, 3, -1)
+    err = float(np.abs(got[..., :3] - arr).max())
+    assert err < 1 / 1024, f"{fmt}: max err {err} not better than 8-bit"
