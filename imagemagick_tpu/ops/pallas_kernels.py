@@ -145,11 +145,14 @@ def fused_separable_blur(img: jnp.ndarray, taps: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def _morph_edge_kernel(r0_ref, thr_ref, x_hbm, out_ref, band, sem,
-                       *, TO, BAND, W, WPAD, nprog, halo):
+                       *, TO, BAND, W, WPAD, nprog, halo, ntiles, H):
     """threshold + 3x3 open + 3x3 close + edge(1) in one VMEM pass.
 
     XLA runs this chain at ~20ms for 14MP (each stencil re-reads HBM and
     stage composition defeats fusion); here the band is read once.
+    Per-STAGE row edge policy (the reference pads each op's own input)
+    is applied in-kernel for the image-top and image-bottom bands, so no
+    host-side strip fix-up pass is needed.
     """
     step = pl.program_id(0)
 
@@ -210,21 +213,46 @@ def _morph_edge_kernel(r0_ref, thr_ref, x_hbm, out_ref, band, sem,
         total = s[:-2] + s[1:-1] + s[2:]
         return jnp.clip(9.0 * v[1:-1] - total, 0.0, 1.0)
 
-    y = min9(t)        # erode   (rows: BAND -> BAND-2)
-    y = max9(y)        # dilate  -> open done
-    y = max9(y)        # dilate
-    y = min9(y)        # erode   -> close done
-    y = edge9(y)       # edge    (rows: -2)
+    # per-stage row-edge fixup: after k completed stages the array index
+    # j maps to padded row (band start + j + k); image row 0 sits at
+    # index halo-k in the top band, the last image row at iL0-k in the
+    # bottom band. Replicating those rows outward reproduces the
+    # reference's pad-each-stage-input semantics exactly.
+    t_idx = step % ntiles
+    is_top = t_idx == 0
+    is_bot = t_idx == (ntiles - 1)
+    iL0 = halo + (H - 1) - (ntiles - 1) * TO
+
+    def stage_fix(v, k):
+        rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        i0 = halo - k
+        if i0 > 0:
+            rep = jnp.broadcast_to(v[i0:i0 + 1], v.shape)
+            v = jnp.where(is_top & (rows < i0), rep, v)
+        iL = iL0 - k
+        if 0 <= iL < v.shape[0] - 1:
+            repb = jnp.broadcast_to(v[iL:iL + 1], v.shape)
+            v = jnp.where(is_bot & (rows > iL), repb, v)
+        return v
+
+    y = stage_fix(min9(t), 1)        # erode   (rows: BAND -> BAND-2)
+    y = stage_fix(max9(y), 2)        # dilate  -> open done
+    y = stage_fix(max9(y), 3)        # dilate
+    y = stage_fix(min9(y), 4)        # erode   -> close done
+    y = edge9(y)                     # edge    (rows: -2)
     out_ref[:, :] = y[:TO, :]
 
 
 @functools.lru_cache(maxsize=16)
-def _build_morph_edge(N, H, W, WPAD, TO, ntiles, interpret=False):
+def _build_morph_edge_v2(N, H, Hp, W, WPAD, TO, ntiles, interpret=False):
+    # H = image height (drives the in-kernel bottom-edge index);
+    # Hp = padded per-image extent in the flat input
     halo = 5
     BAND = _round_up(TO + 2 * halo, 8)
     nprog = N * ntiles
     kern = functools.partial(_morph_edge_kernel, TO=TO, BAND=BAND, W=W,
-                             WPAD=WPAD, nprog=nprog, halo=halo)
+                             WPAD=WPAD, nprog=nprog, halo=halo,
+                             ntiles=ntiles, H=H)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nprog,),
@@ -282,7 +310,8 @@ def fused_bilevel_morph_edge(img: jnp.ndarray, threshold,
     if bot < 0:
         return None
     xf = jnp.pad(x, ((0, 0), (halo, bot), (lpad, rpad)), mode="edge")
-    call, _ = _build_morph_edge(N, Hp, W, WPAD, TO, ntiles, interpret)
+    call, _ = _build_morph_edge_v2(N, H, Hp, W, WPAD, TO, ntiles,
+                                   interpret)
     r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hp, ntiles) +
                np.tile(np.arange(ntiles, dtype=np.int64) * TO, N)
                ).astype(np.int32)
@@ -290,14 +319,8 @@ def fused_bilevel_morph_edge(img: jnp.ndarray, threshold,
                jnp.asarray([threshold], jnp.float32).reshape(1),
                xf.reshape(N * Hp, WPAD))
     out = out.reshape(N, ntiles * TO, WPAD)[:, :H, lpad:lpad + W]
-    # the top/bottom `halo` rows see replicated-original halos in-band,
-    # but the reference pads each STAGE's input; recompute those strips
-    # with the op chain (tiny) and stitch for exact boundaries
-    strip = min(4 * halo, H)
-    top = _morph_edge_reference(x[:, :strip], threshold)[:, :halo]
-    bot = _morph_edge_reference(x[:, -strip:], threshold)[:, -halo:]
-    out = out.at[:, :halo].set(top)
-    out = out.at[:, -halo:].set(bot)
+    # per-STAGE edge policy is handled inside the kernel (stage_fix), so
+    # no host-side strip recomputation or full-tensor stitching passes
     return out[..., None] if squeeze else out
 
 
