@@ -126,11 +126,15 @@ def config2_blur_unsharp_lab():
     xf = x.reshape(N * H, W * C)
 
     def step_fused(b):
-        y = fused_linear_pipeline(b, terms, C, in_shape=(N, H, W, C))
+        # TO=128 fills the MXU's M dimension (the kernel is MXU-bound at
+        # b3 precision); a 2-deep DMA queue frees the VMEM it needs
+        y = fused_linear_pipeline(b, terms, C, TO=128, nslots=2,
+                                  in_shape=(N, H, W, C))
         y = cs.convert(y, "srgb", "lab")
         return cs.convert(y, "lab", "srgb")
 
-    if fused_linear_pipeline(xf, terms, C, in_shape=(N, H, W, C)) is not None:
+    if fused_linear_pipeline(xf, terms, C, TO=128, nslots=2,
+                             in_shape=(N, H, W, C)) is not None:
         per_f = _time_chain(step_fused, xf, n2=6 if QUICK else 11)
         _report("config2_fused", mp, per_f,
                 f"1080p batch {N}, rank-2 pallas + lab epilogue")

@@ -187,7 +187,7 @@ def _mm(a, b, precision):
 
 def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
             *, TO, BAND, c0s, SPAN, precision, clip, nprog, ntiles,
-            nterms=1, guids=None):
+            nterms=1, guids=None, nslots=_NSLOTS):
     """One program per (image, row-tile), flattened to a 1-D grid.
 
     Two measured structural rules shape this kernel:
@@ -221,16 +221,16 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
     # NSLOTS-1 transfers in flight ahead of the consumer.
     @pl.when(step == 0)
     def _():
-        for k in range(min(_NSLOTS, nprog)):
+        for k in range(min(nslots, nprog)):
             band_dma(k, k).start()
 
-    nxt = step + _NSLOTS - 1
+    nxt = step + nslots - 1
 
     @pl.when((step > 0) & (nxt < nprog))
     def _():
-        band_dma(nxt % _NSLOTS, nxt).start()
+        band_dma(nxt % nslots, nxt).start()
 
-    slot = step % _NSLOTS
+    slot = step % nslots
     band_dma(slot, step).wait()
 
     # Horizontal pass FIRST: (BAND, SPAN) @ (SPAN, 128) per block — deep-K,
@@ -265,7 +265,7 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
 @functools.lru_cache(maxsize=64)
 def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
                 precision, clip, interpret=False, nterms=1, guids=None,
-                n_unique=None):
+                n_unique=None, nslots=_NSLOTS):
     nprog = N * ntiles
     if guids is None:
         guids = tuple(range(nterms * nb))
@@ -273,7 +273,8 @@ def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
         n_unique = nterms * nb
     kern = functools.partial(_kernel, TO=TO, BAND=BAND, c0s=c0s, SPAN=SPAN,
                              precision=precision, clip=clip, nprog=nprog,
-                             ntiles=ntiles, nterms=nterms, guids=guids)
+                             ntiles=ntiles, nterms=nterms, guids=guids,
+                             nslots=nslots)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nprog,),
@@ -285,10 +286,10 @@ def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
         out_specs=pl.BlockSpec((TO, OUTP), lambda i, r0: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_NSLOTS, BAND, WINC), jnp.float32),
+            pltpu.VMEM((nslots, BAND, WINC), jnp.float32),
             pltpu.VMEM((nterms * ntiles, TO, BAND), jnp.float32),
             pltpu.VMEM((n_unique, SPAN, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((_NSLOTS,)),
+            pltpu.SemaphoreType.DMA((nslots,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -314,7 +315,7 @@ def _plan(Hin, Win, C, Hout, Wout, filt, sigma, mix_key, TO):
 def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
                           mix: Optional[np.ndarray] = None,
                           precision: str = "b3", clip: bool = True,
-                          TO: int = 64,
+                          TO: int = 64, nslots: int = _NSLOTS,
                           in_shape: Optional[Tuple[int, int, int, int]] = None,
                           interpret: bool = False) -> Optional[jnp.ndarray]:
     """General entry: out = clip( sum_t Mv_t @ x @ Mw_t^T , mixed ).
@@ -398,17 +399,18 @@ def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
             keep.append(blk)
         guids.append(uniq[key])
     GB_all = np.stack(keep)
-    vmem = (_NSLOTS * BAND * WINC + GB_all.size + WV_all.size +
+    vmem = (nslots * BAND * WINC + GB_all.size + WV_all.size +
             2 * TO * OUTP + TO * WINC) * 4
     if vmem > _VMEM_BUDGET:
         if TO > 16:
             return fused_linear_pipeline(x, terms, C, mix, precision, clip,
-                                         TO // 2, in_shape, interpret)
+                                         TO // 2, nslots, in_shape,
+                                         interpret)
         return None
     call = _build_call(N, Hin, WINC, TO, BAND, ntiles, len(c0s), SPAN,
                        OUTP, c0s, precision, clip, interpret,
                        nterms=len(terms), guids=tuple(guids),
-                       n_unique=len(keep))
+                       n_unique=len(keep), nslots=nslots)
     r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hin, ntiles) +
                np.tile(r0s.astype(np.int64), N)).astype(np.int32)
     out = call(jnp.asarray(r0_flat), x.reshape(N * Hin, WINC),
