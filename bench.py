@@ -56,7 +56,8 @@ def pipeline_flat(flat_batch):
     from imagemagick_tpu.ops.fused_pipeline import fused_resize_pipeline
 
     return fused_resize_pipeline(flat_batch, 256, 256, "lanczos", 2.0,
-                                 GRAY_MIX, in_shape=(BATCH, H, W, C))
+                                 GRAY_MIX, TO=128, nslots=3,
+                                 in_shape=(BATCH, H, W, C))
 
 
 def pipeline_xla(batch):

@@ -81,6 +81,7 @@ def config1_thumbnail():
 
     def step(b):
         return fused_resize_pipeline(b, 256, 256, "lanczos", 2.0, mix,
+                                     TO=128, nslots=3,
                                      in_shape=(N, H, W, C))
 
     # ~0.4 ms/step: a 10-step delta sits at the tunnel's ~5 ms RPC jitter

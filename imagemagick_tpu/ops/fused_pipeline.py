@@ -447,7 +447,7 @@ def fused_resize_pipeline(x: jnp.ndarray, Hout: int, Wout: int,
                           mix: Optional[np.ndarray] = None,
                           precision: str = "b3",
                           clip: bool = True,
-                          TO: int = 64,
+                          TO: int = 64, nslots: int = _NSLOTS,
                           in_shape: Optional[Tuple[int, int, int, int]] = None,
                           interpret: bool = False) -> Optional[jnp.ndarray]:
     """Fused resize [+ separable blur] [+ linear channel mix], one kernel.
@@ -491,17 +491,18 @@ def fused_resize_pipeline(x: jnp.ndarray, Hout: int, Wout: int,
     WV, r0s, BAND, ntiles, GB, c0s, SPAN, OUT, OUTP = _plan(
         Hin, Win, C, Hout, Wout, filt, float(sigma), mix_key, TO)
     # VMEM accounting: DMA slots + G blocks + all WV tiles + out block (x2)
-    vmem = (_NSLOTS * BAND * WINC + GB.size + WV.size +
+    vmem = (nslots * BAND * WINC + GB.size + WV.size +
             2 * TO * OUTP + TO * WINC) * 4
     if vmem > _VMEM_BUDGET:
         if TO > 16:
             return fused_resize_pipeline(x, Hout, Wout, filt, sigma, mix,
                                          precision, clip, TO=TO // 2,
-                                         in_shape=in_shape,
+                                         nslots=nslots, in_shape=in_shape,
                                          interpret=interpret)
         return None
     call = _build_call(N, Hin, WINC, TO, BAND, ntiles, GB.shape[0], SPAN,
-                       OUTP, c0s, precision, clip, interpret)
+                       OUTP, c0s, precision, clip, interpret,
+                       nslots=nslots)
     # flat absolute row offsets: program i = image i//ntiles, tile i%ntiles
     r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hin, ntiles) +
                np.tile(r0s.astype(np.int64), N)).astype(np.int32)
