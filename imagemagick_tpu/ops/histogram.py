@@ -34,6 +34,14 @@ def _histogram_fixed(values: jnp.ndarray, bins: int) -> jnp.ndarray:
     is a tall-K matmul the MXU streams.  Counts accumulate in f32 (exact
     for < 2^24 pixels).  Measured 8.4 -> 1.1 ms on 14MP (7.6x).
     """
+    if bins == 256 and values.dtype == jnp.float32:
+        # large 256-bin histograms: VMEM-resident one-hot kernel (the XLA
+        # path below materializes the (P, 16) one-hots in HBM)
+        from . import pallas_kernels as pk
+
+        out = pk.pallas_histogram256(values)
+        if out is not None:
+            return out
     idx = jnp.clip((values.reshape(-1) * (bins - 1) + 0.5).astype(jnp.int32),
                    0, bins - 1)
     if bins < 16 or (bins & (bins - 1)) != 0:

@@ -334,3 +334,120 @@ def _morph_edge_reference(x3: jnp.ndarray, threshold) -> jnp.ndarray:
     y = _mo.morphology(y, "open", "square:1")
     y = _mo.morphology(y, "close", "square:1")
     return _bl.edge_image(y, 1.0)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# 256-bin histogram (histogram.c role): factored one-hot matmul with the
+# one-hots built in VMEM. The XLA path materializes two (P, 16) bf16
+# one-hot matrices in HBM (~0.9 GB of traffic at 14MP); here each band's
+# one-hots live and die in VMEM and only a (16, 16) f32 accumulator ever
+# leaves the chip.
+# ---------------------------------------------------------------------------
+
+_HIST_LANES = 512
+_HIST_ROWS = 256           # 128K elements/program (measured best)
+
+
+def _hist_kernel(x_hbm, out_ref, band, sem, *, B, nprog):
+    step = pl.program_id(0)
+
+    def dma(s, which):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(which * B, B), :], band.at[s], sem.at[s])
+
+    @pl.when(step == 0)
+    def _():
+        for k in range(min(2, nprog)):
+            dma(k, k).start()
+
+    nxt = step + 1
+
+    @pl.when((step > 0) & (nxt < nprog))
+    def _():
+        dma(nxt % 2, nxt).start()
+
+    slot = step % 2
+    dma(slot, step).wait()
+
+    v = band[slot]                                   # (B, LANES)
+    P = B * _HIST_LANES
+    maskf = jnp.where(v >= 0.0, 1.0, 0.0).reshape(1, P)  # f32: reshapes ok
+    idx = jnp.clip((v * 255.0 + 0.5).astype(jnp.int32), 0, 255)
+    hi = (idx >> 4).reshape(1, P)
+    lo = (idx & 15).reshape(1, P)
+    # one-hots laid out (16, P): 16 sublanes x P lanes — 2 MB each in
+    # bf16 instead of the 16 MB a lane-padded (P, 16) layout would take
+    iota = jax.lax.broadcasted_iota(jnp.int32, (16, P), 0)
+    oh = (jnp.where(hi == iota, 1.0, 0.0) * maskf).astype(jnp.bfloat16)
+    ol = jnp.where(lo == iota, 1.0, 0.0).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(oh, ol, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    out_ref[:16, :16] += acc
+
+
+@functools.lru_cache(maxsize=8)
+def _build_hist(nprog, interpret=False):
+    B = _HIST_ROWS
+    kern = functools.partial(_hist_kernel, B=B, nprog=nprog)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nprog,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((32, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, _HIST_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+
+
+def pallas_histogram256(values: jnp.ndarray,
+                        interpret: bool = False) -> Optional[jnp.ndarray]:
+    """256-bin histogram of values in [0,1] (flattened); returns (256,)
+    f32 counts or None when the path doesn't apply. Exact for < 2^24
+    valid elements (f32 accumulation)."""
+    if not HAVE_PALLAS:
+        return None
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        return None
+    if values.dtype != jnp.float32:
+        return None
+    try:
+        from jax.interpreters import batching
+
+        if isinstance(values, batching.BatchTracer):
+            # vmap adds a batch dim the ANY-memspace specs can't express;
+            # the XLA path handles the batched case
+            return None
+    except Exception:
+        pass
+    flat = values.reshape(-1)
+    E = flat.size
+    chunk = _HIST_ROWS * _HIST_LANES
+    if E < 4 * chunk or E >= (1 << 24):
+        return None
+    nprog = E // chunk
+    main = flat[:nprog * chunk].reshape(nprog * _HIST_ROWS, _HIST_LANES)
+    out = _build_hist(nprog, interpret)(main)
+    hist = out[:16, :16].reshape(256)
+    tail = flat[nprog * chunk:]
+    if tail.size:
+        idx = jnp.clip((tail * 255.0 + 0.5).astype(jnp.int32), 0, 255)
+        iota = jnp.arange(256, dtype=jnp.int32)
+        hist = hist + jnp.sum((idx[:, None] == iota[None, :])
+                              .astype(jnp.float32), axis=0)
+    return hist

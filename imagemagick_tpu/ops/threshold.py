@@ -103,7 +103,9 @@ def auto_threshold(img: jnp.ndarray, method: str = "otsu") -> jnp.ndarray:
     if img.ndim > 3:
         lead = img.shape[:-3]
         flat = img.reshape((-1,) + img.shape[-3:])
-        t = jax.vmap(fn)(flat).reshape(lead + (1, 1, 1))
+        # lax.map, not vmap: the body stays unbatched so the histogram's
+        # Pallas fast path (ANY-memspace operands) applies per image
+        t = jax.lax.map(fn, flat).reshape(lead + (1, 1, 1))
     else:
         t = fn(img)
     inten = grayscale(img)[..., 0:1] if img.shape[-1] >= 3 else img

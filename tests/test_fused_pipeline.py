@@ -112,3 +112,18 @@ def test_fused_bilevel_morph_edge_matches_ops(batch):
     y = mo.morphology(y, "close", "square:1")
     ref = bl.edge_image(y, 1.0)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_histogram256_interpret():
+    """VMEM-resident 256-bin histogram matches bincount exactly."""
+    import numpy as np
+
+    from imagemagick_tpu.ops.pallas_kernels import pallas_histogram256
+
+    rng = np.random.default_rng(9)
+    vals = rng.random(5 * 256 * 512 + 333).astype(np.float32)
+    got = pallas_histogram256(jnp.asarray(vals), interpret=True)
+    assert got is not None
+    idx = np.clip((vals * 255 + 0.5).astype(np.int64), 0, 255)
+    ref = np.bincount(idx, minlength=256).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(got), ref)
