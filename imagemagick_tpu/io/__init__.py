@@ -581,6 +581,8 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats4.encode_dcx(images)
     if fmt == "cur":
         return formats4.encode_cur(images[0])
+    if fmt == "wpg":
+        return formats4.encode_wpg(images[0])
     if fmt == "raw":
         return extra_coders.encode_raw(images[0], "gray", depth=depth)
     if fmt == "svg":
@@ -621,7 +623,7 @@ _FORMATS2_WRITE = {"dpx", "psd", "pdf", "fits", "fts", "wbmp", "avs", "mtv",
                    "ubrl6", "isobrl", "isobrl6", "uil", "html", "htm",
                    "pdb", "tim", "yuv", "bayer", "ps", "ps2", "ps3",
                    "ept", "ipl", "ftxt", "map", "ashlar", "magick",
-                   "dcx", "cur", "raw"}
+                   "dcx", "cur", "raw", "wpg"}
 # PIL auto-detects these read-only formats from the blob (codecs.decode
 # falls through to PIL.Image.open)
 _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",

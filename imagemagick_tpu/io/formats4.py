@@ -2033,6 +2033,80 @@ def decode_wpg(data: bytes) -> Image:
     return result
 
 
+def _wpg_rle_row(row: bytes) -> bytes:
+    """WPG1 byte RLE (wpg.c WPGAddRLEBlock semantics, matching the
+    reader's opcodes: 0x80|n + byte = run, n<0x80 + bytes = literals)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        j = i
+        while j < n and row[j] == row[i] and j - i < 0x7F:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append(0x80 | run)
+            out.append(row[i])
+            i = j
+        else:
+            k = i
+            lit = bytearray()
+            while k < n and len(lit) < 0x7F:
+                rr = k
+                while rr < n and row[rr] == row[k] and rr - k < 3:
+                    rr += 1
+                if rr - k >= 3:
+                    break
+                lit += row[k:rr]
+                k = rr
+            out.append(len(lit))
+            out += lit
+            i = k
+    return bytes(out)
+
+
+def encode_wpg(img: Image, colors: int = 256) -> bytes:
+    """WPG level-1 writer (wpg.c WriteWPGImage layout): start record,
+    palette record, bitmap-1 record with long-form length, byte RLE,
+    end record."""
+    import jax.numpy as jnp
+
+    from ..ops.quantize import kmeans
+
+    arr = _rgb(_flat(img))
+    h, w = arr.shape[:2]
+    pal, labels = kmeans(jnp.asarray(arr), colors)
+    pal8 = _u8(np.asarray(pal))
+    idx = np.asarray(labels, np.uint8)
+    out = bytearray()
+    out += struct.pack("<II", 0x435057FF, 16)
+    out += bytes([1, 0x16, 1, 0]) + struct.pack("<HH", 0, 0)
+    # start-of-WPG record
+    out += bytes([0x0F, 0x06, 1, 0]) + struct.pack("<HH", w, h)
+    # palette record
+    nent = len(pal8)
+    body = struct.pack("<HH", 0, nent) + pal8.tobytes()
+    out.append(0x0E)
+    if len(body) < 0xFF:
+        out.append(len(body))
+    else:
+        out.append(0xFF)
+        out += struct.pack("<H", len(body))
+    out += body
+    # bitmap-1 record with reserved long-form length
+    raster = bytearray()
+    for y in range(h):
+        raster += _wpg_rle_row(idx[y].tobytes())
+    bm_body = struct.pack("<5H", w, h, 8, 75, 75) + bytes(raster)
+    out.append(0x0B)
+    out.append(0xFF)
+    out += struct.pack("<HH", 0x8000 | (len(bm_body) >> 16),
+                       len(bm_body) & 0xFFFF)
+    out += bm_body
+    out += bytes([0x10, 0x00])
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Seattle FilmWorks multi-frame PWP (pwp.c: "SFW95" container of embedded
 # "SFW94A" frames)

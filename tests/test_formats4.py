@@ -800,3 +800,15 @@ def test_pes_decode():
     # some stitched pixels carry the thread color (red-dominant)
     reds = (arr[..., 0] > 0.5) & (arr[..., 1] < 0.4)
     assert reds.sum() > 10
+
+
+def test_wpg_write_roundtrip():
+    # two flat color regions survive the palette + RLE round trip
+    arr = np.zeros((10, 20, 3), np.float32)
+    arr[:, 10:] = [1.0, 0.2, 0.2]
+    img = Image(arr, ImageSpec(colorspace="srgb"))
+    blob = image_to_blob(img, "wpg")
+    assert struct.unpack("<I", blob[:4])[0] == 0x435057FF
+    back = image_from_blob(blob)[0]          # magic-sniffed
+    assert (back.height, back.width) == (10, 20)
+    np.testing.assert_allclose(np.asarray(back.data), arr, atol=0.02)
