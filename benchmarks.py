@@ -134,6 +134,25 @@ def config2_blur_unsharp_lab():
         y = cs.convert(y, "srgb", "lab")
         return cs.convert(y, "lab", "srgb")
 
+    from imagemagick_tpu.ops.fused_pipeline import fused_blur_unsharp_pipeline
+
+    def step_fused2(b):
+        y = fused_blur_unsharp_pipeline(b, 2.0, 1.0, 1.0, C, TO=128,
+                                        nslots=2, in_shape=(N, H, W, C))
+        y = cs.convert(y, "srgb", "lab")
+        return cs.convert(y, "lab", "srgb")
+
+    try:
+        if fused_blur_unsharp_pipeline(xf, 2.0, 1.0, 1.0, C, TO=128,
+                                       nslots=2,
+                                       in_shape=(N, H, W, C)) is not None:
+            per_f2 = _time_chain(step_fused2, xf, n2=6 if QUICK else 11)
+            _report("config2_two_stage", mp, per_f2,
+                    f"1080p batch {N}, rank-1 pallas + VPU unsharp epilogue")
+    except Exception as exc:
+        print(json.dumps({"note": "config2 two-stage variant failed",
+                          "error": str(exc)[:120]}))
+
     if fused_linear_pipeline(xf, terms, C, TO=128, nslots=2,
                              in_shape=(N, H, W, C)) is not None:
         per_f = _time_chain(step_fused, xf, n2=6 if QUICK else 11)

@@ -187,7 +187,7 @@ def _mm(a, b, precision):
 
 def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
             *, TO, BAND, c0s, SPAN, precision, clip, nprog, ntiles,
-            nterms=1, guids=None, nslots=_NSLOTS):
+            nterms=1, guids=None, nslots=_NSLOTS, unsharp=None):
     """One program per (image, row-tile), flattened to a 1-D grid.
 
     Two measured structural rules shape this kernel:
@@ -255,8 +255,34 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
                 if precision == "b3" else bsplit[:, c0:c0 + SPAN]
             mids.append(_mm(bnd, gb[guids[t * nb + b]], precision))
         mid = jnp.concatenate(mids, axis=1)                   # (BAND, OUTP)
-        term = _mm(wv[t * ntiles + tt], mid, precision)       # (TO, OUTP)
+        term = _mm(wv[t * ntiles + tt], mid, precision)       # (TOE, OUTP)
         out = term if out is None else out + term
+    if unsharp is not None:
+        # two-stage epilogue: `out` is the TOE=TO+2r rows of the stage-1
+        # blur z; apply unsharp = (1+g) z - g * Bu(z) with the tiny
+        # sigma-u taps as VPU shift-adds (vertical over sublanes,
+        # horizontal as C-lane shifts with border-pixel replication) —
+        # halving the MXU work the rank-2 formulation spends
+        tv, th_, gain, C = unsharp
+        r = len(tv) // 2
+        zc = out[r:r + TO]
+        vc = tv[0] * out[0:TO]
+        for k in range(1, len(tv)):
+            vc = vc + tv[k] * out[k:k + TO]
+        OUTPW = vc.shape[1]
+        bacc = None
+        for j, w_ in enumerate(th_):
+            d = j - len(th_) // 2
+            if d == 0:
+                sh = vc
+            elif d < 0:
+                rep = jnp.concatenate([vc[:, :C]] * (-d), axis=1)
+                sh = jnp.concatenate([rep, vc[:, :OUTPW + d * C]], axis=1)
+            else:
+                rep = jnp.concatenate([vc[:, OUTPW - C:]] * d, axis=1)
+                sh = jnp.concatenate([vc[:, d * C:], rep], axis=1)
+            bacc = w_ * sh if bacc is None else bacc + w_ * sh
+        out = (1.0 + gain) * zc - gain * bacc
     if clip:
         out = jnp.clip(out, 0.0, 1.0)
     out_ref[:, :] = out
@@ -265,16 +291,17 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
 @functools.lru_cache(maxsize=64)
 def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
                 precision, clip, interpret=False, nterms=1, guids=None,
-                n_unique=None, nslots=_NSLOTS):
+                n_unique=None, nslots=_NSLOTS, unsharp=None):
     nprog = N * ntiles
     if guids is None:
         guids = tuple(range(nterms * nb))
     if n_unique is None:
         n_unique = nterms * nb
+    TOE = TO + (len(unsharp[0]) - 1 if unsharp is not None else 0)
     kern = functools.partial(_kernel, TO=TO, BAND=BAND, c0s=c0s, SPAN=SPAN,
                              precision=precision, clip=clip, nprog=nprog,
                              ntiles=ntiles, nterms=nterms, guids=guids,
-                             nslots=nslots)
+                             nslots=nslots, unsharp=unsharp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nprog,),
@@ -287,7 +314,7 @@ def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((nslots, BAND, WINC), jnp.float32),
-            pltpu.VMEM((nterms * ntiles, TO, BAND), jnp.float32),
+            pltpu.VMEM((nterms * ntiles, TOE, BAND), jnp.float32),
             pltpu.VMEM((n_unique, SPAN, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((nslots,)),
             pltpu.SemaphoreType.DMA,
@@ -526,3 +553,108 @@ def reference_pipeline_f64(x: np.ndarray, Hout: int, Wout: int,
     y = np.einsum("pw,nowc->nopc", Mw, y)
     y = np.einsum("dc,nopc->nopd", np.asarray(mix, np.float64), y)
     return np.clip(y, 0.0, 1.0) if clip else y
+
+
+def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
+                                sigma_unsharp: float, gain: float,
+                                C: int, TO: int = 128, nslots: int = 2,
+                                precision: str = "b3",
+                                in_shape: Optional[Tuple[int, int, int,
+                                                         int]] = None,
+                                interpret: bool = False
+                                ) -> Optional[jnp.ndarray]:
+    """Blur -> unsharp (threshold 0) as ONE kernel, two stages inside.
+
+    Instead of the rank-2 sum of separable operators (which doubles
+    every MXU pass), the kernel computes the stage-1 blur tile with an
+    r-row halo and applies the small-sigma unsharp correction as VPU
+    shift-adds in the epilogue — exactly (1+g)z - g*Bu(z) with the same
+    band operators blur_unsharp_terms builds. Rank-1 MXU work.
+    """
+    if not HAVE_PALLAS:
+        return None
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        return None
+    if x.dtype != jnp.float32:
+        return None
+    if x.ndim == 2:
+        if in_shape is None:
+            return None
+        N, Hin, Win, Cs = in_shape
+        if Cs != C or x.shape != (N * Hin, Win * C):
+            return None
+    elif x.ndim == 4:
+        N, Hin, Win, Cs = x.shape
+        if Cs != C:
+            return None
+    else:
+        return None
+    WINC = Win * C
+    if WINC % 128 != 0 or Hin % 8 != 0:
+        return None
+    Bgv = blur_band_matrix(Hin, sigma_blur)
+    Bgw = blur_band_matrix(Win, sigma_blur)
+    Buv = blur_band_matrix(Hin, sigma_unsharp, width_rule="1d")
+    # interior row of Bu gives the pure taps
+    midrow = np.asarray(Buv[Hin // 2], np.float64)
+    nz = np.nonzero(midrow)[0]
+    taps = tuple(float(v) for v in midrow[nz[0]:nz[-1] + 1])
+    r = len(taps) // 2
+    if len(taps) % 2 != 1 or r == 0 or r > 8:
+        return None
+    # extended vertical operator: per tile, rows t*TO-r .. t*TO+TO+r of
+    # the stage-1 output with row indices clamped to the image (replicate
+    # edge policy — identical to what Buv@Bgv's edge rows encode)
+    ntiles = -(-Hin // TO)
+    TOE = TO + 2 * r
+    Mv_ext = np.zeros((ntiles * TOE, Hin), np.float64)
+    for t in range(ntiles):
+        for j in range(TOE):
+            src = min(max(t * TO - r + j, 0), Hin - 1)
+            Mv_ext[t * TOE + j] = Bgv[src]
+    mix = np.eye(C)
+    _, r0s, BAND, _nt = _v_blocks(np.abs(Mv_ext), Hin, TOE)
+    GB, c0s, SPAN, OUT, OUTP = _h_blocks(np.abs(Bgw), C, mix, WINC)
+    if OUT != OUTP:
+        return None          # epilogue lane shifts assume no lane padding
+    # per-term blocks against the shared windows (rank 1)
+    WV = np.zeros((ntiles, TOE, BAND), np.float32)
+    for t, r0 in enumerate(r0s):
+        rows = Mv_ext[t * TOE:(t + 1) * TOE]
+        WV[t] = rows[:, r0:r0 + BAND]
+    Gfull = np.zeros((WINC, OUTP), np.float64)
+    MwT = np.asarray(Bgw, np.float64).T
+    for c in range(C):
+        Gfull[c:Win * C:C, c:OUT:C] += MwT
+    GBp = np.zeros((len(c0s), SPAN, 128), np.float32)
+    for b, c0 in enumerate(c0s):
+        GBp[b] = Gfull[c0:c0 + SPAN, b * 128:(b + 1) * 128]
+    uniq: dict = {}
+    keep = []
+    guids = []
+    for blk in GBp:
+        key = blk.tobytes()
+        if key not in uniq:
+            uniq[key] = len(keep)
+            keep.append(blk)
+        guids.append(uniq[key])
+    GB_all = np.stack(keep)
+    vmem = (nslots * BAND * WINC + GB_all.size + WV.size +
+            2 * TOE * OUTP + TOE * WINC) * 4
+    if vmem > _VMEM_BUDGET:
+        if TO > 16:
+            return fused_blur_unsharp_pipeline(
+                x, sigma_blur, sigma_unsharp, gain, C, TO // 2, nslots,
+                precision, in_shape, interpret)
+        return None
+    unsharp = (taps, taps, float(gain), C)
+    call = _build_call(N, Hin, WINC, TO, BAND, ntiles, len(c0s), SPAN,
+                       OUTP, c0s, precision, True, interpret, nterms=1,
+                       guids=tuple(guids), n_unique=len(keep),
+                       nslots=nslots, unsharp=unsharp)
+    r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hin, ntiles) +
+               np.tile(r0s.astype(np.int64), N)).astype(np.int32)
+    out = call(jnp.asarray(r0_flat), x.reshape(N * Hin, WINC),
+               jnp.asarray(WV), jnp.asarray(GB_all))
+    out = out.reshape(N, ntiles * TO, OUTP)
+    return out[:, :Hin, :OUT].reshape(N, Hin, Win, C)

@@ -127,3 +127,29 @@ def test_pallas_histogram256_interpret():
     idx = np.clip((vals * 255 + 0.5).astype(np.int64), 0, 255)
     ref = np.bincount(idx, minlength=256).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_two_stage_blur_unsharp_matches_rank2():
+    """fused_blur_unsharp_pipeline == the rank-2 operator formulation."""
+    import numpy as np
+
+    from imagemagick_tpu.ops.fused_pipeline import (
+        blur_unsharp_terms, fused_blur_unsharp_pipeline)
+
+    rng = np.random.default_rng(3)
+    N, H, W, C = 2, 64, 128, 3
+    x = jnp.asarray(rng.random((N, H, W, C)).astype(np.float32))
+    got = fused_blur_unsharp_pipeline(x.reshape(N * H, W * C), 2.0, 1.0,
+                                      1.0, C, TO=16, nslots=2,
+                                      in_shape=(N, H, W, C),
+                                      interpret=True)
+    assert got is not None
+    terms = blur_unsharp_terms(H, W, 2.0, 1.0, 1.0)
+    xin = np.asarray(x, np.float64)
+
+    def apply(Av, Bw):
+        t = np.einsum("hi,nivc->nhvc", np.asarray(Av, np.float64), xin)
+        return np.einsum("wv,nhvc->nhwc", np.asarray(Bw, np.float64), t)
+
+    ref = np.clip(apply(*terms[0]) + apply(*terms[1]), 0, 1)
+    assert float(np.abs(np.asarray(got) - ref).max()) < 5e-5
