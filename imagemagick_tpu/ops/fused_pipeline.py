@@ -476,6 +476,7 @@ def fused_resize_pipeline(x: jnp.ndarray, Hout: int, Wout: int,
                           clip: bool = True,
                           TO: int = 64, nslots: int = _NSLOTS,
                           in_shape: Optional[Tuple[int, int, int, int]] = None,
+                          vmem_budget: Optional[int] = None,
                           interpret: bool = False) -> Optional[jnp.ndarray]:
     """Fused resize [+ separable blur] [+ linear channel mix], one kernel.
 
@@ -520,11 +521,12 @@ def fused_resize_pipeline(x: jnp.ndarray, Hout: int, Wout: int,
     # VMEM accounting: DMA slots + G blocks + all WV tiles + out block (x2)
     vmem = (nslots * BAND * WINC + GB.size + WV.size +
             2 * TO * OUTP + TO * WINC) * 4
-    if vmem > _VMEM_BUDGET:
+    if vmem > (vmem_budget or _VMEM_BUDGET):
         if TO > 16:
             return fused_resize_pipeline(x, Hout, Wout, filt, sigma, mix,
                                          precision, clip, TO=TO // 2,
                                          nslots=nslots, in_shape=in_shape,
+                                         vmem_budget=vmem_budget,
                                          interpret=interpret)
         return None
     call = _build_call(N, Hin, WINC, TO, BAND, ntiles, GB.shape[0], SPAN,
