@@ -153,3 +153,18 @@ def test_two_stage_blur_unsharp_matches_rank2():
 
     ref = np.clip(apply(*terms[0]) + apply(*terms[1]), 0, 1)
     assert float(np.abs(np.asarray(got) - ref).max()) < 5e-5
+
+
+def test_morph_edge_odd_geometry_interpret():
+    """New default tiling (TO=256) with odd geometry, bit-exact."""
+    import numpy as np
+
+    from imagemagick_tpu.ops.pallas_kernels import (
+        _morph_edge_reference, fused_bilevel_morph_edge)
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((2, 77, 61, 1)).astype(np.float32))
+    got = fused_bilevel_morph_edge(x, 0.6, TO=256, interpret=True)
+    assert got is not None
+    ref = np.asarray(_morph_edge_reference(x[..., 0], 0.6))[..., None]
+    np.testing.assert_array_equal(np.asarray(got), ref)
