@@ -275,7 +275,7 @@ def _build_morph_edge_v2(N, H, Hp, W, WPAD, TO, ntiles, interpret=False):
 
 
 def fused_bilevel_morph_edge(img: jnp.ndarray, threshold,
-                             TO: int = 256,
+                             TO: int = 352,
                              interpret: bool = False) -> Optional[jnp.ndarray]:
     """Bilevel(threshold) -> open(square:1) -> close(square:1) -> edge(1).
 
