@@ -815,10 +815,15 @@ def decode_sun(data: bytes) -> Image:
     bpp = depth // 8
     px = rows[:, :w * bpp].reshape(h, w, bpp)
     if depth == 32:
-        # x-B-G-R (type-independent: alpha byte first)
-        arr = px[..., :0:-1].astype(np.float32) / 255.0
+        if rtype == 3:  # RT_FORMAT_RGB: x-R-G-B, already in order
+            arr = px[..., 1:].astype(np.float32) / 255.0
+        else:           # types 0/1/2: x-B-G-R (alpha byte first)
+            arr = px[..., :0:-1].astype(np.float32) / 255.0
+    elif rtype == 3:
+        # RT_FORMAT_RGB is already RGB — no channel swap
+        arr = px.astype(np.float32) / 255.0
     else:
-        # BGR unless RT_FORMAT_RGB (type 3 is RGB; types 0/1/2 are BGR)
+        # BGR for types 0/1/2
         arr = px[..., ::-1].astype(np.float32) / 255.0
     return Image(arr.astype(np.float32), ImageSpec(colorspace="srgb"))
 

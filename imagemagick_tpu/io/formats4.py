@@ -1604,6 +1604,18 @@ def decode_tiff16(data: bytes) -> Image:
             return struct.unpack_from(e + "H", data, off)[0]
         return struct.unpack_from(e + "I", data, off)[0]
 
+    def vals(tag):
+        """All entries of an array-valued tag (e.g. StripOffsets)."""
+        if tag not in tags:
+            return []
+        typ, count, raw = tags[tag]
+        size = {1: 1, 3: 2, 4: 4}.get(typ, 4)
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ, "I")
+        src, off = (raw, 0) if count * size <= 4 else \
+            (data, struct.unpack(e + "I", raw)[0])
+        return [struct.unpack_from(e + fmt, src, off + i * size)[0]
+                for i in range(count)]
+
     w, h = val(256), val(257)
     bps = val(258, 8)
     comp = val(259, 1)
@@ -1611,6 +1623,15 @@ def decode_tiff16(data: bytes) -> Image:
     strip = val(273)
     if comp != 1 or bps != 16 or not w or not h:
         raise ValueError("TIFF16: only uncompressed 16-bit supported")
+    offs, counts = vals(273), vals(279)
+    if len(offs) > 1:
+        # multi-strip: only readable when the strips are verified
+        # contiguous — otherwise raise so the caller falls back to Pillow
+        # instead of decoding garbage
+        if len(counts) != len(offs) or any(
+                offs[i] + counts[i] != offs[i + 1]
+                for i in range(len(offs) - 1)):
+            raise ValueError("TIFF16: non-contiguous strips unsupported")
     dt = np.dtype("u2").newbyteorder(e)
     arr = np.frombuffer(data, dt, w * h * spp, strip).reshape(h, w, spp)
     cs = "gray" if spp == 1 else "srgb"

@@ -371,14 +371,16 @@ def _hist_kernel(x_hbm, out_ref, band, sem, *, B, nprog):
 
     v = band[slot]                                   # (B, LANES)
     P = B * _HIST_LANES
-    maskf = jnp.where(v >= 0.0, 1.0, 0.0).reshape(1, P)  # f32: reshapes ok
+    # negatives clip into bin 0 — identical to the XLA fallback in
+    # histogram._histogram_fixed and this function's own tail path (HDRI
+    # pixels can be out of range; all paths must agree)
     idx = jnp.clip((v * 255.0 + 0.5).astype(jnp.int32), 0, 255)
     hi = (idx >> 4).reshape(1, P)
     lo = (idx & 15).reshape(1, P)
     # one-hots laid out (16, P): 16 sublanes x P lanes — 2 MB each in
     # bf16 instead of the 16 MB a lane-padded (P, 16) layout would take
     iota = jax.lax.broadcasted_iota(jnp.int32, (16, P), 0)
-    oh = (jnp.where(hi == iota, 1.0, 0.0) * maskf).astype(jnp.bfloat16)
+    oh = jnp.where(hi == iota, 1.0, 0.0).astype(jnp.bfloat16)
     ol = jnp.where(lo == iota, 1.0, 0.0).astype(jnp.bfloat16)
     acc = jax.lax.dot_general(oh, ol, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)

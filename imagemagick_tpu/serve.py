@@ -74,6 +74,65 @@ _MIME = {"png": "image/png", "jpeg": "image/jpeg", "jpg": "image/jpeg",
          "gif": "image/gif", "webp": "image/webp", "tiff": "image/tiff",
          "bmp": "image/bmp", "miff": "application/octet-stream"}
 
+# Options that touch the host filesystem (read or write paths, or treat
+# their argument as a possible path).  A client that can reach the port —
+# including a browser CSRF-ing 127.0.0.1 — must not get file access; run
+# with --unsafe-args to disable this gate (policy.xml "path" domain analog,
+# /root/reference/MagickCore/policy.c:623 IsRightsAuthorized).
+_DENY_OPTS = {
+    "write", "script", "texture", "profile", "map", "clip-mask", "mask",
+    "read-mask", "write-mask", "encipher", "decipher", "passphrase",
+    "authenticate", "process", "display", "log",
+}
+
+# options handled inline by cli.main.process() with their argument counts
+_SPECIAL_ARITY = {
+    "size": 1, "extract": 1, "depth": 1, "define": 1, "set": 2,
+    "geometry": 1, "list": 1, "format": 1, "version": 0, "identify": 0,
+    "print": 1, "write": 1, "texture": 1, "region": 1,
+}
+
+
+def validate_convert_args(args):
+    """Reject /convert argument lists that could touch the host filesystem.
+
+    Allowed: recognized option tokens (with their declared arity) and
+    parentheses.  Rejected: bare tokens (extra input filenames), options in
+    _DENY_OPTS, and unrecognized options.
+    """
+    import importlib
+
+    climain = importlib.import_module("imagemagick_tpu.cli.main")
+    if climain.OPS is None:
+        climain.OPS = climain._build_ops()
+    i = 0
+    while i < len(args):
+        tok = args[i]
+        i += 1
+        if tok in ("(", ")"):
+            continue
+        if not tok.startswith(("-", "+")) or tok == "-":
+            raise ValueError(
+                "filename arguments are not allowed via /convert: %r" % tok)
+        name = tok[1:]
+        if name in _DENY_OPTS:
+            raise ValueError("option %r is not allowed via /convert "
+                             "(filesystem access)" % tok)
+        if name in _SPECIAL_ARITY:
+            n = _SPECIAL_ARITY[name]
+        elif name in climain._SETTINGS:
+            n = 0 if (tok.startswith("+")
+                      and name in ("gravity", "compose")) else 1
+        elif name in climain._FLAGS:
+            n = 0
+        elif name in climain.OPS:
+            n = climain.OPS[name][0]
+        else:
+            raise ValueError("unknown option %r" % tok)
+        if i + n > len(args):
+            raise ValueError("missing argument for %r" % tok)
+        i += n
+
 
 class Handler(BaseHTTPRequestHandler):
     server_version = "imagemagick-tpu/0.1"
@@ -125,6 +184,10 @@ class Handler(BaseHTTPRequestHandler):
             if url.path == "/convert":
                 args = shlex.split(q.get("args", [""])[0])
                 of = q.get("of", ["png"])[0].lower()
+                if not getattr(self.server, "unsafe_args", False):
+                    validate_convert_args(args)
+                if not of.isalnum():
+                    return self._err(400, "bad output format %r" % of)
                 with _LOCK:
                     out = _run_cli(["-", *args, f"{of}:-"], body)
                 self._reply(200, out, _MIME.get(of,
@@ -143,9 +206,11 @@ class Handler(BaseHTTPRequestHandler):
             self._err(400, "%s: %s" % (type(exc).__name__, exc))
 
 
-def make_server(host="127.0.0.1", port=8089, verbose=False):
+def make_server(host="127.0.0.1", port=8089, verbose=False,
+                unsafe_args=False):
     srv = ThreadingHTTPServer((host, port), Handler)
     srv.verbose = verbose                           # type: ignore[attr-defined]
+    srv.unsafe_args = unsafe_args                   # type: ignore[attr-defined]
     return srv
 
 
@@ -156,8 +221,11 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8089)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--unsafe-args", action="store_true",
+                    help="disable the /convert option allowlist (permits "
+                         "filesystem-touching options; trusted clients only)")
     ns = ap.parse_args(argv)
-    srv = make_server(ns.host, ns.port, ns.verbose)
+    srv = make_server(ns.host, ns.port, ns.verbose, ns.unsafe_args)
     print(json.dumps({"serving": f"http://{ns.host}:{ns.port}",
                       "endpoints": ["/healthz", "/formats", "/convert",
                                     "/identify"]}))

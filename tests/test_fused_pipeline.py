@@ -122,6 +122,10 @@ def test_pallas_histogram256_interpret():
 
     rng = np.random.default_rng(9)
     vals = rng.random(5 * 256 * 512 + 333).astype(np.float32)
+    # HDRI out-of-range values: negatives clip to bin 0, >1 to bin 255 —
+    # in BOTH the kernel main path and the tail (ADVICE r2 consistency)
+    vals[::97] = -0.25
+    vals[1::101] = 1.75
     got = pallas_histogram256(jnp.asarray(vals), interpret=True)
     assert got is not None
     idx = np.clip((vals * 255 + 0.5).astype(np.int64), 0, 255)

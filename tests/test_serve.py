@@ -67,6 +67,28 @@ def test_identify_endpoint(server):
     assert "Geometry: 6x4+0+0" in text
 
 
+def test_convert_rejects_filesystem_args(server, tmp_path):
+    """/convert must not allow file-writing/reading options or bare paths
+    (ADVICE r2: unsanitized args = arbitrary host file read/write)."""
+    from urllib.parse import quote
+
+    img = Image(np.full((8, 8, 3), 0.5, np.float32),
+                ImageSpec(colorspace="srgb"))
+    blob = image_to_blob(img, "png")
+    evil = str(tmp_path / "pwned.png")
+    for args in (f"-write {evil}", evil, f"-texture {evil}",
+                 f"-profile {evil}", "-unknown-opt 1"):
+        c = _conn(server)
+        c.request("POST", "/convert?args=" + quote(args), body=blob)
+        r = c.getresponse()
+        body = r.read()
+        assert r.status == 400, (args, body)
+    assert not (tmp_path / "pwned.png").exists()
+    # safe ops still pass the validator
+    serve.validate_convert_args(["-resize", "16x16!", "(", "-negate", ")",
+                                 "+gravity", "-gaussian-blur", "0x1"])
+
+
 def test_error_surface(server):
     c = _conn(server)
     c.request("POST", "/convert?args=-resize%2010x10", body=b"not an image")
