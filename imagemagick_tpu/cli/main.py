@@ -40,6 +40,12 @@ class LazyImage:
     their statically-known output (h, w) to push(), so later options can
     compute geometry against the *pending* dimensions without forcing a
     materialization — the whole chain compiles as one XLA program.
+
+    Ops whose math the fused Pallas kernels cover additionally pass a
+    structured ``tag``; at materialization the tagged prefix of the chain
+    is pattern-matched and dispatched to ONE banded-block-matmul kernel
+    (ops/dispatch.py — the accelerate.c:3986 try-first pattern inverted),
+    with the XLA chain as the transparent fallback.
     """
 
     __slots__ = ("image", "pending", "_shape")
@@ -57,8 +63,17 @@ class LazyImage:
     def width(self) -> int:
         return self._shape[1] if self._shape else self.image.width
 
-    def push(self, fn, spec_update=None, new_shape=None):
-        self.pending.append((fn, spec_update))
+    @property
+    def spec(self) -> ImageSpec:
+        """Spec AFTER pending ops (folds queued spec updates)."""
+        s = self.image.spec
+        for _, upd, _ in self.pending:
+            if upd is not None:
+                s = upd(s)
+        return s
+
+    def push(self, fn, spec_update=None, new_shape=None, tag=None):
+        self.pending.append((fn, spec_update, tag))
         if new_shape is not None:
             self._shape = new_shape
 
@@ -67,16 +82,27 @@ class LazyImage:
             return self.image
         import jax
 
+        from ..ops import dispatch as _dispatch
+
         ops = list(self.pending)
+        data = self.image.data
+        consumed = 0
+        res = _dispatch.try_fused_chain(data, [t for _, _, t in ops])
+        if res is not None:
+            data, consumed = res
+            _dispatch.COUNTS["pallas"] += 1
+        rest = ops[consumed:]
+        if rest:
+            _dispatch.COUNTS["xla"] += 1
 
-        def chain(x):
-            for fn, _ in ops:
-                x = fn(x)
-            return x
+            def chain(x):
+                for fn, _, _ in rest:
+                    x = fn(x)
+                return x
 
-        data = jax.jit(chain)(self.image.data)
+            data = jax.jit(chain)(data)
         spec = self.image.spec
-        for _, upd in ops:
+        for _, upd, _ in ops:
             if upd is not None:
                 spec = upd(spec)
         out = Image(data, spec, self.image.properties, self.image.profiles,
@@ -141,22 +167,36 @@ def _geom_args(arg: str) -> Tuple[float, float]:
 
 def _op_resize(st, arg, plus, op="resize"):
     """Resize stays LAZY: output dims are static, so the op joins the
-    pending chain and the whole pipeline compiles as one XLA program."""
+    pending chain and the whole pipeline compiles as one XLA program.
+
+    Alpha-free resize/scale (and thumbnail without its pre-sample stage)
+    are pure separable-linear maps, tagged for the fused Pallas kernel
+    (ops/dispatch.py)."""
     from ..ops import resize as rz
+    from ..ops.resize import _default_filter
 
     filt = st.settings["filter"]
     for li in st.images:
-        alpha = li.image.spec.alpha
-        w, h, _, _ = parse_meta_geometry(arg, li.width, li.height)
+        alpha = li.spec.alpha
+        cw, ch = li.width, li.height
+        w, h, _, _ = parse_meta_geometry(arg, cw, ch)
+        tag = None
         if op in ("resize", "adaptive-resize"):
             fn = lambda x, h=h, w=w: rz.resize(x, h, w, filt, has_alpha=alpha)
+            if op == "resize" and not alpha:
+                rf = filt if filt not in ("undefined", "", None) else \
+                    _default_filter(ch, cw, h, w, alpha)
+                tag = ("resize", (h, w, rf))
         elif op == "scale":
             fn = lambda x, h=h, w=w: rz.scale(x, h, w)
+            tag = ("resize", (h, w, "box"))
         elif op == "sample":
             fn = lambda x, h=h, w=w: rz.sample(x, h, w)
         elif op == "thumbnail":
             fn = lambda x, h=h, w=w: rz.thumbnail(x, h, w, has_alpha=alpha)
-        li.push(fn, new_shape=(h, w))
+            if not alpha and not (cw > 5 * w and ch > 5 * h):
+                tag = ("resize", (h, w, _default_filter(ch, cw, h, w, alpha)))
+        li.push(fn, new_shape=(h, w), tag=tag)
 
 
 def _op_geometry_slice(st, arg, plus, op):
@@ -206,12 +246,12 @@ def _op_geometry_slice(st, arg, plus, op):
             li.image = img.replace(data=tf.trim(img.data))
 
 
-def _lazy_op(st, make_fn, spec_update=None):
+def _lazy_op(st, make_fn, spec_update=None, tag=None):
     st.require_images("op")
     for li in st.images:
         c = li.image.spec  # spec BEFORE this op (approximation: specs only
         # change via spec_update chains, tracked per-op)
-        li.push(make_fn(li), spec_update)
+        li.push(make_fn(li), spec_update, tag=tag)
 
 
 _CHANNEL_LETTERS = {"r": 0, "g": 1, "b": 2, "c": 0, "m": 1, "y": 2,
@@ -242,8 +282,11 @@ def _channel_indices(setting: str, nch: int):
     return sorted(i for i in idx if i < nch) or None
 
 
-def _op_simple(module: str, fname: str, argmap):
-    """Build a lazy per-pixel/neighborhood op handler (honors -channel)."""
+def _op_simple(module: str, fname: str, argmap, tag_fn=None):
+    """Build a lazy per-pixel/neighborhood op handler (honors -channel).
+
+    ``tag_fn(st, arg, plus)`` may return a dispatch tag (ops/dispatch.py)
+    when the op instance is expressible by the fused Pallas kernel."""
 
     def handler(st, arg, plus):
         import importlib
@@ -252,6 +295,10 @@ def _op_simple(module: str, fname: str, argmap):
         fn = getattr(mod, fname)
         kwargs_builder = argmap
         channel_setting = st.settings.get("channel", "default")
+        tag = None
+        if tag_fn is not None and not plus and \
+                _channel_indices(channel_setting, 4) is None:
+            tag = tag_fn(st, arg, plus)
 
         def make(li):
             kwargs = kwargs_builder(st, arg, plus) if kwargs_builder else {}
@@ -270,26 +317,55 @@ def _op_simple(module: str, fname: str, argmap):
 
             return run
 
-        _lazy_op(st, make)
+        _lazy_op(st, make, tag=tag)
 
     return handler
 
 
 def _op_colorspace(st, arg, plus):
+    """-colorspace stays LAZY (data math is per-pixel, spec update queued);
+    sRGB->gray is a linear luma mix, tagged for fused-kernel dispatch."""
+    from ..ops import colorspace as cs
+
     target = normalize_colorspace(arg)
     for li in st.images:
-        img = li.materialize()
-        li.image = img.transform_colorspace(target)
+        src = li.spec.colorspace
+        if src == target:
+            continue
+        nc = li.spec.color_channels
+        import jax.numpy as jnp
+
+        def fn(x, src=src, tgt=target, nc=nc):
+            color = cs.convert(x[..., :nc], src, tgt)
+            rest = x[..., nc:]
+            return jnp.concatenate([color, rest], axis=-1) \
+                if rest.shape[-1] else color
+
+        tag = None
+        if src == "srgb" and target == "gray" and not li.spec.alpha \
+                and nc == 3:
+            tag = ("mix", (tuple(cs.REC709_LUMA),))
+        li.push(fn, spec_update=lambda s, t=target: s.with_(colorspace=t),
+                tag=tag)
 
 
 def _op_grayscale(st, arg, plus):
+    from ..ops import colorspace as cs
     from ..ops import enhance as en
 
     for li in st.images:
-        img = li.materialize()
-        data = en.grayscale(img.data, arg or "rec709luma")
-        li.image = Image(data, img.spec.with_(colorspace="gray"),
-                         img.properties, img.profiles, img.page, img.delay)
+        method = arg or "rec709luma"
+
+        def fn(x, m=method):
+            return en.grayscale(x, m)
+
+        tag = None
+        lumas = {"rec709luma": cs.REC709_LUMA, "rec601luma": cs.REC601_LUMA}
+        if method.lower() in lumas and not li.spec.alpha \
+                and li.spec.color_channels == 3:
+            tag = ("mix", (tuple(lumas[method.lower()]),))
+        li.push(fn, spec_update=lambda s: s.with_(colorspace="gray"),
+                tag=tag)
 
 
 def _op_separate(st, arg, plus):
@@ -556,8 +632,22 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
         kw["virtual_pixel"] = st.settings["virtual-pixel"]
         return kw
 
-    O["blur"] = (1, _op_simple("blur", "blur", _rs_vp))
-    O["gaussian-blur"] = (1, _op_simple("blur", "gaussian_blur", _rs_vp))
+    def _tag_gblur(rule):
+        """Dispatch tag for -blur/-gaussian-blur: separable gaussian with
+        edge-replicate pads is exactly what the fused kernel's band
+        matrices encode (fused_pipeline.blur_band_matrix)."""
+
+        def tag(st, a, p):
+            r, s = _geom_args(a)
+            if s <= 0 or st.settings["virtual-pixel"] != "edge":
+                return None
+            return ("gblur", (float(r), float(s), rule))
+
+        return tag
+
+    O["blur"] = (1, _op_simple("blur", "blur", _rs_vp, _tag_gblur("1d")))
+    O["gaussian-blur"] = (1, _op_simple("blur", "gaussian_blur", _rs_vp,
+                                        _tag_gblur("2d")))
     O["sharpen"] = (1, _op_simple("blur", "sharpen", _rs_vp))
     O["unsharp"] = (1, _op_simple("blur", "unsharp_mask",
         lambda st, a, p: _unsharp_args(a)))
@@ -2193,10 +2283,51 @@ def _looks_like_output(tok: str) -> bool:
     return "." in tok or tok == "-"
 
 
+def materialize_all(lazies: List["LazyImage"]) -> List[Image]:
+    """Materialize a list of lazy images, batching same-shape images
+    whose full pending chain is kernel-expressible into ONE fused Pallas
+    call (the `-concurrent`/batch analog of bench.py's batched kernel —
+    SURVEY §2.5 #2: batch replaces the reference's task parallelism)."""
+    from ..ops import dispatch as _dsp
+
+    groups: Dict[tuple, List[int]] = {}
+    for idx, li in enumerate(lazies):
+        if not li.pending:
+            continue
+        d = li.image.data
+        if getattr(d, "ndim", 0) != 3:
+            continue
+        tags = tuple(t for _, _, t in li.pending)
+        if any(t is None for t in tags):
+            continue
+        key = (tuple(map(int, d.shape)), tags)
+        groups.setdefault(key, []).append(idx)
+    for (shape, tags), idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        out = _dsp.try_fused_batch([lazies[i].image.data for i in idxs],
+                                   list(tags))
+        if out is None:
+            continue
+        _dsp.COUNTS["pallas"] += 1
+        for j, i in enumerate(idxs):
+            li = lazies[i]
+            spec = li.image.spec
+            for _, upd, _ in li.pending:
+                if upd is not None:
+                    spec = upd(spec)
+            li.image = Image(out[j], spec, li.image.properties,
+                             li.image.profiles, li.image.page,
+                             li.image.delay)
+            li.pending = []
+            li._shape = None
+    return [li.materialize() for li in lazies]
+
+
 def _write_output(st: CLIState, target: str):
     from .. import io as iio
 
-    imgs = [li.materialize() for li in st.images]
+    imgs = materialize_all(st.images)
     if not imgs:
         raise CLIError("no image to write")
     iio.write_image(imgs if len(imgs) > 1 else imgs[0], target,

@@ -1,0 +1,233 @@
+"""Try-first dispatch of lazy op chains onto the fused Pallas kernels.
+
+The reference's accelerate.c pattern — every op calls its Accelerate*
+fast path first and silently falls back to the CPU loop
+(/root/reference/MagickCore/accelerate.c:3986 AccelerateResizeImage) —
+inverted for the TPU build: here the *pipeline interpreter* (CLI lazy
+chains, wand method queues, serve requests) pattern-matches its pending
+op queue against chains the banded-block-matmul kernel covers
+(resize / separable gaussian blur / linear channel mix, in any order)
+and compiles the matched prefix into ONE Pallas kernel call instead of
+an XLA op chain.  Anything unmatched falls through to the XLA op path.
+
+Chain composition is exact: each tagged op contributes its (out, in)
+banded operator on each axis (the same matrices the op-path kernels
+apply), composed host-side into a single (Mv, Mw, mix) triple — so the
+kernel computes the same separable-linear math as the op chain.  The
+one semantic deviation: the op path clips to [0,1] after each op while
+the kernel clips once at the end (a chain of clips is not linear);
+tests gate the difference at >=60dB on representative content.
+
+Plans and jitted runners are cached per (shape, chain) so repeated
+requests (the serve daemon, batched CLI invocations) pay host planning
+and weight upload once and run pure device time thereafter.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# kill switch for debugging / A-B timing
+ENABLED = os.environ.get("IMTPU_NO_FUSED_DISPATCH", "") != "1"
+# tests set this to exercise the kernel in the Pallas interpreter on CPU
+FORCE_INTERPRET = False
+
+# dispatch outcome counters (inspected by tests and -bench tooling)
+COUNTS = {"pallas": 0, "xla": 0, "error": 0}
+
+# re-raise dispatch errors instead of silently falling back (tests)
+STRICT = os.environ.get("IMTPU_DISPATCH_STRICT", "") == "1"
+
+_MAX_DIM = 4096          # dense host-side operator composition bound
+_MAX_CHANNELS = 4
+
+
+@functools.lru_cache(maxsize=64)
+def _plan_chain(H: int, W: int, C: int, prefix: tuple):
+    """Compose a tagged chain into (Mv, Mw, mix, Hout, Wout, Cout).
+
+    Tags (hashable): ("resize", (h, w, filter)) · ("gblur", (radius,
+    sigma, rule)) · ("mix", ((row...), ...)).  Returns None when the
+    chain leaves the kernel's envelope (upscale, bad op).
+    """
+    from .fused_pipeline import blur_band_matrix
+    from .resize import resize_matrix
+
+    hcur, wcur = H, W
+    Av: Optional[np.ndarray] = None   # None = identity
+    Aw: Optional[np.ndarray] = None
+    mix: Optional[np.ndarray] = None
+    ccur = C
+    for kind, params in prefix:
+        if kind == "resize":
+            h, w, filt = params
+            if h > hcur or w > wcur or h < 1 or w < 1:
+                return None
+            Rv = resize_matrix(hcur, h, filt).astype(np.float64).T
+            Rw = resize_matrix(wcur, w, filt).astype(np.float64).T
+            Av = Rv if Av is None else Rv @ Av
+            Aw = Rw if Aw is None else Rw @ Aw
+            hcur, wcur = h, w
+        elif kind == "gblur":
+            radius, sigma, rule = params
+            if sigma <= 0:
+                continue
+            Bv = blur_band_matrix(hcur, sigma, radius, width_rule=rule)
+            Bw = blur_band_matrix(wcur, sigma, radius, width_rule=rule) \
+                if wcur != hcur else Bv
+            Av = Bv if Av is None else Bv @ Av
+            Aw = Bw if Aw is None else Bw @ Aw
+        elif kind == "mix":
+            m = np.asarray(params, np.float64)
+            if m.ndim != 2 or m.shape[1] != ccur:
+                return None
+            mix = m if mix is None else m @ mix
+            ccur = m.shape[0]
+        else:
+            return None
+    if Av is None:
+        Av = np.eye(hcur)
+    if Aw is None:
+        Aw = np.eye(wcur)
+    return Av, Aw, mix, hcur, wcur, ccur
+
+
+@functools.lru_cache(maxsize=64)
+def _chain_runner(H: int, W: int, C: int, prefix: tuple,
+                  interpret: bool = False):
+    """A jitted (H, W, C) -> (Hout, Wout, Cout) kernel runner, or None."""
+    import jax
+    import jax.numpy as jnp
+
+    from .fused_pipeline import fused_linear_pipeline
+
+    plan = _plan_chain(H, W, C, prefix)
+    if plan is None:
+        return None
+    Mv, Mw, mix, Hout, Wout, Cout = plan
+    probe = jax.ShapeDtypeStruct((1, H, W, C), jnp.float32)
+    ok = fused_linear_pipeline(probe, [(Mv, Mw)], C, mix=mix,
+                               pad_align=True, interpret=interpret,
+                               plan_only=True)
+    if not ok:
+        return None
+
+    @jax.jit
+    def run(x):
+        out = fused_linear_pipeline(x[None], [(Mv, Mw)], C, mix=mix,
+                                    pad_align=True, interpret=interpret)
+        return out[0]
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _batch_runner(N: int, H: int, W: int, C: int, prefix: tuple,
+                  interpret: bool = False):
+    """Jitted runner over a BATCH of N same-shape images sharing one
+    chain: the images are stacked inside the program (so the whole batch
+    is one device dispatch) and run through one kernel call — this is the
+    CLI/wand batch path that matches bench.py's batched kernel shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from .fused_pipeline import fused_linear_pipeline
+
+    plan = _plan_chain(H, W, C, prefix)
+    if plan is None:
+        return None
+    Mv, Mw, mix, Hout, Wout, Cout = plan
+    probe = jax.ShapeDtypeStruct((N, H, W, C), jnp.float32)
+    ok = fused_linear_pipeline(probe, [(Mv, Mw)], C, mix=mix,
+                               pad_align=True, interpret=interpret,
+                               plan_only=True)
+    if not ok:
+        return None
+
+    @jax.jit
+    def run(*xs):
+        x = jnp.stack(xs)
+        return fused_linear_pipeline(x, [(Mv, Mw)], C, mix=mix,
+                                     pad_align=True, interpret=interpret)
+
+    return run
+
+
+def try_fused_batch(datas, tags: List[Optional[tuple]]):
+    """Batch variant of try_fused_chain: ``datas`` is a sequence of N
+    same-shape (H, W, C) arrays sharing one FULLY-tagged chain.  Returns
+    the (N, Hout, Wout, Cout) result or None."""
+    if not ENABLED or not datas:
+        return None
+    d0 = datas[0]
+    if getattr(d0, "ndim", 0) != 3 or str(d0.dtype) != "float32":
+        return None
+    H, W, C = map(int, d0.shape)
+    if (H < 8 or W * C < 128 or C > _MAX_CHANNELS
+            or H > _MAX_DIM or W > _MAX_DIM):
+        return None
+    if any(tuple(map(int, d.shape)) != (H, W, C) for d in datas[1:]):
+        return None
+    n = match_prefix(tags)
+    if n != len(tags) or n == 0:
+        return None
+    try:
+        run = _batch_runner(len(datas), H, W, C, tuple(tags),
+                            interpret=FORCE_INTERPRET)
+        if run is None:
+            return None
+        return run(*datas)
+    except Exception:            # noqa: BLE001 — transparent fallback
+        if STRICT:
+            raise
+        COUNTS["error"] += 1
+        return None
+
+
+def match_prefix(tags: List[Optional[tuple]]) -> int:
+    """Length of the leading run of kernel-expressible tags — at least
+    one spatial op (resize/gblur) required for dispatch to pay."""
+    n = 0
+    for t in tags:
+        if t is None or t[0] not in ("resize", "gblur", "mix"):
+            break
+        n += 1
+    if not any(t[0] in ("resize", "gblur") for t in tags[:n]):
+        return 0
+    return n
+
+
+def try_fused_chain(data, tags: List[Optional[tuple]]
+                    ) -> Optional[Tuple[object, int]]:
+    """Dispatch the longest expressible prefix of a tagged lazy chain.
+
+    data: (H, W, C) f32 device array.  tags: one entry per pending op
+    (None = not expressible).  Returns (out_array, n_ops_consumed) or
+    None when nothing dispatches (caller runs the XLA chain).
+    """
+    if not ENABLED:
+        return None
+    if getattr(data, "ndim", 0) != 3 or str(data.dtype) != "float32":
+        return None
+    H, W, C = map(int, data.shape)
+    if (H < 8 or W * C < 128 or C > _MAX_CHANNELS
+            or H > _MAX_DIM or W > _MAX_DIM):
+        return None
+    n = match_prefix(tags)
+    if n == 0:
+        return None
+    try:
+        run = _chain_runner(H, W, C, tuple(tags[:n]),
+                            interpret=FORCE_INTERPRET)
+        if run is None:
+            return None
+        return run(data), n
+    except Exception:            # noqa: BLE001 — accelerate.c:3986-style
+        if STRICT:               # transparent fallback to the XLA chain
+            raise
+        COUNTS["error"] += 1
+        return None

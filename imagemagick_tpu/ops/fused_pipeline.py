@@ -344,6 +344,8 @@ def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
                           precision: str = "b3", clip: bool = True,
                           TO: int = 64, nslots: int = _NSLOTS,
                           in_shape: Optional[Tuple[int, int, int, int]] = None,
+                          pad_align: bool = False,
+                          plan_only: bool = False,
                           interpret: bool = False) -> Optional[jnp.ndarray]:
     """General entry: out = clip( sum_t Mv_t @ x @ Mw_t^T , mixed ).
 
@@ -353,6 +355,12 @@ def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
     chains that are sums of separable products.  All terms must share the
     same (Hout, Hin) x (Wout, Win) shapes.  Constraints as
     fused_resize_pipeline; returns None on fallback.
+
+    ``pad_align=True`` (NHWC input only) zero-pads the input to the
+    kernel's sublane/lane alignment (rows to %8, flattened W*C to %128)
+    and zero-extends the operators to ignore the pad — this is what lets
+    arbitrary CLI image shapes dispatch here instead of only born-aligned
+    benchmark shapes.  Costs one XLA pad of the input.
     """
     if not HAVE_PALLAS:
         return None
@@ -367,19 +375,34 @@ def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
     if any(a.shape != (Hout, Hin) or b.shape != (Wout, Win)
            for a, b in terms):
         raise ValueError("all terms must share operator shapes")
+    WINC = Win * C
     if x.ndim == 2:
         if in_shape is None:
             return None
         N = in_shape[0]
-        if x.shape != (N * Hin, Win * C):
+        if x.shape != (N * Hin, WINC):
             return None
     elif x.ndim == 4:
         N = x.shape[0]
         if x.shape[1:] != (Hin, Win, C):
             return None
+        if pad_align and (WINC % 128 != 0 or Hin % 8 != 0):
+            Hp = _align(Hin, 8)
+            WINCp = _align(WINC, 128)
+            if plan_only:
+                x = jax.ShapeDtypeStruct((N * Hp, WINCp), jnp.float32)
+            else:
+                flat = x.reshape(N, Hin, WINC)
+                flat = jnp.pad(flat, ((0, 0), (0, Hp - Hin),
+                                      (0, WINCp - WINC)))
+                x = flat.reshape(N * Hp, WINCp)
+            if Hp != Hin:
+                terms = [(np.pad(a, ((0, 0), (0, Hp - Hin))), b)
+                         for a, b in terms]
+                Hin = Hp
+            WINC = WINCp
     else:
         return None
-    WINC = Win * C
     if WINC % 128 != 0 or Hin % 8 != 0:
         return None
     if mix is None:
@@ -388,56 +411,63 @@ def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
     # union banded structure across terms: plan against sum of |operators|
     Mv_union = sum(np.abs(a) for a, _ in terms)
     Mw_union = sum(np.abs(b) for _, b in terms)
-    _, r0s, BAND, ntiles = _v_blocks(Mv_union, Hin, TO)
-    GBu, c0s, SPAN, OUT, OUTP = _h_blocks(Mw_union, C, mix, WINC)
-    # per-term blocks sliced with the shared r0s/c0s
-    WVs, GBs = [], []
-    for Mv, Mw in terms:
-        WV = np.zeros((ntiles, TO, BAND), np.float32)
-        for t, r0 in enumerate(r0s):
-            rows = Mv[t * TO:min((t + 1) * TO, Hout)]
-            WV[t, :rows.shape[0]] = rows[:, r0:r0 + BAND]
-        WVs.append(WV)
-        # rebuild G against the SHARED c0s (a sparser term would otherwise
-        # get different block windows)
-        GB = np.zeros((len(c0s), SPAN, 128), np.float32)
-        Gfull = np.zeros((WINC, OUTP), np.float64)
-        MwT = Mw.T
-        Cout = mix.shape[0]
-        for c in range(C):
-            for cp in range(Cout):
-                if mix[cp, c] == 0.0:
-                    continue
-                Gfull[c:Win * C:C, cp:OUT:Cout] += mix[cp, c] * MwT
-        for b, c0 in enumerate(c0s):
-            GB[b] = Gfull[c0:c0 + SPAN, b * 128:(b + 1) * 128]
-        GBs.append(GB)
-    WV_all = np.concatenate(WVs, axis=0)    # (T*ntiles, TO, BAND)
-    GB_flat = np.concatenate(GBs, axis=0)   # (T*nb, SPAN, 128)
-    # dedupe identical blocks: a convolutional G (no resample) is
-    # block-Toeplitz, so all interior blocks are one shared matrix
-    uniq: dict = {}
-    guids = []
-    keep = []
-    for blk in GB_flat:
-        key = blk.tobytes()
-        if key not in uniq:
-            uniq[key] = len(keep)
-            keep.append(blk)
-        guids.append(uniq[key])
-    GB_all = np.stack(keep)
-    vmem = (nslots * BAND * WINC + GB_all.size + WV_all.size +
-            2 * TO * OUTP + TO * WINC) * 4
-    if vmem > _VMEM_BUDGET:
-        if TO > 16:
-            return fused_linear_pipeline(x, terms, C, mix, precision, clip,
-                                         TO // 2, nslots, in_shape,
-                                         interpret)
+    plan = None
+    while TO >= 16:          # halve the row tile until VMEM fits
+        _, r0s, BAND, ntiles = _v_blocks(Mv_union, Hin, TO)
+        GBu, c0s, SPAN, OUT, OUTP = _h_blocks(Mw_union, C, mix, WINC)
+        # per-term blocks sliced with the shared r0s/c0s
+        WVs, GBs = [], []
+        for Mv, Mw in terms:
+            WV = np.zeros((ntiles, TO, BAND), np.float32)
+            for t, r0 in enumerate(r0s):
+                rows = Mv[t * TO:min((t + 1) * TO, Hout)]
+                WV[t, :rows.shape[0]] = rows[:, r0:r0 + BAND]
+            WVs.append(WV)
+            # rebuild G against the SHARED c0s (a sparser term would
+            # otherwise get different block windows)
+            GB = np.zeros((len(c0s), SPAN, 128), np.float32)
+            Gfull = np.zeros((WINC, OUTP), np.float64)
+            MwT = Mw.T
+            Cout = mix.shape[0]
+            for c in range(C):
+                for cp in range(Cout):
+                    if mix[cp, c] == 0.0:
+                        continue
+                    Gfull[c:Win * C:C, cp:OUT:Cout] += mix[cp, c] * MwT
+            for b, c0 in enumerate(c0s):
+                GB[b] = Gfull[c0:c0 + SPAN, b * 128:(b + 1) * 128]
+            GBs.append(GB)
+        WV_all = np.concatenate(WVs, axis=0)    # (T*ntiles, TO, BAND)
+        GB_flat = np.concatenate(GBs, axis=0)   # (T*nb, SPAN, 128)
+        # dedupe identical blocks: a convolutional G (no resample) is
+        # block-Toeplitz, so all interior blocks are one shared matrix
+        uniq: dict = {}
+        guids = []
+        keep = []
+        for blk in GB_flat:
+            key = blk.tobytes()
+            if key not in uniq:
+                uniq[key] = len(keep)
+                keep.append(blk)
+            guids.append(uniq[key])
+        GB_all = np.stack(keep)
+        vmem = (nslots * BAND * WINC + GB_all.size + WV_all.size +
+                2 * TO * OUTP + TO * WINC) * 4
+        if vmem <= _VMEM_BUDGET:
+            plan = (r0s, BAND, ntiles, c0s, SPAN, OUT, OUTP,
+                    WV_all, GB_all, tuple(guids), len(keep), TO)
+            break
+        TO //= 2
+    if plan is None:
         return None
+    (r0s, BAND, ntiles, c0s, SPAN, OUT, OUTP,
+     WV_all, GB_all, guids, n_unique, TO) = plan
+    if plan_only:
+        return True
     call = _build_call(N, Hin, WINC, TO, BAND, ntiles, len(c0s), SPAN,
                        OUTP, c0s, precision, clip, interpret,
-                       nterms=len(terms), guids=tuple(guids),
-                       n_unique=len(keep), nslots=nslots)
+                       nterms=len(terms), guids=guids,
+                       n_unique=n_unique, nslots=nslots)
     r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hin, ntiles) +
                np.tile(r0s.astype(np.int64), N)).astype(np.int32)
     out = call(jnp.asarray(r0_flat), x.reshape(N * Hin, WINC),

@@ -484,12 +484,27 @@ class MagickWand:
     # Image operators — the MagickWand method checklist (magick-image.c)
     # =====================================================================
 
-    def _apply(self, fn, spec=None, all_images=True):
+    def _apply(self, fn, spec=None, all_images=True, tag=None):
+        """Run an op over the targeted images.
+
+        ``tag`` (optional) is an ops/dispatch.py chain tag: when present
+        the op is first offered to the fused Pallas kernel (accelerate.c
+        try-first pattern, accelerate.c:3986) with ``fn`` as the
+        transparent XLA fallback."""
+        from ..ops import dispatch as _dsp
+
         targets = range(len(self.images)) if all_images else \
             [self.iterator if self.iterator >= 0 else len(self.images) - 1]
         for i in targets:
             img = self.images[i]
-            data = fn(img)
+            data = None
+            if tag is not None:
+                res = _dsp.try_fused_chain(img.data, [tag])
+                if res is not None:
+                    data = res[0]
+                    _dsp.COUNTS["pallas"] += 1
+            if data is None:
+                data = fn(img)
             self.images[i] = Image(data, spec or img.spec, img.properties,
                                    img.profiles, img.page, img.delay)
 
@@ -497,10 +512,19 @@ class MagickWand:
     def resize_image(self, width: int, height: int,
                      filter_name: str = "undefined", blur: float = 1.0):
         from ..ops import resize as rz
+        from ..ops.resize import _default_filter
 
         f = filter_name if filter_name != "undefined" else self.filter
+        tag = None
+        if self.images and blur == 1.0:
+            im0 = self.images[0]
+            if not im0.spec.alpha:
+                rf = f if f not in ("undefined", "", None) else \
+                    _default_filter(im0.height, im0.width, height, width,
+                                    False)
+                tag = ("resize", (height, width, rf))
         self._apply(lambda im: rz.resize(im.data, height, width, f, blur,
-                                         has_alpha=im.spec.alpha))
+                                         has_alpha=im.spec.alpha), tag=tag)
 
     def adaptive_resize_image(self, width, height):
         self.resize_image(width, height, "mitchell")
@@ -658,12 +682,17 @@ class MagickWand:
     def blur_image(self, radius: float = 0.0, sigma: float = 1.0):
         from ..ops import blur as bl
 
-        self._apply(lambda im: bl.blur(im.data, radius, sigma))
+        tag = ("gblur", (float(radius), float(sigma), "1d")) \
+            if sigma > 0 else None
+        self._apply(lambda im: bl.blur(im.data, radius, sigma), tag=tag)
 
     def gaussian_blur_image(self, radius: float = 0.0, sigma: float = 1.0):
         from ..ops import blur as bl
 
-        self._apply(lambda im: bl.gaussian_blur(im.data, radius, sigma))
+        tag = ("gblur", (float(radius), float(sigma), "2d")) \
+            if sigma > 0 else None
+        self._apply(lambda im: bl.gaussian_blur(im.data, radius, sigma),
+                    tag=tag)
 
     def adaptive_blur_image(self, radius=0.0, sigma=1.0):
         from ..ops import blur as bl
