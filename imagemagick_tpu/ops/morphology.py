@@ -457,13 +457,14 @@ def morphology(img: jnp.ndarray, method: str, kernel_spec: str,
                iterations: int = 1, virtual_pixel: str = "edge") -> jnp.ndarray:
     """MorphologyImage (morphology.c:4129): method x kernel x iterations.
 
-    iterations=-1 ("until converged") is approximated by a generous static
-    count (XLA needs static bounds; thinning converges in <= max(H,W) steps
-    but practical images settle much sooner).
+    iterations=-1 ("until converged") runs a lax.while_loop with a
+    changed-pixels predicate, exactly like the reference's convergence
+    loop — bounded by H+W rounds as a safety net (a thinning front moves
+    at least one pixel per round).
     """
     method = method.lower().replace("-", "").replace("_", "")
     kernels = get_kernel(kernel_spec)
-    iters = iterations if iterations > 0 else 32
+    iters = iterations
 
     def apply_once(x, k):
         if method in ("convolve",):
@@ -516,13 +517,36 @@ def morphology(img: jnp.ndarray, method: str, kernel_spec: str,
     if method == "distance":
         return distance_transform(out, _metric_from_spec(kernel_spec),
                                   _scale_from_spec(kernel_spec))
-    for _ in range(iters):
-        prev = out
+
+    def one_round(x):
         for k in kernels:
-            out = apply_once(out, k)
-        if iterations <= 0:
-            # until-converged requested: static unroll already bounded
-            pass
+            x = apply_once(x, k)
+        return x
+
+    if iterations <= 0:
+        # -1 = iterate until converged (morphology.c:4129 bounds by
+        # convergence, not a constant): lax.while_loop with a
+        # changed-pixels predicate.  Thinning/skeleton passes move the
+        # boundary >=1 pixel per round, so H+W bounds any input; the
+        # counter also guards pathological oscillation.  (Under spatial
+        # sharding the predicate must become a psum — parallel/spatial.py
+        # wraps this with a collective reduce.)
+        max_iters = int(img.shape[-3] + img.shape[-2])
+
+        def cond(state):
+            i, _, changed = state
+            return jnp.logical_and(changed, i < max_iters)
+
+        def body(state):
+            i, x, _ = state
+            y = one_round(x)
+            return (i + 1, y, jnp.any(jnp.not_equal(y, x)))
+
+        _, out, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), out, jnp.bool_(True)))
+    else:
+        for _ in range(iters):
+            out = one_round(out)
     return jnp.clip(out, 0.0, 1.0)
 
 
