@@ -63,6 +63,23 @@ def mean_error_per_pixel(a, b):
     return jnp.mean(diff), jnp.mean(diff), jnp.max(diff)
 
 
+def mepp(a, b):
+    """MEPP scalar (compare.c MeanErrorPerPixelErrorMetric): mean
+    per-pixel summed-channel absolute error.  Reported in normalized
+    [0,1] units (the reference scales by QuantumRange; multiply by 65535
+    for Q16-comparable figures)."""
+    return jnp.mean(jnp.sum(jnp.abs(a - b), axis=-1))
+
+
+def phash_metric(a, b):
+    """PHASH (compare.c GetPerceptualHashDistortion): sum of squared
+    differences of the perceptual-hash moment vectors (statistic.c
+    GetImagePerceptualHash over xyY + HSB)."""
+    from .statistic import phash_distance
+
+    return phash_distance(a, b)
+
+
 def psnr(a, b):
     """PSNR in dB (compare.c PeakSignalToNoiseRatioErrorMetric)."""
     mse = mean_squared_error(a, b)
@@ -141,6 +158,8 @@ _METRICS = {
     "fuzz": fuzz_error,
     "dpc": dot_product_correlation,
     "phase": phase_correlation,
+    "mepp": mepp,
+    "phash": phash_metric,
 }
 
 
