@@ -9,15 +9,115 @@ the 4K-FFT-filter benchmark config runs as one program.
 Conventions follow the reference: forward yields a (magnitude, phase) image
 pair by default (or (real, imaginary) with modulus=False), both fftshifted
 to center DC, magnitude normalized by N, phase mapped to [0,1].
+
+Robustness (this machine): the axon TPU worker sporadically degrades into
+a state where every FFT op raises UNIMPLEMENTED while other compute is
+fine.  ``probe_fft()`` detects that with a tiny eager FFT, and every op
+here transparently falls back to an exact matmul-DFT formulation (two
+"high"-precision MXU matmuls per axis) so a degraded worker still yields
+correct results and a real benchmark number.  Force a path with
+``set_fft_mode("fft"|"matmul"|"auto")``.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
+# -- FFT availability probe + mode selection --------------------------------
+
+_FFT_MODE = "auto"           # "auto" | "fft" | "matmul"
+_FFT_OK: bool | None = None  # cached probe result
+
+
+def set_fft_mode(mode: str) -> None:
+    """Force the transform path: "fft", "matmul", or "auto" (probe)."""
+    global _FFT_MODE
+    if mode not in ("auto", "fft", "matmul"):
+        raise ValueError(f"bad fft mode {mode!r}")
+    _FFT_MODE = mode
+
+
+def probe_fft(recheck: bool = False) -> bool:
+    """True when the backend executes FFTs (tiny eager probe, cached).
+
+    The axon worker's degraded state raises UNIMPLEMENTED on ANY fft —
+    jit or eager, any size — so an 8-point probe is a reliable detector.
+    """
+    global _FFT_OK
+    if _FFT_OK is None or recheck:
+        try:
+            v = float(jnp.abs(jnp.sum(jnp.fft.fft(jnp.arange(8.0)))))
+            _FFT_OK = bool(np.isfinite(v))
+        except Exception:        # noqa: BLE001 — any failure = no FFT
+            _FFT_OK = False
+    return _FFT_OK
+
+
+def _use_fft() -> bool:
+    if _FFT_MODE == "fft":
+        return True
+    if _FFT_MODE == "matmul":
+        return False
+    return probe_fft()
+
+
+# -- matmul-DFT fallback ----------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats(n: int, inverse: bool):
+    """Symmetric n-point DFT matrix as (cos, sin) f32 parts."""
+    k = np.arange(n, dtype=np.float64)
+    ang = (2.0 if inverse else -2.0) * np.pi * np.outer(k, k) / n
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
+def _matmul_fft2(xr, xi, inverse: bool = False):
+    """Exact 2-D DFT as row/column matmuls (MXU path; 'high' = bf16x3
+    ~107dB vs f32 — never 'default' bf16 on the fidelity path)."""
+    H, W = xr.shape[-2:]
+    Ch, Sh = _dft_mats(H, inverse)
+    Cw, Sw = _dft_mats(W, inverse)
+    mm = functools.partial(jnp.matmul, precision="high")
+    yr = mm(Ch, xr) - mm(Sh, xi)
+    yi = mm(Ch, xi) + mm(Sh, xr)
+    zr = mm(yr, Cw) - mm(yi, Sw)     # DFT matrix is symmetric: F^T = F
+    zi = mm(yr, Sw) + mm(yi, Cw)
+    if inverse:
+        s = 1.0 / float(H * W)
+        zr, zi = zr * s, zi * s
+    return zr, zi
+
+
+def _fft2(x):
+    """fft2 with transparent matmul-DFT fallback.  x: complex or real."""
+    if _use_fft():
+        return jnp.fft.fft2(x.astype(jnp.complex64))
+    if jnp.iscomplexobj(x):
+        xr, xi = x.real.astype(jnp.float32), x.imag.astype(jnp.float32)
+    else:
+        xr = x.astype(jnp.float32)
+        xi = jnp.zeros_like(xr)
+    zr, zi = _matmul_fft2(xr, xi, inverse=False)
+    return jax.lax.complex(zr, zi)
+
+
+def _ifft2(f):
+    """ifft2 with transparent matmul-DFT fallback.  f: complex."""
+    if _use_fft():
+        return jnp.fft.ifft2(f)
+    zr, zi = _matmul_fft2(f.real.astype(jnp.float32),
+                          f.imag.astype(jnp.float32), inverse=True)
+    return jax.lax.complex(zr, zi)
+
+
+# -- the ops ----------------------------------------------------------------
 
 def forward_fft(img: jnp.ndarray, modulus: bool = True
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -29,7 +129,7 @@ def forward_fft(img: jnp.ndarray, modulus: bool = True
     """
     h, w = img.shape[-3], img.shape[-2]
     x = jnp.moveaxis(img, -1, 0)  # (C, ..., H, W)
-    f = jnp.fft.fft2(x.astype(jnp.complex64))
+    f = _fft2(x)
     f = jnp.fft.fftshift(f, axes=(-2, -1))
     n = float(h * w)
     if modulus:
@@ -54,7 +154,7 @@ def inverse_fft(first: jnp.ndarray, second: jnp.ndarray,
     else:
         f = a + 1j * (b * n)
     f = jnp.fft.ifftshift(f, axes=(-2, -1))
-    x = jnp.fft.ifft2(f).real
+    x = _ifft2(f).real
     return jnp.clip(jnp.moveaxis(x, 0, -1), 0.0, 1.0).astype(first.dtype)
 
 
@@ -91,22 +191,29 @@ def wiener_deconvolve(img: jnp.ndarray, kernel_fft: jnp.ndarray = None,
     With no kernel, acts as a Wiener denoiser: F' = F·|F|²/(|F|²+noise).
     """
     x = jnp.moveaxis(img, -1, 0)
-    if kernel_fft is None and x.shape[-1] % 2 == 0 and x.shape[-2] % 2 == 0:
+    use_fft = _use_fft()
+    # noise scale = spectral mean power; by Parseval mean|F|^2 over the
+    # FULL spectrum == sum(x^2), which keeps the filter identical across
+    # the rfft2 half-spectrum, fft2, and matmul-DFT paths
+    pmean = jnp.sum(x.astype(jnp.float32) ** 2, axis=(-2, -1),
+                    keepdims=True)
+    if kernel_fft is None and use_fft and \
+            x.shape[-1] % 2 == 0 and x.shape[-2] % 2 == 0:
         # real input: rfft2 computes only the non-redundant half-spectrum
         # (half the FLOPs and memory; TPU irfft2 needs even extents)
         f = jnp.fft.rfft2(x.astype(jnp.float32))
         p = (f * jnp.conj(f)).real
-        g = f * (p / (p + noise * jnp.mean(p)))
+        g = f * (p / (p + noise * pmean))
         out = jnp.fft.irfft2(g, s=x.shape[-2:])
     elif kernel_fft is None:
-        f = jnp.fft.fft2(x.astype(jnp.complex64))
+        f = _fft2(x)
         p = (f * jnp.conj(f)).real
-        g = f * (p / (p + noise * jnp.mean(p)))
-        out = jnp.fft.ifft2(g).real
+        g = f * (p / (p + noise * pmean))
+        out = _ifft2(g).real
     else:
-        f = jnp.fft.fft2(x.astype(jnp.complex64))
+        f = _fft2(x)
         k = kernel_fft
         kp = (k * jnp.conj(k)).real
         g = f * jnp.conj(k) / (kp + noise)
-        out = jnp.fft.ifft2(g).real
+        out = _ifft2(g).real
     return jnp.clip(jnp.moveaxis(out, 0, -1), 0.0, 1.0).astype(img.dtype)
