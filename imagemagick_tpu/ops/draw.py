@@ -247,30 +247,166 @@ def polygon_coverage(h: int, w: int, points: Sequence[Tuple[float, float]],
 
 
 def stroke_coverage(h: int, w: int, points: Sequence[Tuple[float, float]],
-                    width: float, closed: bool = False) -> jnp.ndarray:
-    """Distance-field stroke coverage for a polyline."""
-    pts = np.asarray(points, np.float64)
+                    width: float, closed: bool = False,
+                    linecap: str = "round", linejoin: str = "round",
+                    miterlimit: float = 10.0) -> jnp.ndarray:
+    """Distance-field stroke coverage for a polyline.
+
+    Caps and joins follow draw.c's DrawInfo semantics: caps butt/round/
+    square shape the true polyline ends; joins miter/round/bevel unite
+    the segments at interior vertices (round = capsule union, miter =
+    wedge up to ``miterlimit``·width/2 then bevel — draw.c TraceStroke
+    region).  The default round/round keeps the legacy capsule behavior
+    for internal callers.
+    """
+    pts = [(float(x), float(y)) for x, y in points]
     if len(pts) < 2:
         return jnp.zeros((h, w), jnp.float32)
+    if closed and pts[0] != pts[-1]:
+        pts = pts + [pts[0]]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    d2min = jnp.full((h, w), 1e12, jnp.float32)
-    segs = list(zip(pts[:-1], pts[1:]))
-    if closed:
-        segs.append((pts[-1], pts[0]))
-    for (x1, y1), (x2, y2) in segs:
-        vx, vy = x2 - x1, y2 - y1
-        ln2 = vx * vx + vy * vy
-        if ln2 < 1e-12:
-            d2 = (xs - x1) ** 2 + (ys - y1) ** 2
-        else:
-            t = jnp.clip(((xs - x1) * vx + (ys - y1) * vy) / ln2, 0.0, 1.0)
-            d2 = (xs - (x1 + t * vx)) ** 2 + (ys - (y1 + t * vy)) ** 2
-        d2min = jnp.minimum(d2min, d2)
-    dist = jnp.sqrt(d2min)
     r = width / 2.0
-    # analytic 1px anti-aliased edge
-    return jnp.clip(r + 0.5 - dist, 0.0, 1.0)
+    segs = list(zip(pts[:-1], pts[1:]))
+    round_everything = linecap == "round" and linejoin == "round"
+    # sd accumulates the SIGNED distance to the stroke region (min over
+    # primitives); coverage = clip(0.5 - sd, 0, 1) gives a 1px AA edge.
+    sd = jnp.full((h, w), 1e6, jnp.float32)
+    for si, ((x1, y1), (x2, y2)) in enumerate(segs):
+        vx, vy = x2 - x1, y2 - y1
+        ln = math.hypot(vx, vy)
+        if ln < 1e-9:
+            d = jnp.sqrt((xs - x1) ** 2 + (ys - y1) ** 2) - r
+            sd = jnp.minimum(sd, d)
+            continue
+        ux, uy = vx / ln, vy / ln
+        along = (xs - x1) * ux + (ys - y1) * uy
+        perp = jnp.abs((xs - x1) * -uy + (ys - y1) * ux)
+        if round_everything:
+            t = jnp.clip(along, 0.0, ln)
+            d = jnp.sqrt((along - t) ** 2 + perp ** 2 + 1e-12) - r
+        else:
+            lo, hi = 0.0, ln
+            # caps apply only at true polyline ends (not interior joins)
+            at_start = si == 0 and not closed
+            at_end = si == len(segs) - 1 and not closed
+            if linecap == "square":
+                if at_start:
+                    lo = -r
+                if at_end:
+                    hi = ln + r
+            elif linecap == "round":
+                if at_start or at_end:
+                    t = jnp.clip(along, 0.0, ln)
+                    d = jnp.sqrt((along - t) ** 2 + perp ** 2 + 1e-12) - r
+                    sd = jnp.minimum(sd, d)
+                    continue
+            over = jnp.maximum(lo - along, along - hi)   # beyond the ends
+            d = jnp.maximum(perp - r, over)
+            sd = jnp.minimum(sd, d)
+            continue
+        sd = jnp.minimum(sd, d)
+    # join primitives at interior vertices (and the closing vertex)
+    if not round_everything and len(segs) > 1 or (closed and not
+                                                  round_everything):
+        nverts = len(segs) - 1 + (1 if closed else 0)
+        for k in range(nverts):
+            a = segs[k]
+            b = segs[(k + 1) % len(segs)]
+            p0, p1 = a
+            d1 = (p1[0] - p0[0], p1[1] - p0[1])
+            q0, q1 = b
+            d2 = (q1[0] - q0[0], q1[1] - q0[1])
+            l1 = math.hypot(*d1) or 1.0
+            l2 = math.hypot(*d2) or 1.0
+            u1 = (d1[0] / l1, d1[1] / l1)
+            u2 = (d2[0] / l2, d2[1] / l2)
+            v = a[1]  # the shared vertex
+            if linejoin == "round":
+                d = jnp.sqrt((xs - v[0]) ** 2 + (ys - v[1]) ** 2) - r
+                sd = jnp.minimum(sd, d)
+                continue
+            # outer normals of each segment on the turn's outside
+            cross = u1[0] * u2[1] - u1[1] * u2[0]
+            if abs(cross) < 1e-9:        # collinear: nothing to fill
+                continue
+            s_ = -1.0 if cross > 0 else 1.0  # outer side of the turn
+            n1 = (-u1[1] * s_, u1[0] * s_)
+            n2 = (-u2[1] * s_, u2[0] * s_)
+            c1 = (v[0] + r * n1[0], v[1] + r * n1[1])
+            c2 = (v[0] + r * n2[0], v[1] + r * n2[1])
+            tri = [v, c1, c2]
+            prims = [tri]
+            if linejoin == "miter":
+                mx, my = n1[0] + n2[0], n1[1] + n2[1]
+                mlen = math.hypot(mx, my)
+                if mlen > 1e-9:
+                    cos_half = mlen / 2.0
+                    miter_len = r / max(cos_half, 1e-9)
+                    if miter_len / max(r, 1e-9) <= miterlimit:
+                        m = (v[0] + miter_len * mx / mlen,
+                             v[1] + miter_len * my / mlen)
+                        prims = [[v, c1, m, c2]]
+            for poly in prims:
+                cov_p = polygon_coverage(h, w, poly)
+                # fold polygon coverage into the signed-distance union
+                sd = jnp.minimum(sd, 0.5 - cov_p)
+    return jnp.clip(0.5 - sd, 0.0, 1.0)
+
+
+def dash_polyline(points: Sequence[Tuple[float, float]],
+                  dasharray: Sequence[float], offset: float = 0.0,
+                  closed: bool = False) -> List[List[Tuple[float, float]]]:
+    """Arc-length split of a polyline into dash sub-polylines.
+
+    DrawDashPolygon (/root/reference/MagickCore/draw.c:2223): the dash
+    pattern cycles along the path's arc length; an odd-length array
+    repeats doubled (SVG semantics, matching the reference).
+    """
+    pts = [(float(x), float(y)) for x, y in points]
+    if closed and len(pts) > 1 and pts[0] != pts[-1]:
+        pts = pts + [pts[0]]
+    pat = [float(d) for d in dasharray if float(d) >= 0]
+    if not pat or all(p == 0 for p in pat):
+        return [pts]
+    if len(pat) % 2 == 1:
+        pat = pat + pat
+    total = sum(pat)
+    # position inside the cycle, honoring dashoffset
+    pos = float(offset) % total
+    idx = 0
+    while pos >= pat[idx]:
+        pos -= pat[idx]
+        idx = (idx + 1) % len(pat)
+    on = idx % 2 == 0
+    remaining = pat[idx] - pos
+    dashes: List[List[Tuple[float, float]]] = []
+    cur: List[Tuple[float, float]] = [pts[0]] if on else []
+    for p0, p1 in zip(pts[:-1], pts[1:]):
+        seglen = math.hypot(p1[0] - p0[0], p1[1] - p0[1])
+        if seglen < 1e-12:
+            continue
+        ux, uy = (p1[0] - p0[0]) / seglen, (p1[1] - p0[1]) / seglen
+        t = 0.0
+        while seglen - t > remaining + 1e-9:
+            t += remaining
+            q = (p0[0] + ux * t, p0[1] + uy * t)
+            if on:
+                cur.append(q)
+                if len(cur) >= 2:
+                    dashes.append(cur)
+                cur = []
+            else:
+                cur = [q]
+            idx = (idx + 1) % len(pat)
+            on = not on
+            remaining = pat[idx]
+        remaining -= seglen - t
+        if on:
+            cur.append(p1)
+    if on and len(cur) >= 2:
+        dashes.append(cur)
+    return dashes
 
 
 def ellipse_coverage(h: int, w: int, cx: float, cy: float,
@@ -327,13 +463,22 @@ class _GC:
         self.font = None
         self.affine = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
         self.text_anchor = "start"
+        # stroke geometry state (draw.c DrawInfo defaults: butt/miter/10)
+        self.linecap = "butt"
+        self.linejoin = "miter"
+        self.miterlimit = 10.0
+        self.dasharray = None        # list of lengths, or None
+        self.dashoffset = 0.0
+        self.clip_mask = None        # (H, W) coverage multiplier, or None
 
     def copy(self):
         g = _GC()
         g.__dict__ = {}
         for k in ("fill", "stroke", "stroke_width", "fill_opacity",
                   "stroke_opacity", "fill_rule", "font_size", "font",
-                  "affine", "text_anchor", "fill_gradient"):
+                  "affine", "text_anchor", "fill_gradient", "linecap",
+                  "linejoin", "miterlimit", "dasharray", "dashoffset",
+                  "clip_mask"):
             setattr(g, k, getattr(self, k))
         return g
 
@@ -360,6 +505,7 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
     stack: List[_GC] = []
     gradients: Dict[str, dict] = {}
     patterns: Dict[str, dict] = {}
+    clip_paths: Dict[str, dict] = {}
     pending_gradient: Optional[dict] = None
     pattern_capture: Optional[dict] = None
     out = img
@@ -412,6 +558,25 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
                 pending_gradient = {"type": gtype, "coords": coords,
                                     "stops": []}
                 gradients[gname] = pending_gradient
+            elif what == "clip-path":
+                # capture the definition's MVG until 'pop clip-path'
+                # (draw.c clip-path defs); rendered lazily as a coverage
+                # mask on first use
+                cname = toks[i].strip("'\""); i += 1
+                if cname.startswith("#"):
+                    cname = cname[1:]
+                depth = 1
+                j = i
+                while j < len(toks) - 1:
+                    if toks[j] == "push" and toks[j + 1] == "clip-path":
+                        depth += 1
+                    if toks[j] == "pop" and toks[j + 1] == "clip-path":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                clip_paths[cname] = {"mvg": " ".join(toks[i:j])}
+                i = j + 2  # past 'pop clip-path'
             elif what == "defs":
                 pass
         elif cmd == "pop":
@@ -507,9 +672,9 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
             gc.affine = (num(), num(), num(), num(), num(), num())
         elif cmd in ("line",):
             pts = gc.xform([(num(), num()), (num(), num())])
-            cov = stroke_coverage(h, w, pts, gc.stroke_width)
+            cov = _stroke_cov(h, w, pts, gc, False)
             col = gc.stroke if gc.stroke[3] > 0 else gc.fill
-            out = _blend(out, cov * gc.stroke_opacity, col)
+            out = _blend(out, _clip(cov, gc) * gc.stroke_opacity, col)
         elif cmd in ("rectangle",):
             x1, y1, x2, y2 = num(), num(), num(), num()
             pts = gc.xform([(x1, y1), (x2, y1), (x2, y2), (x1, y2)])
@@ -562,19 +727,49 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
         elif cmd == "text":
             x, y = num(), num()
             s = toks[i].strip("'\""); i += 1
-            out = draw_text(out, s, x, y, gc.fill, gc.font_size, gc.font)
-        elif cmd in ("color", "matte", "clip-path", "clip-rule", "decorate",
+            new = draw_text(out, s, x, y, gc.fill, gc.font_size, gc.font)
+            out = new if gc.clip_mask is None else \
+                out + (new - out) * gc.clip_mask[..., None]
+        elif cmd == "stroke-linecap":
+            gc.linecap = toks[i].strip("'\"").lower(); i += 1
+        elif cmd == "stroke-linejoin":
+            gc.linejoin = toks[i].strip("'\"").lower(); i += 1
+        elif cmd == "stroke-miterlimit":
+            gc.miterlimit = num()
+        elif cmd == "stroke-dasharray":
+            if i < len(toks) and toks[i].lower() in ("none", "0"):
+                gc.dasharray = None
+                i += 1
+            else:
+                arr = []
+                while i < len(toks) and re.match(r"^[-+0-9.]", toks[i]):
+                    arr.append(num())
+                gc.dasharray = arr or None
+        elif cmd == "stroke-dashoffset":
+            gc.dashoffset = num()
+        elif cmd == "clip-path":
+            # apply a previously-defined clip path (draw.c:4554 clip-path
+            # lookup; mask = coverage of the def's geometry)
+            name = toks[i].strip("'\""); i += 1
+            m_url = re.match(r"^url\(#([^)]+)\)$", name)
+            if m_url:
+                name = m_url.group(1)
+            if name in clip_paths:
+                cp = clip_paths[name]
+                if "mask" not in cp:
+                    mask_img = draw(
+                        jnp.zeros((h, w, 1), img.dtype),
+                        "push graphic-context fill white stroke none " +
+                        cp["mvg"] + " pop graphic-context")
+                    cp["mask"] = mask_img[..., 0]
+                gc.clip_mask = cp["mask"]
+        elif cmd in ("color", "matte", "clip-rule", "decorate",
                      "encoding", "gravity", "interline-spacing",
-                     "interword-spacing", "kerning", "stroke-linecap",
-                     "stroke-linejoin", "stroke-miterlimit",
-                     "stroke-dasharray", "stroke-dashoffset", "viewbox",
+                     "interword-spacing", "kerning", "viewbox",
                      "class", "use", "compliance"):
-            # consume one argument (or dasharray list)
+            # consume this keyword's arguments
             if cmd == "viewbox":
                 i += 4
-            elif cmd == "stroke-dasharray":
-                while i < len(toks) and re.match(r"^[-+0-9.]", toks[i]):
-                    i += 1
             elif cmd in ("color", "matte"):
                 i += 3  # x y method
             else:
@@ -628,19 +823,37 @@ def _gradient_field(h, w, grad: dict, dtype=jnp.float32) -> jnp.ndarray:
     return field
 
 
+def _clip(cov, gc: _GC):
+    return cov if gc.clip_mask is None else cov * gc.clip_mask
+
+
+def _stroke_cov(h, w, pts, gc: _GC, closed: bool):
+    """Stroke coverage honoring dash/cap/join state (TraceStroke +
+    DrawDashPolygon, draw.c:2223)."""
+    if gc.dasharray:
+        cov = jnp.zeros((h, w), jnp.float32)
+        for dash in dash_polyline(pts, gc.dasharray, gc.dashoffset, closed):
+            cov = jnp.maximum(cov, stroke_coverage(
+                h, w, dash, gc.stroke_width, False, gc.linecap,
+                gc.linejoin, gc.miterlimit))
+        return cov
+    return stroke_coverage(h, w, pts, gc.stroke_width, closed,
+                           gc.linecap, gc.linejoin, gc.miterlimit)
+
+
 def _draw_shape(img, h, w, pts, gc: _GC, closed: bool, gradients=None):
     out = img
     if closed and gc.fill_gradient and gradients and \
             gc.fill_gradient in gradients and gc.fill_opacity > 0:
         cov = polygon_coverage(h, w, pts, gc.fill_rule)
         field = _gradient_field(h, w, gradients[gc.fill_gradient], img.dtype)
-        out = _blend(out, cov * gc.fill_opacity, field)
+        out = _blend(out, _clip(cov, gc) * gc.fill_opacity, field)
     elif closed and gc.fill[3] > 0 and gc.fill_opacity > 0:
         cov = polygon_coverage(h, w, pts, gc.fill_rule)
-        out = _blend(out, cov * gc.fill_opacity, gc.fill)
+        out = _blend(out, _clip(cov, gc) * gc.fill_opacity, gc.fill)
     if gc.stroke[3] > 0 and gc.stroke_opacity > 0 and gc.stroke_width > 0:
-        cov = stroke_coverage(h, w, pts, gc.stroke_width, closed)
-        out = _blend(out, cov * gc.stroke_opacity, gc.stroke)
+        cov = _stroke_cov(h, w, pts, gc, closed)
+        out = _blend(out, _clip(cov, gc) * gc.stroke_opacity, gc.stroke)
     return out
 
 
@@ -648,12 +861,12 @@ def _draw_ellipse(img, h, w, cx, cy, rx, ry, gc: _GC):
     out = img
     if gc.fill[3] > 0 and gc.fill_opacity > 0:
         cov = ellipse_coverage(h, w, cx, cy, rx, ry)
-        out = _blend(out, cov * gc.fill_opacity, gc.fill)
+        out = _blend(out, _clip(cov, gc) * gc.fill_opacity, gc.fill)
     if gc.stroke[3] > 0 and gc.stroke_width > 0:
         th = np.linspace(0, 2 * math.pi, 64)
         pts = [(cx + rx * math.cos(t), cy + ry * math.sin(t)) for t in th]
-        cov = stroke_coverage(h, w, pts, gc.stroke_width, closed=True)
-        out = _blend(out, cov * gc.stroke_opacity, gc.stroke)
+        cov = _stroke_cov(h, w, pts, gc, True)
+        out = _blend(out, _clip(cov, gc) * gc.stroke_opacity, gc.stroke)
     return out
 
 
