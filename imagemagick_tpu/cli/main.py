@@ -2363,6 +2363,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return tools.display_main(argv, animate=(tool == "animate"))
         if tool == "stream":
             return _stream_main(argv)
+        if tool == "import":
+            # import.c captures an X11 screen region; there is no X
+            # server in a headless TPU deployment — fail cleanly instead
+            # of silently falling through to the convert dialect
+            print("tmagick: import: X11 screen capture is not supported "
+                  "in this headless build (utilities/magick.c:83-99 "
+                  "multicall name)", file=sys.stderr)
+            return 1
         # magick/convert dialect: -bench and -script handled here
         if "-bench" in argv:
             i = argv.index("-bench")

@@ -174,13 +174,32 @@ def detect_format(data: bytes) -> Optional[str]:
     return None
 
 
+def _fetch_url(url: str, timeout: float = 30.0) -> bytes:
+    """Fetch a url:/http:/https:/ftp:/file: blob (the reference's curl
+    delegate, delegates.xml.in:66-67), honoring the policy 'delegate'
+    domain before touching the network (constitute.c:733 analog)."""
+    from urllib.error import URLError
+    from urllib.request import urlopen
+
+    from ..core.policy import policy as _pol
+
+    scheme = url.split(":", 1)[0].lower()
+    _pol.enforce("delegate", scheme.upper(), "read")
+    try:
+        with urlopen(url, timeout=timeout) as r:
+            return r.read()
+    except URLError as exc:
+        raise IOError(f"url fetch failed for {url!r}: {exc}") from exc
+
+
 def _split_filename(filename: str):
     """'fmt:rest' prefix split (SetImageInfo filename syntax)."""
     m = re.match(r"^([A-Za-z][A-Za-z0-9_+-]*):(.*)$", filename)
     if m and (m.group(1).lower() in _PSEUDO or m.group(1).lower() in
               set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
               | _FORMATS2_READ | _FORMATS2_WRITE
-              | {"mpr", "info", "txt", "json"}):
+              | {"mpr", "info", "txt", "json",
+                 "url", "http", "https", "ftp", "file"}):
         return m.group(1).lower(), m.group(2)
     return None, filename
 
@@ -209,6 +228,13 @@ def read_images(filename: str, size: Optional[str] = None,
         if rest not in _MPR_REGISTRY:
             raise FileNotFoundError(f"no mpr registry entry {rest!r}")
         return list(_MPR_REGISTRY[rest])
+    if fmt in ("url", "http", "https", "ftp", "file"):
+        # url.c / the curl delegate rule (delegates.xml.in:66-67): fetch
+        # the blob over the network (or file://) into the normal decode
+        # path.  Gated by the policy "delegate" domain like the reference
+        # gates its delegate invocation (policy.c:623).
+        target = rest if fmt == "url" else f"{fmt}:{rest}"
+        return image_from_blob(_fetch_url(target))
     if (fmt == "mpc" or rest.lower().endswith(".mpc")) and os.path.exists(rest):
         return mpc.read_mpc(rest)
     with open(rest, "rb") as f:
