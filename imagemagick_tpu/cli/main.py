@@ -239,7 +239,7 @@ def _op_geometry_slice(st, arg, plus, op):
                     tf.splice(d, *a, background=b),
                     new_shape=(ch + h, cw + w))
         elif op == "roll":
-            g = parse_geometry(arg)
+            g = parse_geometry(arg, offsets_first=True)
             li.push(lambda d, a=(g.x or 0, g.y or 0): tf.roll(d, *a))
         elif op == "trim":
             img = li.materialize()

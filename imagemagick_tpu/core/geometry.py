@@ -52,11 +52,16 @@ _GEOM_RE = re.compile(
 )
 
 
-def parse_geometry(geometry: str) -> Geometry:
+def parse_geometry(geometry: str, offsets_first: bool = False) -> Geometry:
     """Parse a geometry string into raw numbers + flags.
 
     Mirrors ParseGeometry (/root/reference/MagickCore/geometry.c) — flags may
     appear anywhere in the string and are stripped before number parsing.
+
+    ``offsets_first=True`` selects the GetGeometry/page grammar where a
+    LEADING signed number is an offset ("+5+7" -> x=5, y=7), unlike the
+    op-argument grammar where a signed first number is rho
+    ("-sigmoidal-contrast -3x50%" -> rho=-3).
     """
     if geometry is None:
         raise ValueError("geometry is None")
@@ -73,6 +78,15 @@ def parse_geometry(geometry: str) -> Geometry:
         if flag in s:
             setattr(g, attr, True)
             s = s.replace(flag, "")
+    s_stripped = s.strip()
+    if offsets_first and s_stripped[:1] in ("+", "-"):
+        m = re.match(r"^\s*(?P<x>[-+][0-9]*\.?[0-9]+)"
+                     r"(?P<y>[-+][0-9]*\.?[0-9]+)?\s*$", s)
+        if m:
+            g.x = int(float(m.group("x")))
+            if m.group("y") is not None:
+                g.y = int(float(m.group("y")))
+            return g
     m = _GEOM_RE.match(s)
     if not m:
         raise ValueError(f"invalid geometry {geometry!r}")
@@ -159,7 +173,7 @@ def parse_page_geometry(
     geometry: str, width: int, height: int
 ) -> Tuple[int, int, int, int]:
     """Crop-style geometry: missing W/H default to the full canvas size."""
-    g = parse_geometry(geometry)
+    g = parse_geometry(geometry, offsets_first=True)
     x = g.x or 0
     y = g.y or 0
     if g.percent:

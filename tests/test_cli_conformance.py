@@ -266,3 +266,98 @@ def test_identify_corpus(ref_file, capsys):
     for opts in ["", "-verbose"]:
         process([ref_file] + shlex.split(opts) + ["-identify", "null:"])
         assert capsys.readouterr().out.strip()
+
+
+# ---------------------------------------------------------------------------
+# Golden-output fidelity gate (VERDICT r2 #9): executing without raising is
+# not correctness — ~30 of the validate.h option strings are additionally
+# gated at >=60dB PSNR against the op library invoked directly (which
+# test_fidelity.py gates against f64 math).  tests/validate.c:836 analog.
+# ---------------------------------------------------------------------------
+
+def _psnr(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    if a.shape != b.shape:
+        return -1.0
+    mse = np.mean((a - b) ** 2)
+    return 300.0 if mse == 0 else 10 * np.log10(1.0 / mse)
+
+
+def _golden_table():
+    from imagemagick_tpu.ops import blur as bl
+    from imagemagick_tpu.ops import colorspace as cs
+    from imagemagick_tpu.ops import enhance as en
+    from imagemagick_tpu.ops import resize as rz
+    from imagemagick_tpu.ops import statistic as stx
+    from imagemagick_tpu.ops import threshold as th
+    from imagemagick_tpu.ops import transform as tf
+    from imagemagick_tpu.ops import visual_effects as vfx
+
+    return [
+        ("-resize 30x20!", lambda x: rz.resize(x, 20, 30)),
+        ("-resize 50%", lambda x: rz.resize(x, 23, 35)),
+        ("-scale 35x23!", lambda x: rz.scale(x, 23, 35)),
+        ("-sample 35x23!", lambda x: rz.sample(x, 23, 35)),
+        ("-thumbnail 30x20!", lambda x: rz.thumbnail(x, 20, 30)),
+        ("-blur 0x1.0", lambda x: bl.blur(x, 0, 1.0)),
+        ("-gaussian-blur 0x1.5", lambda x: bl.gaussian_blur(x, 0, 1.5)),
+        ("-sharpen 0x1.0", lambda x: bl.sharpen(x, 0, 1.0)),
+        ("-edge 1", lambda x: bl.edge_image(x, 1.0)),
+        ("-emboss 0x1", lambda x: bl.emboss(x, 0, 1.0)),
+        ("-negate", lambda x: en.negate(x)),
+        ("-gamma 1.6", lambda x: en.gamma(x, 1.6)),
+        ("-modulate 110,90,100",
+         lambda x: en.modulate(x, 110.0, 90.0, 100.0)),
+        ("-level 10%,90%", lambda x: en.level(x, 0.10, 0.90)),
+        ("-sigmoidal-contrast 3x50%",
+         lambda x: en.sigmoidal_contrast(x, True, 3.0, 0.5)),
+        ("-brightness-contrast 10x5",
+         lambda x: en.brightness_contrast(x, 10.0, 5.0)),
+        ("-auto-level", lambda x: en.auto_level(x)),
+        ("-contrast-stretch 2%x1%",
+         lambda x: en.contrast_stretch(x, 0.02, 0.01)),
+        ("-normalize", lambda x: en.normalize(x)),
+        ("-colorspace gray", lambda x: cs.convert(x, "srgb", "gray")),
+        ("-colorspace hsl", lambda x: cs.convert(x, "srgb", "hsl")),
+        ("-colorspace lab", lambda x: cs.convert(x, "srgb", "lab")),
+        ("-threshold 50%", lambda x: th.bilevel(x, 0.5)),
+        ("-black-threshold 20%", lambda x: th.black_threshold(x, 0.2)),
+        ("-white-threshold 80%", lambda x: th.white_threshold(x, 0.8)),
+        ("-flip", tf.flip),
+        ("-flop", tf.flop),
+        ("-transpose", tf.transpose),
+        ("-transverse", tf.transverse),
+        ("-roll +5+7", lambda x: tf.roll(x, 5, 7)),
+        ("-crop 20x15+5+5", lambda x: tf.crop(x, 5, 5, 20, 15)),
+        ("-shave 3x4", lambda x: tf.shave(x, 3, 4)),
+        ("-solarize 50%", lambda x: vfx.solarize(x, 0.5)),
+        ("-sepia-tone 80%", lambda x: vfx.sepia_tone(x, 0.8)),
+        ("-evaluate multiply 0.5",
+         lambda x: stx.evaluate(x, "multiply", 0.5)),
+    ]
+
+
+def test_golden_output_psnr(ref_file, tmp_path):
+    """CLI output must match the directly-invoked op >=60dB (usually
+    bit-equal; tiny differences only from the 8->32-bit MIFF round trip,
+    so the corpus writes 32-bit floats)."""
+    from imagemagick_tpu import io as iio
+
+    ref = iio.read_image(ref_file)
+    table = _golden_table()
+    failures = []
+    for opts, op_fn in table:
+        out = str(tmp_path / "golden.miff")
+        process([ref_file] + shlex.split(opts) +
+                ["-depth", "32", "-define", "quantum:format=floating-point",
+                 out])
+        got = iio.read_image(out).data
+        # encoders clamp to [0,1] (HDRI clamps only at the edge); apply
+        # the same clamp to the op-library reference
+        want = np.clip(np.asarray(op_fn(ref.data)), 0.0, 1.0)
+        p = _psnr(got, want)
+        if p < 60.0:
+            failures.append((opts, round(p, 1),
+                             tuple(np.asarray(got).shape),
+                             tuple(np.asarray(want).shape)))
+    assert not failures, f"golden PSNR failures: {failures}"
