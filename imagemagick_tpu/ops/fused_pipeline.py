@@ -185,9 +185,128 @@ def _mm(a, b, precision):
                                preferred_element_type=jnp.float32)
 
 
+def _lane_shift(z, d):
+    """result[:, t] = z[:, t + d], zero-padded at the edges."""
+    if d == 0:
+        return z
+    L = z.shape[1]
+    zeros = jnp.zeros((z.shape[0], abs(d)), z.dtype)
+    if d > 0:
+        return jnp.concatenate([z[:, d:], zeros], axis=1)
+    return jnp.concatenate([zeros, z[:, :L + d]], axis=1)
+
+
+def _lane_mat3(z, M, C):
+    """Per-pixel 3x3 channel mix on channel-interleaved lanes.
+
+    z: (rows, W*C) with channel c at lane w*C+c.  out[t] =
+    sum_c M[t%C, c] * z[t - t%C + c], built from C*2-1 lane shifts with
+    iota-derived per-channel coefficient masks (all VPU work — the same
+    trick as the unsharp epilogue's border shifts)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    ch = lane % C
+    out = jnp.zeros_like(z)
+    for d in range(-(C - 1), C):
+        wv = None
+        for ct in range(C):
+            cs_ = ct + d
+            if 0 <= cs_ < C:
+                m = jnp.where(ch == ct, jnp.float32(M[ct][cs_]), 0.0)
+                wv = m if wv is None else wv + m
+        if wv is not None:
+            out = out + _lane_shift(z, d) * wv
+    return out
+
+
+def _lane_chanconst(shape, vals, C):
+    """(rows, W*C) constant field: vals[c] at every channel-c lane."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    ch = lane % C
+    out = jnp.full(shape, jnp.float32(vals[0]))
+    for c in range(1, C):
+        out = jnp.where(ch == c, jnp.float32(vals[c]), out)
+    return out
+
+
+def _lane_chanmin(z, C):
+    """Per-pixel min over the C channels, broadcast back to every lane."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    ch = lane % C
+    mn = jnp.full(z.shape, jnp.float32(1e30))
+    for d in range(-(C - 1), C):
+        valid = None
+        for ct in range(C):
+            if 0 <= ct + d < C:
+                m = ch == ct
+                valid = m if valid is None else valid | m
+        if valid is not None:
+            mn = jnp.where(valid, jnp.minimum(mn, _lane_shift(z, d)), mn)
+    return mn
+
+
+def _lab_roundtrip_rows(z, C):
+    """sRGB -> Lab -> sRGB on interleaved-lane rows, inside the kernel.
+
+    The exact per-pixel math of ops.colorspace rgb_to_lab/lab_to_rgb
+    (sRGBTransformImage/TransformsRGBImage, colorspace.c:722) expressed
+    as VPU elementwise chains + lane-shift 3x3 mixes, so the config-2
+    epilogue costs zero extra HBM traffic (VERDICT r2 #2).  pow sites
+    use the measured split-exponent exp2/log2 forms (~100dB)."""
+    from ..ops.colorspace import (CIE_EPSILON, CIE_K, D65, _RGB2XYZ,
+                                  _XYZ2RGB)
+
+    # decode sRGB -> linear (x^2.4 = x^2 * exp2(0.4 log2 x))
+    vs = jnp.maximum((z + 0.055) / 1.055, 1e-12)
+    p24 = vs * vs * jnp.exp2(jnp.float32(0.4) * jnp.log2(vs))
+    lin = jnp.where(z <= 0.0404482362771076, z / 12.92, p24)
+    xyz = _lane_mat3(lin, np.asarray(_RGB2XYZ), C)
+    # f(t) with per-channel whitepoint
+    wp = _lane_chanconst(z.shape, D65, C)
+    r = xyz / wp
+    f = jnp.where(r > CIE_EPSILON,
+                  jnp.cbrt(jnp.maximum(r, 0.0)),
+                  (jnp.float32(CIE_K) * r + 16.0) / 116.0)
+    # Lab (stored scaling: L/100, a/255+.5, b/255+.5) as an affine mix
+    A = [[0.0, 116.0 / 100.0, 0.0],
+         [500.0 / 255.0, -500.0 / 255.0, 0.0],
+         [0.0, 200.0 / 255.0, -200.0 / 255.0]]
+    lab = _lane_mat3(f, A, C) + _lane_chanconst(z.shape,
+                                                (-16.0 / 100.0, 0.5, 0.5), C)
+    # inverse: unscale + (x,y,z) f-values as an affine mix
+    lab0 = lab - _lane_chanconst(z.shape, (-16.0 / 100.0, 0.5, 0.5), C)
+    B = [[100.0 / 116.0, 255.0 / 500.0, 0.0],
+         [100.0 / 116.0, 0.0, 0.0],
+         [100.0 / 116.0, 0.0, -255.0 / 200.0]]
+    fxyz = _lane_mat3(lab0, B, C)
+    f3 = fxyz * fxyz * fxyz
+    # L in raw units for the Y linear-branch test (lab0's L lane holds
+    # (Lraw + 16)/100)
+    Lraw = _lane_mat3(lab0, [[100.0, 0.0, 0.0]] * 3, C) - 16.0
+    lin_branch = (116.0 * fxyz - 16.0) / jnp.float32(CIE_K)
+    xyz2 = jnp.where(f3 > CIE_EPSILON, f3, lin_branch)
+    # Y channel uses the L > K*eps test (lab_raw_to_xyz)
+    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    is_y = (lane % C) == 1
+    y_lin = Lraw / jnp.float32(CIE_K)
+    xyz2 = jnp.where(is_y,
+                     jnp.where(Lraw > CIE_K * CIE_EPSILON, f3, y_lin),
+                     xyz2)
+    xyz2 = xyz2 * wp
+    rgb = _lane_mat3(xyz2, np.asarray(_XYZ2RGB), C)
+    # out-of-gamut lift (colorspace-private.h:84-90)
+    mn = _lane_chanmin(rgb, C)
+    rgb = jnp.where(mn < 0.0, rgb - mn, rgb)
+    # encode linear -> sRGB
+    ve = jnp.maximum(rgb, 1e-12)
+    pinv = jnp.exp2(jnp.float32(1.0 / 2.4) * jnp.log2(ve))
+    return jnp.where(rgb <= 0.0031306684425005883, 12.92 * rgb,
+                     1.055 * pinv - 0.055)
+
+
 def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
             *, TO, BAND, c0s, SPAN, precision, clip, nprog, ntiles,
-            nterms=1, guids=None, nslots=_NSLOTS, unsharp=None):
+            nterms=1, guids=None, nslots=_NSLOTS, unsharp=None,
+            chan_epilogue=None):
     """One program per (image, row-tile), flattened to a 1-D grid.
 
     Two measured structural rules shape this kernel:
@@ -283,6 +402,11 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
                 sh = jnp.concatenate([vc[:, d * C:], rep], axis=1)
             bacc = w_ * sh if bacc is None else bacc + w_ * sh
         out = (1.0 + gain) * zc - gain * bacc
+    if chan_epilogue is not None:
+        # clamp first: the op path clips the unsharp result before the
+        # colorspace conversion (per-op Q16-style clamping)
+        out = jnp.clip(out, 0.0, 1.0)
+        out = chan_epilogue(out, unsharp[3] if unsharp is not None else 3)
     if clip:
         out = jnp.clip(out, 0.0, 1.0)
     out_ref[:, :] = out
@@ -291,7 +415,8 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
 @functools.lru_cache(maxsize=64)
 def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
                 precision, clip, interpret=False, nterms=1, guids=None,
-                n_unique=None, nslots=_NSLOTS, unsharp=None):
+                n_unique=None, nslots=_NSLOTS, unsharp=None,
+                chan_epilogue=None):
     nprog = N * ntiles
     if guids is None:
         guids = tuple(range(nterms * nb))
@@ -301,7 +426,8 @@ def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
     kern = functools.partial(_kernel, TO=TO, BAND=BAND, c0s=c0s, SPAN=SPAN,
                              precision=precision, clip=clip, nprog=nprog,
                              ntiles=ntiles, nterms=nterms, guids=guids,
-                             nslots=nslots, unsharp=unsharp)
+                             nslots=nslots, unsharp=unsharp,
+                             chan_epilogue=chan_epilogue)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nprog,),
@@ -593,6 +719,7 @@ def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
                                 precision: str = "b3",
                                 in_shape: Optional[Tuple[int, int, int,
                                                          int]] = None,
+                                lab_roundtrip: bool = False,
                                 interpret: bool = False
                                 ) -> Optional[jnp.ndarray]:
     """Blur -> unsharp (threshold 0) as ONE kernel, two stages inside.
@@ -680,10 +807,14 @@ def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
                 precision, in_shape, interpret)
         return None
     unsharp = (taps, taps, float(gain), C)
+    chanep = _lab_roundtrip_rows if lab_roundtrip and C == 3 else None
+    if lab_roundtrip and chanep is None:
+        return None
     call = _build_call(N, Hin, WINC, TO, BAND, ntiles, len(c0s), SPAN,
                        OUTP, c0s, precision, True, interpret, nterms=1,
                        guids=tuple(guids), n_unique=len(keep),
-                       nslots=nslots, unsharp=unsharp)
+                       nslots=nslots, unsharp=unsharp,
+                       chan_epilogue=chanep)
     r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hin, ntiles) +
                np.tile(r0s.astype(np.int64), N)).astype(np.int32)
     out = call(jnp.asarray(r0_flat), x.reshape(N * Hin, WINC),

@@ -172,3 +172,27 @@ def test_morph_edge_odd_geometry_interpret():
     assert got is not None
     ref = np.asarray(_morph_edge_reference(x[..., 0], 0.6))[..., None]
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_blur_unsharp_lab_roundtrip_epilogue():
+    """The in-kernel sRGB->Lab->sRGB epilogue (VERDICT r2 #2) matches the
+    XLA colorspace ops composed after the two-stage kernel."""
+    import numpy as np
+
+    from imagemagick_tpu.ops import colorspace as cs
+    from imagemagick_tpu.ops.fused_pipeline import fused_blur_unsharp_pipeline
+
+    rng = np.random.default_rng(21)
+    N, H, W, C = 2, 64, 128, 3
+    x = jnp.asarray(rng.random((N, H, W, C)).astype(np.float32))
+
+    base = fused_blur_unsharp_pipeline(x, 2.0, 1.0, 1.0, C, TO=32,
+                                       interpret=True)
+    want = cs.convert(cs.convert(base, "srgb", "lab"), "lab", "srgb")
+    got = fused_blur_unsharp_pipeline(x, 2.0, 1.0, 1.0, C, TO=32,
+                                      lab_roundtrip=True, interpret=True)
+    assert got is not None
+    err = np.asarray(want) - np.asarray(got)
+    mse = float(np.mean(err ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-30))
+    assert psnr >= 60.0, f"in-kernel Lab epilogue PSNR {psnr:.1f}dB"

@@ -80,3 +80,41 @@ def test_segment_preserves_shape_and_alpha():
     out = np.asarray(sg.segment(jnp.asarray(img)))
     assert out.shape == (16, 16, 4)
     np.testing.assert_allclose(out[..., 3], 0.5)
+
+
+import os
+import subprocess
+
+import pytest
+
+_REF_MAGICK = "/tmp/imbuild/utilities/magick"
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_MAGICK),
+                    reason="reference binary not built on this machine")
+def test_segment_matches_reference_binary(tmp_path):
+    """Oracle check against the actual reference build: 3 dominant
+    clusters at the blob levels covering >95% (measured 99.8% on the
+    reference: centers (26,26,26)/(127,128,128)/(229,229,229))."""
+    from PIL import Image as PILImage
+
+    img = _blob_image([0.1, 0.5, 0.9])
+    src = tmp_path / "seg.png"
+    PILImage.fromarray((img * 255 + 0.5).astype(np.uint8)).save(str(src))
+    dst = tmp_path / "seg_ref.png"
+    subprocess.run([_REF_MAGICK, str(src), "-segment", "1x1.5", str(dst)],
+                   check=True, capture_output=True)
+    ref = np.asarray(PILImage.open(str(dst)).convert("RGB"))
+    runiq, rcounts = np.unique(ref.reshape(-1, 3), axis=0,
+                               return_counts=True)
+    rorder = np.argsort(rcounts)[::-1]
+    ref_centers = np.sort(runiq[rorder[:3]][:, 0])
+
+    out = np.asarray(sg.segment(jnp.asarray(img)))
+    uniq, counts = np.unique(np.round(out.reshape(-1, 3) * 255), axis=0,
+                             return_counts=True)
+    order = np.argsort(counts)[::-1]
+    got_centers = np.sort(uniq[order[:3]][:, 0])
+    assert counts[order[:3]].sum() >= 0.95 * counts.sum()
+    # dominant cluster centers agree with the reference within 3 chars
+    np.testing.assert_allclose(got_centers, ref_centers, atol=3)
