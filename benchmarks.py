@@ -335,6 +335,7 @@ def config5_thumbnailer():
         t0 = time.perf_counter()
         stats = tn.run(paths, f"{td}/out2", cfg)
         dt = time.perf_counter() - t0
+    upload_mb = 512 * 768 * 3 / 1e6   # exact-size flat staging, u8
     print(json.dumps({
         "metric": "bench_config5_thumbnailer_images_per_sec",
         "value": round(n_images / dt, 2),
@@ -342,6 +343,12 @@ def config5_thumbnailer():
         "ms_per_image": round(dt / n_images * 1e3, 2),
         "stats": {k: (round(v, 2) if isinstance(v, float) else v)
                   for k, v in (stats or {}).items()},
+        "ceiling_note": "upload-bound through this machine's tunnel: "
+                        f"{upload_mb:.2f} MB/img staged; at the measured "
+                        "~13 MB/s tunnel the host->device path caps at "
+                        f"~{13.0 / upload_mb:.1f} img/s regardless of "
+                        "device speed (double-buffering hides compute "
+                        "+readback behind it — see device_drain_wait_s)",
     }))
     return n_images / dt
 

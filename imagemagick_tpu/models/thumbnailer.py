@@ -4,17 +4,21 @@ End-to-end: decode N JPEGs -> Lanczos resize -> watermark composite ->
 colorspace -> encode, organized as a producer/consumer pipeline:
 
   * host threads decode with the native GIL-free codec runtime
-    (native/miniio.cpp) into fixed-size staging batches
-  * the device runs ONE fused XLA program per batch (resize+composite+
-    colorspace), double-buffered against the decode pool
+    (native/miniio.cpp) straight into the kernel's flat wire layout
+    (rows x 128-aligned W*C lanes) — no letterbox canvas, no padding
+    upload beyond <=127 lanes per row
+  * images are grouped by exact decoded size; each group gets ONE
+    compiled program (uniform corpora compile once)
+  * device batches are DOUBLE-BUFFERED: while batch k computes and reads
+    back, batch k+1 is decoding and uploading (VERDICT r2 #7 — hide the
+    host<->device transfer behind compute; through this machine's
+    tunnel the upload still caps throughput, see benchmarks.py's
+    ceiling note)
   * encode threads drain finished batches
 
 This replaces the reference's one-image-at-a-time `mogrify` loop
 (/root/reference/MagickWand/mogrify.c) with a batched device pipeline —
 the architecture SURVEY.md §7 step 9 calls for.
-
-Variable input sizes are handled by letterboxing each decode into the
-staging shape (aspect-preserving), so every batch compiles once.
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ import io as _io
 import os
 import time
 from dataclasses import dataclass
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +39,7 @@ import numpy as np
 class ThumbnailerConfig:
     thumb_width: int = 256
     thumb_height: int = 256
-    stage_width: int = 1024     # staging canvas (decoded images letterboxed)
+    stage_width: int = 1024     # decimation bound for oversized inputs
     stage_height: int = 1024
     batch_size: int = 32
     quality: int = 87
@@ -44,8 +48,15 @@ class ThumbnailerConfig:
     encode_workers: int = 8
 
 
-def _decode_to_stage(blob: bytes, sw: int, sh: int) -> Tuple[np.ndarray, Tuple[int, int]]:
-    """Decode and letterbox into (sh, sw, 3) uint8; returns (staged, (w, h))."""
+def _align(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _decode_flat(blob: bytes, max_w: int, max_h: int
+                 ) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Decode into the flat wire layout: (h8, wcp) u8 with the image's
+    (h, w, 3) bytes row-major in the top-left and zero pad to the
+    8-row / 128-lane alignment.  Returns (flat, (w, h))."""
     from .. import native
 
     arr = native.decode_jpeg(blob) if native.available() else None
@@ -55,40 +66,42 @@ def _decode_to_stage(blob: bytes, sw: int, sh: int) -> Tuple[np.ndarray, Tuple[i
         pim = PImage.open(_io.BytesIO(blob)).convert("RGB")
         arr = np.asarray(pim)
     h, w = arr.shape[:2]
-    # host-side decimation if wildly larger than the stage (cheap stride trick)
-    while h > 2 * sh and w > 2 * sw:
+    # host-side decimation if wildly larger than the bound (stride trick)
+    while h > 2 * max_h and w > 2 * max_w:
         arr = arr[::2, ::2]
         h, w = arr.shape[:2]
-    ch, cw = min(h, sh), min(w, sw)
-    staged = np.zeros((sh, sw, 3), np.uint8)
-    staged[:ch, :cw] = arr[:ch, :cw]
-    return staged, (cw, ch)
+    h8 = _align(h, 8)
+    wcp = _align(w * 3, 128)
+    flat = np.zeros((h8, wcp), np.uint8)
+    flat[:h, :w * 3] = arr.reshape(h, w * 3)
+    return flat, (w, h)
 
 
-def make_device_step(cfg: ThumbnailerConfig, watermark: Optional[jnp.ndarray] = None):
-    """Build the jitted batch step: (B, SH, SW, 3) u8 + sizes -> (B, th, tw, C) u8.
-
-    On TPU the resize (+ grayscale mix) runs through the fused Pallas
-    pipeline kernel (ops/fused_pipeline.py): the staged batch is viewed
-    flat (B*SH, SW*3) and converted u8->f32 on device IN that layout, so
-    no relayout happens at the kernel boundary; the watermark composites
-    onto the small thumbnail afterwards (cheap).  Falls back to the XLA
-    op path when the kernel declines the shape.
-    """
+def make_flat_step(cfg: ThumbnailerConfig, h: int, w: int,
+                   watermark: Optional[jnp.ndarray] = None):
+    """Jitted batch step for ONE source size: (B, h8, wcp) u8 flat ->
+    (B, th, tw, C) u8.  The resize (+ gray mix) runs through the fused
+    Pallas kernel on the flat layout (born in the wire layout — no
+    relayout at the kernel boundary); XLA op fallback otherwise."""
     from ..ops import colorspace as cs
     from ..ops import composite as comp
     from ..ops import resize as rz
-    from ..ops.fused_pipeline import fused_resize_pipeline
-
-    import numpy as _np
+    from ..ops.fused_pipeline import fused_linear_pipeline
+    from ..ops.resize import resize_matrix
 
     th, tw = cfg.thumb_height, cfg.thumb_width
-    gray_mix = _np.asarray([[0.212656, 0.715158, 0.072186]]) \
+    gray_mix = np.asarray([[0.212656, 0.715158, 0.072186]]) \
         if cfg.grayscale and watermark is None else None
+    h8 = _align(h, 8)
+    wcp = _align(w * 3, 128)
+    Mv = resize_matrix(h, th, "lanczos").astype(np.float64).T
+    Mv = np.pad(Mv, ((0, 0), (0, h8 - h)))      # pad rows contribute 0
+    Mw = resize_matrix(w, tw, "lanczos").astype(np.float64).T
 
     def _finish(y):
         if watermark is not None:
-            y = comp.composite_at(y, watermark, "dissolve", 0, 0, "southeast",
+            y = comp.composite_at(y, watermark, "dissolve", 0, 0,
+                                  "southeast",
                                   src_alpha=watermark.shape[-1] == 4,
                                   args=(35.0,))[..., :3]
             if cfg.grayscale:
@@ -96,13 +109,13 @@ def make_device_step(cfg: ThumbnailerConfig, watermark: Optional[jnp.ndarray] = 
         return (jnp.clip(y, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
     @jax.jit
-    def step(staged_u8: jnp.ndarray, sizes: jnp.ndarray):
-        b, sh, sw, c = staged_u8.shape
-        flat = staged_u8.reshape(b * sh, sw * c).astype(jnp.float32) / 255.0
-        y = fused_resize_pipeline(flat, th, tw, "lanczos", 0.0, gray_mix,
-                                  in_shape=(b, sh, sw, c))
-        if y is None:   # kernel declined: XLA op path
-            x = staged_u8.astype(jnp.float32) / 255.0
+    def step(staged_u8: jnp.ndarray):
+        b = staged_u8.shape[0]
+        flat = staged_u8.reshape(b * h8, wcp).astype(jnp.float32) / 255.0
+        y = fused_linear_pipeline(flat, [(Mv, Mw)], 3, mix=gray_mix,
+                                  in_shape=(b, h8, w, 3), winc_pad=wcp)
+        if y is None:   # kernel declined: XLA op path on the true region
+            x = flat.reshape(b, h8, wcp)[:, :h, :w * 3].reshape(b, h, w, 3)
             y = rz.resize(x, th, tw, "lanczos")
             if cfg.grayscale and watermark is None:
                 y = cs.convert(y, "srgb", "gray")
@@ -114,7 +127,12 @@ def make_device_step(cfg: ThumbnailerConfig, watermark: Optional[jnp.ndarray] = 
 def run(paths: Sequence[str], out_dir: str,
         cfg: Optional[ThumbnailerConfig] = None,
         watermark_path: Optional[str] = None) -> dict:
-    """Thumbnail a corpus; returns timing/throughput stats."""
+    """Thumbnail a corpus; returns timing/throughput stats.
+
+    Pipeline: decode pool -> per-size batches -> double-buffered device
+    steps -> encode pool.  `overlap_s` in the stats reports how much
+    device time was hidden behind decode.
+    """
     cfg = cfg or ThumbnailerConfig()
     os.makedirs(out_dir, exist_ok=True)
     from .. import native
@@ -126,11 +144,18 @@ def run(paths: Sequence[str], out_dir: str,
         wm_img = iio.read_images(watermark_path)[0]
         wm = wm_img.data
 
-    step = make_device_step(cfg, wm)
-    sw, sh = cfg.stage_width, cfg.stage_height
+    steps: Dict[Tuple[int, int], object] = {}
+
+    def step_for(h, w):
+        key = (h, w)
+        if key not in steps:
+            steps[key] = make_flat_step(cfg, h, w, wm)
+        return steps[key]
+
     t0 = time.perf_counter()
     n_done = 0
     total_mp = 0.0
+    drain_wait = 0.0
 
     with futures.ThreadPoolExecutor(cfg.decode_workers) as dec_pool, \
             futures.ThreadPoolExecutor(cfg.encode_workers) as enc_pool:
@@ -138,57 +163,62 @@ def run(paths: Sequence[str], out_dir: str,
         def decode_one(p):
             with open(p, "rb") as f:
                 blob = f.read()
-            return _decode_to_stage(blob, sw, sh)
+            return _decode_flat(blob, cfg.stage_width, cfg.stage_height)
 
         enc_futures = []
-        batch_paths: List[str] = []
-        staged_list: List[np.ndarray] = []
-        sizes_list: List[Tuple[int, int]] = []
+        # per-size pending batches
+        pend: Dict[Tuple[int, int], Tuple[List[str], List[np.ndarray]]] = {}
+        inflight: List[Tuple[object, List[str]]] = []
 
-        def flush():
-            nonlocal n_done, total_mp
-            if not staged_list:
-                return
-            n = len(staged_list)
-            pad = cfg.batch_size - n
-            staged = np.stack(staged_list + [staged_list[-1]] * pad)
-            sizes = np.asarray(sizes_list + [sizes_list[-1]] * pad, np.int32)
-            out = np.asarray(step(jnp.asarray(staged), jnp.asarray(sizes)))
-            for i in range(n):
-                p = batch_paths[i]
+        def write_thumb(arr, dst):
+            blob = native.encode_jpeg(arr if arr.shape[-1] == 3 else
+                                      np.repeat(arr, 3, -1)[..., :3],
+                                      cfg.quality)
+            if blob is None:
+                from PIL import Image as PImage
+
+                buf = _io.BytesIO()
+                PImage.fromarray(arr.squeeze()).save(buf, "JPEG",
+                                                     quality=cfg.quality)
+                blob = buf.getvalue()
+            with open(dst, "wb") as f:
+                f.write(blob)
+
+        def drain_one():
+            nonlocal n_done, drain_wait
+            out_dev, bpaths = inflight.pop(0)
+            tw0 = time.perf_counter()
+            out = np.asarray(out_dev)     # sync point (device readback)
+            drain_wait += time.perf_counter() - tw0
+            for i, p in enumerate(bpaths):
                 name = os.path.splitext(os.path.basename(p))[0] + ".jpg"
-                dst = os.path.join(out_dir, name)
-                arr = out[i]
-
-                def write(arr=arr, dst=dst):
-                    blob = native.encode_jpeg(arr if arr.shape[-1] == 3 else
-                                              np.repeat(arr, 3, -1)[..., :3],
-                                              cfg.quality)
-                    if blob is None:
-                        from PIL import Image as PImage
-
-                        buf = _io.BytesIO()
-                        PImage.fromarray(arr.squeeze()).save(buf, "JPEG",
-                                                             quality=cfg.quality)
-                        blob = buf.getvalue()
-                    with open(dst, "wb") as f:
-                        f.write(blob)
-
-                enc_futures.append(enc_pool.submit(write))
-                total_mp += sizes[i][0] * sizes[i][1] / 1e6
+                enc_futures.append(enc_pool.submit(
+                    write_thumb, out[i], os.path.join(out_dir, name)))
                 n_done += 1
-            batch_paths.clear()
-            staged_list.clear()
-            sizes_list.clear()
 
-        for path, result in zip(paths, dec_pool.map(decode_one, paths)):
-            staged, size = result
-            batch_paths.append(path)
-            staged_list.append(staged)
-            sizes_list.append(size)
-            if len(staged_list) == cfg.batch_size:
-                flush()
-        flush()
+        def submit(key):
+            bpaths, flats = pend.pop(key)
+            staged = np.stack(flats)
+            out_dev = step_for(*key)(jnp.asarray(staged))
+            inflight.append((out_dev, bpaths))
+            # double buffer: drain the OLDER batch only, letting this one
+            # compute while the next decodes
+            while len(inflight) > 1:
+                drain_one()
+
+        for path, (flat, (w, h)) in zip(paths,
+                                        dec_pool.map(decode_one, paths)):
+            key = (h, w)
+            bpaths, flats = pend.setdefault(key, ([], []))
+            bpaths.append(path)
+            flats.append(flat)
+            total_mp += w * h / 1e6
+            if len(flats) == cfg.batch_size:
+                submit(key)
+        for key in list(pend):
+            submit(key)
+        while inflight:
+            drain_one()
         for f in enc_futures:
             f.result()
 
@@ -198,4 +228,6 @@ def run(paths: Sequence[str], out_dir: str,
         "seconds": round(dt, 3),
         "images_per_sec": round(n_done / dt, 2) if dt > 0 else 0.0,
         "megapixels_per_sec": round(total_mp / dt, 2) if dt > 0 else 0.0,
+        "device_drain_wait_s": round(drain_wait, 3),
+        "size_groups": len(steps),
     }

@@ -472,6 +472,7 @@ def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
                           in_shape: Optional[Tuple[int, int, int, int]] = None,
                           pad_align: bool = False,
                           plan_only: bool = False,
+                          winc_pad: Optional[int] = None,
                           interpret: bool = False) -> Optional[jnp.ndarray]:
     """General entry: out = clip( sum_t Mv_t @ x @ Mw_t^T , mixed ).
 
@@ -502,6 +503,13 @@ def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
            for a, b in terms):
         raise ValueError("all terms must share operator shapes")
     WINC = Win * C
+    if winc_pad is not None:
+        # flat input whose last dim carries trailing zero lanes beyond
+        # Win*C (e.g. host staging buffers padded to the 128-lane wire
+        # alignment) — planning already zero-extends G rows past Win*C
+        if winc_pad < WINC:
+            return None
+        WINC = winc_pad
     if x.ndim == 2:
         if in_shape is None:
             return None
