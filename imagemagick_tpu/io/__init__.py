@@ -129,8 +129,12 @@ def detect_format(data: bytes) -> Optional[str]:
         count = data[4] | (data[5] << 8)
         if 0 < count <= 0x40:
             return "ico"
-    if data[4:12] in (b"ftypavif", b"ftypheic", b"ftypmif1"):
+    if data[4:12] in (b"ftypavif", b"ftypheic", b"ftypheix", b"ftypmif1",
+                      b"ftypmsf1", b"ftypheim", b"ftyphevc"):
         return "avif" if b"avif" in data[4:12] else "heic"
+    if data[:2] == b"\xff\x0a" or \
+            data[:12] == b"\x00\x00\x00\x0cJXL \r\n\x87\n":
+        return "jxl"
     if data[:8] == b"farbfeld":
         return "ff"
     if data[:4] == b"\x76\x2f\x31\x01":
@@ -657,15 +661,28 @@ _PIL_READ_EXTRA = {"psd", "sun", "pcd", "dcx", "cur", "fli", "flc", "msp",
                    "icns", "ftc", "ftu"}
 
 
+def _heifjxl_formats():
+    from .. import native
+
+    out = set()
+    if native.heif_available():
+        out |= {"heic", "heif"}
+    if native.jxl_available():
+        out.add("jxl")
+    return out
+
+
 def supported_read_formats():
     return sorted(set(_PSEUDO) | set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
-                  | _FORMATS2_READ | _PIL_READ_EXTRA | {"mpr"})
+                  | _FORMATS2_READ | _PIL_READ_EXTRA | {"mpr"}
+                  | _heifjxl_formats())
 
 
 def supported_write_formats():
     return sorted(set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
                   | _FORMATS2_WRITE
-                  | {"mpr", "null", "info", "json", "txt", "yaml"})
+                  | {"mpr", "null", "info", "json", "txt", "yaml"}
+                  | _heifjxl_formats())
 
 
 def _decode_hdr(data: bytes) -> Image:

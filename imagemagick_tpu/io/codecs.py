@@ -83,6 +83,17 @@ def _pil_to_image(pim) -> Image:
 
 
 def decode(data: bytes, fmt: Optional[str] = None) -> List[Image]:
+    # HEIC/JXL: native dlopen bindings over the same system libheif/libjxl
+    # the reference's coders/heic.c and coders/jxl.c link (PIL lacks both)
+    if fmt in ("heic", "heif", "jxl"):
+        from .. import native
+
+        arr = native.decode_jxl(data) if fmt == "jxl" else \
+            native.decode_heif(data)
+        if arr is not None:
+            return [Image(arr.astype(np.float32) / 255.0,
+                          _infer_spec(arr.shape[-1]))]
+        # fall through to PIL (may support via plugins on other machines)
     # native fast path (GIL-free libjpeg/libpng — see native/miniio.cpp)
     if fmt in ("jpeg", "jpg", "png"):
         from .. import native
@@ -135,6 +146,25 @@ def encodable_formats():
 def encode(images, fmt: str, quality: int = 92, depth: int = 8) -> bytes:
     if isinstance(images, Image):
         images = [images]
+    if fmt.lower() in ("heic", "heif", "jxl"):
+        from .. import native
+
+        arr = images[0].to_numpy()
+        q = (np.clip(arr, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+        if q.ndim == 2:
+            q = q[..., None]
+        if fmt.lower() == "jxl":
+            blob = native.encode_jxl(q)
+        else:
+            if q.shape[-1] in (1, 2):   # heif interleaved wants RGB(A)
+                q = np.concatenate([np.repeat(q[..., :1], 3, -1),
+                                    q[..., 1:]], -1)
+            blob = native.encode_heif(q, quality)
+        if blob is not None:
+            return blob
+        raise ValueError(
+            f"no {fmt} encoder available (libheif HEVC plugin / libjxl "
+            "missing on this host; format is read-only here)")
     # native fast path: single frame, no embedded profile
     if fmt.lower() in ("jpeg", "jpg", "png") and len(images) == 1 \
             and not images[0].profiles:

@@ -124,6 +124,142 @@ def encode_jpeg(arr: np.ndarray, quality: int = 92) -> Optional[bytes]:
     return data
 
 
+# ---------------------------------------------------------------------------
+# HEIC/JXL codec layer (native/heifjxl.cpp — dlopen over the system
+# libheif/libjxl, the same libraries coders/heic.c and coders/jxl.c use)
+# ---------------------------------------------------------------------------
+
+_HJ_SO = os.path.join(_HERE, "libheifjxl.so")
+_HJ_SRC = os.path.join(_HERE, "heifjxl.cpp")
+_hj_lib = None
+_hj_failed = False
+
+
+def _hj_load():
+    global _hj_lib, _hj_failed
+    with _lock:
+        if _hj_lib is not None or _hj_failed:
+            return _hj_lib
+        if not os.path.exists(_HJ_SO) or \
+                os.path.getmtime(_HJ_SO) < os.path.getmtime(_HJ_SRC):
+            try:
+                r = subprocess.run(["g++", "-O3", "-fPIC", "-shared",
+                                    _HJ_SRC, "-ldl", "-o", _HJ_SO],
+                                   capture_output=True, timeout=120)
+                if r.returncode != 0:
+                    _hj_failed = True
+                    return None
+            except Exception:
+                _hj_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_HJ_SO)
+        except OSError:
+            _hj_failed = True
+            return None
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        for name in ("hj_decode_heif", "hj_decode_jxl"):
+            fn = getattr(lib, name)
+            fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                           ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_int),
+                           ctypes.POINTER(ctypes.c_int),
+                           ctypes.POINTER(ctypes.c_int)]
+            fn.restype = ctypes.c_int
+        lib.hj_encode_heif.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(c_u8p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.hj_encode_heif.restype = ctypes.c_int
+        lib.hj_encode_jxl.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t)]
+        lib.hj_encode_jxl.restype = ctypes.c_int
+        lib.hj_free.argtypes = [ctypes.c_void_p]
+        lib.hj_heif_available.restype = ctypes.c_int
+        lib.hj_jxl_available.restype = ctypes.c_int
+        lib.hj_abi_version.restype = ctypes.c_int
+        if lib.hj_abi_version() != 1:
+            _hj_failed = True
+            return None
+        _hj_lib = lib
+        return _hj_lib
+
+
+def heif_available() -> bool:
+    lib = _hj_load()
+    return bool(lib and lib.hj_heif_available())
+
+
+def jxl_available() -> bool:
+    lib = _hj_load()
+    return bool(lib and lib.hj_jxl_available())
+
+
+def _hj_decode(fn_name: str, data: bytes) -> Optional[np.ndarray]:
+    lib = _hj_load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = getattr(lib, fn_name)(data, len(data), ctypes.byref(out),
+                               ctypes.byref(w), ctypes.byref(h),
+                               ctypes.byref(c))
+    if rc != 0:
+        return None
+    n = w.value * h.value * c.value
+    arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    lib.hj_free(out)
+    return arr.reshape(h.value, w.value, c.value)
+
+
+def decode_heif(data: bytes) -> Optional[np.ndarray]:
+    """HEIC/HEIF/AVIF-in-HEIF decode -> (H, W, 3|4) u8, or None."""
+    return _hj_decode("hj_decode_heif", data)
+
+
+def decode_jxl(data: bytes) -> Optional[np.ndarray]:
+    """JPEG-XL decode -> (H, W, C) u8, or None."""
+    return _hj_decode("hj_decode_jxl", data)
+
+
+def encode_heif(arr: np.ndarray, quality: int = 75) -> Optional[bytes]:
+    """HEIC encode; None when no HEVC encoder plugin is installed."""
+    lib = _hj_load()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w, c = arr.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = ctypes.c_size_t()
+    rc = lib.hj_encode_heif(arr.ctypes.data_as(ctypes.c_char_p), w, h, c,
+                            quality, ctypes.byref(out), ctypes.byref(size))
+    if rc != 0:
+        return None
+    data = ctypes.string_at(out, size.value)
+    lib.hj_free(out)
+    return data
+
+
+def encode_jxl(arr: np.ndarray) -> Optional[bytes]:
+    """JPEG-XL encode (default effort/quality), or None."""
+    lib = _hj_load()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w, c = arr.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = ctypes.c_size_t()
+    rc = lib.hj_encode_jxl(arr.ctypes.data_as(ctypes.c_char_p), w, h, c,
+                           ctypes.byref(out), ctypes.byref(size))
+    if rc != 0:
+        return None
+    data = ctypes.string_at(out, size.value)
+    lib.hj_free(out)
+    return data
+
+
 def decode_png(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
     """Decode PNG bytes -> ((H, W, C) uint8|uint16 array, bit_depth)."""
     lib = _load()
