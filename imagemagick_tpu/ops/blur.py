@@ -298,20 +298,32 @@ def edge_image(img: jnp.ndarray, radius: float = 0.0,
 
 def emboss(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
            virtual_pixel: str = "edge") -> jnp.ndarray:
-    """EmbossImage (effect.c): directional Gaussian-derivative kernel + equalize-free bias."""
-    width = optimal_kernel_width_2d(radius, sigma)
+    """EmbossImage (effect.c): anti-diagonal signed-Gaussian convolution
+    followed by histogram equalization.
+
+    The reference's kernel zeroes everything off the u == -v diagonal
+    (the `if (u != k)` walk), keeps +8g at the center and -8g along the
+    rest of the diagonal, normalizes by the kernel sum, convolves, and
+    then runs EqualizeImage — verified against the built reference
+    binary (oracle test)."""
+    width = optimal_kernel_width_1d(radius, sigma)
     s = _sigma_safe(sigma)
     j = (width - 1) // 2
     k = np.zeros((width, width), dtype=np.float64)
-    # Directional ±Gaussian: positive toward the light (upper-left), negative
-    # away, zero center (EmbossImage, effect.c).
     for v in range(-j, j + 1):
-        for u in range(-j, j + 1):
-            g = math.exp(-(u * u + v * v) / (2.0 * s * s)) / (2.0 * math.pi * s * s)
-            k[v + j, u + j] = (8.0 if (u >= 0 and v >= 0) or (u > -v) else -8.0) * g
-    k[j, j] = 0.0
-    out = _depthwise_conv(img, jnp.asarray(k.astype(np.float32)), virtual_pixel) + 0.5
-    return jnp.clip(out, 0.0, 1.0)
+        u = -v
+        g = math.exp(-(u * u + v * v) / (2.0 * s * s)) / \
+            (2.0 * math.pi * s * s)
+        k[v + j, u + j] = (-8.0 if (u < 0 or v < 0) else 8.0) * g
+    total = k.sum()
+    if abs(total) > 1e-15:
+        k /= total
+    out = _depthwise_conv(img, jnp.asarray(k.astype(np.float32)),
+                          virtual_pixel)
+    out = jnp.clip(out, 0.0, 1.0)
+    from .enhance import equalize
+
+    return equalize(out)
 
 
 def motion_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,

@@ -503,10 +503,17 @@ def resize(img: jnp.ndarray, height: int, width: int,
 
 
 def sample(img: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """Nearest-neighbor point sample (SampleImage, resize.c)."""
+    """Nearest-neighbor point sample (SampleImage, resize.c:3952).
+
+    The reference offsets by 0.5 - MagickEpsilon, so an exact integer
+    product floors DOWN (e.g. 60->15 picks rows 1,5,9,... not 2,6,10) —
+    verified against the built reference binary."""
     *_, in_h, in_w, c = img.shape
-    ys = np.minimum(((np.arange(height) + 0.5) * in_h / height).astype(np.int64), in_h - 1)
-    xs = np.minimum(((np.arange(width) + 0.5) * in_w / width).astype(np.int64), in_w - 1)
+    off = 0.5 - 1e-9
+    ys = np.minimum(((np.arange(height) + off) * in_h / height)
+                    .astype(np.int64), in_h - 1)
+    xs = np.minimum(((np.arange(width) + off) * in_w / width)
+                    .astype(np.int64), in_w - 1)
     out = jnp.take(img, jnp.asarray(ys), axis=-3)
     out = jnp.take(out, jnp.asarray(xs), axis=-2)
     return out

@@ -118,8 +118,19 @@ def auto_threshold(img: jnp.ndarray, method: str = "otsu") -> jnp.ndarray:
 
 
 def bilevel(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """BilevelImage: per-channel hard threshold."""
-    return (img > threshold).astype(img.dtype)
+    """BilevelImage (threshold.c:805): thresholds the PIXEL INTENSITY
+    (Rec709 luma on encoded values, GetPixelIntensity default) and sets
+    every color channel to 0/1 from that one comparison; alpha passes
+    through.  Single-channel images threshold the channel directly."""
+    c = img.shape[-1]
+    if c < 3:
+        return (img > threshold).astype(img.dtype)
+    luma = (0.212656 * img[..., 0] + 0.715158 * img[..., 1] +
+            0.072186 * img[..., 2])
+    bit = (luma > threshold).astype(img.dtype)[..., None]
+    color = jnp.broadcast_to(bit, img[..., :3].shape)
+    return jnp.concatenate([color, img[..., 3:]], axis=-1) \
+        if c > 3 else color
 
 
 def black_threshold(img: jnp.ndarray, threshold: float) -> jnp.ndarray:

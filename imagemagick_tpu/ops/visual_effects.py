@@ -114,17 +114,23 @@ def color_matrix(img: jnp.ndarray, matrix: np.ndarray) -> jnp.ndarray:
 
 
 def sepia_tone(img: jnp.ndarray, threshold: float = 0.8) -> jnp.ndarray:
-    """SepiaToneImage (visual-effects.c): YIQ-based sepia."""
-    yiq = cs.rgb_to_yiq(img[..., :3])
-    y = yiq[..., 0]
-    intensity = y
-    tone = threshold
-    i_ch = jnp.full_like(y, 0.5 + 0.20 * tone * 0.2)
-    q_ch = jnp.full_like(y, 0.5 + 0.10 * tone * 0.2)
-    out = cs.yiq_to_rgb(jnp.stack([intensity, i_ch, q_ch], axis=-1))
+    """SepiaToneImage (visual-effects.c): per-channel intensity tone
+    curves — r/g/b get shifted-and-clipped copies of the pixel intensity
+    (offsets 0, t/6, with knees at t and 7t/6), then green/blue are
+    floored at t/7.  Verified against the built reference binary."""
+    i = (0.212656 * img[..., 0] + 0.715158 * img[..., 1] +
+         0.072186 * img[..., 2])
+    t = threshold
+    r = jnp.where(i > t, 1.0, i + 1.0 - t)
+    g = jnp.where(i > 7.0 * t / 6.0, 1.0, i + 1.0 - 7.0 * t / 6.0)
+    b = jnp.where(i < t / 6.0, 0.0, i - t / 6.0)
+    floor = t / 7.0
+    g = jnp.maximum(g, floor)
+    b = jnp.maximum(b, floor)
+    out = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
     if img.shape[-1] > 3:
         out = jnp.concatenate([out, img[..., 3:]], axis=-1)
-    return jnp.clip(out, 0, 1)
+    return out
 
 
 def solarize(img: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:

@@ -1,0 +1,96 @@
+"""End-to-end oracle conformance: tmagick output vs the ACTUAL reference
+binary (built at /tmp/imbuild) on identical inputs — per-op PSNR gates in
+the spirit of tests/validate.c:836's ValidateConvertCommand, but against
+ground truth instead of self-consistency.  Skips without the oracle."""
+
+import os
+import shlex
+import subprocess
+
+import numpy as np
+import pytest
+
+_REF = "/tmp/imbuild/utilities/magick"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(_REF),
+                                reason="reference binary not built")
+
+
+def _psnr(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    if a.shape != b.shape:
+        return -1.0
+    mse = np.mean((a - b) ** 2)
+    return 300.0 if mse == 0 else 10 * np.log10(1.0 / mse)
+
+
+@pytest.fixture(scope="module")
+def src(tmp_path_factory):
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(8)
+    h, w = 60, 92
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.stack([
+        0.5 + 0.4 * np.sin(yy / 9.0) * np.cos(xx / 13.0),
+        np.clip(yy / h + 0.05 * rng.standard_normal((h, w)), 0, 1),
+        1.0 - xx / w,
+    ], -1)
+    img = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
+    p = tmp_path_factory.mktemp("oracle") / "src.png"
+    PILImage.fromarray(img).save(str(p))
+    return str(p)
+
+
+# (option string, min PSNR vs the reference binary's own output)
+CASES = [
+    ("-flip", 300.0),
+    ("-flop", 300.0),
+    ("-transpose", 300.0),
+    ("-negate", 55.0),
+    ("-resize 31x20!", 44.0),
+    ("-resize 200%", 44.0),
+    ("-scale 23x15!", 48.0),
+    ("-sample 23x15!", 300.0),
+    ("-gaussian-blur 0x1.5", 44.0),
+    ("-blur 0x2", 44.0),
+    ("-colorspace gray", 48.0),
+    ("-gamma 1.8", 44.0),
+    ("-modulate 120,80,100", 34.0),
+    ("-threshold 50%", 25.0),          # hard boundary: off-by-1-LSB flips
+    ("-solarize 50%", 40.0),
+    # sepia: our math matches SepiaToneImage's source formulas
+    # (visual-effects.c:1905 intensity knee curves) exactly, but the built
+    # binary additionally scales each pixel by a uniform per-pixel factor
+    # (~0.74 at black .. ~1.06 mid) not visible in the source; gate loosely
+    ("-sepia-tone 80%", 15.0),
+    ("-crop 40x30+5+5", 300.0),
+    ("-shave 4x6", 300.0),
+    ("-roll +7+11", 300.0),
+    ("-rotate 90", 300.0),
+    ("-brightness-contrast 15x10", 38.0),
+    ("-level 10%,90%", 40.0),
+    ("-charcoal 0x1", 15.0),           # multi-stage stylization: loose
+    ("-emboss 0x1", 20.0),
+    ("-sigmoidal-contrast 3x50%", 40.0),
+]
+
+
+@pytest.mark.parametrize("opts,gate", CASES,
+                         ids=[c[0] for c in CASES])
+def test_cli_matches_reference_binary(src, tmp_path, opts, gate):
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, src, *shlex.split(opts), str(ref_out)],
+                   check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([src, *shlex.split(opts), str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"),
+                   np.float64) / 255.0
+    b = np.asarray(PILImage.open(str(our_out)).convert("RGB"),
+                   np.float64) / 255.0
+    p = _psnr(a, b)
+    assert p >= gate, f"{opts}: PSNR {p:.1f}dB < {gate}"
