@@ -43,7 +43,8 @@ SKIP = {
                         # that Pillow's DIB-only CUR reader rejects
 }
 
-LOSSY = {"jpeg", "jpg", "webp", "jxl", "pdb", "j2k", "jp2"}
+LOSSY = {"jpeg", "jpg", "webp", "jxl", "pdb", "j2k", "jp2",
+         "heic", "heif"}   # HEVC on noise is very lossy
 
 
 def _fmts():
