@@ -19,8 +19,8 @@ from typing import List, Optional, Union
 import numpy as np
 
 from ..core.image import Image
-from . import (codecs, delegates, exr, extra_coders, formats2, formats3,
-               formats4, miff, mpc, pnm, pseudo)
+from . import (codecs, delegates, dng, exr, extra_coders, formats2,
+               formats3, formats4, miff, mpc, pnm, pseudo)
 from ..core.geometry import parse_geometry
 
 __all__ = ["read_image", "read_images", "write_image", "image_from_blob",
@@ -202,7 +202,7 @@ def _split_filename(filename: str):
     if m and (m.group(1).lower() in _PSEUDO or m.group(1).lower() in
               set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
               | _FORMATS2_READ | _FORMATS2_WRITE
-              | {"mpr", "info", "txt", "json",
+              | {"mpr", "info", "txt", "json", "dng",
                  "url", "http", "https", "ftp", "file"}):
         return m.group(1).lower(), m.group(2)
     return None, filename
@@ -397,9 +397,15 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = codecs.decode(data, "jpeg")
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
+    elif use == "dng":
+        images = [dng.decode_dng(data)]
     else:
         images = None
-        if use in ("tiff", "tif"):
+        if use in ("tiff", "tif") and dng.is_dng(data):
+            # DNG shares the TIFF magic; route CFA raws to the native
+            # raw pipeline (coders/dng.c / dcraw delegate analog)
+            images = [dng.decode_dng(data)]
+        if images is None and use in ("tiff", "tif"):
             # Pillow silently truncates 48-bit RGB TIFF to 8-bit; take
             # the native deep reader first and fall back for everything
             # it does not cover (compressed, sub-16-bit, multi-strip)
@@ -527,6 +533,8 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         # 8-bit by default for maximum reader interop (16-bit available
         # via formats2.encode_psd directly)
         return formats2.encode_psd(images[0], depth=8)
+    if fmt == "dng":
+        return dng.encode_dng(images[0])
     if fmt == "pdf":
         return formats2.encode_pdf(images)
     if fmt in ("fits", "fts"):
@@ -674,14 +682,14 @@ def _heifjxl_formats():
 
 def supported_read_formats():
     return sorted(set(_PSEUDO) | set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
-                  | _FORMATS2_READ | _PIL_READ_EXTRA | {"mpr"}
+                  | _FORMATS2_READ | _PIL_READ_EXTRA | {"mpr", "dng"}
                   | _heifjxl_formats())
 
 
 def supported_write_formats():
     return sorted(set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
                   | _FORMATS2_WRITE
-                  | {"mpr", "null", "info", "json", "txt", "yaml"}
+                  | {"mpr", "null", "info", "json", "txt", "yaml", "dng"}
                   | _heifjxl_formats())
 
 

@@ -41,6 +41,8 @@ SKIP = {
     "pam", "im",
     "cur",              # write-only interop: PNG-frame cursors (Vista+)
                         # that Pillow's DIB-only CUR reader rejects
+    "dng",              # CFA mosaic: lossy by construction on noise;
+                        # own round-trip tests in test_dng.py
 }
 
 LOSSY = {"jpeg", "jpg", "webp", "jxl", "pdb", "j2k", "jp2",
