@@ -721,15 +721,30 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["tint"] = (1, lambda st, a, p: _lazy_op(st, lambda li: (
         lambda x: __import__("imagemagick_tpu.ops.visual_effects",
                              fromlist=["tint"]).tint(x, st.fill()[:3], _percent(a)))))
-    O["vignette"] = (1, _op_simple("visual_effects", "vignette",
-        lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
+    def _op_vignette(st, a, p):
+        from ..ops import visual_effects as vfx
+
+        r, s_ = _geom_args(a)
+        g = parse_geometry(a)
+        bg = st.bg()[:3]
+        for li in st.images:
+            w_, h_ = li.width, li.height
+            vx = float(g.x) if g.x is not None else 0.1 * w_
+            vy = float(g.y) if g.y is not None else 0.1 * h_
+            if g.percent:
+                vx *= w_ / 100.0
+                vy *= h_ / 100.0
+            li.push(lambda d, a_=(r, s_, vx, vy), b=bg:
+                    vfx.vignette(d, *a_, background=b))
+
+    O["vignette"] = (1, _op_vignette)
     O["implode"] = (1, _op_simple("distort", "implode",
         lambda st, a, p: {"amount": float(a)}))
     O["swirl"] = (1, _op_simple("distort", "swirl",
         lambda st, a, p: {"degrees": float(a)}))
     O["wave"] = (1, _op_simple("distort", "wave",
-        lambda st, a, p: dict(zip(("amplitude", "wavelength"),
-                                  _geom_args(a)))))
+        lambda st, a, p: dict(zip(("amplitude", "wavelength", "background"),
+                                  (*_geom_args(a), st.bg()[:3])))))
     O["posterize"] = (1, _op_simple("quantize", "posterize",
         lambda st, a, p: {"levels": int(a)}))
     O["kmeans"] = (1, lambda st, a, p: _op_kmeans(st, a, p))
@@ -1331,10 +1346,12 @@ def _op_distort(st, arg, plus):
     parts = arg.split(None, 1)
     method = parts[0]
     args = [float(x) for x in parts[1].replace(",", " ").split()] if len(parts) > 1 else []
+    vp = st.settings.get("virtual-pixel", "edge").lower()
     for li in st.images:
         img = li.materialize()
+        bg = None if vp in ("edge", "") else st.bg()[: img.channels]
         li.image = img.replace(data=dt.distort(
-            img.data, method, args, background=st.bg()[: img.channels]))
+            img.data, method, args, background=bg))
 
 
 def _canny_args(a):

@@ -436,21 +436,34 @@ def spread(img: jnp.ndarray, radius: float, key=None,
 
 def shade(img: jnp.ndarray, azimuth: float = 30.0, elevation: float = 30.0,
           gray: bool = True, virtual_pixel: str = "edge") -> jnp.ndarray:
-    """ShadeImage (effect.c:3000 region): Lambertian shading from gradients."""
+    """ShadeImage (effect.c:3746): Lambertian shading from box-3 normals.
+
+    normal.x = sum of the 3 left-neighbor intensities minus the 3 right,
+    normal.y = bottom row minus top row, normal.z = 2 (in normalized
+    units), light = (cos az cos el, sin az cos el, sin el); shade =
+    light.z on flat pixels, else max(0, n.l)/|n|.  Intensity is the
+    clamped Rec709 luma.  Oracle-verified against the reference binary."""
     az = math.radians(azimuth)
     el = math.radians(elevation)
-    light = jnp.asarray([math.cos(az) * math.cos(el),
-                         math.sin(az) * math.cos(el),
-                         math.sin(el)], img.dtype)
-    lum = jnp.mean(img, axis=-1, keepdims=True) if gray else img
-    sx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float32)
-    sy = sx.T
-    gx = _depthwise_conv(lum, jnp.asarray(sx), virtual_pixel)
-    gy = _depthwise_conv(lum, jnp.asarray(sy), virtual_pixel)
-    nz = 1.0 / 255.0 * 2.0
-    norm = jnp.sqrt(gx * gx + gy * gy + nz * nz)
-    dot = (-gx * light[0] - gy * light[1] + nz * light[2]) / norm
-    shading = jnp.clip(dot, 0.0, 1.0) / max(math.sin(el), 1e-6) * math.sin(el)
+    lx, ly, lz = (math.cos(az) * math.cos(el),
+                  math.sin(az) * math.cos(el), math.sin(el))
+    if img.shape[-1] >= 3:
+        lum = (0.212656 * img[..., 0] + 0.715158 * img[..., 1] +
+               0.072186 * img[..., 2])[..., None]
+    else:
+        lum = img[..., :1]
+    lum = jnp.clip(lum, 0.0, 1.0)
+    kx = np.asarray([[1, 0, -1]] * 3, np.float32)     # left - right
+    ky = np.asarray([[-1], [0], [1]], np.float32) * \
+        np.ones((1, 3), np.float32)                   # bottom - top
+    nx = _depthwise_conv(lum, jnp.asarray(kx), virtual_pixel)
+    ny = _depthwise_conv(lum, jnp.asarray(ky), virtual_pixel)
+    nz = 2.0
+    eps = 1e-12
+    dot = nx * lx + ny * ly + nz * lz
+    mag = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    shading = jnp.where((jnp.abs(nx) <= eps) & (jnp.abs(ny) <= eps),
+                        lz, jnp.where(dot > eps, dot / mag, 0.0))
     if gray:
         return jnp.clip(jnp.broadcast_to(shading, img.shape), 0.0, 1.0)
     return jnp.clip(img * shading, 0.0, 1.0)

@@ -50,19 +50,29 @@ def sample_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         img2 = img.reshape(img.shape[:-3] + (h * w, c))
         return jnp.take(img2, flat, axis=-2)
 
-    p00 = at(y0i, x0i)
-    p01 = at(y0i, x0i + 1)
-    p10 = at(y0i + 1, x0i)
-    p11 = at(y0i + 1, x0i + 1)
-    top = p00 * (1.0 - fx) + p01 * fx
-    bot = p10 * (1.0 - fx) + p11 * fx
-    out = top * (1.0 - fy) + bot * fy
-    inside = ((u >= -0.5) & (u <= w - 0.5) & (v >= -0.5) & (v <= h - 0.5))[..., None]
     if background is None:
-        bg = jnp.zeros((c,), img.dtype)
+        # virtual-pixel EDGE (clamp) — the reference's default for
+        # distorts (cache.c EdgeX policy); rotate/wave pass an explicit
+        # background instead
+        tap = at
     else:
         bg = jnp.asarray(background, img.dtype)[:c]
-    return jnp.where(inside, out, bg)
+
+        def tap(yi, xi):
+            # per-tap virtual pixel: off-canvas taps contribute the
+            # background color INSIDE the bilinear blend, like the
+            # reference's InterpolatePixelChannels over a background
+            # virtual-pixel view (no hard inside/outside edge)
+            valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
+            return jnp.where(valid, at(yi, xi), bg)
+
+    p00 = tap(y0i, x0i)
+    p01 = tap(y0i, x0i + 1)
+    p10 = tap(y0i + 1, x0i)
+    p11 = tap(y0i + 1, x0i + 1)
+    top = p00 * (1.0 - fx) + p01 * fx
+    bot = p10 * (1.0 - fx) + p11 * fx
+    return top * (1.0 - fy) + bot * fy
 
 
 def warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
@@ -99,8 +109,10 @@ def sample_ewa(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
             acc = px * wgt if acc is None else acc + px * wgt
             den = wgt if den is None else den + wgt
     out = acc / jnp.maximum(den, 1e-12)
+    if background is None:
+        return out          # virtual-pixel edge (clamped taps)
     inside = ((u >= -0.5) & (u <= w - 0.5) & (v >= -0.5) & (v <= h - 0.5))[..., None]
-    bg = jnp.zeros((c,), img.dtype) if background is None else jnp.asarray(background, img.dtype)[:c]
+    bg = jnp.asarray(background, img.dtype)[:c]
     return jnp.where(inside, out, bg)
 
 
@@ -145,6 +157,12 @@ def rotate(img: jnp.ndarray, degrees: float,
         nw = int(abs(w * math.cos(theta)) + abs(h * math.sin(theta)) + 0.5)
     else:
         nh, nw = h, w
+    if expand:
+        # the reference's shear pipeline leaves a 1px background border
+        # on every side (shear.c bounds math measured via the oracle:
+        # 92x60 -rotate 17 -> 108x86, content at +1+1)
+        nh += 2
+        nw += 2
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
     yy, xx = _grid(nh, nw, img.dtype)
@@ -584,8 +602,15 @@ def implode(img: jnp.ndarray, amount: float,
 
 def wave(img: jnp.ndarray, amplitude: float = 25.0, wavelength: float = 150.0,
          background: Optional[Sequence[float]] = None) -> jnp.ndarray:
-    """WaveImage (visual-effects.c): sinusoidal vertical displacement."""
+    """WaveImage (visual-effects.c): sinusoidal vertical displacement.
+
+    The canvas GROWS to H + 2|A| rows and output (x, y) samples the
+    source at (x, y - (|A| + A sin(2pi x / lambda))) — oracle-checked
+    canvas semantics."""
     h, w = img.shape[-3], img.shape[-2]
-    yy, xx = _grid(h, w, img.dtype)
-    v = yy - amplitude * jnp.sin(2.0 * math.pi * xx / wavelength)
+    out_h = int(h + 2.0 * abs(amplitude))
+    yy, xx = _grid(out_h, w, img.dtype)
+    sine = abs(amplitude) + amplitude * jnp.sin(
+        2.0 * math.pi * xx / max(wavelength, 1e-6))
+    v = yy - sine
     return sample_bilinear(img, xx, v, background)

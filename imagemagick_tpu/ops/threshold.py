@@ -133,14 +133,34 @@ def bilevel(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
         if c > 3 else color
 
 
+def _intensity(img: jnp.ndarray) -> jnp.ndarray:
+    """GetPixelIntensity default (Rec709 luma on encoded values)."""
+    if img.shape[-1] < 3:
+        return img[..., 0]
+    return (0.212656 * img[..., 0] + 0.715158 * img[..., 1] +
+            0.072186 * img[..., 2])
+
+
+def _set_color(img, mask, value):
+    """Set all color channels where mask, preserving alpha."""
+    c = img.shape[-1]
+    nc = min(c, 3)
+    m = mask[..., None]
+    color = jnp.where(m, value, img[..., :nc])
+    return jnp.concatenate([color, img[..., nc:]], axis=-1) \
+        if c > nc else color
+
+
 def black_threshold(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """BlackThresholdImage: pixels below go to black."""
-    return jnp.where(img < threshold, 0.0, img)
+    """BlackThresholdImage (threshold.c): the pixel INTENSITY is compared
+    and all color channels zeroed together — oracle-verified."""
+    return _set_color(img, _intensity(img) < threshold, 0.0)
 
 
 def white_threshold(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """WhiteThresholdImage: pixels above go to white."""
-    return jnp.where(img > threshold, 1.0, img)
+    """WhiteThresholdImage: intensity above the threshold forces the
+    whole pixel white — oracle-verified."""
+    return _set_color(img, _intensity(img) > threshold, 1.0)
 
 
 def range_threshold(img: jnp.ndarray, low_black: float, low_white: float,
@@ -172,7 +192,9 @@ def adaptive_threshold(img: jnp.ndarray, width: int = 3, height: int = 3,
 
     box = np.ones((height, width), np.float32) / float(width * height)
     mean = _depthwise_conv(img, jnp.asarray(box), "edge")
-    return (img > mean - bias).astype(img.dtype)
+    # reference: pixel <= (local mean + bias) -> black (threshold.c
+    # AdaptiveThresholdImage `mean=sum/n+bias`) — bias ADDS to the mean
+    return (img > mean + bias).astype(img.dtype)
 
 
 def random_threshold(img: jnp.ndarray, low: float = 0.0, high: float = 1.0,

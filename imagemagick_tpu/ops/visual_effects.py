@@ -64,19 +64,17 @@ def add_noise(img: jnp.ndarray, noise_type: str = "gaussian",
 
 
 def blue_shift(img: jnp.ndarray, factor: float = 1.5) -> jnp.ndarray:
-    """BlueShiftImage: simulate moonlight (visual-effects.c:234 region)."""
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    quantum = jnp.max(img[..., :3], axis=-1)
-    mid = 0.5 * (jnp.min(img[..., :3], axis=-1) + quantum)
-    nr = 0.5 * (2.0 * r + mid) / 2.0
-    ng = 0.5 * (2.0 * g + mid) / 2.0
-    nb = 0.5 * (2.0 * b + quantum) / 2.0
-    shift = jnp.stack([nr, ng, nb], axis=-1)
-    t = (factor - 1.0)
-    out = img[..., :3] * (1.0 - t * 0.5) + shift * (t * 0.5) * jnp.asarray([0.8, 0.9, 1.2])
+    """BlueShiftImage (visual-effects.c): two averaging passes with the
+    channel min then the channel max — p1 = (p + f*min)/2, out =
+    (p1 + f*max)/2 per channel, clamped.  Oracle-verified."""
+    rgb = img[..., :3]
+    mn = jnp.min(rgb, axis=-1, keepdims=True)
+    mx = jnp.max(rgb, axis=-1, keepdims=True)
+    out = 0.5 * (0.5 * (rgb + factor * mn) + factor * mx)
+    out = jnp.clip(out, 0.0, 1.0)
     if img.shape[-1] > 3:
         out = jnp.concatenate([out, img[..., 3:]], axis=-1)
-    return jnp.clip(out, 0, 1)
+    return out
 
 
 def charcoal(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0) -> jnp.ndarray:
@@ -169,21 +167,32 @@ def tint(img: jnp.ndarray, color: Sequence[float], amount: float = 1.0) -> jnp.n
 
 
 def vignette(img: jnp.ndarray, radius: float = 0.0, sigma: float = 10.0,
-             x: int = 0, y: int = 0,
-             background: Sequence[float] = (0.0, 0.0, 0.0)) -> jnp.ndarray:
-    """VignetteImage: elliptical soft-edged mask to background."""
+             x: Optional[float] = None, y: Optional[float] = None,
+             background: Sequence[float] = (1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """VignetteImage (visual-effects.c): a white-filled ellipse of radii
+    (W/2-x, H/2-y) on black, Gaussian-blurred (BlurImage), installed as
+    the coverage mask — the net CLI output blends toward the image
+    BACKGROUND color (default white) with an opaque result, which is the
+    observed reference-binary behavior (the mask goes through the alpha
+    channel internally and is flattened against background-color at
+    write).  CLI defaults x = 0.1*W, y = 0.1*H (operation.c:3654)."""
+    from .blur import blur as _blur
+    from .draw import ellipse_coverage
+
     h, w = img.shape[-3], img.shape[-2]
-    cy, cx = h / 2.0, w / 2.0
-    ry = cy - y
-    rx = cx - x
-    yy = jnp.arange(h, dtype=img.dtype)[:, None]
-    xx = jnp.arange(w, dtype=img.dtype)[None, :]
-    d = ((xx - cx) / jnp.maximum(rx, 1.0)) ** 2 + ((yy - cy) / jnp.maximum(ry, 1.0)) ** 2
-    edge = jnp.sqrt(d)
-    soft = jnp.clip((1.0 - edge) / jnp.maximum(sigma / min(h, w) * 4.0, 1e-3) + 0.5, 0.0, 1.0)
-    mask = soft[..., None]
-    bg = jnp.asarray(background, img.dtype)[: img.shape[-1]]
-    return img * mask + bg * (1.0 - mask)
+    if x is None:
+        x = 0.1 * w
+    if y is None:
+        y = 0.1 * h
+    mask = ellipse_coverage(h, w, w / 2.0, h / 2.0,
+                            max(w / 2.0 - x, 1.0), max(h / 2.0 - y, 1.0))
+    mask = _blur(mask[..., None], radius, sigma)
+    mask = mask.astype(img.dtype)
+    bg = jnp.asarray(background, img.dtype)
+    nc = min(img.shape[-1], 3)
+    color = img[..., :nc] * mask + bg[:nc] * (1.0 - mask)
+    return jnp.concatenate([color, img[..., nc:]], axis=-1) \
+        if img.shape[-1] > nc else color
 
 
 def sketch(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,

@@ -67,11 +67,15 @@ def test_solarize_sepia_blueshift(checker_rgb):
     assert bs.shape == checker_rgb.shape
 
 
-def test_vignette_darkens_corners(checker_rgb):
+def test_vignette_blends_corners_to_background(checker_rgb):
+    """Reference semantics: corners fade to the BACKGROUND color
+    (default white; black here to observe darkening) — oracle-verified
+    in test_reference_oracle.py."""
     flat = np.ones((32, 32, 3), np.float32)
-    out = np.asarray(vfx.vignette(jnp.asarray(flat), sigma=5.0))
+    out = np.asarray(vfx.vignette(jnp.asarray(flat), sigma=5.0,
+                                  background=(0.0, 0.0, 0.0)))
     assert out[16, 16, 0] > 0.9     # center bright
-    assert out[0, 0, 0] < 0.3       # corner dark
+    assert out[0, 0, 0] < 0.3       # corner faded to black bg
 
 
 def test_color_matrix_identity_and_swap(checker_rgb):

@@ -73,6 +73,32 @@ CASES = [
     ("-charcoal 0x1", 15.0),           # multi-stage stylization: loose
     ("-emboss 0x1", 20.0),
     ("-sigmoidal-contrast 3x50%", 40.0),
+    # second sweep (round 3): oracle-driven fixes for shade/lat/
+    # white/black-threshold/blue-shift/wave/vignette/distort-edge
+    ("-swirl 90", 60.0),
+    ("-wave 5x40", 60.0),
+    ("-blue-shift 1.5", 60.0),
+    ("-shade 30x30", 60.0),
+    ("-shade 120x45", 60.0),
+    ("-lat 5x5+2%", 60.0),
+    ("-white-threshold 70%", 60.0),
+    ("-black-threshold 30%", 60.0),
+    ("-vignette 0x10", 30.0),
+    ("-distort SRT 20", 30.0),
+    ("-rotate 17", 38.0),
+    ("-colorize 30%", 60.0),
+    ("-contrast", 60.0),
+    ("-motion-blur 0x3+30", 60.0),
+    ("-statistic median 3x3", 60.0),
+    ("-statistic mean 3x3", 60.0),
+    ("-colorspace CMYK -colorspace sRGB", 60.0),
+    ("-colorspace HSL -colorspace sRGB", 60.0),
+    ("-despeckle", 40.0),
+    ("-enhance", 40.0),
+    ("-adaptive-blur 0x1", 40.0),
+    ("-wavelet-denoise 10%", 35.0),
+    ("-implode 0.3", 25.0),
+    ("-trim", 60.0),
 ]
 
 
