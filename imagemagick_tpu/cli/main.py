@@ -125,6 +125,8 @@ class CLIState:
             "filter": "undefined",
             "quality": "92",
             "virtual-pixel": "edge",
+            "bordercolor": "#dfdfdf",
+            "mattecolor": "#bdbdbd",
             "colorspace-setting": "",
             "interpolate": "bilinear",
             "channel": "default",
@@ -525,10 +527,14 @@ def _op_border(st, arg, plus):
     g = parse_geometry(arg)
     bw = int(g.width or 0)
     bh = int(g.height if g.height is not None else bw)
+    # BorderImage fills with the -bordercolor setting (default #dfdfdf,
+    # image-private.h:33), not -background
+    bc = parse_color(st.settings.get("bordercolor", "#dfdfdf"))
     for li in st.images:
         img = li.materialize()
         data = tf.extent(img.data, -bw, -bh, img.width + 2 * bw,
-                         img.height + 2 * bh, background=st.bg()[: img.channels])
+                         img.height + 2 * bh,
+                         background=bc[: img.channels])
         li.image = img.replace(data=data)
 
 
@@ -1055,10 +1061,12 @@ def _op_frame(st, arg, plus):
     g = parse_geometry(arg)
     for li in st.images:
         img = li.materialize()
+        mc = parse_color(st.settings.get("mattecolor", "#bdbdbd"))
         li.image = img.replace(data=dec.frame(
             img.data, int(g.width or 6), int(g.height or g.width or 6),
             outer_bevel=abs(g.x) if g.x is not None else 2,
-            inner_bevel=abs(g.y) if g.y is not None else 2))
+            inner_bevel=abs(g.y) if g.y is not None else 2,
+            matte_color=mc))
 
 
 def _op_raise(st, arg, raised):

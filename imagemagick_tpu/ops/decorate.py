@@ -33,8 +33,10 @@ def frame(img: jnp.ndarray, width: int = 6, height: int = 6,
     """
     c = img.shape[-1]
     matte = np.asarray(matte_color[:c], np.float32)
-    hi = np.clip(matte * 1.35, 0, 1)
-    lo = matte * 0.65
+    # decorate.c modulates: highlight = matte*(1-125/255) + 125/255,
+    # shadow = matte*135/255 (HighlightModulate/ShadowModulate)
+    hi = np.clip(matte * (1.0 - 125.0 / 255.0) + 125.0 / 255.0, 0, 1)
+    lo = matte * (135.0 / 255.0)
     h, w = img.shape[-3], img.shape[-2]
     oh = h + 2 * height
     ow = w + 2 * width
@@ -63,19 +65,35 @@ def frame(img: jnp.ndarray, width: int = 6, height: int = 6,
 
 def raise_image(img: jnp.ndarray, width: int = 6, height: int = 6,
                 raised: bool = True) -> jnp.ndarray:
-    """RaiseImage: lighten/darken edges to emboss the canvas itself."""
+    """RaiseImage (decorate.c:632): four modulated zones — oracle-exact.
+
+    Top band: Highlight left wedge (x<y), Accentuate middle, Shadow
+    right; middle band: Highlight/Shadow side strips; bottom band:
+    Highlight wedge (x<H-y), Trough middle, Shadow right.  Factors
+    190/255 (highlight/shadow) and 135/255 (accentuate/trough) against
+    foreground=white / background=black (swapped when raised=False)."""
     h, w = img.shape[-3], img.shape[-2]
-    ys = jnp.arange(h, dtype=img.dtype)[:, None]
-    xs = jnp.arange(w, dtype=img.dtype)[None, :]
-    hi_amount = 6.0 / 10.0
-    lo_amount = 6.0 / 10.0
-    top = (ys < height) & (xs >= ys) & (xs < w - ys)
-    left = (xs < width) & (ys >= xs) & (ys < h - xs)
-    bottom = (ys >= h - height) & (xs >= h - 1 - ys) & (xs < w - (h - 1 - ys))
-    right = (xs >= w - width) & (ys >= w - 1 - xs) & (ys < h - (w - 1 - xs))
-    lighten = (top | left) if raised else (bottom | right)
-    darken = (bottom | right) if raised else (top | left)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    ys = jnp.broadcast_to(ys, (h, w))
+    xs = jnp.broadcast_to(xs, (h, w))
+    fg, bg = (1.0, 0.0) if raised else (0.0, 1.0)
+    HF = 190.0 / 255.0
+    AF = 135.0 / 255.0
+
+    top = ys < height
+    bottom = ys >= h - height
+    middle = ~top & ~bottom
+    hl = (top & (xs < ys)) | (middle & (xs < width)) | \
+        (bottom & (xs < h - ys))
+    sh = (top & (xs >= w - ys)) | (middle & (xs >= w - width)) | \
+        (bottom & (xs >= w - (h - ys)))
+    ac = top & ~hl & ~sh
+    tr = bottom & ~hl & ~sh
+
     out = img
-    out = jnp.where(lighten[..., None], img * hi_amount + (1.0 - hi_amount), out)
-    out = jnp.where(darken[..., None], img * lo_amount, out)
-    return out
+    out = jnp.where(hl[..., None], img * HF + fg * (1.0 - HF), out)
+    out = jnp.where(ac[..., None], img * AF + fg * (1.0 - AF), out)
+    out = jnp.where(tr[..., None], img * AF + bg * (1.0 - AF), out)
+    out = jnp.where(sh[..., None], img * HF + bg * (1.0 - HF), out)
+    return jnp.clip(out, 0.0, 1.0)

@@ -163,14 +163,25 @@ def _channel_histogram(ch: jnp.ndarray, bins: int = _NBINS) -> jnp.ndarray:
 def equalize(img: jnp.ndarray, bins: int = 4096) -> jnp.ndarray:
     """EqualizeImage: per-channel histogram equalization (enhance.c)."""
 
+    # default SyncChannels semantics (enhance.c EqualizeImage): ONE
+    # histogram built from the pixel INTENSITY (Rec709 luma), whose
+    # cumulative map — normalized by black=cdf[0], white=total — is then
+    # applied to each channel's own value
+    if img.shape[-1] >= 3:
+        intensity = (0.212656 * img[..., 0] + 0.715158 * img[..., 1] +
+                     0.072186 * img[..., 2])
+    else:
+        intensity = img[..., 0]
+    hist = _channel_histogram(jnp.clip(intensity, 0.0, 1.0), bins)
+    cdf = jnp.cumsum(hist)
+    black = cdf[0]
+    white = cdf[-1]
+    lut = jnp.clip((cdf - black) * _prec(white - black), 0.0, 1.0)
+
     def eq_channel(ch):
-        hist = _channel_histogram(ch, bins)
-        cdf = jnp.cumsum(hist)
-        total = cdf[-1]
-        cmin = cdf[jnp.argmax(hist > 0)]  # first nonzero bin's cdf
-        lut = (cdf - cmin) * _prec(total - cmin)
-        idx = jnp.clip((ch * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
-        return lut[idx]
+        idx = jnp.clip((ch * (bins - 1) + 0.5).astype(jnp.int32), 0,
+                       bins - 1)
+        return jnp.where(white == black, ch, lut[idx])
 
     chans = [eq_channel(img[..., c]) for c in range(img.shape[-1])]
     return jnp.stack(chans, axis=-1)
@@ -179,21 +190,33 @@ def equalize(img: jnp.ndarray, bins: int = 4096) -> jnp.ndarray:
 def contrast_stretch(img: jnp.ndarray, black_point: float = 0.0,
                      white_point: Optional[float] = None,
                      bins: int = 4096) -> jnp.ndarray:
-    """ContrastStretchImage: clip black_point/white_point *fractions* of the
-    histogram tails, then linear stretch (enhance.c)."""
+    """ContrastStretchImage (enhance.c): black/white levels located on
+    the pixel-INTENSITY histogram (default SyncChannels semantics) —
+    black = first bin whose cumulative count exceeds black_point*n,
+    white = first bin scanning DOWN whose top-cumulative exceeds
+    white_point*n — then every channel maps through the same linear
+    stretch.  white_point is the fraction clipped from the TOP."""
     if white_point is None:
         white_point = black_point
     n = img[..., 0].size
+    if img.shape[-1] >= 3:
+        intensity = (0.212656 * img[..., 0] + 0.715158 * img[..., 1] +
+                     0.072186 * img[..., 2])
+    else:
+        intensity = img[..., 0]
+    hist = _channel_histogram(jnp.clip(intensity, 0.0, 1.0), bins)
+    cdf = jnp.cumsum(hist)
+    cum_top = n - cdf + hist                 # inclusive cumulative from top
+    lo_j = jnp.argmax(cdf > black_point * n)
+    above = cum_top > white_point * n
+    # largest j with top-cumulative above the clip count
+    hi_j = (bins - 1) - jnp.argmax(above[::-1])
+    lo = lo_j.astype(jnp.float32) / (bins - 1)
+    hi = hi_j.astype(jnp.float32) / (bins - 1)
+    gamma = _prec(hi - lo)
 
     def stretch_channel(ch):
-        hist = _channel_histogram(ch, bins)
-        cdf = jnp.cumsum(hist)
-        lo_count = black_point * n
-        hi_count = (1.0 - white_point) * n
-        lo_bin = jnp.argmax(cdf > lo_count).astype(jnp.float32) / (bins - 1)
-        hi_bin = (bins - 1 - jnp.argmax((cdf >= hi_count)[::-1] == False)).astype(jnp.float32) / (bins - 1)
-        hi_bin = jnp.argmax(cdf >= hi_count).astype(jnp.float32) / (bins - 1)
-        return (ch - lo_bin) * _prec(hi_bin - lo_bin)
+        return jnp.where(hi == lo, ch, (ch - lo) * gamma)
 
     chans = [stretch_channel(img[..., c]) for c in range(img.shape[-1])]
     return jnp.clip(jnp.stack(chans, axis=-1), 0.0, 1.0)
@@ -204,8 +227,11 @@ def normalize(img: jnp.ndarray) -> jnp.ndarray:
     return contrast_stretch(img, 0.02, 0.01)
 
 
-def auto_level(img: jnp.ndarray, per_channel: bool = True) -> jnp.ndarray:
-    """AutoLevelImage (MinMaxStretchImage): stretch actual min/max to full range."""
+def auto_level(img: jnp.ndarray, per_channel: bool = False) -> jnp.ndarray:
+    """AutoLevelImage (MinMaxStretchImage, histogram.c:927): with the
+    default AllChannels mask the reference levels every channel with ONE
+    global min/max (GetImageRange) — per_channel=True gives the
+    channel-masked variant.  Oracle-verified."""
     if per_channel:
         axes = tuple(range(img.ndim - 1))
         mn = jnp.min(img, axis=axes)

@@ -71,7 +71,6 @@ CASES = [
     ("-brightness-contrast 15x10", 38.0),
     ("-level 10%,90%", 40.0),
     ("-charcoal 0x1", 15.0),           # multi-stage stylization: loose
-    ("-emboss 0x1", 20.0),
     ("-sigmoidal-contrast 3x50%", 40.0),
     # second sweep (round 3): oracle-driven fixes for shade/lat/
     # white/black-threshold/blue-shift/wave/vignette/distort-edge
@@ -99,6 +98,19 @@ CASES = [
     ("-wavelet-denoise 10%", 35.0),
     ("-implode 0.3", 25.0),
     ("-trim", 60.0),
+    # third sweep: equalize/stretch family + decorate
+    ("-equalize", 55.0),
+    ("-normalize", 60.0),
+    ("-contrast-stretch 2%x1%", 60.0),
+    ("-linear-stretch 2%x1%", 60.0),
+    ("-auto-level", 60.0),
+    ("-auto-gamma", 40.0),
+    ("-border 4", 60.0),
+    ("-bordercolor blue -border 3", 60.0),
+    ("-raise 5", 60.0),
+    ("+raise 5", 60.0),
+    ("-frame 6x6+2+2", 28.0),          # bevel diagonals approximate
+    ("-emboss 0x1", 30.0),
 ]
 
 
