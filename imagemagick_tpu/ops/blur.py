@@ -471,24 +471,63 @@ def shade(img: jnp.ndarray, azimuth: float = 30.0, elevation: float = 30.0,
 
 def kuwahara(img: jnp.ndarray, radius: float = 1.0, sigma: float = None,
              virtual_pixel: str = "edge") -> jnp.ndarray:
-    """KuwaharaImage (effect.c:1914): edge-preserving quadrant-mean filter.
+    """KuwaharaImage (effect.c:1914) — oracle-matched semantics.
 
-    For each pixel, take the mean of the quadrant (of 4 overlapping (r+1)²
-    windows) with least variance.  Means/variances come from box filters —
-    four shifted views of the same two convolutions.
+    The reference pre-smooths with BlurImage(radius, sigma), ranks the
+    four (radius+1)^2 quadrants anchored NW/NE/SW/SE of each pixel by
+    LUMA variance, and outputs the smoothed image INTERPOLATED AT THE
+    WINNING QUADRANT'S CENTER (origin + width/2) — not the quadrant
+    mean.  Vectorized as origin-anchored box filters over an edge-padded
+    canvas + four bilinear samples selected per pixel.
     """
-    r = max(int(radius), 1)
-    w = r + 1
-    box = np.ones((w, w), dtype=np.float32) / float(w * w)
-    mean = _depthwise_conv(img, jnp.asarray(box), virtual_pixel)
-    mean2 = _depthwise_conv(img * img, jnp.asarray(box), virtual_pixel)
-    var = mean2 - mean * mean
-    var = jnp.sum(var, axis=-1, keepdims=True)
-    shifts = [(-r, -r), (-r, r), (r, -r), (r, r)]
-    means = jnp.stack([jnp.roll(mean, (dy, dx), axis=(-3, -2)) for dy, dx in shifts], 0)
-    vars_ = jnp.stack([jnp.roll(var, (dy, dx), axis=(-3, -2)) for dy, dx in shifts], 0)
-    best = jnp.argmin(vars_, axis=0)
-    out = jnp.take_along_axis(means, best[None, ...], axis=0)[0]
+    from .distort import sample_bilinear
+
+    if sigma is None:
+        sigma = max(radius - 0.5, 0.1)
+    g = blur(img, radius, sigma, virtual_pixel)
+    w = int(radius) + 1
+    pad = w - 1
+    h_, w_ = g.shape[-3], g.shape[-2]
+    if g.shape[-1] >= 3:
+        luma = (0.212656 * g[..., :1] + 0.715158 * g[..., 1:2] +
+                0.072186 * g[..., 2:3])
+    else:
+        luma = g[..., :1]
+    lp = jnp.pad(luma, [(0, 0)] * (luma.ndim - 3) +
+                 [(pad, pad), (pad, pad), (0, 0)], mode="edge")
+    box = jnp.asarray(np.ones((w, w), np.float32) / (w * w))
+
+    def valid_box(x):
+        from jax import lax
+
+        k = box[:, :, None, None] * jnp.eye(x.shape[-1])[None, None]
+        return lax.conv_general_dilated(
+            x.reshape((-1,) + x.shape[-3:]), k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=1).reshape(
+                x.shape[:-3] + (x.shape[-3] - pad, x.shape[-2] - pad,
+                                x.shape[-1]))
+
+    m1 = valid_box(lp)            # (H+pad, W+pad, 1) origin-anchored means
+    m2 = valid_box(lp * lp)
+    var = m2 - m1 * m1
+    # quadrant i origin offset d in {-(w-1), 0} per axis; var at (y, x)
+    # for origin (y+dy, x+dx) lives at var[y+dy+pad, x+dx+pad]
+    offs = [(-pad, -pad), (-pad, 0), (0, -pad), (0, 0)]
+    vstack = jnp.stack([var[..., dy + pad:dy + pad + h_,
+                            dx + pad:dx + pad + w_, 0]
+                        for dy, dx in offs], 0)
+    best = jnp.argmin(vstack, axis=0)
+    # sampled value at each quadrant center: origin + w/2
+    yy = jnp.arange(h_, dtype=g.dtype)[:, None]
+    xx = jnp.arange(w_, dtype=g.dtype)[None, :]
+    yy = jnp.broadcast_to(yy, (h_, w_))
+    xx = jnp.broadcast_to(xx, (h_, w_))
+    samples = jnp.stack(
+        [sample_bilinear(g, xx + dx + w / 2.0, yy + dy + w / 2.0)
+         for dy, dx in offs], 0)
+    out = jnp.take_along_axis(
+        samples, best[(None,) + (Ellipsis,) + (None,)], axis=0)[0]
     return jnp.clip(out, 0.0, 1.0)
 
 
