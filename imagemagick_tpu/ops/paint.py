@@ -84,21 +84,27 @@ def floodfill(img: jnp.ndarray, x: int, y: int, fill_color: Sequence[float],
 
 
 def oil_paint(img: jnp.ndarray, radius: float = 3.0, sigma: float = 0.0,
-              levels: int = 20) -> jnp.ndarray:
-    """OilPaintImage: windowed mode of intensity (paint.c).
-
-    For each pixel, the most frequent quantized intensity in the window
-    wins and contributes its color.
-    """
+              levels: int = 256) -> jnp.ndarray:
+    """OilPaintImage (paint.c:709): windowed mode of the pixel INTENSITY
+    over NumberPaintBins=256 char bins; the winning bin's color is the
+    mean of its contributors (the reference keeps one contributor —
+    indistinguishable at 1/256 bin width).  Window from
+    GetOptimalKernelWidth2D(radius, sigma)."""
     from ..core.virtual_pixel import pad_spatial
+    from .blur import optimal_kernel_width_2d
 
-    r = max(int(radius), 1)
-    k = 2 * r + 1
+    k = optimal_kernel_width_2d(radius, sigma)
+    r = (k - 1) // 2
     lead = img.shape[:-3]
     h, w, c = img.shape[-3:]
     x = img.reshape((-1, h, w, c))
-    inten = jnp.mean(x, axis=-1, keepdims=True)
-    q = jnp.clip((inten * (levels - 1) + 0.5).astype(jnp.int32), 0, levels - 1)
+    if c >= 3:
+        inten = (0.212656 * x[..., :1] + 0.715158 * x[..., 1:2] +
+                 0.072186 * x[..., 2:3])
+    else:
+        inten = x[..., :1]
+    q = jnp.clip((jnp.clip(inten, 0.0, 1.0) * 255.0 + 0.5)
+                 .astype(jnp.int32), 0, levels - 1)
     xp = pad_spatial(x, (r, r), (r, r), "edge")
     qp = pad_spatial(q.astype(jnp.float32), (r, r), (r, r), "edge").astype(jnp.int32)
 

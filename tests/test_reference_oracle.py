@@ -70,7 +70,6 @@ CASES = [
     ("-rotate 90", 300.0),
     ("-brightness-contrast 15x10", 38.0),
     ("-level 10%,90%", 40.0),
-    ("-charcoal 0x1", 15.0),           # multi-stage stylization: loose
     ("-sigmoidal-contrast 3x50%", 40.0),
     # second sweep (round 3): oracle-driven fixes for shade/lat/
     # white/black-threshold/blue-shift/wave/vignette/distort-edge
@@ -111,6 +110,11 @@ CASES = [
     ("+raise 5", 60.0),
     ("-frame 6x6+2+2", 28.0),          # bevel diagonals approximate
     ("-emboss 0x1", 30.0),
+    ("-charcoal 0x1", 35.0),
+    ("-kuwahara 0x1", 30.0),
+    ("-kuwahara 2", 40.0),
+    ("-rotational-blur 10", 35.0),
+    ("-paint 3", 25.0),
 ]
 
 
