@@ -226,20 +226,30 @@ _BLEND_FNS = {
 }
 
 
+def _luma(x):
+    """Rec709 luma (GetPixelIntensity default) over color channels."""
+    if x.shape[-1] >= 3:
+        return (0.212656 * x[..., :1] + 0.715158 * x[..., 1:2] +
+                0.072186 * x[..., 2:3])
+    return x[..., :1]
+
+
 def _hsl_ops(op, sc, dc):
+    """Hue/Saturate/Luminize/Colorize component swaps in the HCL space —
+    the reference's default compose colorspace (composite.c:1436)."""
     from . import colorspace as cs
 
-    s_hsl = cs.rgb_to_hsl(sc)
-    d_hsl = cs.rgb_to_hsl(dc)
+    s_g = cs.rgb_to_hcl(sc)
+    d_g = cs.rgb_to_hcl(dc)
     if op == "hue":
-        out = jnp.stack([s_hsl[..., 0], d_hsl[..., 1], d_hsl[..., 2]], -1)
+        out = jnp.stack([s_g[..., 0], d_g[..., 1], d_g[..., 2]], -1)
     elif op == "saturate":
-        out = jnp.stack([d_hsl[..., 0], s_hsl[..., 1], d_hsl[..., 2]], -1)
+        out = jnp.stack([d_g[..., 0], s_g[..., 1], d_g[..., 2]], -1)
     elif op == "luminize":
-        out = jnp.stack([d_hsl[..., 0], d_hsl[..., 1], s_hsl[..., 2]], -1)
-    else:  # colorize: hue+sat from src, light from dst
-        out = jnp.stack([s_hsl[..., 0], s_hsl[..., 1], d_hsl[..., 2]], -1)
-    return cs.hsl_to_rgb(out)
+        out = jnp.stack([d_g[..., 0], d_g[..., 1], s_g[..., 2]], -1)
+    else:  # colorize: hue+chroma from src, luma from dst
+        out = jnp.stack([s_g[..., 0], s_g[..., 1], d_g[..., 2]], -1)
+    return cs.hcl_to_rgb(out)
 
 
 def composite(dst: jnp.ndarray, src: jnp.ndarray, operator: str = "over",
@@ -298,7 +308,13 @@ def composite(dst: jnp.ndarray, src: jnp.ndarray, operator: str = "over",
     if op in ("plus",):
         return unpack(sca + dca, jnp.minimum(sa + da, 1.0))
     if op in ("copy", "src", "replace"):
-        return unpack(sca, sa)
+        # straight copy: channel value = Sc regardless of Sa, alpha = Sa
+        # (composite.c Copy group alpha switch) — unpack would zero the
+        # colors wherever Sa == 0
+        if dst_alpha or src_alpha:
+            return jnp.concatenate([jnp.clip(sc, 0.0, 1.0),
+                                    jnp.clip(sa, 0.0, 1.0)], axis=-1)
+        return jnp.clip(sc, 0.0, 1.0)
     if op in ("dst", "none"):
         return unpack(dca, da)
     if op in ("clear",):
@@ -338,18 +354,39 @@ def composite(dst: jnp.ndarray, src: jnp.ndarray, operator: str = "over",
         out = dc.at[..., ch].set(sc[..., min(ch, sc.shape[-1] - 1)])
         return unpack(out * da, da)
     if op in ("hue", "saturate", "luminize", "colorize"):
-        out = _hsl_ops(op, sc, dc)
-        out_ca = out * sa * da + dca * (1.0 - sa)
-        return unpack(out_ca, da)
+        # straight color: Dc when Sa==0, Sc when Da==0, else the HCL mix;
+        # alpha = max(Sa, Da) (composite.c alpha switch) — oracle-matched
+        mix_c = _hsl_ops(op, sc, dc)
+        out_c = jnp.where(sa <= _EPS, dc, jnp.where(da <= _EPS, sc, mix_c))
+        out_a = jnp.maximum(sa, da)
+        if dst_alpha or src_alpha:
+            return jnp.concatenate([jnp.clip(out_c, 0.0, 1.0),
+                                    jnp.clip(out_a, 0.0, 1.0)], axis=-1)
+        return jnp.clip(out_c, 0.0, 1.0)
     if op in ("lightenintensity", "darkenintensity"):
-        si = jnp.mean(sc, axis=-1, keepdims=True)
-        di = jnp.mean(dc, axis=-1, keepdims=True)
-        take_src = (si > di) if op == "lightenintensity" else (si < di)
-        out = jnp.where(take_src, sc, dc)
-        return unpack(out * da, da)
+        # Sa*Si vs Da*Di with Si = Rec709 luma; the winning PIXEL
+        # (color and alpha) is copied (composite.c DarkenIntensity)
+        si = _luma(sc)
+        di = _luma(dc)
+        take_src = (sa * si > da * di) if op == "lightenintensity" \
+            else (sa * si < da * di)
+        out_c = jnp.where(take_src, sc, dc)
+        # the built reference zeroes the alpha channel for the intensity
+        # compares whenever alpha participates (oracle-measured across
+        # all four Sa/Da combinations)
+        out_a = jnp.zeros_like(sa * da)
+        if dst_alpha or src_alpha:
+            return jnp.concatenate([jnp.clip(out_c, 0.0, 1.0),
+                                    out_a], axis=-1)
+        return jnp.clip(out_c, 0.0, 1.0)
     if op in ("bumpmap",):
-        inten = jnp.mean(sc, axis=-1, keepdims=True)
-        return unpack(inten * dca, da)
+        inten = _luma(sc)
+        out_c = jnp.where(sa <= _EPS, dc, inten * dc)   # Sa==0 passthrough
+        out_a = inten * da
+        if dst_alpha or src_alpha:
+            return jnp.concatenate([jnp.clip(out_c, 0.0, 1.0),
+                                    jnp.clip(out_a, 0.0, 1.0)], axis=-1)
+        return jnp.clip(out_c, 0.0, 1.0)
     if op in ("alpha",):
         # AlphaComposite (composite.c:2544): colors from dst, alpha := Sa
         new_a = sa if src_alpha else jnp.mean(sc, -1, keepdims=True)
@@ -405,6 +442,39 @@ def composite(dst: jnp.ndarray, src: jnp.ndarray, operator: str = "over",
         out = jnp.where(sa > 0, out, dc)
         return unpack(out * da, da)
 
+    if op in ("difference",):
+        # colors use the premultiplied SVG difference normalized by the
+        # UNION alpha, but the written alpha channel is |Sa - Da|
+        # (composite.c:2637) — oracle-matched
+        union = sa + da - sa * da
+        out_c = _div(sca + dca - 2.0 * jnp.minimum(sca * da, dca * sa),
+                     union)
+        if dst_alpha or src_alpha:
+            return jnp.concatenate([jnp.clip(out_c, 0.0, 1.0),
+                                    jnp.abs(sa - da)], axis=-1)
+        return jnp.clip(out_c, 0.0, 1.0)
+    if op in ("hardmix",):
+        # threshold on the PREMULTIPLIED sum, normalized by union alpha
+        union = sa + da - sa * da
+        out_c = _div(jnp.where(sca + dca < 1.0, 0.0, 1.0), union)
+        if dst_alpha or src_alpha:
+            return jnp.concatenate([jnp.clip(out_c, 0.0, 1.0),
+                                    jnp.clip(union, 0.0, 1.0)], axis=-1)
+        return jnp.clip(out_c, 0.0, 1.0)
+    if op in ("modulusadd", "modulussubtract"):
+        # wrap on the premultiplied values, stored straight (no gamma)
+        if op == "modulusadd":
+            v = sca + dca
+            out_c = jnp.where(v <= 1.0, v, v - 1.0)
+            out_a = jnp.minimum(sa + da - sa * da, 1.0)
+        else:
+            v = sca - dca
+            out_c = jnp.where(v >= 0.0, v, v + 1.0)
+            out_a = sa * (1.0 - da)        # OUT-group alpha (oracle)
+        if dst_alpha or src_alpha:
+            return jnp.concatenate([jnp.clip(out_c, 0.0, 1.0),
+                                    jnp.clip(out_a, 0.0, 1.0)], axis=-1)
+        return jnp.clip(out_c, 0.0, 1.0)
     # --- SVG blend modes through the general alpha formula ---
     if op in _BLEND_FNS:
         f = _BLEND_FNS[op](sc, dc)
