@@ -780,9 +780,13 @@ ypbpr_to_rgb, rgb_to_ypbpr = ycbcr_to_rgb, rgb_to_ycbcr
 
 
 def rgb_to_ycc(x):
-    """PhotoYCC (colorspace.c:1347): piecewise transfer then luma matrix."""
+    """PhotoYCC (colorspace.c:1347): piecewise transfer then luma matrix.
+
+    Quirk preserved: the reference's upper branch computes
+    0.298839*(1.099*i - 0.099) with i in MAP units, so the -0.099 offset
+    is effectively zero (0.099/MaxMap) — the transfer is 1.099*v."""
     v = x
-    f = jnp.where(v <= 0.018, 0.018 * v, 1.099 * v - 0.099)
+    f = jnp.where(v <= 0.018, 0.018 * v, 1.099 * v - 0.099 / 65535.0)
     r, g, b = _split(f)
     Y = 0.298839 * r + 0.586811 * g + 0.114350 * b
     C1 = -0.298839 * r - 0.586811 * g + 0.88600 * b + 156.0 / 255.0
@@ -791,14 +795,24 @@ def rgb_to_ycc(x):
 
 
 def ycc_to_rgb(x):
-    """Inverse PhotoYCC (colorspace.c:2681)."""
+    """Inverse PhotoYCC (colorspace.c:2681): linear unmix then the Kodak
+    PhotoCD decode ramp (YCCMap LUT, colorspace.c:1829) applied to each
+    channel at index round(1024*v) — oracle-verified."""
+    from ._ycc_map import YCC_MAP
+
     Y, C1, C2 = _split(x)
     c1 = C1 - 156.0 / 255.0
     c2 = C2 - 137.0 / 255.0
     r = 1.3584 * Y + 1.8215 * c2
     g = 1.3584 * Y - 0.4302726 * c1 - 0.9271435 * c2
     b = 1.3584 * Y + 2.2179 * c1
-    return _join(r, g, b)
+    ramp = jnp.asarray(YCC_MAP, jnp.float32)
+
+    def decode(v):
+        idx = jnp.clip(jnp.round(1024.0 * v).astype(jnp.int32), 0, 1388)
+        return ramp[idx]
+
+    return _join(decode(r), decode(g), decode(b))
 
 
 def rgb_to_cmy(x):

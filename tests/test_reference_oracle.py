@@ -136,3 +136,35 @@ def test_cli_matches_reference_binary(src, tmp_path, opts, gate):
                    np.float64) / 255.0
     p = _psnr(a, b)
     assert p >= gate, f"{opts}: PSNR {p:.1f}dB < {gate}"
+
+
+# colorspace round trips: every space the sweep measured bit-exact plus
+# YCC (PhotoCD ramp, 36dB — mid-chain Q16 clamping differs)
+CS_CASES = [("RGB", 300), ("Gray", 300), ("CMYK", 300), ("HSL", 300),
+            ("HSB", 300), ("HSI", 300), ("HWB", 300), ("HCL", 300),
+            ("Lab", 300), ("Luv", 300), ("LCHab", 300), ("XYZ", 300),
+            ("xyY", 300), ("LMS", 300), ("YCbCr", 300), ("YUV", 300),
+            ("YIQ", 300), ("YPbPr", 300), ("YDbDr", 300), ("OHTA", 300),
+            ("Log", 300), ("Jzazbz", 300), ("OkLab", 300), ("OkLch", 300),
+            ("DisplayP3", 300), ("Adobe98", 300), ("ProPhoto", 300),
+            ("CAT02LMS", 300), ("scRGB", 300), ("LinearGray", 80),
+            ("YCC", 30)]
+
+
+@pytest.mark.parametrize("cs,gate", CS_CASES, ids=[c[0] for c in CS_CASES])
+def test_colorspace_roundtrip_matches_reference(src, tmp_path, cs, gate):
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, src, "-colorspace", cs, "-colorspace", "sRGB",
+                    str(ref_out)], check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([src, "-colorspace", cs, "-colorspace", "sRGB", str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"),
+                   np.float64) / 255.0
+    b = np.asarray(PILImage.open(str(our_out)).convert("RGB"),
+                   np.float64) / 255.0
+    p = _psnr(a, b)
+    assert p >= gate - 0.5, f"{cs}: {p:.1f}dB"
