@@ -212,3 +212,34 @@ def test_draw_matches_reference(tmp_path, mvg, gate):
     ib = b.min(-1) < 0.5
     iou = (ia & ib).sum() / max((ia | ib).sum(), 1)
     assert iou >= 0.70, f"ink IoU {iou:.2f}"
+
+
+def test_resize_filter_table_matches_reference(src, tmp_path):
+    """All 32 resize filters >= 44dB vs the oracle (most bit-exact) —
+    the AcquireResizeFilter table (resize.c:803) end to end."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    filters = ["Point", "Box", "Triangle", "Hermite", "Hann", "Hamming",
+               "Blackman", "Gaussian", "Quadratic", "Cubic", "Catrom",
+               "Mitchell", "Jinc", "Sinc", "SincFast", "Kaiser", "Welch",
+               "Parzen", "Bohman", "Bartlett", "Lagrange", "Lanczos",
+               "LanczosSharp", "Lanczos2", "Lanczos2Sharp", "Robidoux",
+               "RobidouxSharp", "Cosine", "Spline", "MagicKernelSharp2013",
+               "MagicKernelSharp2021", "CubicSpline"]
+    failures = []
+    for f in filters:
+        ref_out = tmp_path / "ref.png"
+        subprocess.run([_REF, src, "-filter", f, "-resize", "37x25!",
+                        str(ref_out)], check=True, capture_output=True)
+        our_out = tmp_path / "ours.png"
+        process([src, "-filter", f, "-resize", "37x25!", str(our_out)])
+        a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"),
+                       np.float64) / 255.0
+        b = np.asarray(PILImage.open(str(our_out)).convert("RGB"),
+                       np.float64) / 255.0
+        p = _psnr(a, b)
+        if p < 44.0:
+            failures.append((f, round(p, 1)))
+    assert not failures, failures
