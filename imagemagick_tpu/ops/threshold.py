@@ -64,28 +64,36 @@ def kapur_threshold_value(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def triangle_threshold_value(img: jnp.ndarray) -> jnp.ndarray:
-    """TriangleThreshold (threshold.c:570): max distance to peak-tail chord."""
+    """TriangleThreshold (threshold.c:570) — exact reference algorithm:
+    normalized histogram, chord from (peak, p[peak]) down to (start|end,
+    0) on the LONGER tail, signed distance with the quirky
+    1/sqrt(a^2+b^2+c^2) normalization, sign-gated scan direction."""
     hist = _intensity_histogram(img)
-    peak = jnp.argmax(hist)
-    peak_h = hist[peak]
-    nz = hist > 0
+    p = hist / jnp.maximum(jnp.sum(hist), 1.0)
+    nz = p > 0
     levels = jnp.arange(_NBINS)
-    lo = jnp.argmax(nz)  # first nonzero
-    hi = _NBINS - 1 - jnp.argmax(nz[::-1])  # last nonzero
-    # use the longer tail side (reference flips to the wider side)
-    use_right = (hi - peak) >= (peak - lo)
-    end = jnp.where(use_right, hi, lo)
-    x1, y1 = peak.astype(jnp.float32), peak_h
-    x2, y2 = end.astype(jnp.float32), hist[end]
+    start = jnp.argmax(nz)
+    end = _NBINS - 1 - jnp.argmax(nz[::-1])
+    peak = jnp.argmax(p)
+    x1 = peak.astype(jnp.float32)
+    y1 = p[peak]
+    use_start = (peak - start) >= (end - peak)
+    x2 = jnp.where(use_start, start, end).astype(jnp.float32)
+    a = y1                       # y1 - y2 with y2 = 0
+    b = x2 - x1
+    c = -(a * x1 + b * y1)
+    ir = 1.0 / jnp.maximum(jnp.sqrt(a * a + b * b + c * c), 1e-30)
     xs = levels.astype(jnp.float32)
-    # distance from (x, hist[x]) to the chord
-    a = y2 - y1
-    b = x1 - x2
-    c = x2 * y1 - x1 * y2
-    dist = jnp.abs(a * xs + b * hist + c) / jnp.maximum(jnp.sqrt(a * a + b * b), 1e-12)
-    between = jnp.where(use_right, (xs >= x1) & (xs <= x2), (xs >= x2) & (xs <= x1))
-    dist = jnp.where(between, dist, -1.0)
-    return jnp.argmax(dist).astype(jnp.float32) / (_NBINS - 1)
+    seg = ir * (a * xs + b * p + c)
+    # left branch scans [start, peak) keeping seg > 0; right branch
+    # scans (peak, end] keeping seg < 0
+    left_ok = (levels >= start) & (levels < peak) & (seg > 0.0)
+    right_ok = (levels > peak) & (levels <= end) & (seg < 0.0)
+    ok = jnp.where(use_start, left_ok, right_ok)
+    dist = jnp.where(ok, jnp.abs(seg), -1.0)
+    best = jnp.argmax(dist)
+    found = jnp.max(dist) > 0.0
+    return jnp.where(found, best, 0).astype(jnp.float32) / (_NBINS - 1)
 
 
 def auto_threshold(img: jnp.ndarray, method: str = "otsu") -> jnp.ndarray:
@@ -109,11 +117,10 @@ def auto_threshold(img: jnp.ndarray, method: str = "otsu") -> jnp.ndarray:
     else:
         t = fn(img)
     inten = grayscale(img)[..., 0:1] if img.shape[-1] >= 3 else img
-    # compare in the histogram's quantized space: the threshold is a bin
-    # index, so pixels IN the threshold bin must fall in the low class
-    # (threshold.c applies the quantized threshold to Quantum values)
-    q = jnp.round(inten * (_NBINS - 1))
-    out = (q > jnp.round(t * (_NBINS - 1))).astype(img.dtype)
+    # the reference compares the UNQUANTIZED intensity against the bin
+    # threshold j/255 (AutoThresholdImage -> BilevelImage(Q*t/100)):
+    # pixels above the bin EDGE go white even inside the threshold bin
+    out = (inten > t).astype(img.dtype)
     return jnp.broadcast_to(out, img.shape[:-1] + (1,))
 
 

@@ -207,11 +207,16 @@ def test_otsu_per_image_batched():
     from imagemagick_tpu.ops.threshold import auto_threshold
 
     rng = np.random.default_rng(0)
-    a = np.where(rng.uniform(size=(32, 32, 1)) < 0.5, 0.2, 0.8)
-    b = np.where(rng.uniform(size=(32, 32, 1)) < 0.5, 0.55, 0.95)
+    # bin-quantized values (reference compares the raw intensity against
+    # the histogram-bin threshold j/255, with <= going black —
+    # oracle-verified; unquantized values just above the bin go white)
+    lo, hi = 140.0 / 255.0, 242.0 / 255.0
+    a = np.where(rng.uniform(size=(32, 32, 1)) < 0.5, 51.0 / 255.0,
+                 204.0 / 255.0)
+    b = np.where(rng.uniform(size=(32, 32, 1)) < 0.5, lo, hi)
     batch = jnp.asarray(np.stack([a, b]).astype(np.float32))
     out = np.asarray(auto_threshold(batch, "otsu"))
-    assert np.all(out[0][a[..., 0] == 0.2] == 0)
-    assert np.all(out[0][a[..., 0] == 0.8] == 1)
-    assert np.all(out[1][b[..., 0] == 0.55] == 0)
-    assert np.all(out[1][b[..., 0] == 0.95] == 1)
+    assert np.all(out[0][a[..., 0] < 0.5] == 0)
+    assert np.all(out[0][a[..., 0] > 0.5] == 1)
+    assert np.all(out[1][b[..., 0] == np.float32(lo)] == 0)
+    assert np.all(out[1][b[..., 0] == np.float32(hi)] == 1)

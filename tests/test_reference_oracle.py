@@ -115,6 +115,20 @@ CASES = [
     ("-kuwahara 2", 40.0),
     ("-rotational-blur 10", 35.0),
     ("-paint 3", 25.0),
+    # fourth sweep: morphology + auto-thresholds
+    ("-morphology Dilate Square:1", 60.0),
+    ("-morphology Erode Disk:2", 60.0),
+    ("-morphology Open Diamond:1", 60.0),
+    ("-morphology Close Square:2", 60.0),
+    ("-morphology Edge Square:1", 60.0),
+    ("-morphology TopHat Disk:1", 60.0),
+    ("-morphology Convolve Gaussian:0x1", 60.0),
+    ("-auto-threshold otsu", 60.0),
+    ("-auto-threshold kapur", 60.0),
+    ("-auto-threshold triangle", 60.0),
+    ("-fx u*0.5", 60.0),
+    ("-fx 1-u", 60.0),
+    ("-mean-shift 5x5+10%", 28.0),
 ]
 
 
