@@ -25,46 +25,68 @@ from .enhance import grayscale
 
 def canny_edge(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
                lower_percent: float = 0.1, upper_percent: float = 0.3,
-               hysteresis_iters: int = 16) -> jnp.ndarray:
-    """CannyEdgeImage (feature.c:239).
+               hysteresis_iters: int = 64) -> jnp.ndarray:
+    """CannyEdgeImage (feature.c:239) — reference-exact formulation:
 
-    1) gaussian smooth  2) Sobel magnitude+direction  3) non-max suppression
-    4) double threshold + hysteresis by iterative dilation of the strong set
-    through the weak set.
+    1) separable 1-D-rule gaussian smooth ("blur:RxS;blur:RxS+90")
+    2) 2x2 half-pixel gradient: dx = 0.5*(-I00+I01-I10+I11),
+       dy = 0.5*(I00+I01-I10-I11) on the luma
+    3) orientation from slope dy/dx with tan(22.5)/tan(67.5) knees,
+       non-max suppression against the two oriented neighbors
+       (suppress on strict <, OOB neighbors = 0)
+    4) thresholds lower/upper = percent*(max-min)+min of the NMS map,
+       hysteresis growth of the strong set through the weak set.
     """
     gray = grayscale(img) if img.shape[-1] >= 3 else img
-    smooth = bl.gaussian_blur(gray, radius, sigma)
-    sx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
-    gx = bl._depthwise_conv(smooth, jnp.asarray(sx), "edge")[..., 0]
-    gy = bl._depthwise_conv(smooth, jnp.asarray(sx.T), "edge")[..., 0]
-    mag = jnp.hypot(gx, gy)
-    theta = jnp.arctan2(gy, gx)
+    smooth = bl.blur(gray, radius, sigma)[..., 0]
+    # 2x2 gradient at (y, x) over rows y..y+1, cols x..x+1 (edge pad)
+    I = jnp.pad(smooth, [(0, 0)] * (smooth.ndim - 2) + [(0, 1), (0, 1)],
+                mode="edge")
+    h, w = smooth.shape[-2], smooth.shape[-1]
+    I00 = I[..., :h, :w]
+    I01 = I[..., :h, 1:w + 1]
+    I10 = I[..., 1:h + 1, :w]
+    I11 = I[..., 1:h + 1, 1:w + 1]
+    dx = 0.5 * (-I00 + I01 - I10 + I11)
+    dy = 0.5 * (I00 + I01 - I10 - I11)
+    mag = jnp.hypot(dx, dy)
 
-    # quantize direction to 4 sectors, non-max suppression
-    ang = jnp.mod(theta, math.pi)
-    sector = jnp.floor((ang + math.pi / 8.0) / (math.pi / 4.0)).astype(jnp.int32) % 4
+    eps = 1e-15
+    slope = dy / jnp.where(jnp.abs(dx) < eps, jnp.inf, dx)
+    # orientation classes (feature.c:155): 0 = N/S, 1 = NW/SE, 2 = E/W,
+    # 3 = NE/SW; dx ~ 0 -> 0
+    o = jnp.where(
+        jnp.abs(dx) < eps, 0,
+        jnp.where(slope < 0.0,
+                  jnp.where(slope < -2.41421356237, 0,
+                            jnp.where(slope < -0.414213562373, 1, 2)),
+                  jnp.where(slope > 2.41421356237, 0,
+                            jnp.where(slope > 0.414213562373, 3, 2))))
 
-    def shift(m, dy, dx):
-        return jnp.roll(m, (dy, dx), axis=(-2, -1))
+    def shift0(m, dy_, dx_):
+        """Shifted view with zero pad (matrix OOB reads as empty)."""
+        p = jnp.pad(m, [(0, 0)] * (m.ndim - 2) + [(1, 1), (1, 1)])
+        return p[..., 1 + dy_:1 + dy_ + h, 1 + dx_:1 + dx_ + w]
 
-    n0a, n0b = shift(mag, 0, 1), shift(mag, 0, -1)      # horizontal gradient
-    n1a, n1b = shift(mag, 1, 1), shift(mag, -1, -1)     # 45
-    n2a, n2b = shift(mag, 1, 0), shift(mag, -1, 0)      # vertical
-    n3a, n3b = shift(mag, 1, -1), shift(mag, -1, 1)     # 135
-    na = jnp.select([sector == 0, sector == 1, sector == 2], [n0a, n1a, n2a], n3a)
-    nb = jnp.select([sector == 0, sector == 1, sector == 2], [n0b, n1b, n2b], n3b)
-    nms = jnp.where((mag >= na) & (mag >= nb), mag, 0.0)
+    na = jnp.select([o == 0, o == 1, o == 2],
+                    [shift0(mag, -1, 0), shift0(mag, -1, -1),
+                     shift0(mag, 0, -1)], shift0(mag, 1, -1))
+    nb = jnp.select([o == 0, o == 1, o == 2],
+                    [shift0(mag, 1, 0), shift0(mag, 1, 1),
+                     shift0(mag, 0, 1)], shift0(mag, -1, 1))
+    nms = jnp.where((mag < na) | (mag < nb), 0.0, mag)
 
+    mn = jnp.min(nms)
     mx = jnp.max(nms)
-    lo = lower_percent * mx
-    hi = upper_percent * mx
+    lo = lower_percent * (mx - mn) + mn
+    hi = upper_percent * (mx - mn) + mn
     strong = nms >= hi
     weak = nms >= lo
 
     def body(i, s):
-        grown = s | (shift(s, 1, 0) | shift(s, -1, 0) | shift(s, 0, 1) |
-                     shift(s, 0, -1) | shift(s, 1, 1) | shift(s, 1, -1) |
-                     shift(s, -1, 1) | shift(s, -1, -1))
+        grown = s | (shift0(s, 1, 0) | shift0(s, -1, 0) | shift0(s, 0, 1) |
+                     shift0(s, 0, -1) | shift0(s, 1, 1) | shift0(s, 1, -1) |
+                     shift0(s, -1, 1) | shift0(s, -1, -1))
         return grown & weak
 
     final = lax.fori_loop(0, hysteresis_iters, body, strong)

@@ -257,3 +257,26 @@ def test_resize_filter_table_matches_reference(src, tmp_path):
         if p < 44.0:
             failures.append((f, round(p, 1)))
     assert not failures, failures
+
+
+def test_canny_matches_reference_iou(src, tmp_path):
+    """Canny edge maps vs the oracle: binary-map PSNR is harsh (every
+    differing pixel is full-scale), so gate on edge-set IoU >= 0.8 plus
+    a loose PSNR floor."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, src, "-canny", "0x1+10%+30%", str(ref_out)],
+                   check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([src, "-canny", "0x1+10%+30%", str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("L"),
+                   np.float64) / 255.0
+    b = np.asarray(PILImage.open(str(our_out)).convert("L"),
+                   np.float64) / 255.0
+    ia, ib = a > 0.5, b > 0.5
+    iou = (ia & ib).sum() / max((ia | ib).sum(), 1)
+    assert iou >= 0.80, f"edge IoU {iou:.3f}"
+    assert _psnr(a, b) >= 12.0
