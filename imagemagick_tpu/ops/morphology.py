@@ -131,11 +131,13 @@ def _dog_kernel(radius: float, s1: float, s2: float) -> np.ndarray:
 
 
 # Edge-detection convolution kernels (kernel.c builtins)
-_SOBEL = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
-_ROBERTS = np.array([[0, 0, 0], [-1, 1, 0], [0, 0, 0]], np.float32)
-_PREWITT = np.array([[-1, 0, 1], [-1, 0, 1], [-1, 0, 1]], np.float32)
-_COMPASS = np.array([[-1, 1, 1], [-1, -2, 1], [-1, 1, 1]], np.float32)
-_KIRSCH = np.array([[-3, -3, 5], [-3, 0, 5], [-3, -3, 5]], np.float32)
+# edge-kernel orientations match AcquireKernelBuiltIn exactly (kernel.c;
+# verified against the oracle's -define morphology:showkernel=1 dumps)
+_SOBEL = np.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], np.float32)
+_ROBERTS = np.array([[0, 0, 0], [1, -1, 0], [0, 0, 0]], np.float32)
+_PREWITT = np.array([[1, 0, -1], [1, 0, -1], [1, 0, -1]], np.float32)
+_COMPASS = np.array([[1, 1, -1], [1, -2, -1], [1, 1, -1]], np.float32)
+_KIRSCH = np.array([[5, -3, -3], [5, 0, -3], [5, -3, -3]], np.float32)
 _LAPLACIAN = {
     0: np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], np.float32),
     1: np.array([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]], np.float32),
@@ -145,13 +147,31 @@ _LAPLACIAN = {
     7: np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], np.float32),
 }
 
-# Hit-and-miss sets: 1=foreground, 0=background, nan=don't care
+# Hit-and-miss sets: 1=foreground, 0=background, nan=don't care.
+# Bases + rotation steps match the oracle's showkernel dumps exactly
+# (kernel.c AcquireKernelBuiltIn).
 _NAN = float("nan")
-_CORNERS = np.array([[0, 0, _NAN], [0, 1, 1], [_NAN, 1, _NAN]], np.float32)
-_LINE_ENDS = np.array([[0, 0, 0], [0, 1, 0], [0, _NAN, _NAN]], np.float32)
-_LINE_JUNCTIONS = np.array([[1, _NAN, 1], [_NAN, 1, _NAN], [_NAN, 1, _NAN]], np.float32)
-_EDGES = np.array([[_NAN, 0, _NAN], [1, 1, 1], [_NAN, 1, _NAN]], np.float32)
-_PEAKS = np.array([[0, 0, 0], [0, 1, 0], [0, 0, 0]], np.float32)
+_CORNERS = np.array([[_NAN, 1, _NAN], [0, _NAN, 1], [0, 0, _NAN]],
+                    np.float32)                       # @90 x4
+_LINE_ENDS = np.array([[0, 0, _NAN], [0, 1, 1], [0, 0, _NAN]],
+                      np.float32)                     # @90 x4 (base 1)
+_LINE_ENDS2 = np.array([[0, 0, 0], [0, 1, 0], [0, 0, 1]],
+                       np.float32)                    # @90 x4 (base 2)
+_LINE_JUNCTIONS = np.array([[1, _NAN, 1], [_NAN, 1, _NAN],
+                            [_NAN, 1, _NAN]], np.float32)   # @45 x8 (Y)
+_LINE_JUNCTIONS2 = np.array([[1, _NAN, _NAN], [_NAN, 1, _NAN],
+                             [1, _NAN, 1]], np.float32)     # @90 x4 (T)
+_EDGES = np.array([[0, _NAN, 1], [0, _NAN, 1], [0, _NAN, 1]],
+                  np.float32)                         # @90 x4
+# Peaks default: 7x7 — center 1 with a ring of 0s at d^2 in [8, 10]
+# (transcribed from the oracle's showkernel dump)
+_PEAKS = np.full((7, 7), _NAN, np.float32)
+_PEAKS[3, 3] = 1.0
+for _py in range(7):
+    for _px in range(7):
+        _d2 = (_py - 3) ** 2 + (_px - 3) ** 2
+        if 8 <= _d2 <= 10:
+            _PEAKS[_py, _px] = 0.0
 
 # Distance metrics: (kernel offsets, costs)
 _CHEBYSHEV = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], np.float32)
@@ -159,6 +179,20 @@ _MANHATTAN = np.array([[2, 1, 2], [1, 0, 1], [2, 1, 2]], np.float32)
 _EUCLIDEAN = np.array([[math.sqrt(2), 1, math.sqrt(2)],
                        [1, 0, 1],
                        [math.sqrt(2), 1, math.sqrt(2)]], np.float32)
+
+
+def _expand_rot(base: np.ndarray, step45: int) -> list:
+    """Rotation-list expansion: step45=1 gives 8 kernels at 45-degree
+    increments, step45=2 gives 4 at 90 (kernel.c RotateKernelInfo; the
+    per-kernel steps match the oracle's showkernel expansions)."""
+    out = []
+    cur = base
+    n = 8 // step45
+    for _ in range(n):
+        out.append(cur)
+        for _ in range(step45):
+            cur = _rotate_kernel_45(cur)
+    return out
 
 
 def _rotate_kernel_45(k: np.ndarray) -> np.ndarray:
@@ -227,7 +261,7 @@ def get_kernel(spec: str) -> list:
         k = [_KIRSCH]
     elif name == "freichen":
         s2 = math.sqrt(2.0)
-        k = [np.array([[-1, 0, 1], [-s2, 0, s2], [-1, 0, 1]], np.float32)]
+        k = [np.array([[1, 0, -1], [s2, 0, -s2], [1, 0, -1]], np.float32)]
     elif name == "laplacian":
         k = [_LAPLACIAN.get(int(a(0, 0)), _LAPLACIAN[0])]
     elif name == "diamond":
@@ -247,22 +281,20 @@ def get_kernel(spec: str) -> list:
     elif name == "rectangle":
         k = [_rectangle_kernel(int(a(0, 3)), int(a(1, 3)))]
     elif name == "corners":
-        k = [_CORNERS]
-        expand = True
+        return _expand_rot(_CORNERS, 2)
     elif name == "lineends":
-        k = [_LINE_ENDS]
-        expand = True
+        return _expand_rot(_LINE_ENDS, 2) + _expand_rot(_LINE_ENDS2, 2)
     elif name == "linejunctions":
-        k = [_LINE_JUNCTIONS]
-        expand = True
+        return _expand_rot(_LINE_JUNCTIONS, 1) + \
+            _expand_rot(_LINE_JUNCTIONS2, 2)
     elif name == "edges":
-        k = [_EDGES]
-        expand = True
+        return _expand_rot(_EDGES, 2)
     elif name == "peaks":
         k = [_PEAKS]
     elif name in ("skeleton", "thinse"):
-        k = [_EDGES, _CORNERS]
-        expand = True
+        # Skeleton = the Edges base rotated in 45-degree steps x8
+        # (oracle showkernel: Skeleton@45..@315)
+        return _expand_rot(_EDGES, 1)
     elif name == "chebyshev":
         k = [_CHEBYSHEV * (a(0, 100.0) / 100.0 if args else 0.01)]
     elif name == "manhattan":
@@ -519,8 +551,20 @@ def morphology(img: jnp.ndarray, method: str, kernel_spec: str,
                                   _scale_from_spec(kernel_spec))
 
     def one_round(x):
+        # multi-kernel composition (morphology.c:3729): HMT unions the
+        # per-kernel results (Lighten); thinning/thicken/erode chains
+        # re-iterate sequentially (NoComposite).  Every stage clamps to
+        # [0,1] like the reference's per-write ClampToQuantum — without
+        # it thinning's x - HMT goes negative at background pixels and
+        # poisons later kernels.
+        if method in ("hitandmiss", "hmt") and len(kernels) > 1:
+            out_ = None
+            for k in kernels:
+                r_ = jnp.clip(apply_once(x, k), 0.0, 1.0)
+                out_ = r_ if out_ is None else jnp.maximum(out_, r_)
+            return out_
         for k in kernels:
-            x = apply_once(x, k)
+            x = jnp.clip(apply_once(x, k), 0.0, 1.0)
         return x
 
     if iterations <= 0:

@@ -67,9 +67,15 @@ def test_hit_and_miss_corner():
     img[4:12, 4:12] = 1.0
     k = mo._CORNERS
     out = np.asarray(mo.hit_and_miss(jnp.asarray(img), k))
-    # top-left corner of the square matches the corner SE
-    assert out[4, 4, 0] == 1.0
+    # the rot-0 Corners kernel (oracle orientation: fg N+E, bg W/SW/S)
+    # fires at the square's SW corner; interior stays 0
+    assert out[11, 4, 0] == 1.0
     assert out[8, 8, 0] == 0.0
+    # the full rotation list finds all four corners (union semantics)
+    full = np.asarray(mo.morphology(jnp.asarray(img), "hitandmiss",
+                                    "corners"))
+    hits = set(map(tuple, np.argwhere(full[..., 0] > 0.5)))
+    assert hits == {(4, 4), (4, 11), (11, 4), (11, 11)}, hits
 
 
 def test_distance_transform():

@@ -129,6 +129,15 @@ CASES = [
     ("-fx u*0.5", 60.0),
     ("-fx 1-u", 60.0),
     ("-mean-shift 5x5+10%", 28.0),
+    ("-morphology Convolve Sobel", 60.0),
+    ("-morphology Convolve Prewitt", 60.0),
+    ("-morphology Convolve Kirsch", 60.0),
+    ("-morphology HMT Corners", 60.0),
+    ("-morphology HMT LineEnds", 60.0),
+    ("-morphology HMT LineJunctions", 60.0),
+    ("-morphology HMT Edges", 60.0),
+    ("-morphology HMT Peaks", 60.0),
+    ("-morphology Thinning Skeleton", 60.0),
 ]
 
 
