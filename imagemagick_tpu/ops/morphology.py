@@ -475,7 +475,11 @@ def distance_transform(img: jnp.ndarray, metric: str = "euclidean",
     """
     costs = {"chebyshev": _CHEBYSHEV, "manhattan": _MANHATTAN,
              "euclidean": _EUCLIDEAN}[metric.lower()]
-    d = jnp.where(img > 0.5, _BIG, 0.0)
+    # grayscale seeding (MorphologyPrimitiveDirect): each pixel starts at
+    # its own VALUE and the chamfer min-propagates value + step cost —
+    # binary images reduce to the classic distance-from-background
+    # (oracle-verified on gray inputs)
+    d = img / jnp.float32(max(scale, 1e-12))
     d = _distance_pass(d, costs, reverse=False)
     d = _distance_pass(d, costs, reverse=True)
     return jnp.clip(d * scale, 0.0, 1.0)
@@ -600,9 +604,13 @@ def _metric_from_spec(spec: str) -> str:
 
 
 def _scale_from_spec(spec: str) -> float:
+    """Distance-kernel scale: kernel arg2, default 100 quantum units per
+    pixel step (kernel.c Euclidean default; oracle: an 8x8 square's
+    center reads distance*100 in Q16)."""
     parts = spec.split(":")
+    scale = 100.0
     if len(parts) > 1:
         args = [p for p in re.split(r"[x,]", parts[1]) if p]
         if len(args) > 1:
-            return float(args[1]) / 65535.0 if float(args[1]) > 1 else float(args[1])
-    return 0.01
+            scale = float(args[1])
+    return scale / 65535.0

@@ -138,6 +138,8 @@ CASES = [
     ("-morphology HMT Edges", 60.0),
     ("-morphology HMT Peaks", 60.0),
     ("-morphology Thinning Skeleton", 60.0),
+    ("-morphology Distance Manhattan:4", 60.0),
+    ("-morphology Distance Euclidean:4", 50.0),
 ]
 
 
