@@ -33,34 +33,78 @@ def frame(img: jnp.ndarray, width: int = 6, height: int = 6,
     """
     c = img.shape[-1]
     matte = np.asarray(matte_color[:c], np.float32)
-    # decorate.c modulates: highlight = matte*(1-125/255) + 125/255,
-    # shadow = matte*135/255 (HighlightModulate/ShadowModulate)
+    # decorate.c:65-69 modulate constants (ScaleCharToQuantum(v) -> v/255):
+    #   accentuate = matte*(1-80/255)+80/255, highlight = *(1-125/255)+125/255,
+    #   shadow = matte*135/255, trough = matte*110/255.
+    acc = np.clip(matte * (1.0 - 80.0 / 255.0) + 80.0 / 255.0, 0, 1)
     hi = np.clip(matte * (1.0 - 125.0 / 255.0) + 125.0 / 255.0, 0, 1)
-    lo = matte * (135.0 / 255.0)
+    sh = matte * (135.0 / 255.0)
+    tr = matte * (110.0 / 255.0)
     h, w = img.shape[-3], img.shape[-2]
-    oh = h + 2 * height
-    ow = w + 2 * width
-    ys = np.arange(oh)[:, None] * np.ones((1, ow))
-    xs = np.ones((oh, 1)) * np.arange(ow)[None, :]
+    ob, ib = outer_bevel, inner_bevel
+    bw = ob + ib
+    fx, fy = width, height          # frame_info->x / ->y (border per side)
+    oh, ow = h + 2 * fy, w + 2 * fx
+    xs = np.arange(ow)
 
     canvas = np.ones((oh, ow, c), np.float32) * matte
-    ob, ib = outer_bevel, inner_bevel
-    # outer bevel: top/left highlight, bottom/right shadow
-    top_left = (ys < ob) | (xs < ob)
-    bot_right = (ys >= oh - ob) | (xs >= ow - ob)
-    # inner bevel around the image hole
-    iy0, ix0 = height - ib, width - ib
-    iy1, ix1 = height + h + ib, width + w + ib
-    in_hole_ring = ((ys >= iy0) & (ys < iy1) & (xs >= ix0) & (xs < ix1))
-    inner_tl = in_hole_ring & ((ys < height) | (xs < width))
-    inner_br = in_hole_ring & ((ys >= height + h) | (xs >= width + w))
-    canvas[bot_right] = lo
-    canvas[top_left] = hi
-    canvas[inner_br] = hi  # inner bevel lighting is inverted
-    canvas[inner_tl] = lo
+
+    def paint(row, masks_colors):
+        for m, col in masks_colors:
+            canvas[row, m] = col
+
+    # -- top ornamental border (decorate.c FrameImage top loops) --------
+    for y in range(min(ob, oh)):            # outer bevel: hi wedge/acc/sh
+        paint(y, [(xs < ow - y, acc), (xs < y, hi), (xs >= ow - y, sh)])
+    for y in range(ob, min(ob + max(fy - bw, 0), oh)):   # flat matte band
+        paint(y, [(xs < ob, hi), (xs >= ow - ob, sh)])
+    for k in range(ib):                     # inner bevel top
+        y = ob + max(fy - bw, 0) + k
+        if y >= oh:
+            break
+        # spans: ob hi | fx-bw matte | (w+2ib) region | fx-bw matte | ob sh
+        x0 = ob + max(fx - bw, 0)
+        inner = (xs >= x0) & (xs < x0 + w + 2 * ib)
+        paint(y, [(xs < ob, hi), (xs >= ow - ob, sh),
+                  (inner & (xs >= x0 + w + 2 * ib - k), hi),
+                  (inner & (xs < x0 + w + 2 * ib - k), tr),
+                  (inner & (xs < x0 + k), sh)])
+
+    # -- middle rows (sides) -------------------------------------------
+    for y in range(fy, fy + h):
+        x0 = ob + max(fx - bw, 0)
+        paint(y, [(xs < ob, hi), (xs >= ow - ob, sh),
+                  ((xs >= x0) & (xs < x0 + ib), sh),
+                  ((xs >= x0 + ib + w) & (xs < x0 + 2 * ib + w), hi)])
+
+    # -- bottom ornamental border --------------------------------------
+    base = fy + h
+    for k in range(ib):                     # inner bevel bottom
+        # reference iterates y=ib-1..0 while rows advance downward, so
+        # row base+j carries parameter ib-1-j; with j = ib-1-k that is k.
+        y = base + (ib - 1 - k)
+        yy = k
+        if y >= oh:
+            continue
+        x0 = ob + max(fx - bw, 0)
+        inner = (xs >= x0) & (xs < x0 + w + 2 * ib)
+        paint(y, [(xs < ob, hi), (xs >= ow - ob, sh),
+                  (inner & (xs >= x0 + w + 2 * ib - yy), hi),
+                  (inner & (xs < x0 + w + 2 * ib - yy), acc),
+                  (inner & (xs < x0 + yy), sh)])
+    for y in range(base + ib, base + ib + max(fy - bw, 0)):
+        if y >= oh:
+            break
+        paint(y, [(xs < ob, hi), (xs >= ow - ob, sh)])
+    for k in range(ob):                     # outer bevel bottom
+        # reference writes rows for y=ob-1..0 top-to-bottom, so the
+        # canvas row oh-1-k carries wedge parameter k: hi for x<k,
+        # trough to cols-k, shadow after.
+        y = oh - 1 - k
+        paint(y, [(xs >= k, tr), (xs < k, hi), (xs >= ow - k, sh)])
     out = jnp.asarray(canvas)
     out = jnp.broadcast_to(out, img.shape[:-3] + out.shape).astype(img.dtype)
-    return out.at[..., height:height + h, width:width + w, :].set(img)
+    return out.at[..., fy:fy + h, fx:fx + w, :].set(img)
 
 
 def raise_image(img: jnp.ndarray, width: int = 6, height: int = 6,

@@ -568,35 +568,58 @@ def liquid_rescale(img: jnp.ndarray, width: int, height: int,
     return out
 
 
+def _radial_setup(h, w, dtype):
+    """Shared swirl/implode geometry (visual-effects.c): elliptical
+    aspect correction via per-axis scale, radius = the LARGER half-dim,
+    deltas in scaled pixel units around center = 0.5*(W, H)."""
+    cy, cx = 0.5 * h, 0.5 * w
+    scale_x = scale_y = 1.0
+    if w > h:
+        scale_y = w / h
+    elif w < h:
+        scale_x = h / w
+    radius = max(cx, cy)
+    yy, xx = _grid(h, w, dtype)
+    dx = scale_x * (xx - cx)
+    dy = scale_y * (yy - cy)
+    dist = dx * dx + dy * dy
+    return cx, cy, scale_x, scale_y, radius, xx, yy, dx, dy, dist
+
+
 def swirl(img: jnp.ndarray, degrees: float,
           background: Optional[Sequence[float]] = None) -> jnp.ndarray:
-    """SwirlImage (visual-effects.c): rotate by angle scaled with radius."""
+    """SwirlImage (visual-effects.c): rotate by angle scaled with radius.
+
+    factor = 1 - sqrt(dist)/radius inside the ellipse (dist < radius^2),
+    rotation angle = radians(degrees) * factor^2; pixels outside copy."""
     h, w = img.shape[-3], img.shape[-2]
-    cy, cx = h / 2.0, w / 2.0
-    yy, xx = _grid(h, w, img.dtype)
-    dx = (xx - cx) / cx
-    dy = (yy - cy) / cy
-    r = jnp.sqrt(dx * dx + dy * dy)
-    factor = jnp.where(r < 1.0, (1.0 - r) ** 2, 0.0)
-    t = math.radians(degrees) * factor
+    cx, cy, sx, sy, radius, xx, yy, dx, dy, dist = _radial_setup(
+        h, w, img.dtype)
+    inside = dist < radius * radius
+    factor = 1.0 - jnp.sqrt(dist) / radius
+    t = math.radians(degrees) * factor * factor
     ct, st = jnp.cos(t), jnp.sin(t)
-    u = (ct * dx - st * dy) * cx + cx
-    v = (st * dx + ct * dy) * cy + cy
+    u = jnp.where(inside, (ct * dx - st * dy) / sx + cx, xx)
+    v = jnp.where(inside, (st * dx + ct * dy) / sy + cy, yy)
     return sample_bilinear(img, u, v, background)
 
 
 def implode(img: jnp.ndarray, amount: float,
             background: Optional[Sequence[float]] = None) -> jnp.ndarray:
-    """ImplodeImage (visual-effects.c): radial pull toward the center."""
+    """ImplodeImage (visual-effects.c): radial pull toward the center.
+
+    factor = sin(pi * sqrt(dist)/radius / 2)^(-amount) for 0 < dist <
+    radius^2 (1 at the exact center); pixels outside the ellipse copy."""
     h, w = img.shape[-3], img.shape[-2]
-    cy, cx = h / 2.0, w / 2.0
-    yy, xx = _grid(h, w, img.dtype)
-    dx = (xx - cx) / cx
-    dy = (yy - cy) / cy
-    r = jnp.sqrt(dx * dx + dy * dy)
-    factor = jnp.where(r < 1.0, jnp.power(jnp.maximum(r, 1e-12), amount * (1.0 - r)), 1.0)
-    u = factor * dx * cx + cx
-    v = factor * dy * cy + cy
+    cx, cy, sx, sy, radius, xx, yy, dx, dy, dist = _radial_setup(
+        h, w, img.dtype)
+    inside = dist < radius * radius
+    r = jnp.sqrt(jnp.maximum(dist, 0.0)) / radius
+    s = jnp.sin(0.5 * math.pi * r)
+    factor = jnp.where(dist > 0.0,
+                       jnp.power(jnp.maximum(s, 1e-30), -amount), 1.0)
+    u = jnp.where(inside, factor * dx / sx + cx, xx)
+    v = jnp.where(inside, factor * dy / sy + cy, yy)
     return sample_bilinear(img, u, v, background)
 
 

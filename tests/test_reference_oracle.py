@@ -95,7 +95,7 @@ CASES = [
     ("-enhance", 40.0),
     ("-adaptive-blur 0x1", 40.0),
     ("-wavelet-denoise 10%", 35.0),
-    ("-implode 0.3", 25.0),
+    ("-implode 0.3", 50.0),
     ("-trim", 60.0),
     # third sweep: equalize/stretch family + decorate
     ("-equalize", 55.0),
@@ -108,7 +108,7 @@ CASES = [
     ("-bordercolor blue -border 3", 60.0),
     ("-raise 5", 60.0),
     ("+raise 5", 60.0),
-    ("-frame 6x6+2+2", 28.0),          # bevel diagonals approximate
+    ("-frame 6x6+2+2", 55.0),
     ("-emboss 0x1", 30.0),
     ("-charcoal 0x1", 35.0),
     ("-kuwahara 0x1", 30.0),
