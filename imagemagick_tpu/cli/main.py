@@ -1393,20 +1393,48 @@ def _op_ccl(st, arg, plus):
 
     conn = int(arg) if arg and arg.strip().isdigit() else 4
     verbose = st.defines.get("connected-components:verbose", "") == "true"
+    mean_color = st.defines.get("connected-components:mean-color",
+                                "") == "true"
+    area_thresh = st.defines.get("connected-components:area-threshold", "")
+    import numpy as np
+
+    import jax.numpy as jnp
+
     for li in st.images:
         img = li.materialize()
         labels = vi.connected_components(img.data, connectivity=conn,
                                          fuzz=float(st.settings.get("fuzz", "0")) / 100.0)
+        seq = vi.relabel_sequential(labels)
+        if area_thresh:
+            seq = vi.merge_small_components(seq, int(float(area_thresh)),
+                                            conn)
+            seq = np.unique(seq, return_inverse=True)[1] \
+                .reshape(seq.shape).astype(np.int32)
         if verbose:
-            for s in vi.component_statistics(img.data, labels):
+            for s in vi.component_statistics(img.data, jnp.asarray(seq)):
                 bx, by, bw, bh = s["bbox"]
                 print(f"  {s['id']}: {bw}x{bh}+{bx}+{by} "
                       f"{s['centroid'][0]:.1f},{s['centroid'][1]:.1f} "
                       f"{s['area']} srgb{tuple(round(c, 3) for c in s['mean_color'])}")
-        import jax.numpy as jnp
-
-        norm = labels.astype(jnp.float32) / float(img.height * img.width)
-        li.image = Image(norm[..., None], ImageSpec(colorspace="gray"))
+        if mean_color:
+            # replace each object with its mean color (vision.c:717)
+            arr = np.asarray(img.data)
+            flat = seq.reshape(-1)
+            n = int(flat.max()) + 1
+            cnt = np.bincount(flat, minlength=n).astype(np.float64)
+            out = np.empty_like(arr)
+            for c in range(arr.shape[-1]):
+                s = np.bincount(flat, weights=arr[..., c].reshape(-1),
+                                minlength=n)
+                out[..., c] = (s / np.maximum(cnt, 1))[flat] \
+                    .reshape(arr.shape[:-1])
+            li.image = img.replace(data=jnp.asarray(out.astype(np.float32)))
+        else:
+            # default AcquireImageColormap gray ramp: value = id/65535
+            # (Q16 MaxColormapSize identity — vision.c keeps label
+            # indices; the colormap maps entry i to gray i/(2^16-1))
+            norm = jnp.asarray(seq.astype(np.float32) / 65535.0)
+            li.image = Image(norm[..., None], ImageSpec(colorspace="gray"))
 
 
 def _op_segment(st, arg, plus):

@@ -88,6 +88,58 @@ def connected_components(img: jnp.ndarray, connectivity: int = 4,
     return labels
 
 
+def relabel_sequential(labels: jnp.ndarray) -> np.ndarray:
+    """Host-side relabel to the reference's id convention (vision.c:786).
+
+    The reference assigns sequential ids 0..n-1 as component ROOTS are
+    visited in raster-scan order; with min-offset union the root is the
+    component's first pixel, so ordering our min-flat-index labels by
+    value reproduces the same numbering exactly."""
+    lab = np.asarray(labels)
+    uniq, inv = np.unique(lab, return_inverse=True)
+    # np.unique sorts ascending = scan order of first pixels
+    return inv.reshape(lab.shape).astype(np.int32)
+
+
+def merge_small_components(labels: np.ndarray, min_area: int,
+                           connectivity: int = 4) -> np.ndarray:
+    """connected-components:area-threshold — merge objects smaller than
+    min_area into their dominant adjacent object (vision.c merge loop),
+    processing smallest-first like the reference's per-object pass."""
+    lab = np.asarray(labels).copy()
+    if min_area <= 1:
+        return lab
+    h, w = lab.shape[-2], lab.shape[-1]
+    flat = lab.reshape(-1)
+    uniq, counts = np.unique(flat, return_counts=True)
+    order = np.argsort(counts, kind="stable")
+    for k in order:
+        u, n = uniq[k], counts[k]
+        if n >= min_area:
+            continue
+        mask = lab == u
+        if not mask.any():
+            continue
+        # 1-px dilation ring of the object
+        ring = np.zeros_like(mask)
+        ring[..., :-1, :] |= mask[..., 1:, :]
+        ring[..., 1:, :] |= mask[..., :-1, :]
+        ring[..., :, :-1] |= mask[..., :, 1:]
+        ring[..., :, 1:] |= mask[..., :, :-1]
+        if connectivity == 8:
+            ring[..., :-1, :-1] |= mask[..., 1:, 1:]
+            ring[..., 1:, 1:] |= mask[..., :-1, :-1]
+            ring[..., :-1, 1:] |= mask[..., 1:, :-1]
+            ring[..., 1:, :-1] |= mask[..., :-1, 1:]
+        ring &= ~mask
+        nb = lab[ring]
+        if nb.size == 0:
+            continue
+        vals, vc = np.unique(nb, return_counts=True)
+        lab[mask] = vals[np.argmax(vc)]
+    return lab
+
+
 def component_statistics(img: jnp.ndarray, labels: jnp.ndarray,
                          min_area: int = 0) -> List[Dict]:
     """Per-object area/bbox/centroid/mean-color (host-returning).

@@ -291,3 +291,82 @@ def test_canny_matches_reference_iou(src, tmp_path):
     iou = (ia & ib).sum() / max((ia | ib).sum(), 1)
     assert iou >= 0.80, f"edge IoU {iou:.3f}"
     assert _psnr(a, b) >= 12.0
+
+
+# ordered dither: the oracle build needs MAGICK_CONFIGURE_PATH pointed at
+# the reference's config/ to find thresholds.xml.  Boundary ties flip
+# individual pixels, so gate on fraction of agreeing pixels, not PSNR.
+OD_CASES = [("o2x2", 0.98), ("o3x3", 0.98), ("o4x4", 0.98),
+            ("o8x8", 0.99), ("h4x4a", 0.98), ("checks", 0.98)]
+
+
+@pytest.mark.parametrize("mapname,gate", OD_CASES,
+                         ids=[c[0] for c in OD_CASES])
+def test_ordered_dither_matches_reference(src, tmp_path, mapname, gate):
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    env = dict(os.environ, MAGICK_CONFIGURE_PATH="/root/reference/config")
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, src, "-ordered-dither", mapname, str(ref_out)],
+                   check=True, capture_output=True, env=env)
+    our_out = tmp_path / "ours.png"
+    process([src, "-ordered-dither", mapname, str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"), np.float64)
+    b = np.asarray(PILImage.open(str(our_out)).convert("RGB"), np.float64)
+    agree = float((np.abs(a - b) < 5.0).mean())
+    assert agree >= gate, f"{mapname}: agreement {agree:.4f} < {gate}"
+
+
+def test_connected_components_gray_convention(tmp_path):
+    """Default -connected-components output = component id as the Q16
+    colormap gray ramp id/65535 (vision.c AcquireImageColormap default),
+    ids sequential in scan order of component roots."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    a = np.zeros((40, 60), np.uint8)
+    a[5:15, 5:20] = 255
+    a[20:35, 30:55] = 128
+    a[2:4, 50:58] = 255
+    srcp = tmp_path / "cc.png"
+    PILImage.fromarray(a).convert("RGB").save(str(srcp))
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, str(srcp), "-connected-components", "4",
+                    str(ref_out)], check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([str(srcp), "-connected-components", "4", str(our_out)])
+    ra = np.asarray(PILImage.open(str(ref_out)).convert("L"), np.int32)
+    oa = np.asarray(PILImage.open(str(our_out)).convert("L"), np.int32)
+    np.testing.assert_array_equal(ra, oa)
+
+
+def test_connected_components_mean_color(tmp_path):
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    a = np.zeros((40, 60), np.uint8)
+    a[5:15, 5:20] = 255
+    a[20:35, 30:55] = 128
+    srcp = tmp_path / "cc.png"
+    PILImage.fromarray(a).convert("RGB").save(str(srcp))
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, str(srcp), "-define",
+                    "connected-components:mean-color=true",
+                    "-connected-components", "4", str(ref_out)],
+                   check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([str(srcp), "-define", "connected-components:mean-color=true",
+             "-connected-components", "4", str(our_out)])
+    def load_norm(p):
+        im = PILImage.open(str(p))
+        a = np.asarray(im, np.float64)
+        scale = 65535.0 if im.mode.startswith("I") else 255.0
+        if a.ndim == 2:
+            a = a[..., None].repeat(3, -1)
+        return a[..., :3] / scale
+
+    assert _psnr(load_norm(ref_out), load_norm(our_out)) >= 50.0
