@@ -751,8 +751,7 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["wave"] = (1, _op_simple("distort", "wave",
         lambda st, a, p: dict(zip(("amplitude", "wavelength", "background"),
                                   (*_geom_args(a), st.bg()[:3])))))
-    O["posterize"] = (1, _op_simple("quantize", "posterize",
-        lambda st, a, p: {"levels": int(a)}))
+    O["posterize"] = (1, lambda st, a, p: _op_posterize(st, a, p))
     O["kmeans"] = (1, lambda st, a, p: _op_kmeans(st, a, p))
     O["colors"] = (1, lambda st, a, p: _op_kmeans(st, a, p))
 
@@ -1236,6 +1235,22 @@ def _op_statistic(st, arg, plus):
         return run
 
     _lazy_op(st, make)
+
+
+def _op_posterize(st, arg, plus):
+    """PosterizeImage: dithers by default with the Riemersma method like
+    the reference (quantize.c:2236 -> RemapImage with RiemersmaDither);
+    +dither / -dither none disables, -dither ordered keeps the o8x8
+    threshold-map variant.  Host-sequential, so runs eagerly."""
+    from ..ops import quantize as qz
+
+    levels = int(arg)
+    meth = st.settings.get("dither", "riemersma").lower()
+    dither = {"none": False, "false": False, "": False,
+              "ordered": "ordered"}.get(meth, True)
+    for li in st.images:
+        img = li.materialize()
+        li.image = img.replace(data=qz.posterize(img.data, levels, dither))
 
 
 def _op_kmeans(st, arg, plus):
@@ -2095,6 +2110,9 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
             st.settings["compose-geometry"] = args[i]; i += 1
             continue
         if name in _SETTINGS:
+            if plus and name == "dither":
+                st.settings[name] = "none"
+                continue
             if plus and name in ("gravity", "compose"):
                 st.settings[name] = "undefined" if name == "gravity" else "over"
             else:

@@ -306,3 +306,64 @@ def encode_png(arr: np.ndarray, bit_depth: int = 8) -> Optional[bytes]:
     data = ctypes.string_at(out, size.value)
     lib.miniio_free(out)
     return data
+
+
+# ---------------------------------------------------------------------------
+# Riemersma dither (riemersma.cpp) — host-sequential Hilbert-curve error
+# diffusion used by posterize/quantize when dithering is enabled.
+# ---------------------------------------------------------------------------
+
+_RZ_SO = os.path.join(_HERE, "libriemersma.so")
+_RZ_SRC = os.path.join(_HERE, "riemersma.cpp")
+_rz_lib = None
+_rz_failed = False
+
+
+def _rz_load():
+    global _rz_lib, _rz_failed
+    with _lock:
+        if _rz_lib is not None or _rz_failed:
+            return _rz_lib
+        if not os.path.exists(_RZ_SO) or \
+                os.path.getmtime(_RZ_SO) < os.path.getmtime(_RZ_SRC):
+            cmd = ["g++", "-O2", "-fPIC", "-shared", _RZ_SRC, "-o", _RZ_SO]
+            try:
+                r = subprocess.run(cmd, capture_output=True, timeout=120)
+                if r.returncode != 0:
+                    _rz_failed = True
+                    return None
+            except Exception:
+                _rz_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_RZ_SO)
+        except OSError:
+            _rz_failed = True
+            return None
+        lib.rz_riemersma_posterize.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_int, ctypes.c_double]
+        lib.rz_riemersma_posterize.restype = ctypes.c_int
+        _rz_lib = lib
+        return _rz_lib
+
+
+def riemersma_available() -> bool:
+    return _rz_load() is not None
+
+
+def riemersma_posterize(arr: np.ndarray, levels: int,
+                        diffusion: float = 1.0) -> Optional[np.ndarray]:
+    """Dither `arr` (H,W,C float32 [0,1]) to a `levels`-per-channel
+    lattice along a Hilbert curve.  Returns None if the native library
+    is unavailable (callers fall back to undithered rounding)."""
+    lib = _rz_load()
+    if lib is None:
+        return None
+    out = np.ascontiguousarray(arr, dtype=np.float32).copy()
+    h, w = out.shape[0], out.shape[1]
+    c = 1 if out.ndim == 2 else out.shape[2]
+    rc = lib.rz_riemersma_posterize(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h, w, c, int(levels), float(diffusion))
+    return out if rc == 0 else None

@@ -24,14 +24,39 @@ import numpy as np
 from jax import lax
 
 
-def posterize(img: jnp.ndarray, levels: int, dither: bool = False,
+def posterize(img: jnp.ndarray, levels: int, dither=False,
               key=None) -> jnp.ndarray:
-    """PosterizeImage: reduce to `levels` values per channel."""
+    """PosterizeImage (quantize.c:2236): reduce to `levels` per channel.
+
+    The reference dithers by default with the Riemersma method
+    (quantize.c:1688 — Hilbert-curve error diffusion), which is
+    inherently host-sequential; `dither=True`/"riemersma" runs the
+    native riemersma.cpp kernel.  "ordered" keeps the o8x8 threshold-map
+    alternative; the native path falls back to plain rounding if the
+    toolchain is unavailable.
+    """
     n = max(levels - 1, 1)
-    if dither:
+    if dither == "ordered":
         from .threshold import ordered_dither
 
         return ordered_dither(img, "o8x8", levels)
+    if dither:
+        from .. import native
+
+        arr = np.asarray(img, np.float32)
+        batched = arr.ndim == 4
+        frames = arr if batched else arr[None]
+        outs = []
+        ok = True
+        for f in frames:
+            o = native.riemersma_posterize(f, levels)
+            if o is None:
+                ok = False
+                break
+            outs.append(o)
+        if ok:
+            out = np.stack(outs) if batched else outs[0]
+            return jnp.asarray(out)
     return jnp.round(img * n) / n
 
 

@@ -370,3 +370,36 @@ def test_connected_components_mean_color(tmp_path):
         return a[..., :3] / scale
 
     assert _psnr(load_norm(ref_out), load_norm(our_out)) >= 50.0
+
+
+@pytest.mark.parametrize("levels", [2, 4, 6])
+def test_posterize_riemersma_exact(src, tmp_path, levels):
+    """Default -posterize dithers with the Riemersma method; the native
+    riemersma.cpp Hilbert walk is bit-exact vs the reference binary."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, src, "-posterize", str(levels), str(ref_out)],
+                   check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([src, "-posterize", str(levels), str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"), np.int32)
+    b = np.asarray(PILImage.open(str(our_out)).convert("RGB"), np.int32)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_posterize_plus_dither_exact(src, tmp_path):
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, src, "+dither", "-posterize", "4", str(ref_out)],
+                   check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([src, "+dither", "-posterize", "4", str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"), np.int32)
+    b = np.asarray(PILImage.open(str(our_out)).convert("RGB"), np.int32)
+    np.testing.assert_array_equal(a, b)
