@@ -1247,7 +1247,8 @@ def _op_posterize(st, arg, plus):
     levels = int(arg)
     meth = st.settings.get("dither", "riemersma").lower()
     dither = {"none": False, "false": False, "": False,
-              "ordered": "ordered"}.get(meth, True)
+              "ordered": "ordered", "floydsteinberg": "floydsteinberg",
+              "fs": "floydsteinberg"}.get(meth, True)
     for li in st.images:
         img = li.materialize()
         li.image = img.replace(data=qz.posterize(img.data, levels, dither))

@@ -340,10 +340,12 @@ def _rz_load():
         except OSError:
             _rz_failed = True
             return None
-        lib.rz_riemersma_posterize.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
-            ctypes.c_long, ctypes.c_int, ctypes.c_double]
-        lib.rz_riemersma_posterize.restype = ctypes.c_int
+        for fn in ("rz_riemersma_posterize", "rz_floyd_steinberg_posterize"):
+            f = getattr(lib, fn)
+            f.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+                ctypes.c_long, ctypes.c_int, ctypes.c_double]
+            f.restype = ctypes.c_int
         _rz_lib = lib
         return _rz_lib
 
@@ -352,18 +354,31 @@ def riemersma_available() -> bool:
     return _rz_load() is not None
 
 
-def riemersma_posterize(arr: np.ndarray, levels: int,
-                        diffusion: float = 1.0) -> Optional[np.ndarray]:
-    """Dither `arr` (H,W,C float32 [0,1]) to a `levels`-per-channel
-    lattice along a Hilbert curve.  Returns None if the native library
-    is unavailable (callers fall back to undithered rounding)."""
+def _dither_posterize(arr, levels, diffusion, fname):
     lib = _rz_load()
     if lib is None:
         return None
     out = np.ascontiguousarray(arr, dtype=np.float32).copy()
     h, w = out.shape[0], out.shape[1]
     c = 1 if out.ndim == 2 else out.shape[2]
-    rc = lib.rz_riemersma_posterize(
+    rc = getattr(lib, fname)(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         h, w, c, int(levels), float(diffusion))
     return out if rc == 0 else None
+
+
+def riemersma_posterize(arr: np.ndarray, levels: int,
+                        diffusion: float = 1.0) -> Optional[np.ndarray]:
+    """Dither `arr` (H,W,C float32 [0,1]) to a `levels`-per-channel
+    lattice along a Hilbert curve.  Returns None if the native library
+    is unavailable (callers fall back to undithered rounding)."""
+    return _dither_posterize(arr, levels, diffusion,
+                             "rz_riemersma_posterize")
+
+
+def floyd_steinberg_posterize(arr: np.ndarray, levels: int,
+                              diffusion: float = 1.0) -> Optional[np.ndarray]:
+    """Serpentine Floyd-Steinberg posterize via the same octree/cache
+    color assignment as the Riemersma path."""
+    return _dither_posterize(arr, levels, diffusion,
+                             "rz_floyd_steinberg_posterize")

@@ -275,6 +275,63 @@ void riemersma(Ctx &s, int level, Dir dir) {
 
 }  // namespace
 
+extern "C" int rz_floyd_steinberg_posterize(float *img, long h, long w,
+                                            long c, int levels,
+                                            double diffusion) {
+  // FloydSteinbergDither (quantize.c:300 region): serpentine scan; the
+  // corrected pixel gains 7/16 of the previous pixel's error plus
+  // 1/16 (ahead), 5/16 (below), 3/16 (behind) of the previous row's,
+  // then goes through the same octree/cache color assignment.
+  if (levels < 2 || c < 1 || c > 4) return 1;
+  Ctx s;
+  s.img = img; s.h = h; s.w = w; s.c = c;
+  s.levels = levels; s.diffusion = diffusion;
+  s.use_alpha = (c == 4 || c == 2);
+  s.cache.assign(1u << 24, -1);
+  s.classify();
+  std::vector<double> errbuf(2 * w * 4, 0.0);
+  for (long y = 0; y < h; y++) {
+    double *current = &errbuf[(y & 1) * w * 4];
+    double *previous = &errbuf[((y + 1) & 1) * w * 4];
+    long v = (y & 1) ? -1 : 1;
+    for (long x = 0; x < w; x++) {
+      long u = (y & 1) ? (w - 1 - x) : x;
+      float *px = img + (y * w + u) * c;
+      double pixel[4] = {0, 0, 0, 0};
+      for (long ch = 0; ch < c; ch++)
+        pixel[ch] = (double)px[ch] * 65535.0;
+      if (x > 0)
+        for (long ch = 0; ch < c; ch++)
+          pixel[ch] += 7.0 * diffusion * current[(u - v) * 4 + ch] / 16.0;
+      if (y > 0) {
+        if (x < w - 1)
+          for (long ch = 0; ch < c; ch++)
+            pixel[ch] += diffusion * previous[(u + v) * 4 + ch] / 16.0;
+        for (long ch = 0; ch < c; ch++)
+          pixel[ch] += 5.0 * diffusion * previous[u * 4 + ch] / 16.0;
+        if (x > 0)
+          for (long ch = 0; ch < c; ch++)
+            pixel[ch] += 3.0 * diffusion * previous[(u - v) * 4 + ch] / 16.0;
+      }
+      for (long ch = 0; ch < c; ch++) {
+        if (pixel[ch] < 0.0) pixel[ch] = 0.0;
+        if (pixel[ch] > 65535.0) pixel[ch] = 65535.0;
+      }
+      int number = s.assign(pixel);
+      const double *cm = &s.colormap[number * 4];
+      for (long ch = 0; ch < c; ch++) {
+        double chosen = cm[ch < 3 ? ch : 3];
+        if (c < 3) chosen = cm[0];
+        if (c == 2 && ch == 1) chosen = cm[3];
+        px[ch] = (float)(chosen / 65535.0);
+        current[u * 4 + ch] = pixel[ch] - chosen;
+      }
+      for (long ch = c; ch < 4; ch++) current[u * 4 + ch] = 0.0;
+    }
+  }
+  return 0;
+}
+
 extern "C" int rz_riemersma_posterize(float *img, long h, long w, long c,
                                       int levels, double diffusion) {
   if (levels < 2 || c < 1 || c > 4) return 1;

@@ -43,13 +43,16 @@ def posterize(img: jnp.ndarray, levels: int, dither=False,
     if dither:
         from .. import native
 
+        fn = native.floyd_steinberg_posterize \
+            if dither in ("floydsteinberg", "fs") \
+            else native.riemersma_posterize
         arr = np.asarray(img, np.float32)
         batched = arr.ndim == 4
         frames = arr if batched else arr[None]
         outs = []
         ok = True
         for f in frames:
-            o = native.riemersma_posterize(f, levels)
+            o = fn(f, levels)
             if o is None:
                 ok = False
                 break

@@ -403,3 +403,19 @@ def test_posterize_plus_dither_exact(src, tmp_path):
     a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"), np.int32)
     b = np.asarray(PILImage.open(str(our_out)).convert("RGB"), np.int32)
     np.testing.assert_array_equal(a, b)
+
+
+def test_posterize_floyd_steinberg_exact(src, tmp_path):
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, src, "-dither", "FloydSteinberg", "-posterize",
+                    "4", str(ref_out)], check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([src, "-dither", "FloydSteinberg", "-posterize", "4",
+             str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"), np.int32)
+    b = np.asarray(PILImage.open(str(our_out)).convert("RGB"), np.int32)
+    np.testing.assert_array_equal(a, b)
