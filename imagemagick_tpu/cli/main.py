@@ -753,7 +753,7 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
                                   (*_geom_args(a), st.bg()[:3])))))
     O["posterize"] = (1, lambda st, a, p: _op_posterize(st, a, p))
     O["kmeans"] = (1, lambda st, a, p: _op_kmeans(st, a, p))
-    O["colors"] = (1, lambda st, a, p: _op_kmeans(st, a, p))
+    O["colors"] = (1, lambda st, a, p: _op_colors(st, a, p))
 
     # --- thresholds ---
     O["threshold"] = (1, _op_simple("threshold", "bilevel",
@@ -1252,6 +1252,34 @@ def _op_posterize(st, arg, plus):
     for li in st.images:
         img = li.materialize()
         li.image = img.replace(data=qz.posterize(img.data, levels, dither))
+
+
+def _op_colors(st, arg, plus):
+    """-colors: the reference octree quantizer (quantize.c QuantizeImage)
+    via native/riemersma.cpp rz_quantize — classify/reduce/assign with
+    the default Riemersma dither (+dither disables, -dither selects).
+    Falls back to device k-means when the native toolchain is absent."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..ops import quantize as qz
+
+    n = int(arg.split()[0])
+    meth = st.settings.get("dither", "riemersma").lower()
+    dither = {"none": "none", "false": "none", "": "none",
+              "floydsteinberg": "fs", "fs": "fs"}.get(meth, "riemersma")
+    for li in st.images:
+        img = li.materialize()
+        arr = np.asarray(img.data, np.float32)
+        res = None
+        if arr.ndim == 3:
+            res = native.octree_quantize(arr, n, dither)
+        if res is None:
+            li.image = img.replace(data=qz.kmeans_quantize(img.data, n))
+        else:
+            li.image = img.replace(data=jnp.asarray(res[0]))
 
 
 def _op_kmeans(st, arg, plus):

@@ -346,6 +346,12 @@ def _rz_load():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
                 ctypes.c_long, ctypes.c_int, ctypes.c_double]
             f.restype = ctypes.c_int
+        lib.rz_quantize.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_long)]
+        lib.rz_quantize.restype = ctypes.c_int
         _rz_lib = lib
         return _rz_lib
 
@@ -382,3 +388,30 @@ def floyd_steinberg_posterize(arr: np.ndarray, levels: int,
     color assignment as the Riemersma path."""
     return _dither_posterize(arr, levels, diffusion,
                              "rz_floyd_steinberg_posterize")
+
+
+def octree_quantize(arr: np.ndarray, max_colors: int, dither: str = "riemersma",
+                    tree_depth: int = 0, diffusion: float = 1.0):
+    """Full reference-semantics octree quantization (quantize.c
+    QuantizeImage): classify / reduce / colormap / assign, with optional
+    Riemersma or Floyd-Steinberg dithering.  Returns (out_image,
+    palette) or None if the native library is unavailable."""
+    lib = _rz_load()
+    if lib is None:
+        return None
+    meth = {"none": 0, "": 0, "riemersma": 1,
+            "floydsteinberg": 2, "fs": 2}.get(str(dither).lower(), 1)
+    out = np.ascontiguousarray(arr, dtype=np.float32).copy()
+    h, w = out.shape[0], out.shape[1]
+    c = 1 if out.ndim == 2 else out.shape[2]
+    cap = max(int(max_colors), 256)
+    pal = np.zeros((cap, 4), np.float32)
+    n = ctypes.c_long(0)
+    rc = lib.rz_quantize(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h, w, c, int(max_colors), meth, int(tree_depth), float(diffusion),
+        pal.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(n))
+    if rc != 0:
+        return None
+    return out, pal[:n.value]

@@ -419,3 +419,49 @@ def test_posterize_floyd_steinberg_exact(src, tmp_path):
     a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"), np.int32)
     b = np.asarray(PILImage.open(str(our_out)).convert("RGB"), np.int32)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("opts", ["-colors 16", "+dither -colors 8",
+                                  "-dither FloydSteinberg -colors 32"],
+                         ids=["riemersma16", "nodither8", "fs32"])
+def test_colors_octree_exact(src, tmp_path, opts):
+    """-colors runs the reference octree quantizer; compare through the
+    txt coder (percent precision) because the reference PNG encoder
+    applies its own dithered 16->8 depth reduction when -dither is set."""
+    import re
+
+    from imagemagick_tpu.cli.main import process
+
+    r = subprocess.run([_REF, src, *shlex.split(opts), "txt:-"],
+                       check=True, capture_output=True, text=True)
+    ref = {}
+    pat = re.compile(r"(\d+),(\d+):.*srgba?\(([\d.]+)%,([\d.]+)%,([\d.]+)%")
+    for line in r.stdout.splitlines()[1:]:
+        m = pat.match(line)
+        if m:
+            ref[(int(m.group(2)), int(m.group(1)))] = [
+                float(m.group(i)) / 100.0 for i in (3, 4, 5)]
+    our_out = tmp_path / "ours.png"
+    process([src, *shlex.split(opts), "-depth", "16", str(our_out)])
+    # read our float result straight from the op (PNG would re-quantize)
+    import jax
+
+    from imagemagick_tpu import io as iio
+    from imagemagick_tpu.ops import quantize  # noqa: F401
+    from imagemagick_tpu import native
+
+    from PIL import Image as PILImage
+
+    img = np.asarray(PILImage.open(src).convert("RGB"), np.float32) / 255.0
+    meth = ("none" if opts.startswith("+dither") else
+            "fs" if "FloydSteinberg" in opts else "riemersma")
+    n = int(opts.split()[-1])
+    res = native.octree_quantize(img, n, meth)
+    assert res is not None
+    out = res[0]
+    bad = 0
+    for (y, x), v in ref.items():
+        if max(abs(out[y, x, i] - v[i]) for i in range(3)) > 1e-4:
+            bad += 1
+    assert len(ref) == out.shape[0] * out.shape[1]
+    assert bad == 0, f"{bad} mismatched pixels"
