@@ -968,16 +968,35 @@ def _op_unique_colors(st, arg, plus):
 
 
 def _op_map(st, arg, plus):
+    """-remap/-map: RemapImage — dithers by default with Riemersma like
+    the reference; native octree path for exact cache/local-search
+    semantics, device nearest-palette fallback."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
     from .. import io as iio_map
+    from .. import native
     from ..ops import quantize as qz
 
     pal_img = iio_map.read_images(arg)[0]
     pal = pal_img.data.reshape(-1, pal_img.channels)
-    dither = st.settings.get("dither", "none").lower() not in ("none", "false", "")
+    meth = st.settings.get("dither", "riemersma").lower()
+    dither = {"none": "none", "false": "none", "": "none",
+              "floydsteinberg": "fs", "fs": "fs"}.get(meth, "riemersma")
     for li in st.images:
         img = li.materialize()
-        li.image = img.replace(data=qz.remap(img.data, pal[:, : img.channels],
-                                             dither))
+        arr = np.asarray(img.data, np.float32)
+        res = None
+        if arr.ndim == 3:
+            res = native.octree_remap(arr, np.asarray(pal, np.float32),
+                                      dither)
+        if res is not None:
+            li.image = img.replace(data=jnp.asarray(res))
+        else:
+            li.image = img.replace(
+                data=qz.remap(img.data, pal[:, : img.channels],
+                              dither != "none"))
 
 
 def _op_type(st, arg, plus):
@@ -2095,6 +2114,43 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
         name = tok[1:]
         if name == "size":
             st.size = args[i]; i += 1
+            continue
+        if name == "read":
+            # explicit read (magick-script style): same as a bare filename
+            target = args[i]; i += 1
+            for im in iio.read_images(target, size=st.size,
+                                      settings=st.settings):
+                st.images.append(LazyImage(im))
+            continue
+        if name == "script":
+            # execute a magick script file: tokens (shell-style, with
+            # comments) processed in the current state
+            import shlex as _shlex
+
+            path = args[i]; i += 1
+            with open(path, "r", encoding="utf-8") as fh:
+                text = fh.read()
+            toks = _shlex.split(text, comments=True)
+            args[i:i] = toks
+            continue
+        if name == "bench":
+            # repeat the REMAINING pipeline N times, report throughput
+            # (utilities/magick.c -bench)
+            import sys as _sys
+            import time as _time
+
+            n = max(int(args[i]), 1); i += 1
+            rest = args[i:]
+            start = _time.time()
+            for it in range(n - 1):
+                sub = CLIState()
+                sub.settings.update(st.settings)
+                process(list(rest), sub)
+            # final iteration continues in THIS state (falls through)
+            if n > 1:
+                elapsed = max(_time.time() - start, 1e-9)
+                print(f"Performance: {n}i {(n - 1) / elapsed:.3f}ips "
+                      f"{elapsed:.3f}u", file=_sys.stderr)
             continue
         if name == "extract":
             st.settings["extract"] = args[i]; i += 1

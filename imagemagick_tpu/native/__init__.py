@@ -352,6 +352,11 @@ def _rz_load():
             ctypes.c_double, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_long)]
         lib.rz_quantize.restype = ctypes.c_int
+        lib.rz_remap.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.c_long, ctypes.c_int, ctypes.c_double]
+        lib.rz_remap.restype = ctypes.c_int
         _rz_lib = lib
         return _rz_lib
 
@@ -415,3 +420,24 @@ def octree_quantize(arr: np.ndarray, max_colors: int, dither: str = "riemersma",
     if rc != 0:
         return None
     return out, pal[:n.value]
+
+
+def octree_remap(arr: np.ndarray, palette: np.ndarray,
+                 dither: str = "riemersma", diffusion: float = 1.0):
+    """RemapImage with reference octree/cache semantics.  `palette` is
+    (N, C) float32 [0,1].  Returns the remapped image or None."""
+    lib = _rz_load()
+    if lib is None:
+        return None
+    meth = {"none": 0, "": 0, "riemersma": 1,
+            "floydsteinberg": 2, "fs": 2}.get(str(dither).lower(), 1)
+    out = np.ascontiguousarray(arr, dtype=np.float32).copy()
+    pal = np.ascontiguousarray(palette, dtype=np.float32)
+    h, w = out.shape[0], out.shape[1]
+    c = 1 if out.ndim == 2 else out.shape[2]
+    pc = 1 if pal.ndim == 1 else pal.shape[1]
+    rc = lib.rz_remap(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h, w, c, pal.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pal.shape[0], pc, meth, float(diffusion))
+    return out if rc == 0 else None

@@ -603,6 +603,37 @@ extern "C" int rz_floyd_steinberg_posterize(float *img, long h, long w,
   return 0;
 }
 
+// RemapImage: classify the palette colors at full depth (no reduction,
+// maximum_colors = MaxColormapSize), then assign the target image with
+// the octree/cache machinery.  dither_method: 0/1/2 as rz_quantize.
+extern "C" int rz_remap(float *img, long h, long w, long c,
+                        const float *palette, long npal, long pal_c,
+                        int dither_method, double diffusion) {
+  if (npal < 1 || c < 1 || c > 4 || pal_c < 1 || pal_c > 4) return 1;
+  Ctx s;
+  s.diffusion = diffusion;
+  s.use_alpha = (pal_c == 4 || pal_c == 2);
+  s.maximum_colors = 65536;
+  s.cube_depth = kDepth;
+  // classify the palette as a 1-row image
+  s.img = const_cast<float *>(palette);
+  s.h = 1; s.w = npal; s.c = pal_c;
+  s.classify_image();
+  s.define_colormap(s.root);
+  // assign the target
+  s.img = img; s.h = h; s.w = w; s.c = c;
+  if (dither_method == 1) {
+    s.cache.assign(1u << 24, -1);
+    run_riemersma(s);
+  } else if (dither_method == 2) {
+    s.cache.assign(1u << 24, -1);
+    run_floyd_steinberg(s);
+  } else {
+    run_plain_assign(s);
+  }
+  return 0;
+}
+
 // dither_method: 0 = none, 1 = Riemersma, 2 = Floyd-Steinberg.
 // tree_depth 0 = the reference's automatic Log4 rule.
 // palette_out must hold 4*max(max_colors, 256) floats ([0,1] RGBA);

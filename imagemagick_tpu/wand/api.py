@@ -1045,9 +1045,27 @@ class MagickWand:
 
     def quantize_image(self, number_colors: int, colorspace="srgb",
                        treedepth=0, dither=False, measure_error=False):
+        """MagickQuantizeImage: reference octree quantizer (native) with
+        k-means fallback when no toolchain is available."""
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from .. import native
         from ..ops import quantize as qz
 
-        self._apply(lambda im: qz.kmeans_quantize(im.data, number_colors))
+        def run(im):
+            arr = np.asarray(im.data, np.float32)
+            meth = dither if isinstance(dither, str) else \
+                ("riemersma" if dither else "none")
+            res = native.octree_quantize(arr, number_colors, meth,
+                                         int(treedepth)) \
+                if arr.ndim == 3 else None
+            if res is None:
+                return qz.kmeans_quantize(im.data, number_colors)
+            return jnp.asarray(res[0])
+
+        self._apply(run)
 
     def kmeans_image(self, number_colors, max_iterations=20, tolerance=1e-4):
         from ..ops import quantize as qz
@@ -1056,10 +1074,26 @@ class MagickWand:
                                                   max_iterations))
 
     def remap_image(self, palette_wand: "MagickWand", dither=False):
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from .. import native
         from ..ops import quantize as qz
 
         pal = palette_wand.current.data.reshape(-1, palette_wand.current.channels)
-        self._apply(lambda im: qz.remap(im.data, pal, dither))
+
+        def run(im):
+            arr = np.asarray(im.data, np.float32)
+            meth = dither if isinstance(dither, str) else \
+                ("riemersma" if dither else "none")
+            res = native.octree_remap(arr, np.asarray(pal, np.float32),
+                                      meth) if arr.ndim == 3 else None
+            if res is None:
+                return qz.remap(im.data, pal[:, : im.channels], bool(dither))
+            return jnp.asarray(res)
+
+        self._apply(run)
 
     # --- evaluate / function / fx ---
     def evaluate_image(self, operator: str, value: float = 0.0):

@@ -320,3 +320,23 @@ def test_compare_subimage_search(tmp_path, checker_rgb, capsys):
     assert rc == 0 and "@" in err
     x, y = err.split("@")[1].strip().split(",")
     assert (int(x), int(y)) == (8, 5), err
+
+
+def test_read_script_bench(tmp_path):
+    """-read / -script / -bench (option.c CommandOptions coverage)."""
+    from imagemagick_tpu.cli.main import process
+
+    src = "/root/reference/images/arc.png"
+    out1 = tmp_path / "read.png"
+    process(["-read", src, "-resize", "20x20", str(out1)])
+    script = tmp_path / "s.mgk"
+    out2 = tmp_path / "script.png"
+    script.write_text(f"# comment\n-read {src}\n-resize 20x20\n"
+                      f"-write {out2}\n")
+    process(["-script", str(script)])
+    out3 = tmp_path / "bench.png"
+    process(["-bench", "2", src, "-resize", "20x20", str(out3)])
+    from PIL import Image as PILImage
+
+    for p in (out1, out2, out3):
+        assert PILImage.open(str(p)).size[0] == 20

@@ -465,3 +465,28 @@ def test_colors_octree_exact(src, tmp_path, opts):
             bad += 1
     assert len(ref) == out.shape[0] * out.shape[1]
     assert bad == 0, f"{bad} mismatched pixels"
+
+
+@pytest.mark.parametrize("pre", [[], ["+dither"],
+                                 ["-dither", "FloydSteinberg"]],
+                         ids=["riemersma", "nodither", "fs"])
+def test_remap_exact(src, tmp_path, pre):
+    """-remap dithers by default (Riemersma) and matches the reference
+    bit-for-bit in all three dither modes."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    pal = np.array([[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 255, 0],
+                    [0, 0, 255], [255, 255, 0], [0, 255, 255],
+                    [255, 0, 255]], np.uint8).reshape(1, 8, 3)
+    palp = tmp_path / "pal.png"
+    PILImage.fromarray(pal).save(str(palp))
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, src, *pre, "-remap", str(palp), str(ref_out)],
+                   check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([src, *pre, "-remap", str(palp), str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"), np.int32)
+    b = np.asarray(PILImage.open(str(our_out)).convert("RGB"), np.int32)
+    np.testing.assert_array_equal(a, b)
