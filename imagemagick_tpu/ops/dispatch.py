@@ -45,6 +45,26 @@ STRICT = os.environ.get("IMTPU_DISPATCH_STRICT", "") == "1"
 _MAX_DIM = 4096          # dense host-side operator composition bound
 _MAX_CHANNELS = 4
 
+# The axon TPU worker on this machine hard-hangs (multi-hour, process-
+# wide) when first compiling/running the fused kernel on a pad_align
+# shape — observed twice, both times immediately after that exact
+# compile, while born-aligned shapes (bench.py, benchmarks.py) run
+# fine.  Until the trigger is isolated, padded shapes only dispatch on
+# real hardware when explicitly requested; interpret/CPU paths (tests)
+# are unaffected.
+ALLOW_PADDED = os.environ.get("IMTPU_DISPATCH_PADDED", "") == "1"
+
+
+def _shape_safe(H: int, W: int, C: int, interpret: bool) -> bool:
+    """True when (H, W, C) may dispatch on the current backend."""
+    if interpret or ALLOW_PADDED:
+        return True
+    if H % 8 == 0 and (W * C) % 128 == 0:
+        return True
+    import jax
+
+    return jax.default_backend() not in ("axon",)
+
 
 @functools.lru_cache(maxsize=64)
 def _plan_chain(H: int, W: int, C: int, prefix: tuple):
@@ -172,6 +192,8 @@ def try_fused_batch(datas, tags: List[Optional[tuple]]):
         return None
     if any(tuple(map(int, d.shape)) != (H, W, C) for d in datas[1:]):
         return None
+    if not _shape_safe(H, W, C, FORCE_INTERPRET):
+        return None
     n = match_prefix(tags)
     if n != len(tags) or n == 0:
         return None
@@ -216,6 +238,8 @@ def try_fused_chain(data, tags: List[Optional[tuple]]
     H, W, C = map(int, data.shape)
     if (H < 8 or W * C < 128 or C > _MAX_CHANNELS
             or H > _MAX_DIM or W > _MAX_DIM):
+        return None
+    if not _shape_safe(H, W, C, FORCE_INTERPRET):
         return None
     n = match_prefix(tags)
     if n == 0:
