@@ -115,7 +115,11 @@ def sepia_tone(img: jnp.ndarray, threshold: float = 0.8) -> jnp.ndarray:
     """SepiaToneImage (visual-effects.c): per-channel intensity tone
     curves — r/g/b get shifted-and-clipped copies of the pixel intensity
     (offsets 0, t/6, with knees at t and 7t/6), then green/blue are
-    floored at t/7.  Verified against the built reference binary."""
+    floored at t/7 — followed by NormalizeImage + ContrastImage(sharpen)
+    (visual-effects.c:1986-1987), which is what makes the op content-
+    dependent (histogram stretch) and S-curved (HSB sine contrast)."""
+    from .enhance import contrast, normalize
+
     i = (0.212656 * img[..., 0] + 0.715158 * img[..., 1] +
          0.072186 * img[..., 2])
     t = threshold
@@ -128,7 +132,7 @@ def sepia_tone(img: jnp.ndarray, threshold: float = 0.8) -> jnp.ndarray:
     out = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
     if img.shape[-1] > 3:
         out = jnp.concatenate([out, img[..., 3:]], axis=-1)
-    return out
+    return contrast(normalize(out), sharpen=True)
 
 
 def solarize(img: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:

@@ -47,30 +47,28 @@ CASES = [
     ("-flip", 300.0),
     ("-flop", 300.0),
     ("-transpose", 300.0),
-    ("-negate", 55.0),
-    ("-resize 31x20!", 44.0),
-    ("-resize 200%", 44.0),
-    ("-scale 23x15!", 48.0),
+    ("-negate", 60.0),
+    ("-resize 31x20!", 60.0),
+    ("-resize 200%", 60.0),
+    ("-scale 23x15!", 60.0),
     ("-sample 23x15!", 300.0),
-    ("-gaussian-blur 0x1.5", 44.0),
-    ("-blur 0x2", 44.0),
-    ("-colorspace gray", 48.0),
-    ("-gamma 1.8", 44.0),
-    ("-modulate 120,80,100", 34.0),
-    ("-threshold 50%", 25.0),          # hard boundary: off-by-1-LSB flips
-    ("-solarize 50%", 40.0),
-    # sepia: our math matches SepiaToneImage's source formulas
-    # (visual-effects.c:1905 intensity knee curves) exactly, but the built
-    # binary additionally scales each pixel by a uniform per-pixel factor
-    # (~0.74 at black .. ~1.06 mid) not visible in the source; gate loosely
-    ("-sepia-tone 80%", 15.0),
+    ("-gaussian-blur 0x1.5", 60.0),
+    ("-blur 0x2", 60.0),
+    ("-colorspace gray", 60.0),
+    ("-gamma 1.8", 60.0),
+    ("-modulate 120,80,100", 60.0),
+    ("-threshold 50%", 40.0),          # hard boundary: off-by-1-LSB flips
+    ("-solarize 50%", 60.0),
+    # sepia = knee curves + NormalizeImage + ContrastImage(sharpen)
+    # (visual-effects.c:1986-1987); 1-LSB residual from f32 HSB rounding
+    ("-sepia-tone 80%", 60.0),
     ("-crop 40x30+5+5", 300.0),
     ("-shave 4x6", 300.0),
     ("-roll +7+11", 300.0),
     ("-rotate 90", 300.0),
-    ("-brightness-contrast 15x10", 38.0),
-    ("-level 10%,90%", 40.0),
-    ("-sigmoidal-contrast 3x50%", 40.0),
+    ("-brightness-contrast 15x10", 60.0),
+    ("-level 10%,90%", 60.0),
+    ("-sigmoidal-contrast 3x50%", 60.0),
     # second sweep (round 3): oracle-driven fixes for shade/lat/
     # white/black-threshold/blue-shift/wave/vignette/distort-edge
     ("-swirl 90", 60.0),
@@ -81,9 +79,9 @@ CASES = [
     ("-lat 5x5+2%", 60.0),
     ("-white-threshold 70%", 60.0),
     ("-black-threshold 30%", 60.0),
-    ("-vignette 0x10", 30.0),
-    ("-distort SRT 20", 30.0),
-    ("-rotate 17", 38.0),
+    ("-vignette 0x10", 35.0),
+    ("-distort SRT 20", 34.0),
+    ("-rotate 17", 41.0),
     ("-colorize 30%", 60.0),
     ("-contrast", 60.0),
     ("-motion-blur 0x3+30", 60.0),
@@ -91,30 +89,30 @@ CASES = [
     ("-statistic mean 3x3", 60.0),
     ("-colorspace CMYK -colorspace sRGB", 60.0),
     ("-colorspace HSL -colorspace sRGB", 60.0),
-    ("-despeckle", 40.0),
-    ("-enhance", 40.0),
-    ("-adaptive-blur 0x1", 40.0),
-    ("-wavelet-denoise 10%", 35.0),
-    ("-implode 0.3", 50.0),
+    ("-despeckle", 41.0),
+    ("-enhance", 44.0),
+    ("-adaptive-blur 0x1", 42.0),
+    ("-wavelet-denoise 10%", 36.0),
+    ("-implode 0.3", 60.0),
     ("-trim", 60.0),
     # third sweep: equalize/stretch family + decorate
-    ("-equalize", 55.0),
+    ("-equalize", 57.0),
     ("-normalize", 60.0),
     ("-contrast-stretch 2%x1%", 60.0),
     ("-linear-stretch 2%x1%", 60.0),
     ("-auto-level", 60.0),
-    ("-auto-gamma", 40.0),
+    ("-auto-gamma", 44.0),
     ("-border 4", 60.0),
     ("-bordercolor blue -border 3", 60.0),
     ("-raise 5", 60.0),
     ("+raise 5", 60.0),
     ("-frame 6x6+2+2", 55.0),
     ("-emboss 0x1", 30.0),
-    ("-charcoal 0x1", 35.0),
-    ("-kuwahara 0x1", 30.0),
-    ("-kuwahara 2", 40.0),
-    ("-rotational-blur 10", 35.0),
-    ("-paint 3", 25.0),
+    ("-charcoal 0x1", 36.0),
+    ("-kuwahara 0x1", 32.0),
+    ("-kuwahara 2", 45.0),
+    ("-rotational-blur 10", 37.0),
+    ("-paint 3", 26.0),
     # fourth sweep: morphology + auto-thresholds
     ("-morphology Dilate Square:1", 60.0),
     ("-morphology Erode Disk:2", 60.0),
@@ -128,7 +126,7 @@ CASES = [
     ("-auto-threshold triangle", 60.0),
     ("-fx u*0.5", 60.0),
     ("-fx 1-u", 60.0),
-    ("-mean-shift 5x5+10%", 28.0),
+    ("-mean-shift 5x5+10%", 29.0),
     ("-morphology Convolve Sobel", 60.0),
     ("-morphology Convolve Prewitt", 60.0),
     ("-morphology Convolve Kirsch", 60.0),
@@ -139,7 +137,7 @@ CASES = [
     ("-morphology HMT Peaks", 60.0),
     ("-morphology Thinning Skeleton", 60.0),
     ("-morphology Distance Manhattan:4", 60.0),
-    ("-morphology Distance Euclidean:4", 50.0),
+    ("-morphology Distance Euclidean:4", 51.0),
 ]
 
 
