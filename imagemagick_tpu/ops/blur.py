@@ -84,13 +84,27 @@ def optimal_kernel_width_2d(radius: float, sigma: float) -> int:
 
 @lru_cache(maxsize=256)
 def gaussian_kernel_1d(radius: float, sigma: float) -> np.ndarray:
-    """Normalized 1-D Gaussian (the reference's "blur:" builtin kernel,
-    /root/reference/MagickCore/kernel.c Gaussian/Blur case)."""
-    width = optimal_kernel_width_1d(radius, sigma)
-    s = _sigma_safe(sigma)
-    j = (width - 1) // 2
-    xs = np.arange(-j, j + 1, dtype=np.float64)
-    k = np.exp(-(xs * xs) / (2.0 * s * s)) / (math.sqrt(2.0 * math.pi) * s)
+    """The reference's "blur:" builtin 1-D kernel
+    (/root/reference/MagickCore/morphology.c:1140 BlurKernel): the
+    Gaussian is evaluated at KernelRank=3 supersampling (sigma*3, 3x the
+    taps) and binned into the output taps, then sum-normalized — NOT a
+    directly sampled Gaussian.  Width: radius>=1 truncates (2*int(r)+1);
+    otherwise GetOptimalKernelWidth1D."""
+    if radius >= 1.0:
+        width = 2 * int(radius) + 1
+    else:
+        width = optimal_kernel_width_1d(radius, sigma)
+    s = abs(sigma)
+    k = np.zeros(width, np.float64)
+    if s > 1e-12:
+        rank = 3
+        v = (width * rank - 1) // 2
+        s3 = s * rank
+        u = np.arange(-v, v + 1, dtype=np.float64)
+        samples = np.exp(-(u * u) / (2.0 * s3 * s3)) / (math.sqrt(2.0 * math.pi) * s3)
+        np.add.at(k, ((u + v) // rank).astype(np.int64), samples)
+    else:
+        k[(width - 1) // 2] = 1.0
     k /= k.sum()
     return k.astype(np.float32)
 
@@ -247,44 +261,82 @@ def unsharp_mask(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
     return jnp.clip(out, 0.0, 1.0)
 
 
-def adaptive_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
-                  virtual_pixel: str = "edge") -> jnp.ndarray:
-    """AdaptiveBlurImage (effect.c:118): blur inversely weighted by edge strength.
+def _adaptive_apply(img: jnp.ndarray, radius: float, sigma: float,
+                    virtual_pixel: str, sharp: bool) -> jnp.ndarray:
+    """Shared AdaptiveBlur/AdaptiveSharpen machinery (effect.c:118/400).
 
-    The reference computes an edge image (EdgeImage sigma), thresholds and
-    blurs it, then per pixel selects one of ``width/2`` progressively wider
-    Gaussian convolutions.  We compute the blur stack (static count) and
-    select per-pixel with a vectorized gather — same math, fused on device.
-    """
+    edge = AutoLevel(Blur(AutoLevel(EdgeImage(img, radius)))); per pixel
+    j = ceil(width*(1 - Rec709luma(edge)) - 0.5) clamped to [0, width]
+    and rounded down to even, selecting the (width-j)^2 kernel from a
+    stack built at every even truncation; each kernel is normalized by
+    its own sum at apply time (gamma=PerceptibleReciprocal(sum k)).
+    Blur kernels are Gaussians with the residual 1-sum added to the
+    center (effect.c:232); sharpen kernels are negated Gaussians with
+    the center REPLACED by -2*sum (effect.c:551)."""
     if abs(sigma) < _EPSILON:
         return img
     width = optimal_kernel_width_2d(radius, sigma)
-    n_levels = max(width // 2, 1)
-    edge = edge_image(img, radius)
-    edge = blur(edge, radius, sigma, virtual_pixel)
-    strength = jnp.max(edge, axis=-1, keepdims=True)
-    # level 0 = sharpest (strong edge), last = widest blur
-    idx = jnp.clip(((1.0 - strength) * n_levels).astype(jnp.int32), 0, n_levels - 1)
+    # The reference build is HDRI: ClampToQuantum is a no-op cast
+    # (quantum.h:86), so the edge image carries NEGATIVE convolution
+    # values into AutoLevelImage — the stretch minimum is negative and
+    # every channel shifts.  No clipping anywhere in this pipeline.
+    ewidth = optimal_kernel_width_1d(radius, 0.5)
+    ek = -np.ones((ewidth, ewidth), np.float32)
+    ek[(ewidth - 1) // 2, (ewidth - 1) // 2] = float(ewidth * ewidth) - 1.0
+    edge = _depthwise_conv(img, jnp.asarray(ek), virtual_pixel)
+
+    def _auto_level(x):
+        lo, hi = jnp.min(x), jnp.max(x)
+        return (x - lo) / jnp.maximum(hi - lo, 1e-30)
+
+    edge = _auto_level(edge)
+    edge = _separable_conv(edge, gaussian_kernel_1d(radius, sigma),
+                           virtual_pixel)
+    edge = _auto_level(edge)
+    i = (0.212656 * edge[..., 0] + 0.715158 * edge[..., 1] +
+         0.072186 * edge[..., 2]) if edge.shape[-1] >= 3 else edge[..., 0]
+    j = jnp.ceil(width * (1.0 - i) - 0.5).astype(jnp.int32)
+    j = jnp.clip(j, 0, width)
+    j = j - (j & 1)                       # round down to even
+    level = j // 2                        # kernel stack index
+    s = _sigma_safe(sigma)
     stack = []
-    for lvl in range(n_levels):
-        s = _sigma_safe(sigma) * (lvl + 1) / n_levels
-        stack.append(blur(img, 0.0, s, virtual_pixel))
+    for w in range(0, width, 2):
+        n = width - w
+        half = (n - 1) // 2
+        u = np.arange(-half, half + 1, dtype=np.float64)
+        g = np.exp(-(u[:, None] ** 2 + u[None, :] ** 2) / (2.0 * s * s)) \
+            / (2.0 * np.pi * s * s)
+        if sharp:
+            k = -g
+            k[half, half] = -2.0 * k.sum()
+        else:
+            k = g.copy()
+            k[half, half] += 1.0 - k.sum()
+        ksum = k.sum()
+        gamma = 1.0 / ksum if abs(ksum) >= _EPSILON else 1.0
+        out = _depthwise_conv(img, jnp.asarray(gamma * k, jnp.float32),
+                              virtual_pixel)
+        stack.append(out)
     stacked = jnp.stack(stack, axis=0)
-    out = jnp.take_along_axis(stacked, idx[None, ...], axis=0)[0]
-    return jnp.clip(out, 0.0, 1.0)
+    out = jnp.take_along_axis(
+        stacked, level[None, ..., None].astype(jnp.int32), axis=0)[0]
+    return out
+
+
+def adaptive_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
+                  virtual_pixel: str = "edge") -> jnp.ndarray:
+    """AdaptiveBlurImage (effect.c:118): per-pixel kernel width selected
+    by the (auto-leveled, blurred) edge intensity — edges get the widest
+    Gaussian, flat regions the 1x1 identity."""
+    return _adaptive_apply(img, radius, sigma, virtual_pixel, sharp=False)
 
 
 def adaptive_sharpen(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
                      virtual_pixel: str = "edge") -> jnp.ndarray:
-    """AdaptiveSharpenImage (effect.c:400): sharpen scaled by edge strength."""
-    if abs(sigma) < _EPSILON:
-        return img
-    edge = edge_image(img, radius)
-    edge = blur(edge, radius, sigma, virtual_pixel)
-    strength = jnp.clip(jnp.max(edge, axis=-1, keepdims=True), 0.0, 1.0)
-    sharped = sharpen(img, radius, sigma, virtual_pixel)
-    out = img + strength * (sharped - img)
-    return jnp.clip(out, 0.0, 1.0)
+    """AdaptiveSharpenImage (effect.c:400): same selection machinery with
+    negated-Gaussian (unsharp) kernels."""
+    return _adaptive_apply(img, radius, sigma, virtual_pixel, sharp=True)
 
 
 def edge_image(img: jnp.ndarray, radius: float = 0.0,
@@ -320,7 +372,9 @@ def emboss(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
         k /= total
     out = _depthwise_conv(img, jnp.asarray(k.astype(np.float32)),
                           virtual_pixel)
-    out = jnp.clip(out, 0.0, 1.0)
+    # HDRI: ConvolveImage writes unclamped (quantum.h:86 ClampToQuantum
+    # is a cast); EqualizeImage bins the UNCLAMPED intensity through
+    # ScaleQuantumToMap's index clamp — so negatives must reach equalize
     from .enhance import equalize
 
     return equalize(out)
@@ -381,37 +435,50 @@ def selective_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
 
 
 def despeckle(img: jnp.ndarray) -> jnp.ndarray:
-    """DespeckleImage (effect.c:1000 region): iterated hull reduction.
+    """DespeckleImage (effect.c:1211 Hull, :1308 driver).
 
-    The reference runs 4 passes of 8-direction speckle hulls (add/subtract
-    along each of N,S,E,W,NE,NW,SE,SW).  Each hull step is two comparisons
-    against a shifted copy — pure elementwise ops on shifted views.
-    """
-    one = 1.0 / 255.0  # hull increment in quantum scale (ScaleCharToQuantum(1))
+    Each Hull(xoff, yoff, polarity) is two half-steps over a ZERO-padded
+    1-px border buffer: (A) v += 1q when the (+off) neighbor >= v + 2q;
+    (B) on the result, v += 1q when the (-off) neighbor >= v + 2q AND the
+    (+off) neighbor > v (strict).  Negative polarity mirrors both.  The
+    driver runs +off/-off/-off/+off with polarities +/+/-/- for each of
+    the four directions; increments are ScaleCharToQuantum units
+    (1q = 257/65535 == 1/255)."""
+    # work in 255-scaled units: 8-bit-derived quanta are exact f32
+    # integers there, so the +-2q compares are exact (no half-LSB flips)
+    one = 1.0
+    two = 2.0
+    img = img * 255.0
+    h, w = img.shape[-3], img.shape[-2]
 
-    def shift(x, dy, dx):
-        out = jnp.roll(x, (dy, dx), axis=(-3, -2))
-        return out
+    def nb(x, oy, ox):
+        # neighbor value at (+oy,+ox), zero beyond the image border
+        pad = jnp.pad(x, [(0, 0)] * (x.ndim - 3) + [(1, 1), (1, 1), (0, 0)])
+        return jax.lax.dynamic_slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(pad, 1 + oy, h, axis=-3),
+            1 + ox, w, axis=-2)
 
-    def hull(x, dy, dx, polarity):
-        y = shift(x, dy, dx)
+    def hull(f, ox, oy, polarity):
+        r = nb(f, oy, ox)
         if polarity > 0:
-            x1 = jnp.where(y >= x + one, x + one, x)
+            g = jnp.where(r >= f + two, f + one, f)
         else:
-            x1 = jnp.where(y <= x - one, x - one, x)
-        z = shift(x1, -dy, -dx)
+            g = jnp.where(r <= f - two, f - one, f)
+        r2 = nb(g, oy, ox)
+        s2 = nb(g, -oy, -ox)
         if polarity > 0:
-            return jnp.where((z >= x1 + one) & (shift(x1, dy, dx) >= x1), x1 + one, x1)
-        return jnp.where((z <= x1 - one) & (shift(x1, dy, dx) <= x1), x1 - one, x1)
+            return jnp.where((s2 >= g + two) & (r2 > g), g + one, g)
+        return jnp.where((s2 <= g - two) & (r2 < g), g - one, g)
 
-    dirs = [(0, 1), (1, 0), (1, 1), (1, -1)]
+    X = [0, 1, 1, -1]
+    Y = [1, 0, 1, 1]
     out = img
-    for dy, dx in dirs:
-        out = hull(out, dy, dx, 1)
-        out = hull(out, -dy, -dx, 1)
-        out = hull(out, -dy, -dx, -1)
-        out = hull(out, dy, dx, -1)
-    return jnp.clip(out, 0.0, 1.0)
+    for k in range(4):
+        out = hull(out, X[k], Y[k], 1)
+        out = hull(out, -X[k], -Y[k], 1)
+        out = hull(out, -X[k], -Y[k], -1)
+        out = hull(out, X[k], Y[k], -1)
+    return out / 255.0
 
 
 def spread(img: jnp.ndarray, radius: float, key=None,

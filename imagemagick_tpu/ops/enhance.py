@@ -160,8 +160,13 @@ def _channel_histogram(ch: jnp.ndarray, bins: int = _NBINS) -> jnp.ndarray:
     return _histogram_fixed(ch, bins)
 
 
-def equalize(img: jnp.ndarray, bins: int = 4096) -> jnp.ndarray:
-    """EqualizeImage: per-channel histogram equalization (enhance.c)."""
+def equalize(img: jnp.ndarray, bins: int = 65536) -> jnp.ndarray:
+    """EqualizeImage: per-channel histogram equalization (enhance.c).
+
+    Default bins = MaxMap+1 = 65536 (pixel-accessor.h ScaleQuantumToMap)
+    — bit-exact vs the Q16 reference; pass a smaller power of two when
+    throughput matters more than parity (the factored one-hot histogram
+    costs 2*sqrt(bins) compares/pixel)."""
 
     # default SyncChannels semantics (enhance.c EqualizeImage): ONE
     # histogram built from the pixel INTENSITY (Rec709 luma), whose
@@ -189,7 +194,7 @@ def equalize(img: jnp.ndarray, bins: int = 4096) -> jnp.ndarray:
 
 def contrast_stretch(img: jnp.ndarray, black_point: float = 0.0,
                      white_point: Optional[float] = None,
-                     bins: int = 4096) -> jnp.ndarray:
+                     bins: int = 65536) -> jnp.ndarray:
     """ContrastStretchImage (enhance.c): black/white levels located on
     the pixel-INTENSITY histogram (default SyncChannels semantics) —
     black = first bin whose cumulative count exceeds black_point*n,
@@ -254,7 +259,7 @@ def auto_gamma(img: jnp.ndarray, per_channel: bool = True) -> jnp.ndarray:
 
 
 def linear_stretch(img: jnp.ndarray, black_point: float = 0.02,
-                   white_point: float = 0.01, bins: int = 4096) -> jnp.ndarray:
+                   white_point: float = 0.01, bins: int = 65536) -> jnp.ndarray:
     """LinearStretchImage: stretch on the intensity histogram (enhance.c)."""
     inten = grayscale(img)[..., 0]
     n = inten.size
@@ -467,33 +472,53 @@ def white_balance(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def enhance(img: jnp.ndarray) -> jnp.ndarray:
-    """EnhanceImage (enhance.c): 5x5 distance-weighted noise reduction."""
-    from .blur import _depthwise_conv
+    """EnhanceImage (enhance.c:1848 EnhancePixel): 5x5 similarity-gated
+    weighted mean.  Weights [[5,8,10,8,5],[8,20,40,20,8],[10,40,80,40,10],
+    ...]; a neighbor is included when the mean-modulated color distance
+    (4+mR)dR^2 + (7-mG)dG^2 + (5-mB)dB^2 (+ (5-mA)dA^2) < 0.069; output
+    is (sum w*v + W/2)/W in quantum units — the +0.5-quantum bias kept."""
     from ..core.virtual_pixel import pad_spatial
     from jax import lax
 
     weights = np.array([
-        [8, 8, 8, 8, 8],
-        [8, 5, 5, 5, 8],
-        [8, 5, 3, 5, 8],
-        [8, 5, 5, 5, 8],
-        [8, 8, 8, 8, 8]], np.float32)
-    weights = 1.0 / weights
+        [5, 8, 10, 8, 5],
+        [8, 20, 40, 20, 8],
+        [10, 40, 80, 40, 10],
+        [8, 20, 40, 20, 8],
+        [5, 8, 10, 8, 5]], np.float32)
     lead = img.shape[:-3]
     h, w, c = img.shape[-3:]
     x = img.reshape((-1, h, w, c))
     xp = pad_spatial(x, (2, 2), (2, 2), "edge")
+    # mean-dependent channel coefficients (R,G,B,A); single channel uses
+    # the red coefficient, extra channels the black/alpha 5-mean form
     num = jnp.zeros_like(x)
     den = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
     for dy in range(5):
         for dx in range(5):
             nb = lax.dynamic_slice(xp, (0, dy, dx, 0), x.shape)
-            d2 = jnp.sum((nb - x) ** 2, axis=-1, keepdims=True)
-            ok = (d2 < (0.1 * 0.1)).astype(x.dtype)
+            mean = (nb + x) / 2.0
+            dist = nb - x
+            if c >= 3:
+                coef = [4.0 + mean[..., 0], 7.0 - mean[..., 1],
+                        5.0 - mean[..., 2]]
+                d2 = (coef[0] * dist[..., 0] ** 2 +
+                      coef[1] * dist[..., 1] ** 2 +
+                      coef[2] * dist[..., 2] ** 2)
+                for extra in range(3, c):
+                    d2 = d2 + (5.0 - mean[..., extra]) * dist[..., extra] ** 2
+                # opaque images still accumulate the constant-alpha term
+                if c == 3:
+                    d2 = d2  # no alpha channel: distance 0 contribution
+            else:
+                d2 = (4.0 + mean[..., 0]) * dist[..., 0] ** 2
+            ok = (d2 < 0.069).astype(x.dtype)[..., None]
             wgt = ok * weights[dy, dx]
             num = num + wgt * nb
             den = den + wgt
-    out = jnp.where(den > 0, num / jnp.maximum(den, _EPS), x)
+    # +total_weight/2 in quantum units = +0.5/65535 after normalization
+    out = jnp.where(den > _EPS, (num + den * (0.5 / 65535.0)) /
+                    jnp.maximum(den, _EPS), x)
     return out.reshape(img.shape)
 
 

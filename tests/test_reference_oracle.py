@@ -89,14 +89,20 @@ CASES = [
     ("-statistic mean 3x3", 60.0),
     ("-colorspace CMYK -colorspace sRGB", 60.0),
     ("-colorspace HSL -colorspace sRGB", 60.0),
-    ("-despeckle", 41.0),
-    ("-enhance", 44.0),
-    ("-adaptive-blur 0x1", 42.0),
+    ("-despeckle", 60.0),
+    ("-enhance", 60.0),
+    ("-adaptive-blur 0x1", 60.0),
+    ("-adaptive-blur 2x1.5", 60.0),
+    ("-adaptive-sharpen 0x1", 60.0),
+    ("-adaptive-sharpen 0x2", 60.0),
+    ("-edge 0", 60.0),
+    ("-blur 2.5x1", 60.0),
+    ("-sharpen 0x1", 60.0),
     ("-wavelet-denoise 10%", 36.0),
     ("-implode 0.3", 60.0),
     ("-trim", 60.0),
     # third sweep: equalize/stretch family + decorate
-    ("-equalize", 57.0),
+    ("-equalize", 60.0),
     ("-normalize", 60.0),
     ("-contrast-stretch 2%x1%", 60.0),
     ("-linear-stretch 2%x1%", 60.0),
@@ -107,10 +113,10 @@ CASES = [
     ("-raise 5", 60.0),
     ("+raise 5", 60.0),
     ("-frame 6x6+2+2", 55.0),
-    ("-emboss 0x1", 30.0),
-    ("-charcoal 0x1", 36.0),
+    ("-emboss 0x1", 60.0),
+    ("-charcoal 0x1", 60.0),
     ("-kuwahara 0x1", 32.0),
-    ("-kuwahara 2", 45.0),
+    ("-kuwahara 2", 55.0),
     ("-rotational-blur 10", 37.0),
     ("-paint 3", 26.0),
     # fourth sweep: morphology + auto-thresholds
