@@ -108,20 +108,25 @@ def oil_paint(img: jnp.ndarray, radius: float = 3.0, sigma: float = 0.0,
     xp = pad_spatial(x, (r, r), (r, r), "edge")
     qp = pad_spatial(q.astype(jnp.float32), (r, r), (r, r), "edge").astype(jnp.int32)
 
+    # The reference scans the window in row-major order keeping a running
+    # strict max: j updates whenever a bin's incremented count EXCEEDS
+    # the best so far, and the output copies that exact pixel — so the
+    # winner is the first bin to reach the final max, represented by its
+    # last scan-order contributor.  Replicated step-for-step.
     counts = jnp.zeros(x.shape[:-1] + (levels,), jnp.float32)
-    colors = jnp.zeros(x.shape[:-1] + (levels, c), jnp.float32)
+    best_count = jnp.zeros(x.shape[:-1], jnp.float32)
+    best_color = x
     for dy in range(k):
         for dx in range(k):
             nq = lax.dynamic_slice(qp, (0, dy, dx, 0), q.shape)[..., 0]
             nx = lax.dynamic_slice(xp, (0, dy, dx, 0), x.shape)
             oh = jax.nn.one_hot(nq, levels, dtype=jnp.float32)
             counts = counts + oh
-            colors = colors + oh[..., None] * nx[..., None, :]
-    best = jnp.argmax(counts, axis=-1)
-    bc = jnp.take_along_axis(colors, best[..., None, None].repeat(c, -1), axis=-2)[..., 0, :]
-    bn = jnp.take_along_axis(counts, best[..., None], axis=-1)
-    out = bc / jnp.maximum(bn, 1.0)
-    return out.reshape(img.shape)
+            cur = jnp.take_along_axis(counts, nq[..., None], axis=-1)[..., 0]
+            upd = cur > best_count
+            best_count = jnp.where(upd, cur, best_count)
+            best_color = jnp.where(upd[..., None], nx, best_color)
+    return best_color.reshape(img.shape)
 
 
 def gradient_image(height: int, width: int, start: Sequence[float],

@@ -57,7 +57,7 @@ CASES = [
     ("-colorspace gray", 60.0),
     ("-gamma 1.8", 60.0),
     ("-modulate 120,80,100", 60.0),
-    ("-threshold 50%", 40.0),          # hard boundary: off-by-1-LSB flips
+    ("-threshold 50%", 300.0),
     ("-solarize 50%", 60.0),
     # sepia = knee curves + NormalizeImage + ContrastImage(sharpen)
     # (visual-effects.c:1986-1987); 1-LSB residual from f32 HSB rounding
@@ -112,13 +112,15 @@ CASES = [
     ("-bordercolor blue -border 3", 60.0),
     ("-raise 5", 60.0),
     ("+raise 5", 60.0),
-    ("-frame 6x6+2+2", 55.0),
+    ("-frame 6x6+2+2", 300.0),
     ("-emboss 0x1", 60.0),
     ("-charcoal 0x1", 60.0),
     ("-kuwahara 0x1", 32.0),
-    ("-kuwahara 2", 55.0),
+    ("-kuwahara 2", 60.0),
     ("-rotational-blur 10", 37.0),
-    ("-paint 3", 26.0),
+    # oil-paint replicates the reference's strict-max running scan, so the
+    # winning bin is decided by scan order, not argmax (visual-effects.c)
+    ("-paint 3", 300.0),
     # fourth sweep: morphology + auto-thresholds
     ("-morphology Dilate Square:1", 60.0),
     ("-morphology Erode Disk:2", 60.0),
