@@ -143,32 +143,62 @@ def hough_lines(img: jnp.ndarray, width: int = 5, height: int = 5,
 
 
 def mean_shift(img: jnp.ndarray, width: int = 7, height: int = 7,
-               color_distance: float = 0.1, max_iters: int = 10) -> jnp.ndarray:
-    """MeanShiftImage (feature.c): iterate window means gated by color distance."""
-    from ..core.virtual_pixel import pad_spatial
-
-    rh, rw = height // 2, width // 2
+               color_distance: float = 0.1, max_iters: int = 100) -> jnp.ndarray:
+    """MeanShiftImage (feature.c:2158): per pixel, iterate a CIRCULAR window
+    whose center FOLLOWS the (x,y) centroid of in-color-range samples; the
+    color mean moves with it.  Converges when the squared step (pixels) plus
+    the 255-scaled squared rgb delta drops to <= 3 (feature.c:2303-2314),
+    capped at MaxMeanShiftIterations=100.  Samples are taken at rounded
+    centroid+offset with edge-clamped virtual pixels."""
     lead = img.shape[:-3]
     h, w, c = img.shape[-3:]
+    rh, rw = height // 2, width // 2
+    # circle gate: (v*v + u*u) <= (width/2)*(height/2)  (feature.c:2268)
+    taps = [(u, v) for v in range(-rh, rh + 1) for u in range(-rw, rw + 1)
+            if v * v + u * u <= rw * rh]
+    cd2 = float(color_distance) * float(color_distance)
+    nc = min(c, 3)  # color-distance channels (rgb); alpha rides along
 
-    def one_iter(x):
-        xp = pad_spatial(x.reshape((-1, h, w, c)), (rh, rh), (rw, rw), "edge")
-        num = jnp.zeros((x.reshape((-1, h, w, c))).shape, x.dtype)
-        den = jnp.zeros(num.shape[:-1] + (1,), x.dtype)
-        xc = x.reshape((-1, h, w, c))
-        for dy in range(height):
-            for dx in range(width):
-                nb = lax.dynamic_slice(xp, (0, dy, dx, 0), xc.shape)
-                d2 = jnp.sum((nb - xc) ** 2, axis=-1, keepdims=True)
-                ok = (d2 <= color_distance * color_distance).astype(x.dtype)
-                num = num + ok * nb
-                den = den + ok
-        return (num / jnp.maximum(den, 1.0)).reshape(img.shape)
+    def one_image(x):  # (h, w, c)
+        flat = x.reshape(h * w, c)
+        yy, xx = jnp.mgrid[0:h, 0:w]
+        loc = jnp.stack([xx.reshape(-1), yy.reshape(-1)], -1).astype(jnp.float32)
+        mpix = flat
+        active = jnp.ones((h * w,), bool)
 
-    out = img
-    for _ in range(max_iters):
-        out = one_iter(out)
-    return out
+        def body(state):
+            i, loc, mpix, active = state
+            sloc = jnp.zeros_like(loc)
+            spix = jnp.zeros_like(mpix)
+            cnt = jnp.zeros((h * w,), jnp.float32)
+            for (u, v) in taps:
+                ix = jnp.clip(jnp.floor(loc[:, 0] + u + 0.5), 0, w - 1)
+                iy = jnp.clip(jnp.floor(loc[:, 1] + v + 0.5), 0, h - 1)
+                p = jnp.take(flat, (iy * w + ix).astype(jnp.int32), axis=0)
+                d2 = jnp.sum((mpix[:, :nc] - p[:, :nc]) ** 2, -1)
+                ok = (d2 <= cd2).astype(jnp.float32)
+                sloc = sloc + ok[:, None] * (loc + jnp.float32((u, v)))
+                spix = spix + ok[:, None] * p
+                cnt = cnt + ok
+            gamma = jnp.where(cnt != 0, 1.0 / jnp.maximum(cnt, 1.0), 1.0)
+            nloc = gamma[:, None] * sloc
+            npix = gamma[:, None] * spix
+            dist = (jnp.sum((nloc - loc) ** 2, -1)
+                    + jnp.sum((255.0 * (npix[:, :nc] - mpix[:, :nc])) ** 2, -1))
+            loc = jnp.where(active[:, None], nloc, loc)
+            mpix = jnp.where(active[:, None], npix, mpix)
+            active = active & (dist > 3.0)
+            return i + 1, loc, mpix, active
+
+        def cond(state):
+            i, _, _, active = state
+            return (i < max_iters) & jnp.any(active)
+
+        _, _, mpix, _ = lax.while_loop(cond, body, (0, loc, mpix, active))
+        return jnp.clip(mpix, 0.0, 1.0).reshape(h, w, c)
+
+    out = jax.vmap(one_image)(img.reshape((-1, h, w, c)))
+    return out.reshape(img.shape)
 
 
 def glcm_features(img: jnp.ndarray, levels: int = 16,

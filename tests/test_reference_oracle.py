@@ -134,7 +134,9 @@ CASES = [
     ("-auto-threshold triangle", 60.0),
     ("-fx u*0.5", 60.0),
     ("-fx 1-u", 60.0),
-    ("-mean-shift 5x5+10%", 29.0),
+    # true moving-window mean-shift; ~64dB (f32 vs the reference's f64 on
+    # a chaotic per-pixel iteration — boundary gating flips a few pixels)
+    ("-mean-shift 5x5+10%", 60.0),
     ("-morphology Convolve Sobel", 60.0),
     ("-morphology Convolve Prewitt", 60.0),
     ("-morphology Convolve Kirsch", 60.0),
