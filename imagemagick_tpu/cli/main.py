@@ -667,8 +667,9 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
         lambda st, a, p: {"angle": float(a)}))
     O["bilateral-blur"] = (1, _op_simple("blur", "bilateral_blur",
         lambda st, a, p: _bilateral_args(a)))
+    # operation.c:2634 — sigma defaults to rho-0.5 when absent
     O["kuwahara"] = (1, _op_simple("blur", "kuwahara",
-        lambda st, a, p: {"radius": _geom_args(a)[0] or 1.0}))
+        lambda st, a, p: _kuwahara_args(a)))
     O["despeckle"] = (0, _op_simple("blur", "despeckle", None))
     O["edge"] = (1, _op_simple("blur", "edge_image",
         lambda st, a, p: {"radius": _geom_args(a)[0]}))
@@ -1433,6 +1434,13 @@ def _canny_args(a):
     if g.y is not None:
         kw["upper_percent"] = abs(g.y) / 100.0
     return kw
+
+
+def _kuwahara_args(a):
+    g = parse_geometry(a)
+    radius = g.width if g.width is not None else 0.0
+    sigma = g.height if g.height is not None else radius - 0.5
+    return {"radius": radius, "sigma": sigma}
 
 
 def _meanshift_args(a):

@@ -115,7 +115,7 @@ CASES = [
     ("-frame 6x6+2+2", 300.0),
     ("-emboss 0x1", 60.0),
     ("-charcoal 0x1", 60.0),
-    ("-kuwahara 0x1", 32.0),
+    ("-kuwahara 0x1", 300.0),
     ("-kuwahara 2", 60.0),
     ("-rotational-blur 10", 37.0),
     # oil-paint replicates the reference's strict-max running scan, so the
