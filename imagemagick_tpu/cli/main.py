@@ -15,6 +15,7 @@ vs list ops, parenthesized image stacks, -clone/-swap/-delete, +opt forms.
 from __future__ import annotations
 
 import json
+import math
 import re
 import sys
 import time
@@ -688,8 +689,9 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["median"] = (1, _op_simple("statistic", "statistic",
         lambda st, a, p: {"stat": "median", "width": 2 * int(float(a)) + 1,
                           "height": 2 * int(float(a)) + 1}))
+    # operation.c:3690 — % scales BOTH rho (threshold) and sigma (softness)
     O["wavelet-denoise"] = (1, _op_simple("visual_effects", "wavelet_denoise",
-        lambda st, a, p: {"threshold": _percent(a)}))
+        lambda st, a, p: _wavelet_args(a)))
 
     # --- color/levels ---
     O["colorspace"] = (1, _op_colorspace)
@@ -741,6 +743,9 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
             if g.percent:
                 vx *= w_ / 100.0
                 vy *= h_ / 100.0
+            # operation.c:3671 rounds the offsets to ssize_t
+            vx = math.ceil(vx - 0.5)
+            vy = math.ceil(vy - 0.5)
             li.push(lambda d, a_=(r, s_, vx, vy), b=bg:
                     vfx.vignette(d, *a_, background=b))
 
@@ -1434,6 +1439,21 @@ def _canny_args(a):
     if g.y is not None:
         kw["upper_percent"] = abs(g.y) / 100.0
     return kw
+
+
+def _wavelet_args(a):
+    # operation.c:3695 scales rho AND sigma by QuantumRange/100 under %;
+    # threshold is in quantum units (normalized here), softness is the raw
+    # dimensionless multiplier from visual-effects.c:3717
+    g = parse_geometry(a)
+    thr = g.width if g.width is not None else 0.0
+    soft = g.height if g.height is not None else 0.0
+    if g.percent:
+        thr /= 100.0
+        soft *= 65535.0 / 100.0
+    else:
+        thr /= 65535.0
+    return {"threshold": thr, "softness": soft}
 
 
 def _kuwahara_args(a):

@@ -406,21 +406,46 @@ def motion_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
 
 
 def rotational_blur(img: jnp.ndarray, angle: float) -> jnp.ndarray:
-    """RotationalBlurImage (effect.c:2533): average over rotated samples.
+    """RotationalBlurImage (effect.c:3129): per pixel, average NEAREST
+    samples along the arc about the image center.
 
-    The reference samples each pixel along a circular arc about the center
-    (n = a function of the blur angle) with bilinear interpolation.  Here we
-    average a static stack of whole-image rotations — identical math, but
-    each rotation is a dense gather the compiler pipelines.
-    """
-    from .distort import rotate_bilinear  # local import to avoid cycle
+    Reference geometry: center = ((cols-1)/2, (rows-1)/2), blur_radius =
+    hypot(center), n = trunc(|4*angle_rad*sqrt(blur_radius) + 2|), angles
+    theta*j - offset spanning [-angle/2, +angle/2].  Each pixel strides the
+    n angles by step = trunc(blur_radius/radius) clamped to [1, n-1]
+    (effect.c:3258-3270), sampling nearest pixels at trunc(coord + 0.5)
+    with edge-clamped virtual pixels.  Vectorized as n dense gathers with a
+    per-pixel j%%step==0 inclusion mask."""
+    h, w = img.shape[-3], img.shape[-2]
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    blur_radius = math.hypot(cx, cy)
+    rad = math.radians(angle)
+    n = max(int(abs(4.0 * rad * math.sqrt(blur_radius) + 2.0)), 2)
+    theta = rad / (n - 1)
+    offset = theta * (n - 1) / 2.0
 
-    n = max(int(4.0 * abs(angle) + 2.0), 3)
-    thetas = np.linspace(-math.radians(angle) / 2.0, math.radians(angle) / 2.0, n)
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    dx = xx.astype(jnp.float32) - cx
+    dy = yy.astype(jnp.float32) - cy
+    radius = jnp.hypot(dx, dy)
+    step = jnp.where(radius == 0, 1.0, jnp.trunc(
+        blur_radius / jnp.maximum(radius, 1e-30)))
+    step = jnp.clip(step, 1.0, float(n - 1))
+
+    flat = img.reshape(img.shape[:-3] + (h * w, img.shape[-1]))
     acc = jnp.zeros_like(img)
-    for t in thetas:
-        acc = acc + rotate_bilinear(img, t)
-    return jnp.clip(acc / float(n), 0.0, 1.0)
+    cnt = jnp.zeros((h, w, 1), jnp.float32)
+    for j in range(n):
+        a = theta * j - offset
+        c, s = math.cos(a), math.sin(a)
+        sx = jnp.clip(jnp.trunc(cx + dx * c - dy * s + 0.5), 0, w - 1)
+        sy = jnp.clip(jnp.trunc(cy + dx * s + dy * c + 0.5), 0, h - 1)
+        idx = (sy * w + sx).astype(jnp.int32)
+        samp = jnp.take(flat, idx.reshape(-1), axis=-2).reshape(img.shape)
+        incl = (jnp.round(jnp.mod(float(j), step)) == 0).astype(jnp.float32)[..., None]
+        acc = acc + incl * samp
+        cnt = cnt + incl
+    return jnp.clip(acc / jnp.maximum(cnt, 1.0), 0.0, 1.0)
 
 
 def selective_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,

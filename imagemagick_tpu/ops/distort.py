@@ -77,10 +77,115 @@ def sample_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
 
 def warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
          background: Optional[Sequence[float]] = None,
-         sampler: str = "bilinear") -> jnp.ndarray:
+         sampler: str = "bilinear",
+         jac: Optional[Tuple[float, float, float, float]] = None) -> jnp.ndarray:
     if sampler == "ewa":
+        if jac is not None:
+            return sample_ewa_reference(img, u, v, jac, background)
         return sample_ewa(img, u, v, background)
     return sample_bilinear(img, u, v, background)
+
+
+_ROBIDOUX_LUT = None
+
+
+def _robidoux_lut() -> jnp.ndarray:
+    """resample.c:1289 filter LUT: 1024 weights of the default cylindrical
+    filter (Robidoux Keys cubic, resample.c:1262) sampled at
+    r = support*sqrt(Q/1024), support 2."""
+    global _ROBIDOUX_LUT
+    if _ROBIDOUX_LUT is None:
+        b = 12.0 / (19.0 + 9.0 * math.sqrt(2.0))
+        c = 113.0 / (58.0 + 216.0 * math.sqrt(2.0))
+        # CubicBC coefficients (resize.c CubicBC)
+        p0 = (6.0 - 2.0 * b) / 6.0
+        p2 = (-18.0 + 12.0 * b + 6.0 * c) / 6.0
+        p3 = (12.0 - 9.0 * b - 6.0 * c) / 6.0
+        q0 = (8.0 * b + 24.0 * c) / 6.0
+        q1 = (-12.0 * b - 48.0 * c) / 6.0
+        q2 = (6.0 * b + 30.0 * c) / 6.0
+        q3 = (-b - 6.0 * c) / 6.0
+        r = 2.0 * np.sqrt(np.arange(1024, dtype=np.float64) / 1024.0)
+        w = np.where(r < 1.0, p0 + r * r * (p2 + r * p3),
+                     np.where(r < 2.0, q0 + r * (q1 + r * (q2 + r * q3)), 0.0))
+        _ROBIDOUX_LUT = jnp.asarray(w, jnp.float32)
+    return _ROBIDOUX_LUT
+
+
+def sample_ewa_reference(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                         jac: Tuple[float, float, float, float],
+                         background: Optional[Sequence[float]] = None
+                         ) -> jnp.ndarray:
+    """Reference-exact EWA resampling for a CONSTANT Jacobian.
+
+    Replicates resample.c: ClampUpAxes (clamped-EWA per Robidoux,
+    resample.c:1100) on jac = (du/dx, du/dy, dv/dx, dv/dy), ellipse
+    Q = A·U²+B·UV+C·V² < F with F scaled by support², weights from the
+    1024-entry Robidoux LUT via (int)Q indexing (resample.c:600), taps on
+    the scanline parallelogram v∈[ceil(v0-Vlimit), floor(v0+Vlimit)],
+    u from ceil(u0+(v-v0)·slope−Uwidth), uw = (int)(2·Uwidth)+1.
+    Off-canvas taps read background virtual pixels (or edge-clamp when
+    background is None); an empty hit set falls back to bilinear."""
+    h, w, c = img.shape[-3:]
+    J = np.asarray(jac, np.float64).reshape(2, 2)
+    # ClampUpAxes: singular values of J clamped up to 1 (unit circle min)
+    U_, s, Vt = np.linalg.svd(J)
+    major_mag = max(float(s[0]), 1.0)
+    minor_mag = max(float(s[1]), 1.0)
+    # major/minor axis direction vectors (in source space) × magnitudes
+    major = U_[:, 0] * major_mag
+    minor = U_[:, 1] * minor_mag
+    A = major[1] ** 2 + minor[1] ** 2
+    B = -2.0 * (major[0] * major[1] + minor[0] * minor[1])
+    C = major[0] ** 2 + minor[0] ** 2
+    F = major_mag * minor_mag
+    support = 2.0
+    F *= support * support
+    det = A * C - 0.25 * B * B
+    Ulimit = math.sqrt(C * F / det)
+    Vlimit = math.sqrt(A * F / det)
+    Uwidth = math.sqrt(F / A)
+    slope = -B / (2.0 * A)
+    scale = 1024.0 / F
+    As, Bs, Cs = A * scale, B * scale, C * scale
+
+    nv = int(2.0 * Vlimit) + 1 + 1   # max scan lines (v2-v1+1 <= 2V+1)
+    uw = int(2.0 * Uwidth) + 1
+    lut = _robidoux_lut()
+    img2 = img.reshape(img.shape[:-3] + (h * w, c))
+    if background is not None:
+        bg = jnp.asarray(tuple(background)[:c], img.dtype)
+
+    v1 = jnp.ceil(v0 := v - Vlimit)
+    v2 = jnp.floor(v + Vlimit)
+    acc = jnp.zeros(u.shape + (c,), img.dtype)
+    den = jnp.zeros(u.shape + (1,), img.dtype)
+    for k in range(nv):
+        vv = v1 + k
+        vmask = vv <= v2
+        u1 = u + (vv - v) * slope - Uwidth
+        ustart = jnp.ceil(u1)
+        V = vv - v
+        for j in range(uw):
+            uu = ustart + j
+            U = uu - u
+            Q = (As * U + Bs * V) * U + Cs * V * V
+            qi = Q.astype(jnp.int32)
+            wgt = jnp.where(vmask & (qi >= 0) & (qi < 1024),
+                            jnp.take(lut, jnp.clip(qi, 0, 1023)), 0.0)
+            xi = uu.astype(jnp.int32)
+            yi = vv.astype(jnp.int32)
+            xc = jnp.clip(xi, 0, w - 1)
+            yc = jnp.clip(yi, 0, h - 1)
+            px = jnp.take(img2, yc * w + xc, axis=-2)
+            if background is not None:
+                inside = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))[..., None]
+                px = jnp.where(inside, px, bg)
+            acc = acc + wgt[..., None] * px
+            den = den + wgt[..., None]
+    out = acc / jnp.where(den == 0.0, 1.0, den)
+    fallback = sample_bilinear(img, u, v, background)
+    return jnp.where(den == 0.0, fallback, out)
 
 
 def sample_ewa(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
@@ -152,24 +257,39 @@ def rotate(img: jnp.ndarray, degrees: float,
         return rotate270(img)
     theta = math.radians(deg)
     h, w = img.shape[-3], img.shape[-2]
-    if expand:
-        nh = int(abs(w * math.sin(theta)) + abs(h * math.cos(theta)) + 0.5)
-        nw = int(abs(w * math.cos(theta)) + abs(h * math.sin(theta)) + 0.5)
-    else:
-        nh, nw = h, w
-    if expand:
-        # the reference's shear pipeline leaves a 1px background border
-        # on every side (shear.c bounds math measured via the oracle:
-        # 92x60 -rotate 17 -> 108x86, content at +1+1)
-        nh += 2
-        nw += 2
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
-    yy, xx = _grid(nh, nw, img.dtype)
+    # RotateImage (distort.c:2954) = DistortImage(SRT, bestfit) about
+    # center (columns/2, rows/2) with Background virtual pixels.
+    # Forward affine dest->src (distort.c:818-824):
+    cx, cy = w / 2.0, h / 2.0
     ct, st = math.cos(theta), math.sin(theta)
-    u = ct * (xx - ncx) + st * (yy - ncy) + cx
-    v = -st * (xx - ncx) + ct * (yy - ncy) + cy
-    return warp(img, u, v, background, sampler)
+    c0, c1, c3, c4 = ct, st, -st, ct
+    c2 = cx - cx * c0 - cy * c1
+    c5 = cy - cx * c3 - cy * c4
+    if expand:
+        # bestfit viewport: source corners through the INVERSE affine
+        # (distort.c:1856-1878), floor/ceil with the 0.5 margins (:2021)
+        det = c0 * c4 - c1 * c3
+        i0, i1, i2 = c4 / det, -c1 / det, (c1 * c5 - c4 * c2) / det
+        i3, i4, i5 = -c3 / det, c0 / det, (c3 * c2 - c0 * c5) / det
+        xs, ys = [], []
+        for sx_, sy_ in ((0, 0), (w, 0), (0, h), (w, h)):
+            xs.append(i0 * sx_ + i1 * sy_ + i2)
+            ys.append(i3 * sx_ + i4 * sy_ + i5)
+        gx = math.floor(min(xs) - 0.5)
+        gy = math.floor(min(ys) - 0.5)
+        nw = int(math.ceil(max(xs) - gx + 0.5))
+        nh = int(math.ceil(max(ys) - gy + 0.5))
+    else:
+        gx = gy = 0
+        nh, nw = h, w
+    yy, xx = _grid(nh, nw, img.dtype)
+    dx = xx + (gx + 0.5)
+    dy = yy + (gy + 0.5)
+    u = c0 * dx + c1 * dy + c2 - 0.5
+    v = c3 * dx + c4 * dy + c5 - 0.5
+    if sampler == "bilinear":
+        return warp(img, u, v, background, "bilinear")
+    return sample_ewa_reference(img, u, v, (c0, c1, c3, c4), background)
 
 
 def affine_transform(img: jnp.ndarray, matrix: Sequence[float],

@@ -416,6 +416,49 @@ def ellipse_coverage(h: int, w: int, cx: float, cy: float,
     return jnp.mean((d <= 1.0).astype(jnp.float32), axis=-1)
 
 
+def _ellipse_distance(px: jnp.ndarray, py: jnp.ndarray, a: float, b: float,
+                      iters: int = 6) -> jnp.ndarray:
+    """Euclidean distance from points to the ellipse boundary x²/a²+y²/b²=1
+    (origin-centered), via Newton on the boundary parameter."""
+    sx, sy = jnp.abs(px), jnp.abs(py)
+    t = jnp.arctan2(a * sy, b * sx)
+    for _ in range(iters):
+        ct, st = jnp.cos(t), jnp.sin(t)
+        gx, gy = a * ct - sx, b * st - sy
+        d1 = gx * (-a * st) + gy * (b * ct)
+        d2 = (a * st) ** 2 + (b * ct) ** 2 - gx * (a * ct) - gy * (b * st)
+        t = jnp.clip(t - d1 / jnp.maximum(d2, 1e-12), 0.0, jnp.pi / 2)
+    return jnp.hypot(a * jnp.cos(t) - sx, b * jnp.sin(t) - sy)
+
+
+def ellipse_fill_stroke_alpha(h: int, w: int, cx: float, cy: float,
+                              rx: float, ry: float,
+                              mid: float = 0.5) -> jnp.ndarray:
+    """Reference-exact coverage of a filled + stroked ellipse.
+
+    Replicates draw.c:4803 GetFillAlpha's quadratic AA ramps on the
+    Euclidean distance d to the traced boundary: fill = 1 inside else
+    (1-d)² for d<1; stroke (width 2*mid) = 1 for d<=mid-0.25 else
+    (mid+0.75-d)² for d<mid+0.75; composited stroke-over-fill.  The
+    chordal polygon from TraceEllipse (draw.c:6589, step 1/(8·max r))
+    is within 1e-4 px of the exact ellipse, so exact distance is used."""
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    px = xx.astype(jnp.float32) - cx
+    py = yy.astype(jnp.float32) - cy
+    d = _ellipse_distance(px, py, max(rx, 1e-6), max(ry, 1e-6))
+    inside = (px / max(rx, 1e-6)) ** 2 + (py / max(ry, 1e-6)) ** 2 <= 1.0
+    # GetFillAlpha culls samples beyond the path bbox expanded by mid+0.5
+    # (draw.c:4835-4843) BEFORE the ramp test, truncating the outer band
+    box = ((px > -rx - mid - 0.5) & (px <= rx + mid + 0.5)
+           & (py > -ry - mid - 0.5) & (py <= ry + mid + 0.5))
+    fill = jnp.where(inside, 1.0,
+                     jnp.where(box & (d < 1.0), (1.0 - d) ** 2, 0.0))
+    sa = jnp.where(box & (d <= mid - 0.25), 1.0,
+                   jnp.where(box & (d < mid + 0.75),
+                             (mid + 0.75 - d) ** 2, 0.0))
+    return sa + fill * (1.0 - sa)
+
+
 def _blend(img: jnp.ndarray, coverage: jnp.ndarray,
            color) -> jnp.ndarray:
     """Blend a coverage mask with a solid color or an (H, W, 4) color field."""

@@ -247,8 +247,11 @@ def auto_level(img: jnp.ndarray, per_channel: bool = False) -> jnp.ndarray:
     return (img - mn) * _prec(mx - mn)
 
 
-def auto_gamma(img: jnp.ndarray, per_channel: bool = True) -> jnp.ndarray:
-    """AutoGammaImage: gamma = log(mean)/log(0.5) so mean -> 0.5."""
+def auto_gamma(img: jnp.ndarray, per_channel: bool = False) -> jnp.ndarray:
+    """AutoGammaImage (enhance.c:112): gamma = log(mean)/log(0.5) so the
+    mean maps to 0.5, then LevelImage(0, QR, gamma).  The default channel
+    mask IS AllChannels (pixel.h:75), so the stock CLI path pools ALL
+    channels into one mean; per_channel only applies under -channel."""
     if per_channel:
         axes = tuple(range(img.ndim - 1))
         mean = jnp.mean(img, axis=axes)

@@ -181,15 +181,18 @@ def vignette(img: jnp.ndarray, radius: float = 0.0, sigma: float = 10.0,
     channel internally and is flattened against background-color at
     write).  CLI defaults x = 0.1*W, y = 0.1*H (operation.c:3654)."""
     from .blur import blur as _blur
-    from .draw import ellipse_coverage
+    from .draw import ellipse_fill_stroke_alpha
 
     h, w = img.shape[-3], img.shape[-2]
     if x is None:
         x = 0.1 * w
     if y is None:
         y = 0.1 * h
-    mask = ellipse_coverage(h, w, w / 2.0, h / 2.0,
-                            max(w / 2.0 - x, 1.0), max(h / 2.0 - y, 1.0))
+    # visual-effects.c:3245 draws "ellipse cx,cy,rx,ry,0,360" with BOTH
+    # white fill and white 1px stroke — reproduce GetFillAlpha's ramps
+    mask = ellipse_fill_stroke_alpha(h, w, w / 2.0, h / 2.0,
+                                     max(w / 2.0 - x, 1.0),
+                                     max(h / 2.0 - y, 1.0))
     mask = _blur(mask[..., None], radius, sigma)
     mask = mask.astype(img.dtype)
     bg = jnp.asarray(background, img.dtype)
@@ -242,29 +245,41 @@ def polaroid(img: jnp.ndarray, angle: float = 0.0,
     return framed
 
 
-def wavelet_denoise(img: jnp.ndarray, threshold: float = 0.05,
-                    softness: float = 0.0, levels: int = 4) -> jnp.ndarray:
-    """WaveletDenoiseImage (visual-effects.c): à-trous B3-spline wavelet shrink.
+def _hat_transform(x: jnp.ndarray, axis: int, scale: int) -> jnp.ndarray:
+    """dcraw's à-trous hat filter (visual-effects.c:3478 HatTransform):
+    0.25*(2*x[i] + x[i-s] + x[i+s]) with REFLECT (no edge repeat)
+    boundaries — head uses x[s-i], tail mirrors about extent-1."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (scale, scale)
+    xp = jnp.pad(x, pad, mode="reflect")
+    n = x.shape[axis]
+    left = jax.lax.slice_in_dim(xp, 0, n, axis=axis)
+    mid = jax.lax.slice_in_dim(xp, scale, scale + n, axis=axis)
+    right = jax.lax.slice_in_dim(xp, 2 * scale, 2 * scale + n, axis=axis)
+    return 0.25 * (2.0 * mid + left + right)
 
-    The reference runs 5 à-trous levels with a 1-5-8-5-1/20? kernel
-    (actually B3 spline 1,4,6,4,1 / 16) and soft-thresholds detail bands.
-    """
-    k1 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
-    out = jnp.zeros_like(img)
-    current = img
-    for lvl in range(levels):
-        dil = 2 ** lvl
-        kd = np.zeros(4 * dil + 1, np.float32)
-        kd[::dil] = k1
-        smooth = bl._separable_conv(current, kd, "mirror")
-        detail = current - smooth
-        t = threshold / (2 ** lvl)
-        mag = jnp.abs(detail)
-        # hard threshold (kill sub-threshold detail) blended toward soft
-        # shrinkage by `softness` — hard keeps surviving edges unbiased
-        hard = jnp.where(mag > t, detail, 0.0)
-        soft = jnp.sign(detail) * jnp.maximum(mag - t, 0.0)
-        keep = hard * (1.0 - softness) + soft * softness
-        out = out + keep
-        current = smooth
-    return jnp.clip(out + current, 0, 1)
+
+def wavelet_denoise(img: jnp.ndarray, threshold: float = 0.05,
+                    softness: float = 0.0, levels: int = 5) -> jnp.ndarray:
+    """WaveletDenoiseImage (visual-effects.c:3515): 5-level à-trous
+    transform with dcraw's [1,2,1]/4 hat kernel (stride 2^level, reflect
+    boundaries), per-level shrink magnitude = threshold*noise_levels[level]
+    (:3542,:3706): coefficients beyond ±m move in by m-softness*m, the
+    rest scale by softness; final image = Σ shrunk details + last smooth."""
+    noise_levels = (0.8002, 0.2735, 0.1202, 0.0585, 0.0291, 0.0152, 0.0080)
+    hp = img
+    acc = None
+    low = img
+    for level in range(levels):
+        s = 1 << level
+        low = _hat_transform(_hat_transform(hp, img.ndim - 3, s),
+                             img.ndim - 2, s)
+        detail = hp - low
+        m = float(threshold) * noise_levels[level]
+        shrink = float(m - softness * m)
+        shrunk = jnp.where(detail < -m, detail + shrink,
+                           jnp.where(detail > m, detail - shrink,
+                                     detail * softness))
+        acc = shrunk if acc is None else acc + shrunk
+        hp = low
+    return jnp.clip(acc + low, 0.0, 1.0)

@@ -79,7 +79,9 @@ CASES = [
     ("-lat 5x5+2%", 60.0),
     ("-white-threshold 70%", 60.0),
     ("-black-threshold 30%", 60.0),
-    ("-vignette 0x10", 35.0),
+    # GetFillAlpha-exact stroked-ellipse mask + integer offsets (~70dB)
+    ("-vignette 0x10", 60.0),
+    ("-vignette 2x10", 60.0),
     ("-distort SRT 20", 34.0),
     ("-rotate 17", 41.0),
     ("-colorize 30%", 60.0),
@@ -98,7 +100,8 @@ CASES = [
     ("-edge 0", 60.0),
     ("-blur 2.5x1", 60.0),
     ("-sharpen 0x1", 60.0),
-    ("-wavelet-denoise 10%", 36.0),
+    ("-wavelet-denoise 10%", 300.0),  # dcraw hat + noise_levels table
+    ("-wavelet-denoise 20x0.5", 300.0),
     ("-implode 0.3", 60.0),
     ("-trim", 60.0),
     # third sweep: equalize/stretch family + decorate
@@ -107,7 +110,7 @@ CASES = [
     ("-contrast-stretch 2%x1%", 60.0),
     ("-linear-stretch 2%x1%", 60.0),
     ("-auto-level", 60.0),
-    ("-auto-gamma", 44.0),
+    ("-auto-gamma", 300.0),  # pooled AllChannels mean (pixel.h:75)
     ("-border 4", 60.0),
     ("-bordercolor blue -border 3", 60.0),
     ("-raise 5", 60.0),
@@ -117,7 +120,10 @@ CASES = [
     ("-charcoal 0x1", 60.0),
     ("-kuwahara 0x1", 300.0),
     ("-kuwahara 2", 60.0),
-    ("-rotational-blur 10", 37.0),
+    # nearest-sample arc average; other angles ~66-72dB (f32 trig flips
+    # an occasional .5-boundary sample vs the reference's f64)
+    ("-rotational-blur 10", 300.0),
+    ("-rotational-blur 25", 60.0),
     # oil-paint replicates the reference's strict-max running scan, so the
     # winning bin is decided by scan order, not argmax (visual-effects.c)
     ("-paint 3", 300.0),
