@@ -138,7 +138,7 @@ def sample_ewa_reference(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     A = major[1] ** 2 + minor[1] ** 2
     B = -2.0 * (major[0] * major[1] + minor[0] * minor[1])
     C = major[0] ** 2 + minor[0] ** 2
-    F = major_mag * minor_mag
+    F = (major_mag * minor_mag) ** 2  # resample.c:1098 "F *= F"
     support = 2.0
     F *= support * support
     det = A * C - 0.25 * B * B
@@ -235,7 +235,7 @@ def rotate_bilinear(img: jnp.ndarray, theta: float,
 
 def rotate(img: jnp.ndarray, degrees: float,
            background: Optional[Sequence[float]] = None,
-           expand: bool = True, sampler: str = "bilinear") -> jnp.ndarray:
+           expand: bool = True, sampler: str = "ewa") -> jnp.ndarray:
     """RotateImage (shear.c:~1400): arbitrary-angle rotation.
 
     The reference uses the 3-shear method (paper cited at shear.c:36) for
@@ -347,21 +347,43 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
     cy, cx = h / 2.0, w / 2.0
 
     if method == "srt":
-        # args variants (distort.c ScaleRotateTranslate): [angle] |
-        # [scale, angle] | [cx,cy, scale, angle] | [cx,cy,scale,angle,nx,ny]
+        # args variants (distort.c:723 ScaleRotateTranslate): converted to
+        # the forward dest->src affine (distort.c:818) and sampled at
+        # d=(i+0.5, j+0.5), s-0.5 (distort.c:2531,:2858) like the reference
         a = list(args)
+        sx_ = sy_ = 1.0
         if len(a) == 1:
-            pcx, pcy, scale_, angle, nx, ny = cx, cy, 1.0, a[0], cx, cy
+            pcx, pcy, angle, nx, ny = cx, cy, a[0], cx, cy
         elif len(a) == 2:
-            pcx, pcy, scale_, angle, nx, ny = cx, cy, a[0], a[1], cx, cy
+            pcx, pcy, angle, nx, ny = cx, cy, a[1], cx, cy
+            sx_ = sy_ = a[0]
+        elif len(a) == 3:
+            pcx, pcy, angle, nx, ny = a[0], a[1], a[2], a[0], a[1]
         elif len(a) == 4:
-            pcx, pcy, scale_, angle, nx, ny = a[0], a[1], a[2], a[3], a[0], a[1]
+            pcx, pcy, angle, nx, ny = a[0], a[1], a[3], a[0], a[1]
+            sx_ = sy_ = a[2]
+        elif len(a) == 5:
+            pcx, pcy, angle, nx, ny = a[0], a[1], a[4], a[0], a[1]
+            sx_, sy_ = a[2], a[3]
+        elif len(a) == 6:
+            pcx, pcy, angle, nx, ny = a[0], a[1], a[3], a[4], a[5]
+            sx_ = sy_ = a[2]
         else:
-            pcx, pcy, scale_, angle, nx, ny = a[0], a[1], a[2], a[3], a[4], a[5]
+            pcx, pcy, angle, nx, ny = a[0], a[1], a[4], a[5], a[6]
+            sx_, sy_ = a[2], a[3]
         t = math.radians(angle)
-        ct, st = math.cos(t) / scale_, math.sin(t) / scale_
-        u = ct * (xx - nx) + st * (yy - ny) + pcx
-        v = -st * (xx - nx) + ct * (yy - ny) + pcy
+        ct, st = math.cos(t), math.sin(t)
+        c0, c1 = ct / sx_, st / sx_
+        c3, c4 = -st / sy_, ct / sy_
+        c2 = pcx - nx * c0 - ny * c1
+        c5 = pcy - nx * c3 - ny * c4
+        dx = xx + 0.5
+        dy = yy + 0.5
+        u = c0 * dx + c1 * dy + c2 - 0.5
+        v = c3 * dx + c4 * dy + c5 - 0.5
+        if sampler == "ewa":
+            return sample_ewa_reference(img, u, v, (c0, c1, c3, c4),
+                                        background)
         return warp(img, u, v, background, sampler)
 
     if method == "affine":
@@ -374,8 +396,12 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         my, *_ = np.linalg.lstsq(A, dst[:, 1], rcond=None)
         fwd = np.array([[mx[0], mx[1], mx[2]], [my[0], my[1], my[2]], [0, 0, 1]])
         inv = np.linalg.inv(fwd)
-        u = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
-        v = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
+        u = inv[0, 0] * (xx + 0.5) + inv[0, 1] * (yy + 0.5) + inv[0, 2] - 0.5
+        v = inv[1, 0] * (xx + 0.5) + inv[1, 1] * (yy + 0.5) + inv[1, 2] - 0.5
+        if sampler == "ewa":
+            return sample_ewa_reference(
+                img, u, v, (inv[0, 0], inv[0, 1], inv[1, 0], inv[1, 1]),
+                background)
         return warp(img, u, v, background, sampler)
 
     if method == "perspective":
@@ -392,8 +418,12 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         sx, rx, ry, sy, tx, ty = (list(args) + [0.0] * 6)[:6]
         fwd = np.array([[sx, ry, tx], [rx, sy, ty], [0, 0, 1]], np.float64)
         inv = np.linalg.inv(fwd)
-        u = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
-        v = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
+        u = inv[0, 0] * (xx + 0.5) + inv[0, 1] * (yy + 0.5) + inv[0, 2] - 0.5
+        v = inv[1, 0] * (xx + 0.5) + inv[1, 1] * (yy + 0.5) + inv[1, 2] - 0.5
+        if sampler == "ewa":
+            return sample_ewa_reference(
+                img, u, v, (inv[0, 0], inv[0, 1], inv[1, 0], inv[1, 1]),
+                background)
         return warp(img, u, v, background, sampler)
 
     if method == "perspectiveprojection":
@@ -421,8 +451,12 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
                         [b_, a_, dc[1] - b_ * sc[0] - a_ * sc[1]],
                         [0, 0, 1]], np.float64)
         inv = np.linalg.inv(fwd)
-        u = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
-        v = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
+        u = inv[0, 0] * (xx + 0.5) + inv[0, 1] * (yy + 0.5) + inv[0, 2] - 0.5
+        v = inv[1, 0] * (xx + 0.5) + inv[1, 1] * (yy + 0.5) + inv[1, 2] - 0.5
+        if sampler == "ewa":
+            return sample_ewa_reference(
+                img, u, v, (inv[0, 0], inv[0, 1], inv[1, 0], inv[1, 1]),
+                background)
         return warp(img, u, v, background, sampler)
 
     if method == "bilinearforward":

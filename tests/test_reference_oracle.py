@@ -82,8 +82,13 @@ CASES = [
     # GetFillAlpha-exact stroked-ellipse mask + integer offsets (~70dB)
     ("-vignette 0x10", 60.0),
     ("-vignette 2x10", 60.0),
-    ("-distort SRT 20", 34.0),
-    ("-rotate 17", 41.0),
+    # reference-exact EWA resampler (ClampUpAxes + Robidoux LUT); pure
+    # rotations bit-exact, scaled/bestfit cases ~90dB (f32 LUT-bin flips)
+    ("-distort SRT 20", 300.0),
+    ("-distort SRT 0.8,45", 80.0),
+    ("-distort SRT 1.3,10", 300.0),
+    ("-rotate 17", 80.0),
+    ("-rotate -10", 300.0),
     ("-colorize 30%", 60.0),
     ("-contrast", 60.0),
     ("-motion-blur 0x3+30", 60.0),
