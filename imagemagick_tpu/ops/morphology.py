@@ -429,24 +429,39 @@ def _distance_pass(img: jnp.ndarray, costs: np.ndarray, reverse: bool) -> jnp.nd
     neighbors.  Row-causal formulation: within-row dependency handled by an
     associative min-plus scan along the row.
     """
-    # costs: 3x3, center 0; use top row + left neighbor for forward pass
-    h, w = img.shape[-3], img.shape[-2]
+    # costs: (2r+1)² with center 0; a forward sweep reads the r rows
+    # above (all dx) plus the current row's left side.  The left-side
+    # dependency telescopes to a 1-step min-plus scan because the row
+    # costs are exact multiples: c(0,-k) = k·c(0,-1) for every distance
+    # metric (Chebyshev/Manhattan/Euclidean all have c(0,k)=σk).
+    r = costs.shape[0] // 2
     x = img
     if reverse:
         x = x[..., ::-1, ::-1, :]
-    c_up = [costs[0, 0], costs[0, 1], costs[0, 2]]
-    c_left = costs[1, 0]
+    c_left = costs[r, r - 1]
 
-    def row_step(prev_row, cur_row):
-        # prev_row, cur_row: (..., W, C)
-        up = prev_row + c_up[1]
-        upl = jnp.concatenate([prev_row[..., :1, :] + _BIG,
-                               prev_row[..., :-1, :]], axis=-2) + c_up[0]
-        upr = jnp.concatenate([prev_row[..., 1:, :],
-                               prev_row[..., -1:, :] + _BIG], axis=-2) + c_up[2]
-        cand = jnp.minimum(cur_row, jnp.minimum(up, jnp.minimum(upl, upr)))
+    def row_step(carry, cur_row):
+        # carry: (r, ..., W, C) = the r previous OUTPUT rows (top..bottom)
+        cand = cur_row
+        for dy in range(1, r + 1):
+            prev = carry[r - dy]
+            for dx in range(-r, r + 1):
+                c = float(costs[r - dy, r + dx])
+                if not np.isfinite(c):
+                    continue
+                if dx < 0:
+                    sh = jnp.concatenate(
+                        [jnp.full(prev[..., :(-dx), :].shape, _BIG,
+                                  prev.dtype), prev[..., : dx, :]], axis=-2)
+                elif dx > 0:
+                    sh = jnp.concatenate(
+                        [prev[..., dx:, :],
+                         jnp.full(prev[..., :dx, :].shape, _BIG,
+                                  prev.dtype)], axis=-2)
+                else:
+                    sh = prev
+                cand = jnp.minimum(cand, sh + c)
         # left-to-right min-plus scan: d[i] = min(cand[i], d[i-1]+c_left)
-        # associative op: (v, k) pairs under min-plus with offset accumulation
         offs = jnp.full(cand.shape, c_left, cand.dtype)
 
         def combine(a, b):
@@ -455,10 +470,11 @@ def _distance_pass(img: jnp.ndarray, costs: np.ndarray, reverse: bool) -> jnp.nd
             return jnp.minimum(va + kb, vb), ka + kb
 
         vals, _ = lax.associative_scan(combine, (cand, offs), axis=-2)
-        return vals, vals
+        new_carry = jnp.concatenate([carry[1:], vals[None]], axis=0)
+        return new_carry, vals
 
     rows = jnp.moveaxis(x, -3, 0)  # (H, ..., W, C)
-    init = jnp.full(rows.shape[1:], _BIG, rows.dtype)
+    init = jnp.full((r,) + rows.shape[1:], _BIG, rows.dtype)
     _, out_rows = lax.scan(row_step, init, rows)
     out = jnp.moveaxis(out_rows, 0, -3)
     if reverse:
@@ -467,14 +483,27 @@ def _distance_pass(img: jnp.ndarray, costs: np.ndarray, reverse: bool) -> jnp.nd
 
 
 def distance_transform(img: jnp.ndarray, metric: str = "euclidean",
-                       scale: float = 0.01) -> jnp.ndarray:
+                       scale: float = 0.01, radius: int = 1) -> jnp.ndarray:
     """DistanceMorphology: distance from background (v==0) to each pixel.
 
     Two chamfer sweeps (forward + backward) reproduce the reference's
-    iterate-until-converged raster passes for these 3x3 metrics exactly.
-    """
-    costs = {"chebyshev": _CHEBYSHEV, "manhattan": _MANHATTAN,
-             "euclidean": _EUCLIDEAN}[metric.lower()]
+    iterate-until-converged raster passes exactly.  radius>1 builds the
+    (2r+1)² kernel of kernel.c:2158 (values σ·metric(u,v)) — the radius-1
+    Euclidean chamfer is NOT equivalent to the radius-4 one the reference
+    uses for "Euclidean:4" (knight's-move distances differ)."""
+    m = metric.lower()
+    if radius <= 1:
+        costs = {"chebyshev": _CHEBYSHEV, "manhattan": _MANHATTAN,
+                 "euclidean": _EUCLIDEAN}[m]
+    else:
+        uu, vv = np.meshgrid(np.arange(-radius, radius + 1),
+                             np.arange(-radius, radius + 1))
+        if m == "chebyshev":
+            costs = np.maximum(np.abs(uu), np.abs(vv)).astype(np.float64)
+        elif m == "manhattan":
+            costs = (np.abs(uu) + np.abs(vv)).astype(np.float64)
+        else:
+            costs = np.sqrt(uu * uu + vv * vv)
     # grayscale seeding (MorphologyPrimitiveDirect): each pixel starts at
     # its own VALUE and the chamfer min-propagates value + step cost —
     # binary images reduce to the classic distance-from-background
@@ -552,7 +581,8 @@ def morphology(img: jnp.ndarray, method: str, kernel_spec: str,
     out = img
     if method == "distance":
         return distance_transform(out, _metric_from_spec(kernel_spec),
-                                  _scale_from_spec(kernel_spec))
+                                  _scale_from_spec(kernel_spec),
+                                  _radius_from_spec(kernel_spec))
 
     def one_round(x):
         # multi-kernel composition (morphology.c:3729): HMT unions the
@@ -601,6 +631,22 @@ def morphology(img: jnp.ndarray, method: str, kernel_spec: str,
 def _metric_from_spec(spec: str) -> str:
     name = spec.split(":")[0].lower()
     return name if name in ("chebyshev", "manhattan", "euclidean") else "euclidean"
+
+
+def _radius_from_spec(spec: str) -> int:
+    """Distance-kernel radius: kernel arg1 rho (kernel.c:2160 — <1 means
+    the default 3x3)."""
+    parts = spec.split(":")
+    if len(parts) > 1:
+        args = [p for p in re.split(r"[x,]", parts[1]) if p]
+        if args:
+            try:
+                rho = float(args[0])
+            except ValueError:
+                return 1
+            if rho >= 1.0:
+                return int(rho)
+    return 1
 
 
 def _scale_from_spec(spec: str) -> float:

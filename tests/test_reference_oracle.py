@@ -158,7 +158,8 @@ CASES = [
     ("-morphology HMT Peaks", 60.0),
     ("-morphology Thinning Skeleton", 60.0),
     ("-morphology Distance Manhattan:4", 60.0),
-    ("-morphology Distance Euclidean:4", 51.0),
+    ("-morphology Distance Euclidean:4", 300.0),  # radius-4 chamfer
+    ("-morphology Distance Chebyshev:3", 300.0),
 ]
 
 
