@@ -184,7 +184,10 @@ def _op_resize(st, arg, plus, op="resize"):
         cw, ch = li.width, li.height
         w, h, _, _ = parse_meta_geometry(arg, cw, ch)
         tag = None
-        if op in ("resize", "adaptive-resize"):
+        if op == "adaptive-resize":
+            # resize.c:1331 — mesh-interpolated lookup, not a filter resize
+            fn = lambda x, h=h, w=w: rz.interpolative_resize(x, h, w, "mesh")
+        elif op == "resize":
             fn = lambda x, h=h, w=w: rz.resize(x, h, w, filt, has_alpha=alpha)
             if op == "resize" and not alpha:
                 rf = filt if filt not in ("undefined", "", None) else \
@@ -727,9 +730,18 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
         lambda st, a, p: {"threshold": _percent(a)}))
     O["blue-shift"] = (1, _op_simple("visual_effects", "blue_shift",
         lambda st, a, p: {"factor": float(a)}))
-    O["tint"] = (1, lambda st, a, p: _lazy_op(st, lambda li: (
-        lambda x: __import__("imagemagick_tpu.ops.visual_effects",
-                             fromlist=["tint"]).tint(x, st.fill()[:3], _percent(a)))))
+    def _op_tint(st, a, p):
+        g = parse_geometry(a)
+        rho = g.width if g.width is not None else 100.0
+        blend = (rho,
+                 g.height if g.height is not None else rho,
+                 float(g.x) if g.x is not None else rho)
+        _lazy_op(st, lambda li: (
+            lambda x: __import__("imagemagick_tpu.ops.visual_effects",
+                                 fromlist=["tint"]).tint(
+                                     x, st.fill()[:3], blend)))
+
+    O["tint"] = (1, _op_tint)
     def _op_vignette(st, a, p):
         from ..ops import visual_effects as vfx
 
@@ -1173,12 +1185,36 @@ def _percent(a: str) -> float:
     return v if v <= 1.0 else v / 100.0 if v <= 100.0 else v / 65535.0
 
 
+_GEOMINFO_RE = re.compile(
+    r"^\s*(?P<rho>[-+]?[\d.]+(?:[eE][-+]?\d+)?)?"
+    r"(?:[x,:](?P<sigma>[-+]?[\d.]+(?:[eE][-+]?\d+)?))?"
+    r"(?P<xi>[-+][\d.]+(?:[eE][-+]?\d+)?)?"
+    r"(?P<psi>[-+][\d.]+(?:[eE][-+]?\d+)?)?"
+    r"(?P<chi>[-+][\d.]+(?:[eE][-+]?\d+)?)?"
+    r"\s*(?P<percent>%)?\s*$")
+
+
+def _geometry_info(a):
+    """ParseGeometry (geometry.c) float semantics: RHOxSIGMA+XI+PSI+CHI,
+    all doubles — unlike the pixel-geometry parser, offsets keep their
+    fractional part.  Returns (rho, sigma, xi, psi, chi, percent) with
+    None for absent fields."""
+    m = _GEOMINFO_RE.match(a.replace("%", "") + ("%" if "%" in a else ""))
+    if not m:
+        return None, None, None, None, None, False
+    f = lambda s: float(s) if s is not None else None
+    return (f(m.group("rho")), f(m.group("sigma")), f(m.group("xi")),
+            f(m.group("psi")), f(m.group("chi")), m.group("percent") is not None)
+
+
 def _unsharp_args(a):
-    # radius x sigma + gain + threshold
-    g = parse_geometry(a)
-    return {"radius": g.width or 0.0, "sigma": g.height if g.height is not None else 1.0,
-            "gain": float(g.x) if g.x is not None else 1.0,
-            "threshold": float(g.y) / 100.0 if g.y is not None else 0.05}
+    # operation.c:3625 — xi=gain (default 1.0), psi=threshold (default
+    # 0.05, a raw fraction of QuantumRange — NOT a percentage)
+    rho, sigma, xi, psi, _, _ = _geometry_info(a)
+    return {"radius": rho or 0.0,
+            "sigma": sigma if sigma is not None else 1.0,
+            "gain": xi if xi is not None else 1.0,
+            "threshold": psi if psi is not None else 0.05}
 
 
 def _motion_args(a):

@@ -564,11 +564,81 @@ def magnify(img: jnp.ndarray) -> jnp.ndarray:
     return quad.reshape(*lead, h * 2, w * 2, ch)
 
 
+def _mesh_sample(img: jnp.ndarray, u: np.ndarray, v: np.ndarray) -> jnp.ndarray:
+    """MeshInterpolatePixel (pixel.c:4689): split the 2x2 cell into two
+    triangles along the lower-luma-contrast diagonal and barycentrically
+    interpolate within the containing triangle.  u/v are HOST f64 grids:
+    the triangle tie-breaks (dx<=dy) land exactly on rational boundaries
+    and must be decided in double like the reference."""
+    h, w, c = img.shape[-3:]
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    x0 = np.floor(u)
+    y0 = np.floor(v)
+    dx = jnp.asarray((u - x0)[..., None].astype(np.float32))
+    dy = jnp.asarray((v - y0)[..., None].astype(np.float32))
+    le_diag = jnp.asarray(((u - x0) <= (v - y0))[..., None])
+    le_anti = jnp.asarray(((u - x0) <= 1.0 - (v - y0))[..., None])
+    x0i = jnp.asarray(x0.astype(np.int32))
+    y0i = jnp.asarray(y0.astype(np.int32))
+    flatimg = img.reshape(img.shape[:-3] + (h * w, c))
+
+    def at(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        return jnp.take(flatimg, yc * w + xc, axis=-2)
+
+    p0 = at(y0i, x0i)
+    p1 = at(y0i, x0i + 1)
+    p2 = at(y0i + 1, x0i)
+    p3 = at(y0i + 1, x0i + 1)
+
+    def luma(p):
+        if c >= 3:
+            return (0.212656 * p[..., 0] + 0.715158 * p[..., 1]
+                    + 0.072186 * p[..., 2])[..., None]
+        return p[..., :1]
+
+    lx = luma(p0) - luma(p3)
+    ly = luma(p1) - luma(p2)
+    # NW-SE diagonal (|lx| < |ly|)
+    v_bl = dx * p3 + (1.0 - dy) * p0 + (dy - dx) * p2          # dx <= dy
+    v_tr = (1.0 - dx) * p0 + dy * p3 + (dx - dy) * p1          # dx > dy
+    # NE-SW diagonal
+    v_tl = dx * p1 + dy * p2 + (1.0 - dx - dy) * p0            # dx <= 1-dy
+    v_br = (1.0 - dx) * p2 + (1.0 - dy) * p1 + (dx + dy - 1.0) * p3
+    nwse = jnp.abs(lx) < jnp.abs(ly)
+    return jnp.where(nwse, jnp.where(le_diag, v_bl, v_tr),
+                     jnp.where(le_anti, v_tl, v_br))
+
+
 def interpolative_resize(img: jnp.ndarray, height: int, width: int,
-                         method: str = "bilinear") -> jnp.ndarray:
-    """InterpolativeResizeImage (resize.c): direct interpolated lookup."""
-    method_filters = {"nearest": "point", "bilinear": "triangle",
-                      "bicubic": "catrom", "spline": "spline",
-                      "mesh": "triangle", "average": "box"}
-    return resize(img, height, width,
-                  filter_name=method_filters.get(method, "triangle"))
+                         method: str = "mesh") -> jnp.ndarray:
+    """InterpolativeResizeImage (resize.c:1208): per-dest-pixel single
+    interpolated lookup at ((i+0.5)·scale−0.5) — NOT a filtered
+    convolution.  AdaptiveResizeImage (resize.c:1331) is this with Mesh
+    interpolation."""
+    from .distort import sample_bilinear
+
+    h, w = img.shape[-3], img.shape[-2]
+    if (h, w) == (height, width):
+        return img
+    sy = h / float(height)
+    sx = w / float(width)
+    # geometry in f64 on host: the mesh triangle tie-breaks (dx<=dy)
+    # sit exactly on thirds/halves for rational scales and flip under
+    # f32 — the reference computes them in double
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    u = (xx + 0.5) * sx - 0.5
+    v = (yy + 0.5) * sy - 0.5
+    m = method.lower()
+    if m in ("mesh", "adaptive"):
+        return _mesh_sample(img, u, v)
+    if m in ("nearest", "integer", "point"):
+        h_, w_, c = img.shape[-3:]
+        xi = jnp.asarray(np.clip(np.floor(u), 0, w_ - 1).astype(np.int32))
+        yi = jnp.asarray(np.clip(np.floor(v), 0, h_ - 1).astype(np.int32))
+        return jnp.take(img.reshape(img.shape[:-3] + (h_ * w_, c)),
+                        yi * w_ + xi, axis=-2)
+    return sample_bilinear(img, jnp.asarray(u.astype(np.float32)),
+                           jnp.asarray(v.astype(np.float32)))

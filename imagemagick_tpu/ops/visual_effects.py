@@ -156,15 +156,23 @@ def stereo(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([left[..., 0], right[..., 1], right[..., 2]], axis=-1)
 
 
-def tint(img: jnp.ndarray, color: Sequence[float], amount: float = 1.0) -> jnp.ndarray:
-    """TintImage: tint midtones toward a color (visual-effects.c)."""
-    c = jnp.asarray(color, img.dtype)[:3]
+def tint(img: jnp.ndarray, color: Sequence[float],
+         blend: Sequence[float] = (100.0, 100.0, 100.0)) -> jnp.ndarray:
+    """TintImage (visual-effects.c:3003): per-channel midtone push.
+
+    color = the -fill color (default black → identity); blend = the
+    rho[,sigma,xi] percentages of the geometry argument.  Vector
+    cv_c = blend_c·fill_c/100 − luma(fill); each channel moves by
+    cv_c·(1−4·(v−0.5)²) — weights are PER-CHANNEL, not mean intensity."""
+    c = [float(x) for x in tuple(color)[:3]]
+    b = [float(x) for x in (tuple(blend) + (blend[-1],) * 3)[:3]]
+    # GetPixelInfoIntensity: Rec709Luma on the fill color
+    inten = 0.212656 * c[0] + 0.715158 * c[1] + 0.072186 * c[2]
+    cv = jnp.asarray([b[i] * c[i] / 100.0 - inten for i in range(3)],
+                     img.dtype)
     rgb = img[..., :3]
-    inten = jnp.mean(rgb, axis=-1, keepdims=True)
-    weight = inten - 0.5
-    sigmoid = 1.0 / (1.0 + jnp.exp(-10.0 * weight))
-    tint_amt = amount * (c - 0.5) * 0.5
-    out = rgb + tint_amt * (1.0 - 4.0 * (inten - 0.5) ** 2)
+    w = rgb - 0.5
+    out = rgb + cv * (1.0 - 4.0 * w * w)
     if img.shape[-1] > 3:
         out = jnp.concatenate([out, img[..., 3:]], axis=-1)
     return jnp.clip(out, 0, 1)
@@ -218,13 +226,22 @@ def sketch(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
 
 def shadow(img_alpha: jnp.ndarray, alpha_pct: float = 80.0, sigma: float = 3.0,
            x: int = 5, y: int = 5,
-           color: Sequence[float] = (0.0, 0.0, 0.0)) -> jnp.ndarray:
-    """ShadowImage: blurred, offset alpha silhouette in the shadow color."""
-    a = img_alpha[..., -1:]
-    sh = bl.blur(a, 0.0, sigma) * (alpha_pct / 100.0)
-    sh = jnp.roll(sh, (y, x), axis=(-3, -2))
-    c = jnp.asarray(color, img_alpha.dtype)[:3]
-    out = jnp.concatenate([jnp.broadcast_to(c, sh.shape[:-1] + (3,)), sh], axis=-1)
+           color: Sequence[float] = (1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """ShadowImage (visual-effects.c): border the silhouette by
+    2σ+0.5 px of transparency, set every pixel to the BACKGROUND color
+    (the shadow color, default white) with alpha = src_alpha·pct/100,
+    then Gaussian-blur the ALPHA channel only.  The result is the
+    shadow image alone (the caller composites); x/y only move the page
+    offsets, which the raster does not encode."""
+    b = int(2.0 * sigma + 0.5)
+    a = (img_alpha[..., 3:4] if img_alpha.shape[-1] == 4
+         else jnp.ones(img_alpha.shape[:-1] + (1,), img_alpha.dtype))
+    pad = [(0, 0)] * (a.ndim - 3) + [(b, b), (b, b), (0, 0)]
+    a0 = jnp.pad(a, pad) * (alpha_pct / 100.0)
+    sh = bl.blur(a0, 0.0, sigma)
+    c = jnp.asarray(tuple(color)[:3], img_alpha.dtype)
+    out = jnp.concatenate(
+        [jnp.broadcast_to(c, sh.shape[:-1] + (3,)), sh], axis=-1)
     return out
 
 

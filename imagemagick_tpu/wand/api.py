@@ -936,7 +936,8 @@ class MagickWand:
         from ..ops import visual_effects as vfx
 
         col = tint.get_color() if isinstance(tint, PixelWand) else parse_color(tint)
-        self._apply(lambda im: vfx.tint(im.data, col, alpha))
+        blend = (float(alpha) * 100.0,) * 3
+        self._apply(lambda im: vfx.tint(im.data, col, blend))
 
     def color_matrix_image(self, matrix):
         from ..ops import visual_effects as vfx

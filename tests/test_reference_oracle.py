@@ -160,6 +160,20 @@ CASES = [
     ("-morphology Distance Manhattan:4", 60.0),
     ("-morphology Distance Euclidean:4", 300.0),  # radius-4 chamfer
     ("-morphology Distance Chebyshev:3", 300.0),
+    # fifth sweep: parameterized unsharp, tint, geometry ops, mesh resize
+    ("-unsharp 2x1+0.7+0.02", 300.0),
+    ("-unsharp 1.5x1+2+0.1", 300.0),
+    ("-tint 50", 300.0),
+    ("-fill red -tint 40", 300.0),
+    ("-fill blue -tint 30x60", 300.0),
+    ("-splice 10x8+4+4", 300.0),
+    ("-chop 10x8+4+4", 300.0),
+    ("-extent 120x80", 300.0),
+    ("-magnify", 300.0),
+    # mesh-interpolated lookup; ~64-80dB (f32 luma-diagonal ties)
+    ("-adaptive-resize 50x40!", 60.0),
+    ("-adaptive-resize 150%", 60.0),
+    ("-interpolative-resize 50x40!", 60.0),
 ]
 
 
@@ -337,6 +351,27 @@ def test_ordered_dither_matches_reference(src, tmp_path, mapname, gate):
     b = np.asarray(PILImage.open(str(our_out)).convert("RGB"), np.float64)
     agree = float((np.abs(a - b) < 5.0).mean())
     assert agree >= gate, f"{mapname}: agreement {agree:.4f} < {gate}"
+
+
+def test_shadow_matches_reference_rgba(src, tmp_path):
+    """-shadow output is background color + blurred alpha — compare RGBA
+    (the RGB planes alone are constant and would trivially pass)."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, src, "-shadow", "60x4+4+4", str(ref_out)],
+                   check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([src, "-shadow", "60x4+4+4", str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("RGBA"),
+                   np.float64) / 255.0
+    b = np.asarray(PILImage.open(str(our_out)).convert("RGBA"),
+                   np.float64) / 255.0
+    assert a.shape == b.shape, f"{a.shape} != {b.shape}"
+    p = _psnr(a, b)
+    assert p >= 60.0, f"-shadow RGBA PSNR {p:.1f}dB < 60"
 
 
 def test_connected_components_gray_convention(tmp_path):
