@@ -720,8 +720,27 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
         lambda st, a, p: _bc_args(a)))
     O["modulate"] = (1, _op_simple("enhance", "modulate",
         lambda st, a, p: _modulate_args(a)))
-    O["clahe"] = (1, _op_simple("enhance", "clahe",
-        lambda st, a, p: {}))
+    # operation.c:2006 — WxH{%} tile size, +bins, +clip-limit (psi float).
+    # Host-sequential (integer clip/redistribute), so runs eagerly.
+    def _op_clahe(st, a, p):
+        from ..ops import enhance as en
+
+        g = parse_geometry(a)
+        _, _, _, psi, _, _ = _geometry_info(a)
+        bins = int(g.x) if g.x else 128
+        clip = psi if psi is not None else 3.0
+        tw_ = g.width or 0
+        th_ = g.height or 0
+        for li in st.images:
+            img = li.materialize()
+            # ParseRegionGeometry (operation.c:2011): the tile size goes
+            # through META geometry semantics — "2x2" on 92x60 fits the
+            # aspect ratio and yields 2x1 tiles, not 2x2
+            tw2, th2, _, _ = parse_meta_geometry(a, li.width, li.height)
+            li.image = img.replace(data=en.clahe_reference(
+                img.data, tw2, th2, bins, clip))
+
+    O["clahe"] = (1, _op_clahe)
     O["white-balance"] = (0, _op_simple("enhance", "white_balance", None))
     O["enhance"] = (0, _op_simple("enhance", "enhance", None))
     O["sepia-tone"] = (1, _op_simple("visual_effects", "sepia_tone",

@@ -273,6 +273,168 @@ def linear_stretch(img: jnp.ndarray, black_point: float = 0.02,
     return jnp.clip((img - lo) * _prec(hi - lo), 0.0, 1.0)
 
 
+def _decode_gamma_ref(x: np.ndarray) -> np.ndarray:
+    """pixel.c:259 DecodeGamma — the reference's Chebyshev-series x^2.4
+    (x·x^(7/5)), replicated bit-for-bit in f64.  The series' approximation
+    error IS the reference's sRGB decode curve, so true pow() does not
+    match it."""
+    coef = (1.7917488588043277509, 0.82045614371976854984,
+            0.027694100686325412819, -0.00094244335181762134018,
+            0.000064355540911469709545, -5.7224404636060757485e-06,
+            5.8767669437311184313e-07, -6.6139920053589721168e-08,
+            7.9323242696227458163e-09)
+    pot = (1.0, 2.6390158215457883983, 6.9644045063689921093,
+           1.8379173679952558018e+01, 4.8502930128332728543e+01)
+    m, e = np.frexp(x)
+    t1 = 4.0 * m - 3.0
+    terms = [np.ones_like(x), t1]
+    for _ in range(7):
+        terms.append(2.0 * t1 * terms[-1] - terms[-2])
+    p = sum(c * t for c, t in zip(coef, terms))
+    # div(exponent-1, 5) with C truncation-toward-zero + remainder fixup
+    num = e - 1
+    quot = np.trunc(num / 5.0).astype(np.int64)
+    rem = num - 5 * quot
+    fix = rem < 0
+    quot = np.where(fix, quot - 1, quot)
+    rem = np.where(fix, rem + 5, rem)
+    return x * np.ldexp(np.take(np.asarray(pot), rem) * p, 7 * quot)
+
+
+def _srgb_quantum_to_lab_L_exact(rgb_quantum: np.ndarray) -> np.ndarray:
+    """sRGB (quantum scale) -> Lab L, f64, with the reference's exact
+    DecodePixelGamma + RGBToXYZ matrix + XYZToLab (colorspace-private.h)."""
+    q = rgb_quantum.astype(np.float64)
+    lin = np.where(q <= 0.0404482362771076 * 65535.0, q / 12.92,
+                   65535.0 * _decode_gamma_ref((q / 65535.0 + 0.055) / 1.055))
+    r, g, b = lin[..., 0] / 65535.0, lin[..., 1] / 65535.0, lin[..., 2] / 65535.0
+    Y = 0.2125862307855955516 * r + 0.7151703037034108499 * g \
+        + 0.07220049864333622685 * b
+    eps, kk = 216.0 / 24389.0, 24389.0 / 27.0
+    y = np.where(Y > eps, np.power(np.maximum(Y, 1e-300), 1.0 / 3.0),
+                 (kk * Y + 16.0) / 116.0)
+    return (116.0 * y - 16.0) / 100.0
+
+
+def _clahe_clip_histograms(hist: np.ndarray, limit: int) -> np.ndarray:
+    """ClipCLAHEHistogram (enhance.c:302), vectorized across tiles.
+
+    hist: (T, bins) int64.  Replicates the integer main pass (carry
+    cumulative_excess per tile) and the strided redistribution sweeps."""
+    T, bins = hist.shape
+    h = hist.astype(np.int64).copy()
+    cum = np.maximum(h - limit, 0).sum(axis=1)
+    step = cum // bins
+    excess = limit - step                       # per-tile threshold
+    for i in range(bins):
+        hi = h[:, i]
+        over = hi > limit
+        mid = (~over) & (hi > excess)
+        low = ~(over | mid)
+        cum = cum - np.where(mid, hi - excess, 0) - np.where(low, step, 0)
+        h[:, i] = np.where(over | mid, limit, hi + np.where(low, step, 0))
+    # strided leftover sweeps (do-while with progress check)
+    idx = np.arange(bins)
+    prev = cum + 1
+    while np.any((cum > 0) & (cum < prev)):
+        prev = cum.copy()
+        active = cum > 0
+        stp = np.maximum(bins // np.maximum(cum, 1), 1)
+        onstride = (idx[None, :] % stp[:, None]) == 0
+        eligible = onstride & (h < limit) & active[:, None]
+        rank = np.cumsum(eligible, axis=1)
+        inc = eligible & (rank <= cum[:, None])
+        h += inc
+        cum = cum - inc.sum(axis=1)
+    return h
+
+
+def clahe_reference(img: jnp.ndarray, tile_width: int = 0,
+                    tile_height: int = 0, bins: int = 128,
+                    clip_limit: float = 3.0) -> jnp.ndarray:
+    """CLAHEImage (enhance.c:616) — exact integer Zuiderveld pipeline.
+
+    width/height are tile dimensions in PIXELS (0 → dims>>3); the canvas
+    is padded to a tile multiple, pad split half-before/half-after with
+    edge virtual pixels (enhance.c:706).  L-channel shorts are binned by
+    lut[s]=s/(65535/bins+1), per-tile histograms clipped by the integer
+    redistribution of ClipCLAHEHistogram, mapped to shorts by truncation
+    (MapCLAHEHistogram), and blended on the (tiles+1)² block grid with
+    the half-tile border blocks and integer corner weights of
+    InterpolateCLAHE (enhance.c:406).  Runs host-side in f64 (the
+    products y·x·Q exceed f32's integer range for large tiles)."""
+    h, w = img.shape[-3], img.shape[-2]
+    tw = int(tile_width) or (w >> 3) or 1
+    th = int(tile_height) or (h >> 3) or 1
+    if clip_limit == 1.0:
+        return img
+    bins = min(int(bins) or 128, 256)
+    lab = cs.convert(img[..., :3], "srgb", "lab")
+    if img.ndim > 3:
+        raise ValueError("clahe_reference expects a single image")
+    # exact f64 L via the reference's own gamma series; the stored value
+    # is an f32 quantum (sRGBTransformImage writes ClampToQuantum), and
+    # ScaleQuantumToShort adds 0.5f then truncates (quantum-private.h:517)
+    rgbq = np.asarray(img[..., :3], np.float64) * 65535.0
+    Lq = np.float32(65535.0 * _srgb_quantum_to_lab_L_exact(rgbq))
+    px = (tw - (w % tw)) % tw
+    py = (th - (h % th)) % th
+    lt, tp = px >> 1, py >> 1
+    Lp = np.pad(Lq, [(tp, py - tp), (lt, px - lt)], mode="edge")
+    Hp, Wp = Lp.shape
+    ty, tx = Hp // th, Wp // tw
+    shorts = np.clip(np.floor((Lp + np.float32(0.5)).astype(np.float64)),
+                     0, 65535).astype(np.int64)
+    delta = 65535 // bins + 1
+    b = shorts // delta                               # lut[] bin index
+    # per-tile histograms
+    tiles = b.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3).reshape(
+        ty * tx, th * tw)
+    hist = np.zeros((ty * tx, bins), np.int64)
+    np.add.at(hist, (np.repeat(np.arange(ty * tx), th * tw),
+                     tiles.reshape(-1)), 1)
+    limit = max(int(clip_limit * (tw * th) / bins), 1)
+    hist = _clahe_clip_histograms(hist, limit)
+    # MapCLAHEHistogram: truncated scaled CDF, clamped to the range max
+    scale = 65535.0 / (tw * th)
+    maps = np.minimum((scale * np.cumsum(hist, axis=1)).astype(np.int64),
+                      65535)                          # (T, bins)
+    maps = maps.reshape(ty, tx, bins)
+    # block grid: (ty+1) x (tx+1); border blocks are half tiles
+    Y, X = np.mgrid[0:Hp, 0:Wp]
+    h0, w0 = th >> 1, tw >> 1
+    by = np.clip((Y - h0) // th + 1, 0, ty)
+    bx = np.clip((X - w0) // tw + 1, 0, tx)
+    ystart = np.where(by == 0, 0, h0 + (by - 1) * th)
+    xstart = np.where(bx == 0, 0, w0 + (bx - 1) * tw)
+    Hb = np.where(by == 0, h0, np.where(by == ty, (th + 1) >> 1, th))
+    Wb = np.where(bx == 0, w0, np.where(bx == tx, (tw + 1) >> 1, tw))
+    r = Y - ystart
+    c = X - xstart
+    yw = Hb - r                                       # InterpolateCLAHE y
+    xw = Wb - c                                       # InterpolateCLAHE x
+    t_y0 = np.clip(by - 1, 0, ty - 1)
+    t_y1 = np.clip(by, 0, ty - 1)
+    t_x0 = np.clip(bx - 1, 0, tx - 1)
+    t_x1 = np.clip(bx, 0, tx - 1)
+    mflat = maps.reshape(-1)
+    gather = lambda tyi, txi: mflat[(tyi * tx + txi) * bins + b]
+    q12 = gather(t_y0, t_x0).astype(np.float64)
+    q22 = gather(t_y0, t_x1).astype(np.float64)
+    q11 = gather(t_y1, t_x0).astype(np.float64)
+    q21 = gather(t_y1, t_x1).astype(np.float64)
+    out_s = np.floor((yw * (xw * q12 + (Wb - xw) * q22)
+                      + (Hb - yw) * (xw * q11 + (Wb - xw) * q21))
+                     / (Wb.astype(np.float64) * Hb))
+    Lnew = (out_s / 65535.0)[tp:tp + h, lt:lt + w]
+    lab_new = jnp.concatenate(
+        [jnp.asarray(Lnew, img.dtype)[..., None], lab[..., 1:]], axis=-1)
+    out = cs.convert(lab_new, "lab", "srgb")
+    if img.shape[-1] > 3:
+        out = jnp.concatenate([out, img[..., 3:]], axis=-1)
+    return jnp.clip(out, 0.0, 1.0)
+
+
 def clahe(img: jnp.ndarray, tiles_x: int = 8, tiles_y: int = 8,
           bins: int = 128, clip_limit: float = 3.0) -> jnp.ndarray:
     """CLAHEImage (enhance.c:616): contrast-limited adaptive equalization.
@@ -281,7 +443,8 @@ def clahe(img: jnp.ndarray, tiles_x: int = 8, tiles_y: int = 8,
     single scatter-add, clipping redistributes excess, and the per-pixel
     lookup bilinearly blends the 4 surrounding tile CDFs — all vectorized.
     Zeros mean defaults (CLAHEImage treats 0 bins/limit as 128/no-clip).
-    """
+    Takes tile COUNTS; clahe_reference() above maps the reference's
+    tile-size arguments onto this."""
     tiles_x = int(tiles_x) or 8
     tiles_y = int(tiles_y) or 8
     bins = int(bins) or 128

@@ -869,10 +869,13 @@ class MagickWand:
 
         self._apply(lambda im: en.sigmoidal_contrast(im.data, sharpen, 4.0, 0.5))
 
-    def clahe_image(self, width=8, height=8, bins=128, clip_limit=3.0):
+    def clahe_image(self, width=0, height=0, bins=128, clip_limit=3.0):
+        """MagickCLAHEImage — width/height are tile sizes in pixels
+        (CLAHEImage semantics), 0 means dims>>3."""
         from ..ops import enhance as en
 
-        self._apply(lambda im: en.clahe(im.data, width, height, bins, clip_limit))
+        self._apply(lambda im: en.clahe_reference(im.data, width, height,
+                                                  bins, clip_limit))
 
     def white_balance_image(self):
         from ..ops import enhance as en

@@ -174,6 +174,10 @@ CASES = [
     ("-adaptive-resize 50x40!", 60.0),
     ("-adaptive-resize 150%", 60.0),
     ("-interpolative-resize 50x40!", 60.0),
+    # exact integer Zuiderveld CLAHE (tile size via ParseRegionGeometry)
+    ("-clahe 2x2+128+3", 300.0),
+    ("-clahe 10x10+64+2", 300.0),
+    ("-clahe 25x25%+128+3", 80.0),  # f32 lab->srgb rounding flips
 ]
 
 
