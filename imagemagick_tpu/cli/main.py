@@ -1465,10 +1465,13 @@ def _op_shear(st, arg, plus):
     from ..ops import shear as sh
 
     g = parse_geometry(arg)
+    xdeg = g.width or 0.0
+    # operation.c:3430 — sigma defaults to rho when absent
+    ydeg = g.height if g.height is not None else xdeg
     for li in st.images:
         img = li.materialize()
         li.image = img.replace(data=sh.shear(
-            img.data, g.width or 0.0, g.height or 0.0,
+            img.data, xdeg, ydeg,
             background=st.bg()[: img.channels]))
 
 

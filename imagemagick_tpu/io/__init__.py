@@ -456,6 +456,27 @@ def write_image(image: Union[Image, List[Image]], filename: str,
     from ..core.policy import policy as _policy
 
     _policy.enforce("coder", fmt.upper(), "write")
+    # WriteImages (constitute.c): when the coder cannot adjoin multiple
+    # frames, expand the filename per scene — honor a %d template, else
+    # insert -N before the extension ("sep.png" -> "sep-0.png" ...)
+    _ADJOIN = {"gif", "tif", "tiff", "miff", "mng", "pdf", "ps", "ps2",
+               "ps3", "webp", "ico", "dcm", "heic", "heif", "avif",
+               "apng", "mpc", "fax", "g3", "g4", "pbm", "pgm", "ppm",
+               "pnm", "pam", "mpeg", "mp4", "avi", "mkv", "mov", "ype",
+               "null", "txt", "json", "yaml", "info"}
+    if len(images) > 1 and rest != "-" and fmt not in _ADJOIN:
+        if re.search(r"%0?\d*d", rest):
+            names = [re.sub(r"%0?\d*d", lambda m, i=i:
+                            ("%" + m.group(0)[1:]) % i, rest)
+                     for i in range(len(images))]
+        else:
+            stem, ext = os.path.splitext(rest)
+            names = [f"{stem}-{i}{ext}" for i in range(len(images))]
+        for im, name in zip(images, names):
+            blob = image_to_blob([im], fmt, quality=quality, depth=depth)
+            with open(name, "wb") as f:
+                f.write(blob)
+        return
     blob = image_to_blob(images, fmt, quality=quality, depth=depth)
     if rest == "-":   # stdout (cli-pipe.tap semantics)
         import sys

@@ -292,6 +292,35 @@ def rotate(img: jnp.ndarray, degrees: float,
     return sample_ewa_reference(img, u, v, (c0, c1, c3, c4), background)
 
 
+def affine_projection_bestfit(img: jnp.ndarray, matrix: Sequence[float],
+                              background: Optional[Sequence[float]] = None
+                              ) -> jnp.ndarray:
+    """AffineTransformImage (distort.c): DistortImage(AffineProjection,
+    bestfit) — forward matrix (sx, rx, ry, sy, tx, ty) in the AffineMatrix
+    convention x' = sx·x + ry·y + tx ; y' = rx·x + sy·y + ty, background
+    virtual pixels, reference EWA resampling."""
+    sx, rx, ry, sy, tx, ty = [float(m) for m in matrix]
+    h, w = img.shape[-3], img.shape[-2]
+    fwd = np.array([[sx, ry, tx], [rx, sy, ty], [0, 0, 1]], np.float64)
+    inv = np.linalg.inv(fwd)                     # dest -> src coefficients
+    c0, c1, c2 = inv[0]
+    c3, c4, c5 = inv[1]
+    xs, ys = [], []
+    for sxc, syc in ((0, 0), (w, 0), (0, h), (w, h)):
+        xs.append(sx * sxc + ry * syc + tx)
+        ys.append(rx * sxc + sy * syc + ty)
+    gx = math.floor(min(xs) - 0.5)
+    gy = math.floor(min(ys) - 0.5)
+    nw = int(math.ceil(max(xs) - gx + 0.5))
+    nh = int(math.ceil(max(ys) - gy + 0.5))
+    yy, xx = _grid(nh, nw, img.dtype)
+    dx = xx + (gx + 0.5)
+    dy = yy + (gy + 0.5)
+    u = c0 * dx + c1 * dy + c2 - 0.5
+    v = c3 * dx + c4 * dy + c5 - 0.5
+    return sample_ewa_reference(img, u, v, (c0, c1, c3, c4), background)
+
+
 def affine_transform(img: jnp.ndarray, matrix: Sequence[float],
                      out_shape: Optional[Tuple[int, int]] = None,
                      background: Optional[Sequence[float]] = None,

@@ -174,6 +174,12 @@ CASES = [
     ("-adaptive-resize 50x40!", 60.0),
     ("-adaptive-resize 150%", 60.0),
     ("-interpolative-resize 50x40!", 60.0),
+    # bordered-canvas Paeth shear passes + CropToFitImage
+    ("-shear 10x5", 300.0),
+    ("-shear 0x8", 300.0),
+    ("-shear 15", 80.0),
+    # Radon-projection skew detection + bestfit affine correction
+    ("-deskew 40%", 80.0),
     # exact integer Zuiderveld CLAHE (tile size via ParseRegionGeometry)
     ("-clahe 2x2+128+3", 300.0),
     ("-clahe 10x10+64+2", 300.0),
@@ -376,6 +382,25 @@ def test_shadow_matches_reference_rgba(src, tmp_path):
     assert a.shape == b.shape, f"{a.shape} != {b.shape}"
     p = _psnr(a, b)
     assert p >= 60.0, f"-shadow RGBA PSNR {p:.1f}dB < 60"
+
+
+def test_separate_matches_reference(src, tmp_path):
+    """-separate writes one grayscale image per channel with WriteImages'
+    scene filename expansion (name-N.ext)."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    subprocess.run([_REF, src, "-separate", str(tmp_path / "ref.png")],
+                   check=True, capture_output=True)
+    process([src, "-separate", str(tmp_path / "ours.png")])
+    for i in range(3):
+        a = np.asarray(PILImage.open(str(tmp_path / f"ref-{i}.png"))
+                       .convert("L"), np.float64) / 255.0
+        im = PILImage.open(str(tmp_path / f"ours-{i}.png"))
+        arr = np.asarray(im, np.float64)
+        b = arr / 65535.0 if im.mode in ("I;16", "I") else arr / 255.0
+        assert _psnr(a, b) >= 60.0, f"channel {i}"
 
 
 def test_connected_components_gray_convention(tmp_path):
