@@ -701,8 +701,11 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["grayscale"] = (1, _op_grayscale)
     O["negate"] = (0, _op_simple("enhance", "negate",
         lambda st, a, p: {"grayscale_only": p}))
+    # operation.c:2479 StringToDouble stops at the comma — "2.2,1,0.8"
+    # applies 2.2 to all channels
     O["gamma"] = (1, _op_simple("enhance", "gamma",
-        lambda st, a, p: {"value": float(a)}))
+        lambda st, a, p: {"value": float(re.match(
+            r"[-+]?[\d.]*(?:[eE][-+]?\d+)?", a.strip()).group() or 0)}))
     O["level"] = (1, _op_simple("enhance", "level",
         lambda st, a, p: dict(zip(("black_point", "white_point", "gamma_"),
                                   _parse_level_arg(a)))))
@@ -1933,7 +1936,15 @@ def _op_level_colors(st, arg, plus):
             if inv:   # +level-colors: map full range INTO the colors
                 out = lo + c * (hi - lo)
             else:
-                out = (c - lo) / jnp.maximum(hi - lo, 1e-12)
+                # LevelPixel's scale is PerceptibleReciprocal(white-black):
+                # sign-preserving — a REVERSED color range inverts the
+                # channel (enhance.c:3244 per-channel LevelImage)
+                diff = hi - lo
+                scale = jnp.where(jnp.abs(diff) < 1e-12,
+                                  jnp.sign(diff) * 1e12 + (diff == 0) * 1e12,
+                                  1.0 / jnp.where(jnp.abs(diff) < 1e-12,
+                                                  1.0, diff))
+                out = (c - lo) * scale
             out = jnp.clip(out, 0.0, 1.0)
             return jnp.concatenate([out, x[..., 3:]], -1) if x.shape[-1] > 3 else out
         li.push(fn)

@@ -184,6 +184,13 @@ CASES = [
     ("-clahe 2x2+128+3", 300.0),
     ("-clahe 10x10+64+2", 300.0),
     ("-clahe 25x25%+128+3", 80.0),  # f32 lab->srgb rounding flips
+    # StringToDouble stops at the comma: one gamma for all channels
+    ("-gamma 2.2,1,0.8", 300.0),
+    # LevelPixel with a reversed per-channel color range inverts the
+    # channel (sign-preserving PerceptibleReciprocal scale)
+    ("-level-colors blue,red", 300.0),
+    ("-level-colors red,green", 300.0),
+    ("+level-colors red,green", 300.0),
 ]
 
 
