@@ -1489,7 +1489,7 @@ def _op_distort(st, arg, plus):
         img = li.materialize()
         bg = None if vp in ("edge", "") else st.bg()[: img.channels]
         li.image = img.replace(data=dt.distort(
-            img.data, method, args, background=bg))
+            img.data, method, args, background=bg, bestfit=bool(plus)))
 
 
 def _canny_args(a):

@@ -188,6 +188,174 @@ def sample_ewa_reference(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     return jnp.where(den == 0.0, fallback, out)
 
 
+def _clamped_ellipse_np(a, b, c, d):
+    """Per-pixel ClampUpAxes (resample.c:1100) in closed form, numpy f64.
+
+    Jacobian J = [[a, b], [c, d]] per dest pixel; eigendecompose S = J·Jᵀ,
+    clamp eigenvalues up to 1 (unit-circle minimum footprint), and return
+    the ellipse quadratic A·U² + B·UV + C·V² < F exactly as the constant-
+    Jacobian path derives it from the SVD (singular values = √eigenvalues,
+    left singular vectors = eigenvectors of S).
+    """
+    p = a * a + b * b
+    q = a * c + b * d
+    r = c * c + d * d
+    tr2 = 0.5 * (p + r)
+    disc = np.sqrt(np.maximum(0.25 * (p - r) ** 2 + q * q, 0.0))
+    l0 = tr2 + disc
+    l1 = np.maximum(tr2 - disc, 0.0)
+    c0 = np.maximum(l0, 1.0)
+    c1 = np.maximum(l1, 1.0)
+    # unit eigenvector for l0: pick the better-conditioned candidate
+    v1x, v1y = q, l0 - p
+    v2x, v2y = l0 - r, q
+    n1 = v1x * v1x + v1y * v1y
+    n2 = v2x * v2x + v2y * v2y
+    use2 = n2 > n1
+    ux = np.where(use2, v2x, v1x)
+    uy = np.where(use2, v2y, v1y)
+    nn = np.sqrt(np.maximum(ux * ux + uy * uy, 1e-300))
+    degen = np.maximum(n1, n2) < 1e-300   # S ∝ identity: any axis
+    ux = np.where(degen, 1.0, ux / nn)
+    uy = np.where(degen, 0.0, uy / nn)
+    # S' = c0·u uᵀ + c1·u⊥ u⊥ᵀ  (u⊥ = (-uy, ux))
+    Sp = c0 * ux * ux + c1 * uy * uy
+    Sq = (c0 - c1) * ux * uy
+    Sr = c0 * uy * uy + c1 * ux * ux
+    A = Sr
+    B = -2.0 * Sq
+    C = Sp
+    F = c0 * c1
+    return A, B, C, F
+
+
+def _pow2_bucket(n, lo=4):
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def sample_ewa_reference_var(img: jnp.ndarray, u, v, jac,
+                             background: Optional[Sequence[float]] = None
+                             ) -> jnp.ndarray:
+    """Reference EWA resampling with a PER-PIXEL Jacobian (resample.c
+    ResamplePixelColor driven by per-pixel ScaleFilter calls, as the
+    Arc/Polar/Barrel/Cylinder distorts do — distort.c:2655-2817).
+
+    u, v, and the 4 jac arrays are HOST numpy f64 maps over the output
+    grid (u, v in index space = reference s − 0.5).  The ellipse setup,
+    scan bounds, and limit tests run host-side in f64; the device work is
+    a size-class-compacted tap scan: output pixels are bucketed by their
+    (scanlines, taps-per-line) requirements, each bucket runs a static-
+    shape gather/accumulate, and results scatter into the output.  This
+    keeps XLA shapes static while bounding work by the actual ellipse
+    areas instead of the global worst case.
+
+    limit_reached pixels (parallelogram area > 4×image area,
+    resample.c:1197) use the 4-neighbour average interpolation the
+    reference falls back to under edge virtual pixels (resample.c:427);
+    zero-hit pixels fall back to bilinear interpolation (resample.c:657).
+    """
+    h, w, c = img.shape[-3:]
+    out_shape = u.shape
+    support = 2.0
+    A, B, C, F = _clamped_ellipse_np(*[np.asarray(j, np.float64) for j in jac])
+    F = F * (support * support)
+    det = A * C - 0.25 * B * B
+    det = np.maximum(det, 1e-300)
+    Vlimit = np.sqrt(A * F / det)
+    Uwidth = np.sqrt(F / np.maximum(A, 1e-300))
+    slope = -B / (2.0 * np.maximum(A, 1e-300))
+    limit = (Uwidth * Vlimit) > 4.0 * (h * w)
+    scale = 1024.0 / F
+    As, Bs, Cs = A * scale, B * scale, C * scale
+
+    nv = (2.0 * Vlimit).astype(np.int64) + 2
+    uw = (2.0 * Uwidth).astype(np.int64) + 1
+
+    uf = np.asarray(u, np.float64).ravel()
+    vf = np.asarray(v, np.float64).ravel()
+    flat = {k: val.ravel() for k, val in
+            dict(As=As, Bs=Bs, Cs=Cs, slope=slope, Uwidth=Uwidth,
+                 Vlimit=Vlimit, nv=nv, uw=uw).items()}
+    limit_f = limit.ravel()
+
+    img2 = img.reshape(img.shape[:-3] + (h * w, c))
+    bg = None
+    if background is not None:
+        bg = jnp.asarray(tuple(background)[:c], img.dtype)
+    lut = _robidoux_lut()
+
+    # fallback plane: reference bilinear at the shifted s (the -0.5 is
+    # already applied before ResamplePixelColor, distort.c:2856;
+    # InterpolatePixelChannel BilinearInterpolatePixel, pixel.c:4769)
+    out = sample_bilinear(
+        img, jnp.asarray(uf.reshape(out_shape), img.dtype),
+        jnp.asarray(vf.reshape(out_shape), img.dtype), background)
+    out = out.reshape(img.shape[:-3] + (uf.size, c))
+
+    def _gather(yi, xi):
+        xc = jnp.clip(xi, 0, w - 1)
+        yc = jnp.clip(yi, 0, h - 1)
+        px = jnp.take(img2, yc * w + xc, axis=-2)
+        if bg is not None:
+            inside = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))[..., None]
+            px = jnp.where(inside, px, bg)
+        return px
+
+    # limit-reached pixels: 4-neighbour average at floor(s)
+    lim_idx = np.nonzero(limit_f)[0]
+    if lim_idx.size:
+        li = jnp.asarray(lim_idx)
+        x0 = jnp.asarray(np.floor(uf[lim_idx]).astype(np.int32))
+        y0 = jnp.asarray(np.floor(vf[lim_idx]).astype(np.int32))
+        avg = (_gather(y0, x0) + _gather(y0, x0 + 1) +
+               _gather(y0 + 1, x0) + _gather(y0 + 1, x0 + 1)) * 0.25
+        out = out.at[..., li, :].set(avg)
+
+    # normal pixels: bucket by (pow2(nv), pow2(uw))
+    norm = ~limit_f
+    keys = {}
+    for i in np.nonzero(norm)[0]:
+        k = (_pow2_bucket(int(flat["nv"][i])), _pow2_bucket(int(flat["uw"][i])))
+        keys.setdefault(k, []).append(i)
+    for (nvb, uwb), idx_list in sorted(keys.items()):
+        idx = np.asarray(idx_list, np.int64)
+        cu = jnp.asarray(uf[idx], img.dtype)
+        cv = jnp.asarray(vf[idx], img.dtype)
+        cAs = jnp.asarray(flat["As"][idx], img.dtype)
+        cBs = jnp.asarray(flat["Bs"][idx], img.dtype)
+        cCs = jnp.asarray(flat["Cs"][idx], img.dtype)
+        csl = jnp.asarray(flat["slope"][idx], img.dtype)
+        cUw = jnp.asarray(flat["Uwidth"][idx], img.dtype)
+        v1 = jnp.asarray(np.ceil(vf[idx] - flat["Vlimit"][idx]), img.dtype)
+        v2 = jnp.asarray(np.floor(vf[idx] + flat["Vlimit"][idx]), img.dtype)
+        acc = jnp.zeros(img.shape[:-3] + (idx.size, c), img.dtype)
+        den = jnp.zeros((idx.size, 1), img.dtype)
+        for k in range(nvb):
+            vv = v1 + k
+            vmask = vv <= v2
+            ustart = jnp.ceil(cu + (vv - cv) * csl - cUw)
+            V = vv - cv
+            for j in range(uwb):
+                uu = ustart + j
+                U = uu - cu
+                Q = (cAs * U + cBs * V) * U + cCs * V * V
+                qi = Q.astype(jnp.int32)
+                wgt = jnp.where(vmask & (qi >= 0) & (qi < 1024),
+                                jnp.take(lut, jnp.clip(qi, 0, 1023)), 0.0)
+                px = _gather(vv.astype(jnp.int32), uu.astype(jnp.int32))
+                acc = acc + wgt[..., None] * px
+                den = den + wgt[..., None]
+        good = den > 0.0
+        res = acc / jnp.where(good, den, 1.0)
+        li = jnp.asarray(idx)
+        prev = jnp.take(out, li, axis=-2)
+        out = out.at[..., li, :].set(jnp.where(good, res, prev))
+    return out.reshape(img.shape[:-3] + out_shape + (c,))
+
+
 def sample_ewa(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                background: Optional[Sequence[float]] = None,
                window: int = 4) -> jnp.ndarray:
@@ -359,16 +527,47 @@ def _solve_perspective(src_pts, dst_pts):
     return coeff  # a b c d e f g h
 
 
+def _bestfit_geometry(corners):
+    """distort.c:1997 fix_bounds: output viewport from mapped dest corners."""
+    minx = min(p[0] for p in corners)
+    maxx = max(p[0] for p in corners)
+    miny = min(p[1] for p in corners)
+    maxy = max(p[1] for p in corners)
+    gx = math.floor(minx - 0.5)
+    gy = math.floor(miny - 0.5)
+    ow = int(math.ceil(maxx - gx + 0.5))
+    oh = int(math.ceil(maxy - gy + 0.5))
+    return gx, gy, ow, oh
+
+
+def _affine_bestfit_grid(c, h, w, img_dtype):
+    """Map source corners through the inverted dest->src affine
+    (distort.c:1853 InvertAffineCoefficients + ExpandBounds) and return
+    the shifted dest-coordinate grid + viewport."""
+    c0, c1, c2, c3, c4, c5 = c
+    M = np.array([[c0, c1, c2], [c3, c4, c5], [0.0, 0.0, 1.0]], np.float64)
+    inv = np.linalg.inv(M)
+    pts = []
+    for sx_, sy_ in ((0, 0), (w, 0), (0, h), (w, h)):
+        pts.append((inv[0, 0] * sx_ + inv[0, 1] * sy_ + inv[0, 2],
+                    inv[1, 0] * sx_ + inv[1, 1] * sy_ + inv[1, 2]))
+    gx, gy, ow, oh = _bestfit_geometry(pts)
+    yy, xx = _grid(oh, ow, img_dtype)
+    return xx + (gx + 0.5), yy + (gy + 0.5)
+
+
 def distort(img: jnp.ndarray, method: str, args: Sequence[float],
             background: Optional[Sequence[float]] = None,
-            sampler: str = "ewa") -> jnp.ndarray:
+            sampler: str = "ewa", bestfit: bool = False) -> jnp.ndarray:
     """DistortImage (distort.c:1754) — core methods.
 
     Supported: affine (3+ point pairs), perspective (4 pairs), srt
     (scale-rotate-translate), arc, polar, depolar, barrel, barrelinverse,
     swirl, implode.  Control-point methods solve their coefficient systems
     host-side (numpy least squares — the reference's Gauss-Jordan in
-    matrix.c), then evaluate the inverse map on device.
+    matrix.c), then evaluate the inverse map on device.  bestfit=True
+    (the CLI's +distort) resizes the output canvas to the mapped source
+    bounds (distort.c:1822-2030).
     """
     method = method.lower()
     h, w = img.shape[-3], img.shape[-2]
@@ -406,8 +605,12 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         c3, c4 = -st / sy_, ct / sy_
         c2 = pcx - nx * c0 - ny * c1
         c5 = pcy - nx * c3 - ny * c4
-        dx = xx + 0.5
-        dy = yy + 0.5
+        if bestfit:
+            dx, dy = _affine_bestfit_grid((c0, c1, c2, c3, c4, c5), h, w,
+                                          img.dtype)
+        else:
+            dx = xx + 0.5
+            dy = yy + 0.5
         u = c0 * dx + c1 * dy + c2 - 0.5
         v = c3 * dx + c4 * dy + c5 - 0.5
         if sampler == "ewa":
@@ -425,45 +628,56 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         my, *_ = np.linalg.lstsq(A, dst[:, 1], rcond=None)
         fwd = np.array([[mx[0], mx[1], mx[2]], [my[0], my[1], my[2]], [0, 0, 1]])
         inv = np.linalg.inv(fwd)
-        u = inv[0, 0] * (xx + 0.5) + inv[0, 1] * (yy + 0.5) + inv[0, 2] - 0.5
-        v = inv[1, 0] * (xx + 0.5) + inv[1, 1] * (yy + 0.5) + inv[1, 2] - 0.5
+        ic = (inv[0, 0], inv[0, 1], inv[0, 2], inv[1, 0], inv[1, 1], inv[1, 2])
+        if bestfit:
+            dx, dy = _affine_bestfit_grid(ic, h, w, img.dtype)
+        else:
+            dx, dy = xx + 0.5, yy + 0.5
+        u = ic[0] * dx + ic[1] * dy + ic[2] - 0.5
+        v = ic[3] * dx + ic[4] * dy + ic[5] - 0.5
         if sampler == "ewa":
             return sample_ewa_reference(
-                img, u, v, (inv[0, 0], inv[0, 1], inv[1, 0], inv[1, 1]),
-                background)
+                img, u, v, (ic[0], ic[1], ic[3], ic[4]), background)
         return warp(img, u, v, background, sampler)
 
     if method == "perspective":
         pts = np.asarray(args, np.float64).reshape(-1, 4)
         coeff = _solve_perspective(pts[:, 2:], pts[:, :2])  # dst->src
-        a, b, c, d, e, f, g, hh = coeff
-        den = g * xx + hh * yy + 1.0
-        u = (a * xx + b * yy + c) / den
-        v = (d * xx + e * yy + f) / den
-        return warp(img, u, v, background, sampler)
+        # ground-sky sign from the first dest control point (distort.c:929)
+        c8 = coeff[6] * pts[0, 2] + coeff[7] * pts[0, 3] + 1.0
+        c8 = -1.0 if c8 < 0.0 else 1.0
+        return _perspective_eval(img, coeff, c8, background, bestfit, sampler)
 
     if method == "affineprojection":
         # 6 raw forward coefficients sx,rx,ry,sy,tx,ty (distort.h)
         sx, rx, ry, sy, tx, ty = (list(args) + [0.0] * 6)[:6]
         fwd = np.array([[sx, ry, tx], [rx, sy, ty], [0, 0, 1]], np.float64)
         inv = np.linalg.inv(fwd)
-        u = inv[0, 0] * (xx + 0.5) + inv[0, 1] * (yy + 0.5) + inv[0, 2] - 0.5
-        v = inv[1, 0] * (xx + 0.5) + inv[1, 1] * (yy + 0.5) + inv[1, 2] - 0.5
+        ic = (inv[0, 0], inv[0, 1], inv[0, 2], inv[1, 0], inv[1, 1], inv[1, 2])
+        if bestfit:
+            dx, dy = _affine_bestfit_grid(ic, h, w, img.dtype)
+        else:
+            dx, dy = xx + 0.5, yy + 0.5
+        u = ic[0] * dx + ic[1] * dy + ic[2] - 0.5
+        v = ic[3] * dx + ic[4] * dy + ic[5] - 0.5
         if sampler == "ewa":
             return sample_ewa_reference(
-                img, u, v, (inv[0, 0], inv[0, 1], inv[1, 0], inv[1, 1]),
-                background)
+                img, u, v, (ic[0], ic[1], ic[3], ic[4]), background)
         return warp(img, u, v, background, sampler)
 
     if method == "perspectiveprojection":
-        # 8 raw forward coefficients (distort.c PerspectiveProjection)
+        # 8 raw forward coefficients inverted (distort.c:948
+        # InvertPerspectiveCoefficients), then the normal perspective path
         a, b, c, d, e, f, g, hh = (list(args) + [0.0] * 8)[:8]
         fwd = np.array([[a, b, c], [d, e, f], [g, hh, 1.0]], np.float64)
         inv = np.linalg.inv(fwd)
-        den = inv[2, 0] * xx + inv[2, 1] * yy + inv[2, 2]
-        u = (inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]) / den
-        v = (inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]) / den
-        return warp(img, u, v, background, sampler)
+        inv = inv / inv[2, 2]
+        coeff = [inv[0, 0], inv[0, 1], inv[0, 2], inv[1, 0], inv[1, 1],
+                 inv[1, 2], inv[2, 0], inv[2, 1]]
+        # forward maps source (0,0) to (c, f): sign of r there (distort.c:956)
+        c8 = coeff[6] * c + coeff[7] * f + 1.0
+        c8 = -1.0 if c8 < 0.0 else 1.0
+        return _perspective_eval(img, coeff, c8, background, bestfit, sampler)
 
     if method == "rigidaffine":
         # similarity transform: rotation + uniform scale + translation
@@ -480,83 +694,58 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
                         [b_, a_, dc[1] - b_ * sc[0] - a_ * sc[1]],
                         [0, 0, 1]], np.float64)
         inv = np.linalg.inv(fwd)
-        u = inv[0, 0] * (xx + 0.5) + inv[0, 1] * (yy + 0.5) + inv[0, 2] - 0.5
-        v = inv[1, 0] * (xx + 0.5) + inv[1, 1] * (yy + 0.5) + inv[1, 2] - 0.5
+        ic = (inv[0, 0], inv[0, 1], inv[0, 2], inv[1, 0], inv[1, 1], inv[1, 2])
+        if bestfit:
+            dx, dy = _affine_bestfit_grid(ic, h, w, img.dtype)
+        else:
+            dx, dy = xx + 0.5, yy + 0.5
+        u = ic[0] * dx + ic[1] * dy + ic[2] - 0.5
+        v = ic[3] * dx + ic[4] * dy + ic[5] - 0.5
         if sampler == "ewa":
             return sample_ewa_reference(
-                img, u, v, (inv[0, 0], inv[0, 1], inv[1, 0], inv[1, 1]),
-                background)
+                img, u, v, (ic[0], ic[1], ic[3], ic[4]), background)
         return warp(img, u, v, background, sampler)
 
     if method == "bilinearforward":
-        # forward-fitted bilinear; invert per pixel via the standard
-        # inverse-bilinear quadratic (distort.c BilinearForward)
+        # forward-fitted bilinear i = c0·x+c1·y+c2·xy+c3 (source x,y ->
+        # dest i,j), inverted per pixel via the reference quadratic
+        # (distort.c:1032 coefficient fit, :2596 reverse mapping)
         pts = np.asarray(args, np.float64).reshape(-1, 4)
-        A = np.stack([np.ones(4), pts[:, 0], pts[:, 1],
-                      pts[:, 0] * pts[:, 1]], 1)
-        ca = np.linalg.solve(A, pts[:, 2])   # X = ca . [1,u,v,uv]
-        cb = np.linalg.solve(A, pts[:, 3])   # Y = cb . [1,u,v,uv]
-        X = xx - ca[0]
-        Y = yy - cb[0]
-        # solve X = ca1 u + ca2 v + ca3 uv ; Y = cb1 u + cb2 v + cb3 uv
-        # eliminating v gives: aq u^2 + bq u + cq = 0 with
-        aq = cb[1] * ca[3] - cb[3] * ca[1]
-        bq = cb[1] * ca[2] - cb[2] * ca[1] + cb[3] * X - ca[3] * Y
-        cq = cb[2] * X - ca[2] * Y
-        disc = jnp.sqrt(jnp.maximum(bq * bq - 4.0 * aq * cq, 0.0))
-        if abs(aq) < 1e-12:
-            u_ = -cq / jnp.where(jnp.abs(bq) < 1e-12, 1e-12, bq)
+        T = np.stack([pts[:, 0], pts[:, 1], pts[:, 0] * pts[:, 1],
+                      np.ones(len(pts))], 1)
+        ci, *_ = np.linalg.lstsq(T, pts[:, 2], rcond=None)
+        cj, *_ = np.linalg.lstsq(T, pts[:, 3], rcond=None)
+        c0, c1, c2, c3 = ci
+        c4, c5, c6, c7 = cj
+        c8 = c0 * c5 - c1 * c4
+        c9 = 2.0 * (c2 * c5 - c1 * c6)
+        jj2, ii2 = np.mgrid[0:h, 0:w].astype(np.float64)
+        dx = ii2 + 0.5 - c3
+        dy = jj2 + 0.5 - c7
+        b = c6 * dx - c2 * dy + c8
+        cc = c4 * dx - c0 * dy
+        if abs(c9) < 1e-12:
+            validity = np.ones_like(dx)
+            sy = -cc / np.where(np.abs(b) < 1e-15, 1e-15, b)
         else:
-            u_ = (-bq + disc) / (2.0 * aq)
-        # recover v from whichever equation is better conditioned at u_
-        den_a = ca[2] + ca[3] * u_
-        den_b = cb[2] + cb[3] * u_
-        use_a = jnp.abs(den_a) > jnp.abs(den_b)
-        num = jnp.where(use_a, X - ca[1] * u_, Y - cb[1] * u_)
-        den = jnp.where(use_a, den_a, den_b)
-        v_ = num / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
-        return warp(img, u_, v_, background, sampler)
+            disc = b * b - 2.0 * c9 * cc
+            validity = np.where(disc < 0.0, 0.0, 1.0)
+            sy = (-b + np.sqrt(np.maximum(disc, 0.0))) / c9
+        den = c0 + c2 * sy
+        sx = (dx - c1 * sy) / np.where(np.abs(den) < 1e-15, 1e-15, den)
+        # no ScaleFilter call here (distort.c:2621 FUTURE note): samples
+        # with the unit-circle EWA from filter init (resample.c:1316)
+        one = np.ones_like(sx)
+        zero = np.zeros_like(sx)
+        out = sample_ewa_reference_var(img, sx - 0.5, sy - 0.5,
+                                       (one, zero, zero, one), background)
+        if np.all(validity >= 1.0):
+            return out
+        return _blend_invalid(out, validity, img.shape[-1], img.dtype)
 
-    if method in ("barrel", "barrelinverse"):
-        a, b, c, *rest = list(args) + [0.0] * 4
-        d = rest[0] if rest else 1.0 - a - b - c
-        r_scale = 2.0 / min(h, w)
-        dx = (xx - cx) * r_scale
-        dy = (yy - cy) * r_scale
-        r = jnp.sqrt(dx * dx + dy * dy)
-        if method == "barrel":
-            f = a * r ** 3 + b * r ** 2 + c * r + d
-        else:
-            f = 1.0 / (a * r ** 3 + b * r ** 2 + c * r + d)
-        u = cx + dx * f / r_scale
-        v = cy + dy * f / r_scale
-        return warp(img, u, v, background, sampler)
-
-    if method == "arc":
-        arc_angle = math.radians(args[0] if args else 360.0)
-        rotate_ = math.radians(args[1]) if len(args) > 1 else 0.0
-        top_r = args[2] if len(args) > 2 else min(cx, cy)
-        bot_r = args[3] if len(args) > 3 else 0.0
-        ang = jnp.arctan2(yy - cy, xx - cx) + math.pi / 2.0 - rotate_
-        ang = jnp.mod(ang + math.pi, 2.0 * math.pi) - math.pi
-        rad = jnp.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
-        u = (ang / arc_angle + 0.5) * w
-        v = (top_r - rad) / jnp.maximum(top_r - bot_r, 1e-6) * h
-        return warp(img, u, v, background, sampler)
-
-    if method == "polar":
-        rad = jnp.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
-        ang = jnp.arctan2(yy - cy, xx - cx)
-        u = (ang / (2.0 * math.pi) + 0.5) * w
-        v = rad / (min(cx, cy)) * h
-        return warp(img, u, v, background, sampler)
-
-    if method == "depolar":
-        ang = (xx / w - 0.5) * 2.0 * math.pi
-        rad = yy / h * min(cx, cy)
-        u = cx + rad * jnp.cos(ang)
-        v = cy + rad * jnp.sin(ang)
-        return warp(img, u, v, background, sampler)
+    if method in ("barrel", "barrelinverse", "arc", "polar", "depolar",
+                  "cylinder2plane", "plane2cylinder"):
+        return _polar_family(img, method, args, background, bestfit)
 
     if method == "polynomial":
         # args: order, then x,y,X,Y control points (distort.c Polynomial)
@@ -577,29 +766,50 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         return warp(img, u, v, background, sampler)
 
     if method in ("shepards", "shepard"):
+        # inverse-distance-weighted displacement about the DEST control
+        # points (distort.c:2817); weight = min(1, d^-2·power), power
+        # defaults to 1 (inverse squared, distort.c:1498); sampled with
+        # the unit-circle EWA (no ScaleFilter call)
         pts = np.asarray(args, np.float64).reshape(-1, 4)
-        src = jnp.asarray(pts[:, :2], img.dtype)   # (N, 2)
-        dst = jnp.asarray(pts[:, 2:], img.dtype)
-        # inverse Shepard's: displacement interpolated by 1/d² from dst points
-        disp = src - dst                            # (N, 2) source-dest deltas
-        dx2 = (xx[..., None] - dst[None, None, :, 0]) ** 2 + \
-              (yy[..., None] - dst[None, None, :, 1]) ** 2
-        wgt = 1.0 / jnp.maximum(dx2, 1.0)
-        wsum = jnp.sum(wgt, axis=-1)
-        u = xx + jnp.sum(wgt * disp[None, None, :, 0], -1) / wsum
-        v = yy + jnp.sum(wgt * disp[None, None, :, 1], -1) / wsum
-        return warp(img, u, v, background, sampler)
+        power = 1.0
+        jj2, ii2 = np.mgrid[0:h, 0:w].astype(np.float64)
+        dx = ii2 + 0.5
+        dy = jj2 + 0.5
+        num_x = np.zeros_like(dx)
+        num_y = np.zeros_like(dx)
+        den = np.zeros_like(dx)
+        for su, sv, px, py in pts:
+            d2 = (dx - px) ** 2 + (dy - py) ** 2
+            wgt = d2 ** power
+            wgt = np.where(wgt < 1.0, 1.0, 1.0 / np.maximum(wgt, 1e-300))
+            num_x += (su - px) * wgt
+            num_y += (sv - py) * wgt
+            den += wgt
+        u = num_x / den + dx
+        v = num_y / den + dy
+        one = np.ones_like(u)
+        zero = np.zeros_like(u)
+        return sample_ewa_reference_var(img, u - 0.5, v - 0.5,
+                                        (one, zero, zero, one), background)
 
     if method in ("bilineardistortion", "bilinear", "bilinearreverse"):
+        # reverse-fitted bilinear s = c0·x+c1·y+c2·xy+c3 over dest control
+        # points (distort.c:1013), per-pixel EWA with the bilinear partial
+        # derivatives (distort.c:2581-2594)
         pts = np.asarray(args, np.float64).reshape(-1, 4)
-        # fit inverse u = a + b x + c y + d x y over 4 points
-        A = np.stack([np.ones(4), pts[:, 2], pts[:, 3],
-                      pts[:, 2] * pts[:, 3]], 1)
-        cu = np.linalg.solve(A, pts[:, 0])
-        cv = np.linalg.solve(A, pts[:, 1])
-        u = cu[0] + cu[1] * xx + cu[2] * yy + cu[3] * xx * yy
-        v = cv[0] + cv[1] * xx + cv[2] * yy + cv[3] * xx * yy
-        return warp(img, u, v, background, sampler)
+        T = np.stack([pts[:, 2], pts[:, 3], pts[:, 2] * pts[:, 3],
+                      np.ones(len(pts))], 1)
+        cu, *_ = np.linalg.lstsq(T, pts[:, 0], rcond=None)
+        cv, *_ = np.linalg.lstsq(T, pts[:, 1], rcond=None)
+        jj2, ii2 = np.mgrid[0:h, 0:w].astype(np.float64)
+        dx = ii2 + 0.5
+        dy = jj2 + 0.5
+        u = cu[0] * dx + cu[1] * dy + cu[2] * dx * dy + cu[3]
+        v = cv[0] * dx + cv[1] * dy + cv[2] * dx * dy + cv[3]
+        jac = (cu[0] + cu[2] * dy, cu[1] + cu[2] * dx,
+               cv[0] + cv[2] * dy, cv[1] + cv[2] * dx)
+        return sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac,
+                                        background)
 
     if method in ("resize", "resizedistortion"):
         from .resize import resize as rz_resize
@@ -607,23 +817,328 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         nw, nh = int(args[0]), int(args[1] if len(args) > 1 else args[0])
         return rz_resize(img, nh, nw, "robidoux")
 
-    if method == "cylinder2plane":
-        fov = math.radians(args[0]) if args else math.radians(90.0)
-        f = w / fov
-        ang = (xx - cx) / f
-        u = cx + f * jnp.tan(ang)
-        v = cy + (yy - cy) / jnp.cos(ang)
-        return warp(img, u, v, background, sampler)
-
-    if method == "plane2cylinder":
-        fov = math.radians(args[0]) if args else math.radians(90.0)
-        f = w / fov
-        u = cx + f * jnp.arctan((xx - cx) / f)
-        r = jnp.sqrt((xx - cx) ** 2 + f * f)
-        v = cy + (yy - cy) * f / r
-        return warp(img, u, v, background, sampler)
-
     raise ValueError(f"unsupported distort method {method!r}")
+
+
+_MATTE_GRAY = 189.0 / 255.0  # DefaultMatteColor "#BDBDBD" (image.h)
+
+
+def _blend_invalid(out, validity, img_channels, dtype):
+    """Mix the resampled color with the matte 'invalid' pixel by validity
+    (distort.c:2860-2880 CompositePixelInfoBlend)."""
+    c = img_channels
+    invalid = jnp.asarray(([_MATTE_GRAY] * 3 + [1.0])[:c] if c != 2
+                          else [_MATTE_GRAY, 1.0], dtype)
+    vmask = jnp.asarray(np.clip(validity, 0.0, 1.0), dtype)[..., None]
+    return out * vmask + invalid * (1.0 - vmask)
+
+
+def _perspective_eval(img: jnp.ndarray, coeff, c8: float,
+                      background: Optional[Sequence[float]],
+                      bestfit: bool, sampler: str = "ewa") -> jnp.ndarray:
+    """PerspectiveDistortion evaluation (distort.c:2548-2580): ratio of
+    affines with sky/ground validity, horizon anti-alias band, and the
+    per-pixel EWA derivative matrix; matte-color blend for invalid."""
+    h, w = img.shape[-3], img.shape[-2]
+    c0, c1, c2, c3, c4, c5, c6, c7 = [float(x) for x in coeff]
+    if bestfit:
+        # distort.c:1880: map source corners through the inverted
+        # (i.e. forward, src->dest) perspective
+        M = np.array([[c0, c1, c2], [c3, c4, c5], [c6, c7, 1.0]], np.float64)
+        inv = np.linalg.inv(M)
+        inv = inv / inv[2, 2]
+        pts = []
+        for sx_, sy_ in ((0, 0), (w, 0), (0, h), (w, h)):
+            sc = inv[2, 0] * sx_ + inv[2, 1] * sy_ + 1.0
+            sc = 1.0 / sc if abs(sc) > 1e-15 else 1e15
+            pts.append((sc * (inv[0, 0] * sx_ + inv[0, 1] * sy_ + inv[0, 2]),
+                        sc * (inv[1, 0] * sx_ + inv[1, 1] * sy_ + inv[1, 2])))
+        gx, gy, ow, oh = _bestfit_geometry(pts)
+    else:
+        gx = gy = 0
+        ow, oh = w, h
+    jj, ii = np.mgrid[0:oh, 0:ow].astype(np.float64)
+    dx = gx + ii + 0.5
+    dy = gy + jj + 0.5
+    p = c0 * dx + c1 * dy + c2
+    n = c3 * dx + c4 * dy + c5
+    r = c6 * dx + c7 * dy + 1.0
+    validity = np.where(r * c8 < 0.0, 0.0, 1.0)
+    abs_r = np.abs(r) * 2.0
+    if abs(c6) > abs(c7):
+        validity = np.where(abs_r < abs(c6), 0.5 - c8 * r / c6, validity)
+    elif abs(c7) > 0:
+        validity = np.where(abs_r < abs(c7), 0.5 - c8 * r / c7, validity)
+    rs = np.where(np.abs(r) < 1e-15, 1e-15, r)
+    scale = 1.0 / rs
+    u = p * scale
+    v = n * scale
+    s2 = scale * scale
+    jac = ((r * c0 - p * c6) * s2, (r * c1 - p * c7) * s2,
+           (r * c3 - n * c6) * s2, (r * c4 - n * c7) * s2)
+    if sampler == "ewa":
+        out = sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac, background)
+    else:
+        # -filter point / interpolated resampling: plain warp, no EWA
+        out = warp(img, jnp.asarray(u - 0.5, img.dtype),
+                   jnp.asarray(v - 0.5, img.dtype), background, sampler)
+    if np.all(validity >= 1.0):
+        return out
+    return _blend_invalid(out, validity, img.shape[-1], img.dtype)
+
+
+def _polar_family(img: jnp.ndarray, method: str, args: Sequence[float],
+                  background: Optional[Sequence[float]],
+                  bestfit: bool = False) -> jnp.ndarray:
+    """Arc/Polar/DePolar/Barrel/Cylinder distorts, reference-exact.
+
+    Coefficient generation mirrors distort.c GenerateCoefficients
+    (Arc distort.c:1177, Polar/DePolar :1250, Cylinder :1342, Barrel
+    :1391); per-pixel evaluation and ScaleFilter Jacobians mirror the
+    DistortImage mapping switch (distort.c:2655-2817).  All map math runs
+    host-side in f64 (it depends only on geometry, not pixels); sampling
+    is the per-pixel-Jacobian EWA scan on device.  Arc always computes a
+    best-fit output canvas (distort.c:1822); the other methods keep the
+    input size under plain -distort.
+    """
+    h, w = img.shape[-3], img.shape[-2]
+    a = list(args)
+    na = len(a)
+    two_pi = 2.0 * math.pi
+
+    def grid(oh, ow, gx=0.0, gy=0.0):
+        jj, ii = np.mgrid[0:oh, 0:ow].astype(np.float64)
+        return gx + ii + 0.5, gy + jj + 0.5   # d.x, d.y (distort.c:2531)
+
+    if method == "arc":
+        if na >= 1 and a[0] < 1e-10:
+            raise ValueError("Arc Angle Too Small")
+        if na >= 3 and a[2] < 1e-10:
+            raise ValueError("Outer Radius Too Small")
+        c0 = -math.pi / 2.0
+        c1 = math.radians(a[0]) if na >= 1 else math.pi / 2.0
+        if na >= 2:
+            c0 += math.radians(a[1])
+        c0 /= two_pi
+        c0 -= _round_half_even(c0)
+        c0 *= two_pi
+        c3 = float(h - 1)
+        c2 = w / c1 + c3 / 2.0
+        if na >= 3:
+            if na >= 4:
+                c3 = a[2] - a[3]
+            else:
+                c3 *= a[2] / c2
+            c2 = a[2]
+        c4 = (w - 1.0) / 2.0
+        # best-fit bbox: arc corners + orthogonal extremes (distort.c:1913)
+        pts = []
+        for ang in (c0 - c1 / 2.0, c0 + c1 / 2.0):
+            ca, sa = math.cos(ang), math.sin(ang)
+            pts += [(c2 * ca, c2 * sa), ((c2 - c3) * ca, (c2 - c3) * sa)]
+        ang = math.ceil((c0 - c1 / 2.0) / (math.pi / 2)) * (math.pi / 2)
+        while ang < c0 + c1 / 2.0:
+            pts.append((c2 * math.cos(ang), c2 * math.sin(ang)))
+            ang += math.pi / 2
+        minx = min(p[0] for p in pts); maxx = max(p[0] for p in pts)
+        miny = min(p[1] for p in pts); maxy = max(p[1] for p in pts)
+        gx = math.floor(minx - 0.5); gy = math.floor(miny - 0.5)
+        ow = int(math.ceil(maxx - gx + 0.5)); oh = int(math.ceil(maxy - gy + 0.5))
+        c1s = two_pi * w / c1       # angle->column scale (distort.c:1943)
+        c3s = h / c3                # radius->row scale
+        dx, dy = grid(oh, ow, gx, gy)
+        sx = (np.arctan2(dy, dx) - c0) / two_pi
+        sx -= _round_half_away_np(sx)
+        r = np.hypot(dx, dy)
+        jux = np.where(r > 1e-10, c1s / (two_pi * np.maximum(r, 1e-10)),
+                       float(ow) * 2.0)
+        jac = (jux, np.zeros_like(jux), np.zeros_like(jux),
+               np.full_like(jux, c3s))
+        u = sx * c1s + c4 + 0.5
+        v = (c2 - r) * c3s
+        return sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac,
+                                        background)
+
+    if method in ("polar", "depolar"):
+        if na == 3 or (na > 6 and method == "polar") or na > 8:
+            raise ValueError("invalid number of Polar arguments")
+        c0 = a[0] if na >= 1 else 0.0
+        c1 = a[1] if na >= 2 else 0.0
+        if na >= 4:
+            c2, c3 = a[2], a[3]
+        else:
+            c2, c3 = w / 2.0, h / 2.0
+        c4 = math.radians(a[4]) if na >= 5 else -math.pi
+        c5 = math.radians(a[5]) if na >= 6 else c4
+        if abs(c4 - c5) < 1e-10:
+            c5 += two_pi
+        if c0 < 1e-10:
+            if abs(c0) < 1e-10:       # radius 0: closest edge
+                c0 = min(abs(c2), abs(c3), abs(c2 - w), abs(c3 - h))
+            if abs(-1.0 - c0) < 1e-10:  # radius -1: furthest corner
+                c0 = math.sqrt(max(
+                    c2 * c2 + c3 * c3, c2 * c2 + (c3 - h) ** 2,
+                    (c2 - w) ** 2 + c3 * c3, (c2 - w) ** 2 + (c3 - h) ** 2))
+        if c0 < 1e-10 or c1 < -1e-10 or (c0 - c1) < 1e-10:
+            raise ValueError("Invalid Radius")
+        if method == "polar":
+            c6 = w / (c5 - c4)
+            c7 = h / (c0 - c1)
+            if bestfit:
+                # +distort Polar: viewport spans center±Rmax; an implicit
+                # center is treated as the origin (distort.c:1947-1956)
+                if na < 2:
+                    c2 = c3 = 0.0
+                gx, gy, ow, oh = _bestfit_geometry(
+                    [(c2 - c0, c3 - c0), (c2 + c0, c3 + c0)])
+                dx, dy = grid(oh, ow, gx, gy)
+            else:
+                dx, dy = grid(h, w)
+            dx = dx - c2
+            dy = dy - c3
+            sx = np.arctan2(dx, dy) - (c4 + c5) / 2.0   # 0 is downward
+            sx /= two_pi
+            sx -= _round_half_away_np(sx)
+            sx *= two_pi
+            r = np.hypot(dx, dy)
+            out_w = dx.shape[1]
+            jux = np.where(r > 1e-10, c6 / (two_pi * np.maximum(r, 1e-10)),
+                           float(out_w) * 2.0)
+            jac = (jux, np.zeros_like(jux), np.zeros_like(jux),
+                   np.full_like(jux, c7))
+            u = sx * c6 + w / 2.0
+            v = (r - c1) * c7
+            return sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac,
+                                            background)
+        # depolar: direct polar->cartesian lookup; the reference never
+        # rescales the resample filter here, so every pixel samples with
+        # the default UNIT-circle EWA set at filter init (distort.c:2705,
+        # resample.c:1316 ScaleResampleFilter(...,1,0,0,1))
+        if bestfit:
+            # +distort DePolar: exact tileable size (distort.c:1959)
+            oh = int(math.ceil(c0 - c1))
+            ow = int(math.ceil((c0 - c1) * (c5 - c4) * 0.5))
+            c6 = (c5 - c4) / max(ow, 1)
+            c7 = (c0 - c1) / max(oh, 1)
+            dx, dy = grid(oh, ow)
+        else:
+            c6 = (c5 - c4) / w
+            c7 = (c0 - c1) / h
+            dx, dy = grid(h, w)
+        ang = dx * c6 + c4
+        rad = dy * c7 + c1
+        u = rad * np.sin(ang) + c2
+        v = rad * np.cos(ang) + c3
+        one = np.ones_like(u)
+        zero = np.zeros_like(u)
+        return sample_ewa_reference_var(img, u - 0.5, v - 0.5,
+                                        (one, zero, zero, one), background)
+
+    if method in ("barrel", "barrelinverse"):
+        if na < 3 or na in (7, 9) or na > 10:
+            raise ValueError("invalid number of Barrel arguments")
+        rscale = 2.0 / min(w, h)
+        cA, cB, cC = a[0], a[1], a[2]
+        cD = 1.0 - cA - cB - cC if na in (3, 5) else a[3]
+        cA *= rscale ** 3; cB *= rscale * rscale; cC *= rscale
+        if na >= 8:
+            yA, yB, yC, yD = (a[4] * rscale ** 3, a[5] * rscale * rscale,
+                              a[6] * rscale, a[7])
+        else:
+            yA, yB, yC, yD = cA, cB, cC, cD
+        if na == 5:
+            cx_, cy_ = a[3], a[4]
+        elif na == 6:
+            cx_, cy_ = a[4], a[5]
+        elif na == 10:
+            cx_, cy_ = a[8], a[9]
+        else:
+            cx_, cy_ = w / 2.0, h / 2.0
+        dx, dy = grid(h, w)
+        dx = dx - cx_
+        dy = dy - cy_
+        r = np.hypot(dx, dy)
+        rs = np.maximum(r, 1e-10)
+        fx = ((cA * rs + cB) * rs + cC) * rs + cD
+        fy = ((yA * rs + yB) * rs + yC) * rs + yD
+        gx = ((3 * cA * rs + 2 * cB) * rs + cC) / rs
+        gy = ((3 * yA * rs + 2 * yB) * rs + yC) / rs
+        if method == "barrelinverse":
+            fx = 1.0 / fx
+            fy = 1.0 / fy
+            gx = -gx * fx * fx
+            gy = -gy * fy * fy
+        u = np.where(r > 1e-10, dx * fx + cx_, dx + cx_)
+        v = np.where(r > 1e-10, dy * fy + cy_, dy + cy_)
+        ctr_x = cD if method == "barrel" else 1.0 / cD
+        ctr_y = yD if method == "barrel" else 1.0 / yD
+        jac = (np.where(r > 1e-10, gx * dx * dx + fx, ctr_x),
+               np.where(r > 1e-10, gx * dx * dy, 0.0),
+               np.where(r > 1e-10, gy * dx * dy, 0.0),
+               np.where(r > 1e-10, gy * dy * dy + fy, ctr_y))
+        return sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac,
+                                        background)
+
+    # cylinder2plane / plane2cylinder (distort.c:1342, :2715-2770)
+    fov = math.radians(a[0]) if a else math.radians(90.0)
+    if fov < 1e-10 or fov > math.radians(160.0):
+        raise ValueError("Invalid FOV Angle")
+    if method == "cylinder2plane":
+        radius = w / fov
+    else:
+        radius = w / (2.0 * math.tan(fov / 2.0))
+    c2, c3 = w / 2.0, h / 2.0   # input center
+    if bestfit:
+        # direct reversible viewport + recentered distortion (distort.c:1977)
+        if method == "cylinder2plane":
+            ow = int(math.ceil(2.0 * radius * math.tan(fov / 2.0)))
+            oh = int(math.ceil(2.0 * c3 / math.cos(fov / 2.0)))
+        else:
+            ow = int(math.ceil(fov * radius))
+            oh = int(2 * c3)
+        c4, c5 = ow / 2.0, oh / 2.0
+        dx, dy = grid(oh, ow)
+    else:
+        c4, c5 = c2, c3         # dest center = input center
+        dx, dy = grid(h, w)
+    dx = dx - c4
+    dy = dy - c5
+    if method == "cylinder2plane":
+        dxr = dx / radius
+        ax = np.arctan(dxr)
+        cxs = np.cos(ax)
+        sy = dy * cxs
+        u = radius * ax + c2
+        v = sy + c3
+        # s.y/d.y == cos(ax) analytically; the literal division is 0/0 at
+        # the exact center row (odd heights) — use the limit value
+        jac = (1.0 / (1.0 + dxr * dxr), np.zeros_like(dx),
+               -dxr * sy * cxs * cxs / radius,
+               np.where(np.abs(dy) < 1e-10, cxs, sy /
+                        np.where(np.abs(dy) < 1e-10, 1.0, dy)))
+        return sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac,
+                                        background)
+    # plane2cylinder with horizon validity blend (distort.c:2746)
+    validity = (radius * math.pi / 2.0 - np.abs(dx)) / 1.0 + 0.5
+    dxr = dx / radius
+    cos_r = np.cos(dxr)
+    cxs = 1.0 / np.where(np.abs(cos_r) < 1e-12, 1e-12, cos_r)
+    u = radius * np.tan(dxr) + c2
+    v = dy * cxs + c3
+    jac = (cxs * cxs, np.zeros_like(dx),
+           dy * cxs * cxs / radius, cxs)
+    out = sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac, background)
+    return _blend_invalid(out, validity, img.shape[-1], img.dtype)
+
+
+def _round_half_even(x: float) -> float:
+    """MagickRound rounds half away from zero (magick-type.h)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _round_half_away_np(x):
+    """Vectorized MagickRound: half rounds away from zero (not to even)."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
 
 
 def sparse_color(img: jnp.ndarray, method: str,

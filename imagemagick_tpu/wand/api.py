@@ -670,8 +670,9 @@ class MagickWand:
     def distort_image(self, method: str, args, bestfit=False):
         from ..ops import distort as dt
 
-        self._apply(lambda im: dt.distort(im.data, method, args,
-                                          background=self.background.get_color()))
+        self._apply(lambda im: dt.distort(
+            im.data, method, args,
+            background=self.background.get_color(), bestfit=bool(bestfit)))
 
     def affine_transform_image(self, matrix):
         from ..ops import distort as dt

@@ -114,6 +114,10 @@ def test_convert_pipeline(tmp_png, tmp_path, pipeline):
     out = str(tmp_path / "out.png")
     args = [tmp_png] + pipeline.split() + [out]
     st = process(args)
+    if not os.path.exists(out):
+        # multi-image results scene-expand the filename (out-0.png ...),
+        # matching `magick in.png -separate out.png`
+        out = str(tmp_path / "out-0.png")
     assert os.path.exists(out), pipeline
     back = iio.read_images(out)[0]
     assert back.width > 0 and back.height > 0

@@ -184,6 +184,35 @@ CASES = [
     ("-clahe 2x2+128+3", 300.0),
     ("-clahe 10x10+64+2", 300.0),
     ("-clahe 25x25%+128+3", 80.0),  # f32 lab->srgb rounding flips
+    # polar-family distorts: reference coefficients + per-pixel-Jacobian
+    # EWA (distort.c:1177-1460 GenerateCoefficients, :2655-2817 mapping)
+    ("-distort Polar 0", 300.0),
+    ("-distort Polar 40,10", 300.0),
+    ("-distort Polar 0,0,30,20", 80.0),
+    ("-distort DePolar 0", 80.0),
+    ("-distort DePolar 30,5", 80.0),
+    ("-distort Arc 60", 80.0),
+    ("-distort Arc 120,45", 80.0),
+    ("-distort Arc 360", 80.0),
+    ("-distort Arc 90,0,60,20", 80.0),
+    ("-distort Barrel 0.0,0.0,0.05", 300.0),
+    ("-distort Barrel 0.2,0.1,0.05,0.8", 300.0),
+    ("-distort BarrelInverse 0.0,0.0,0.05", 300.0),
+    ("-distort Cylinder2Plane 90", 300.0),
+    ("-distort Plane2Cylinder 90", 300.0),
+    ('-distort Shepards "30,30,20,20 60,50,70,60"', 80.0),
+    ('-distort BilinearForward "0,0,0,0 91,0,85,10 0,59,5,50 91,59,91,59"',
+     300.0),
+    ('-distort BilinearReverse "0,0,0,0 91,0,85,10 0,59,5,50 91,59,91,59"',
+     80.0),
+    ('-distort Perspective "0,0,3,5 91,0,88,2 0,59,3,50 91,59,90,60"', 80.0),
+    # +distort best-fit viewports (distort.c:1822-2030)
+    ("+distort SRT 20", 300.0),
+    ("+distort SRT 0.8,33", 300.0),
+    ("+distort Polar 0", 300.0),
+    ("+distort DePolar 0", 300.0),
+    ("+distort Plane2Cylinder 90", 300.0),
+    ('+distort Perspective "0,0,3,5 91,0,88,2 0,59,3,50 91,59,90,60"', 80.0),
     # StringToDouble stops at the comma: one gamma for all channels
     ("-gamma 2.2,1,0.8", 300.0),
     # LevelPixel with a reversed per-channel color range inverts the
