@@ -568,10 +568,12 @@ def _op_ift(st, arg, plus):
 def _op_evaluate(st, arg, plus):
     from ..ops import statistic as stx
 
+    # StringToDoubleInterval(arg, QuantumRange+1): raw numbers are quantum
+    # counts, percents are fractions of 65536 (operation.c:2356)
     parts = arg.split(None, 1)
     op = parts[0]
     if len(parts) > 1 and parts[1].strip().endswith("%"):
-        val = float(parts[1].strip()[:-1]) / 100.0   # percent of range
+        val = float(parts[1].strip()[:-1]) * 65536.0 / 100.0
     else:
         val = float(parts[1]) if len(parts) > 1 else 0.0
 
@@ -1908,19 +1910,21 @@ def _op_interpolative_resize(st, arg, plus):
 
 
 def _op_monochrome(st, arg, plus):
-    """-monochrome: gray + bilevel Floyd-Steinberg dither (SetImageType)."""
-    import jax.numpy as jnp
-
+    """-monochrome: SetImageType(BilevelType) = gray + NormalizeImage +
+    BilevelImage(QuantumRange/2) (attribute.c:2320-2330); the trailing
+    2-color quantize is a no-op on an already-bilevel image."""
     from ..ops import colorspace as cs
-    from ..ops import quantize as qz
+    from ..ops import enhance as eh
+    from ..ops import threshold as th
 
-    palette = jnp.asarray([[0.0], [1.0]], jnp.float32)
     for li in st.images:
         img = li.materialize()
         gray = cs.convert(img.data[..., :img.spec.color_channels],
                           img.spec.colorspace, "gray")
-        li.image = Image(qz.floyd_steinberg(gray, palette),
-                         img.spec.with_(colorspace="gray", alpha=False))
+        gray = eh.normalize(gray)
+        gray = th.bilevel(gray, 0.5)
+        li.image = Image(gray, img.spec.with_(colorspace="gray",
+                                              alpha=False))
 
 
 def _op_level_colors(st, arg, plus):

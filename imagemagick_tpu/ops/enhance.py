@@ -131,7 +131,10 @@ def grayscale(img: jnp.ndarray, method: str = "rec709luma") -> jnp.ndarray:
     elif m == "lightness":
         y = (jnp.max(img[..., :3], -1) + jnp.min(img[..., :3], -1)) / 2.0
     elif m == "ms":
-        y = (r * r + g * g + b * b) / 3.0
+        # quantum-domain mean square (enhance.c:2569): (r²+g²+b²)/3 in
+        # quantum units lands at quantum² scale — normalized that is a
+        # ×QuantumRange blow-up (saturates all but near-black pixels)
+        y = (r * r + g * g + b * b) / 3.0 * 65535.0
     elif m == "rms":
         y = jnp.sqrt((r * r + g * g + b * b) / 3.0)
     elif m == "rec601luma":

@@ -634,11 +634,81 @@ def interpolative_resize(img: jnp.ndarray, height: int, width: int,
     m = method.lower()
     if m in ("mesh", "adaptive"):
         return _mesh_sample(img, u, v)
-    if m in ("nearest", "integer", "point"):
-        h_, w_, c = img.shape[-3:]
-        xi = jnp.asarray(np.clip(np.floor(u), 0, w_ - 1).astype(np.int32))
-        yi = jnp.asarray(np.clip(np.floor(v), 0, h_ - 1).astype(np.int32))
-        return jnp.take(img.reshape(img.shape[:-3] + (h_ * w_, c)),
-                        yi * w_ + xi, axis=-2)
-    return sample_bilinear(img, jnp.asarray(u.astype(np.float32)),
-                           jnp.asarray(v.astype(np.float32)))
+    wy = _interp_weights(v[:, 0], h, m)
+    wx = _interp_weights(u[0], w, m)
+    c = img.shape[-1]
+    if c in (2, 4) and m in ("bilinear", "blend", "catrom", "spline",
+                             "undefined", ""):
+        # BlendPixelTrait: colors interpolate alpha-premultiplied, the
+        # result is un-premultiplied by the interpolated alpha
+        # (pixel.c:4540-4555 gamma=PerceptibleReciprocal(alpha_blend))
+        a = img[..., -1:]
+        pm = jnp.concatenate([img[..., :-1] * a, a], -1)
+        out = jnp.einsum("yh,...hwc,xw->...yxc", wy, pm, wx,
+                         precision="highest")
+        ai = out[..., -1:]
+        gamma = jnp.where(jnp.abs(ai) < 1e-12, 0.0, 1.0 / ai)
+        return jnp.concatenate([out[..., :-1] * gamma, ai], -1).astype(
+            img.dtype)
+    return jnp.einsum("yh,...hwc,xw->...yxc", wy, img, wx,
+                      precision="highest").astype(img.dtype)
+
+
+def _interp_weights(t: np.ndarray, n: int, method: str) -> jnp.ndarray:
+    """1-D interpolation weight matrix (n_dst, n_src) for the separable
+    InterpolatePixelChannel methods (pixel.c:4433-4830).  Taps outside
+    the image clamp to the edge (the default virtual-pixel policy);
+    weights are computed in f64 exactly as the reference."""
+    t = np.asarray(t, np.float64)
+    nd = t.shape[0]
+    W = np.zeros((nd, n), np.float64)
+    f0 = np.floor(t)
+    frac = t - f0
+    base = f0.astype(np.int64)
+
+    def add(idx, w):
+        np.add.at(W, (np.arange(nd), np.clip(idx, 0, n - 1)), w)
+
+    if method in ("integer",):
+        add(base, np.ones(nd))
+    elif method in ("nearest", "point"):
+        add(np.floor(t + 0.5).astype(np.int64), np.ones(nd))
+    elif method in ("average", "average4"):
+        add(base, np.full(nd, 0.5))
+        add(base + 1, np.full(nd, 0.5))
+    elif method == "average9":
+        b = (np.floor(t + 0.5) - 1.0).astype(np.int64)
+        for k in range(3):
+            add(b + k, np.full(nd, 1.0 / 3.0))
+    elif method == "average16":
+        for k in range(4):
+            add(base - 1 + k, np.full(nd, 0.25))
+    elif method == "blend":
+        # pixel.c:4580-4605: one tap outside the [0.25, 0.75) band,
+        # an equal two-tap blend inside it
+        both = (frac > 0.25) & (frac < 0.75)
+        hi = frac >= 0.75
+        add(base, np.where(both, 0.5, np.where(hi, 0.0, 1.0)))
+        add(base + 1, np.where(both, 0.5, np.where(hi, 1.0, 0.0)))
+    elif method in ("catrom", "spline"):
+        x = frac
+        alpha = 1.0 - x
+        if method == "catrom":
+            beta = -0.5 * x * alpha
+            w0 = alpha * beta
+            w3 = x * beta
+            gma = w3 - w0
+            w1 = alpha - w0 + gma
+            w2 = x - w3 - gma
+        else:
+            w3 = (1.0 / 6.0) * x ** 3
+            w0 = (1.0 / 6.0) * alpha ** 3
+            beta = w3 - w0
+            w1 = alpha - w0 + beta
+            w2 = x - w3 - beta
+        for k, wk in enumerate((w0, w1, w2, w3)):
+            add(base - 1 + k, wk)
+    else:  # bilinear default
+        add(base, 1.0 - frac)
+        add(base + 1, frac)
+    return jnp.asarray(W, jnp.float32)

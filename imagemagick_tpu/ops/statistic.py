@@ -126,66 +126,103 @@ def phash_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def evaluate(img: jnp.ndarray, operator: str, value: float = 0.0,
              key=None) -> jnp.ndarray:
-    """EvaluateImage (statistic.c EvaluateOperator enum)."""
+    """EvaluateImage (statistic.c:255-447 ApplyEvaluateOperator).
+
+    The reference evaluates in quantum units (Q16: 0..65535) with the
+    operator constant parsed by StringToDoubleInterval(QuantumRange+1) —
+    raw numbers are quantum counts, percents are fractions of 65536.
+    ``value`` IS that quantum-domain constant (the MagickEvaluateImage C
+    signature); pixels stay normalized here, so additive constants are
+    divided by QuantumRange while scale-like uses stay raw.  HDRI means
+    no post-op clamp (statistic.c:918 ClampToQuantum is identity).
+    """
     op = operator.lower().replace("-", "").replace("_", "")
-    v = value
+    QR = 65535.0
+    vq = float(value)    # reference quantum-domain constant
+    v = vq / QR          # normalized equivalent
     if op == "abs":
         return jnp.abs(img + v)
-    if op == "add":
+    if op in ("add", "sum"):
         return img + v
     if op == "addmodulus":
-        return jnp.mod(img + v, 1.0 + 1e-12)
-    if op == "and":
-        q = (img * 65535).astype(jnp.int32) & int(v * 65535)
-        return q.astype(img.dtype) / 65535.0
+        # floored modulus over QuantumRange+1 (statistic.c:264)
+        r = img * QR + vq
+        r = r - 65536.0 * jnp.floor(r / 65536.0)
+        return r / QR
+    if op in ("and", "or", "xor"):
+        # (ssize_t)pixel OP (ssize_t)(value+0.5) in quantum units
+        p = jnp.trunc(img * QR).astype(jnp.int32)
+        c = int(vq + 0.5)
+        q = (p & c) if op == "and" else (p | c) if op == "or" else (p ^ c)
+        return q.astype(img.dtype) / QR
     if op == "cosine" or op == "cos":
-        return 0.5 + 0.5 * jnp.cos(2.0 * math.pi * img * v)
+        return 0.5 + 0.5 * jnp.cos(2.0 * math.pi * img * vq)
     if op == "divide":
-        return img / (v if v != 0 else 1e-12)
+        return img / (vq if vq != 0 else 1.0)
     if op == "exponential" or op == "exp":
-        return jnp.exp(v * img)
+        # QuantumRange*exp(value*QuantumScale*pixel) (statistic.c:293)
+        return jnp.exp(vq * img)
     if op == "gaussiannoise":
-        return img + v * jax.random.normal(key or jax.random.PRNGKey(0), img.shape)
+        return img + vq * 0.1 * jax.random.normal(key or jax.random.PRNGKey(0), img.shape)
     if op == "impulsenoise":
         k = key or jax.random.PRNGKey(0)
         u = jax.random.uniform(k, img.shape)
-        salt = u > 1.0 - 0.5 * v * 0.05
-        pepper = u < 0.5 * v * 0.05
+        salt = u > 1.0 - 0.5 * vq * 0.05
+        pepper = u < 0.5 * vq * 0.05
         return jnp.where(salt, 1.0, jnp.where(pepper, 0.0, img))
     if op == "uniformnoise":
-        return img + v * (jax.random.uniform(key or jax.random.PRNGKey(0), img.shape) - 0.5)
+        return img + vq * 0.1 * (jax.random.uniform(key or jax.random.PRNGKey(0), img.shape) - 0.5)
     if op == "laplaciannoise":
         k = key or jax.random.PRNGKey(0)
         u = jax.random.uniform(k, img.shape, minval=-0.5, maxval=0.5)
-        return img + v * (-jnp.sign(u) * jnp.log(1.0 - 2.0 * jnp.abs(u)) / 2.0)
+        return img + vq * 0.1 * (-jnp.sign(u) * jnp.log(1.0 - 2.0 * jnp.abs(u)) / 2.0)
     if op == "poissonnoise":
         k = key or jax.random.PRNGKey(0)
-        lam = jnp.maximum(img * 50.0 * max(v, 1e-3), 1e-6)
-        return jax.random.poisson(k, lam).astype(img.dtype) / (50.0 * max(v, 1e-3))
+        lam = jnp.maximum(img * 50.0 * max(vq, 1e-3), 1e-6)
+        return jax.random.poisson(k, lam).astype(img.dtype) / (50.0 * max(vq, 1e-3))
     if op == "multiplicativenoise":
         k = key or jax.random.PRNGKey(0)
-        return img * (1.0 + v * jax.random.normal(k, img.shape))
+        return img * (1.0 + vq * 0.1 * jax.random.normal(k, img.shape))
     if op == "leftshift":
-        return img * (2.0 ** int(v))
+        return img * (2.0 ** int(vq))
     if op == "rightshift":
-        return img / (2.0 ** int(v))
+        return img / (2.0 ** int(vq))
     if op == "log":
-        return jnp.log(1.0 + v * img) / math.log(1.0 + v) if v > 0 else img
+        # QR*log(QuantumScale*value*pixel+1)/log(value+1), gated on
+        # pixel >= MagickEpsilon (statistic.c:329); below the gate the
+        # pixel is left unchanged
+        if vq <= -1.0 or vq == 0.0:
+            return img
+        r = jnp.log(vq * img + 1.0) / math.log(vq + 1.0)
+        return jnp.where(img >= 1e-12, r, 0.0)  # result init 0 (:249)
     if op == "max":
         return jnp.maximum(img, v)
     if op == "min":
         return jnp.minimum(img, v)
     if op == "mean":
-        return img + v  # accumulator form handled by evaluate_images
+        # single-image form: (pixel+value)/2 (statistic.c:917-918)
+        return (img + v) / 2.0
+    if op == "median":
+        return img + v
     if op == "multiply":
-        return img * v
-    if op == "or":
-        q = (img * 65535).astype(jnp.int32) | int(v * 65535)
-        return q.astype(img.dtype) / 65535.0
+        return img * vq
     if op == "pow":
-        return jnp.power(jnp.maximum(img, 0.0), v)
+        # sign-preserving for negative HDRI pixels with fractional
+        # exponents (statistic.c:376-384)
+        if abs(vq) <= 1e-12:
+            return jnp.zeros_like(img)  # early break leaves result=0
+        mag = jnp.power(jnp.abs(img), vq)
+        if abs(vq - round(vq)) > 1e-12:
+            return jnp.where(img < 0.0, -mag, mag)
+        sgn = -1.0 if int(round(vq)) % 2 else 1.0
+        return jnp.where(img < 0.0, sgn * mag, mag)
+    if op in ("rootmeansquare", "rms"):
+        # literally pixel^2+value in quantum units (statistic.c:396) —
+        # saturates to white for all but near-black pixels
+        p = img * QR
+        return (p * p + vq) / QR
     if op == "sine" or op == "sin":
-        return 0.5 + 0.5 * jnp.sin(2.0 * math.pi * img * v)
+        return 0.5 + 0.5 * jnp.sin(2.0 * math.pi * img * vq)
     if op == "subtract":
         return img - v
     if op == "set":
@@ -196,11 +233,12 @@ def evaluate(img: jnp.ndarray, operator: str, value: float = 0.0,
         return jnp.where(img > v, 1.0, img)
     if op == "threshold":
         return (img > v).astype(img.dtype)
-    if op == "xor":
-        q = (img * 65535).astype(jnp.int32) ^ int(v * 65535)
-        return q.astype(img.dtype) / 65535.0
     if op == "inverselog":
-        return ((1.0 + v) ** img - 1.0) / v if v > 0 else img
+        # QR*pow(value+1, QuantumScale*pixel-1)*PerceptibleReciprocal(value)
+        # (statistic.c:310)
+        recip = (1.0 / vq if abs(vq) >= 1e-12
+                 else (1e12 if vq >= 0 else -1e12))
+        return jnp.power(vq + 1.0, img - 1.0) * recip
     raise ValueError(f"unknown evaluate operator {operator!r}")
 
 
@@ -270,7 +308,8 @@ def function(img: jnp.ndarray, func: str, params: Sequence[float]) -> jnp.ndarra
         center = p[1] if len(p) > 1 else 0.5
         rng = p[2] if len(p) > 2 else 1.0
         bias = p[3] if len(p) > 3 else 0.5
-        return rng / math.pi * jnp.arctan(2.0 * math.pi * slope * (img - center)) + bias
+        # result = range/π · atan(π·slope·(x-center)) + bias (statistic.c)
+        return rng / math.pi * jnp.arctan(math.pi * slope * (img - center)) + bias
     raise ValueError(f"unknown function {func!r}")
 
 

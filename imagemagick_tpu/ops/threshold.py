@@ -172,14 +172,21 @@ def white_threshold(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
 
 def range_threshold(img: jnp.ndarray, low_black: float, low_white: float,
                     high_white: float, high_black: float) -> jnp.ndarray:
-    """RangeThresholdImage (threshold.c): soft trapezoid threshold."""
-    out = jnp.where(img < low_black, 0.0,
-          jnp.where(img < low_white, (img - low_black) /
-                    jnp.maximum(low_white - low_black, 1e-12),
-          jnp.where(img <= high_white, 1.0,
-          jnp.where(img <= high_black, (high_black - img) /
-                    jnp.maximum(high_black - high_white, 1e-12), 0.0))))
-    return out
+    """RangeThresholdImage (threshold.c:1160-1230): soft trapezoid over
+    the pixel INTENSITY — every updated channel is set from the same
+    intensity ramp (the result is gray), not thresholded per-channel."""
+    y = _intensity(img)[..., None]
+    ramp = jnp.where(y < low_black, 0.0,
+           jnp.where(y < low_white, (y - low_black) /
+                     max(low_white - low_black, 1e-12),
+           jnp.where(y <= high_white, 1.0,
+           jnp.where(y <= high_black, (high_black - y) /
+                     max(high_black - high_white, 1e-12), 0.0))))
+    ncol = 3 if img.shape[-1] >= 3 else 1
+    out = jnp.broadcast_to(ramp, img.shape[:-1] + (ncol,))
+    if img.shape[-1] > ncol:
+        out = jnp.concatenate([out, img[..., ncol:]], -1)
+    return out.astype(img.dtype)
 
 
 def clamp(img: jnp.ndarray) -> jnp.ndarray:

@@ -96,19 +96,36 @@ def colorize(img: jnp.ndarray, color: Sequence[float],
 
 
 def color_matrix(img: jnp.ndarray, matrix: np.ndarray) -> jnp.ndarray:
-    """ColorMatrixImage: up to 6x6 affine channel mixing (visual-effects.c)."""
-    m = np.asarray(matrix, np.float32)
-    n = m.shape[0]
+    """ColorMatrixImage (visual-effects.c:717-877): the user matrix fills
+    the top-left of a 6x6 identity whose columns are FIXED roles
+    [R, G, B, K, A, offset] and rows set [R, G, B, K, A].  A 3x3 matrix
+    is therefore a plain RGB mix with no offset; only a 6-column matrix
+    carries the affine term (column 5, scaled by QuantumRange).  K rows/
+    columns are skipped for non-CMYK images; no clamping (HDRI)."""
+    m6 = np.eye(6, dtype=np.float64)
+    um = np.asarray(matrix, np.float64)
+    n = um.shape[0]
+    m6[:min(n, 6), :min(n, 6)] = um[:6, :6]
     c = img.shape[-1]
-    # build input vector [r g b (k) a 1] padded
-    comps = [img[..., i] for i in range(min(c, n - 1))]
-    while len(comps) < n - 1:
-        comps.append(jnp.ones(img.shape[:-1], img.dtype))
-    comps.append(jnp.ones(img.shape[:-1], img.dtype))  # affine term
-    vec = jnp.stack(comps[:n], axis=-1)
-    out = jnp.einsum("...i,ji->...j", vec, jnp.asarray(m), precision="highest")
-    out = out[..., :c]
-    return jnp.clip(out, 0, 1)
+    has_alpha = c in (2, 4)
+    nrgb = 1 if c <= 2 else 3
+    cols = [img[..., i] for i in range(nrgb)]
+    if nrgb == 1:
+        cols = cols * 3                           # gray replicates to RGB
+    alpha = img[..., -1] if has_alpha else None
+    ones = jnp.ones(img.shape[:-1], img.dtype)
+    rows = []
+    for h in range(3 if nrgb == 3 else 1):
+        s = (m6[h, 0] * cols[0] + m6[h, 1] * cols[1] + m6[h, 2] * cols[2]
+             + m6[h, 5] * ones)                   # offset normalized by QR
+        if has_alpha:
+            s = s + m6[h, 4] * alpha
+        rows.append(s)
+    if has_alpha:
+        s = (m6[4, 0] * cols[0] + m6[4, 1] * cols[1] + m6[4, 2] * cols[2]
+             + m6[4, 4] * alpha + m6[4, 5] * ones)
+        rows.append(s)
+    return jnp.stack(rows, axis=-1).astype(img.dtype)
 
 
 def sepia_tone(img: jnp.ndarray, threshold: float = 0.8) -> jnp.ndarray:

@@ -220,6 +220,69 @@ CASES = [
     ("-level-colors blue,red", 300.0),
     ("-level-colors red,green", 300.0),
     ("+level-colors red,green", 300.0),
+    # EvaluateImage: quantum-domain constants (statistic.c:255-447);
+    # raw numbers are quantum counts, percents are fractions of 65536
+    ("-evaluate Add 10%", 300.0),
+    ("-evaluate Subtract 25%", 300.0),
+    ("-evaluate Multiply 1.5", 300.0),
+    ("-evaluate Divide 2", 300.0),
+    ("-evaluate Pow 1.3", 300.0),
+    ("-evaluate Log 10", 300.0),
+    ("-evaluate Exponential 2", 300.0),
+    ("-evaluate Sine 2", 300.0),
+    ("-evaluate Cosine 2", 300.0),
+    ("-evaluate Set 50%", 300.0),
+    ("-evaluate Min 30%", 300.0),
+    ("-evaluate Max 70%", 300.0),
+    ("-evaluate And 128", 300.0),
+    ("-evaluate Or 64", 300.0),
+    ("-evaluate Xor 255", 300.0),
+    ("-evaluate LeftShift 1", 300.0),
+    ("-evaluate RightShift 2", 300.0),
+    ("-evaluate Abs 0", 300.0),
+    ("-evaluate Threshold 50%", 300.0),
+    ("-evaluate ThresholdBlack 20%", 300.0),
+    ("-evaluate ThresholdWhite 80%", 300.0),
+    ("-evaluate AddModulus 40%", 300.0),
+    ("-evaluate Mean 50%", 300.0),
+    ("-evaluate RMS 50%", 300.0),
+    ("-evaluate InverseLog 10", 300.0),
+    # FunctionImage (statistic.c FunctionImage)
+    ("-function Polynomial 0.5,0.2,0.1", 300.0),
+    ("-function Sinusoid 2,90,0.4,0.5", 70.0),  # f32 sin boundary rounding
+    ("-function ArcSin 1,0,1,0", 300.0),
+    ("-function ArcTan 1,0,1,0", 300.0),
+    # ColorMatrixImage 6x6 identity padding (visual-effects.c:717)
+    ("-color-matrix 0.9,0.1,0,0.1,0.8,0.1,0,0.2,0.8", 70.0),
+    # RangeThresholdImage intensity trapezoid (threshold.c:1160)
+    ("-range-threshold 20%,40%,60%,80%", 300.0),
+    ("-range-threshold 10%,30%,70%,90%", 300.0),
+    # SetImageType(BilevelType): gray+normalize+bilevel (attribute.c:2320)
+    ("-monochrome", 300.0),
+    # GetPixelIntensity methods incl. the quantum-squared MS quirk
+    ("-grayscale Rec709Luminance", 300.0),
+    ("-grayscale Rec601Luma", 300.0),
+    ("-grayscale Brightness", 300.0),
+    ("-grayscale Lightness", 300.0),
+    ("-grayscale Average", 300.0),
+    ("-grayscale MS", 300.0),
+    ("-grayscale RMS", 300.0),
+    # InterpolatePixelChannel: all separable methods (pixel.c:4433-4830)
+    ("-interpolate nearest -interpolative-resize 45x37", 300.0),
+    ("-interpolate average -interpolative-resize 45x37", 300.0),
+    ("-interpolate average9 -interpolative-resize 45x37", 300.0),
+    ("-interpolate average16 -interpolative-resize 45x37", 300.0),
+    ("-interpolate spline -interpolative-resize 45x37", 300.0),
+    ("-interpolate catrom -interpolative-resize 45x37", 300.0),
+    ("-interpolate blend -interpolative-resize 45x37", 300.0),
+    ("-interpolate bilinear -interpolative-resize 45x37", 300.0),
+    ("-interpolate mesh -interpolative-resize 45x37", 300.0),
+    ("-interpolate integer -interpolative-resize 45x37", 300.0),
+    # misc oracle-verified ops
+    ("-fuzz 20% -opaque red", 300.0),
+    ("-fuzz 15% -transparent blue", 300.0),
+    ("-white-balance", 300.0),
+    ("-auto-orient", 300.0),
 ]
 
 
