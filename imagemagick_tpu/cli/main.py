@@ -1248,10 +1248,17 @@ def _motion_args(a):
 
 
 def _bilateral_args(a):
+    # operation.c:1849-1864: rho=width, sigma=height (defaults to rho),
+    # xi=intensity sigma (default sqrt(w²+h²)), psi=spatial (default xi/4)
     g = parse_geometry(a)
     w = int(g.width or 5)
     h = int(g.height if g.height is not None else w)
-    return {"width": w, "height": h}
+    kw = {"width": w, "height": h}
+    if g.x is not None:
+        kw["intensity_sigma"] = float(g.x)
+    if g.y is not None:
+        kw["spatial_sigma"] = float(g.y)
+    return kw
 
 
 def _shade_args(a):
@@ -1490,8 +1497,12 @@ def _op_distort(st, arg, plus):
     for li in st.images:
         img = li.materialize()
         bg = None if vp in ("edge", "") else st.bg()[: img.channels]
-        li.image = img.replace(data=dt.distort(
-            img.data, method, args, background=bg, bestfit=bool(plus)))
+        data = dt.distort(img.data, method, args, background=bg,
+                          bestfit=bool(plus), vp=vp)
+        if data.shape[-1] != img.channels:   # transparent vp adds alpha
+            li.image = Image(data, img.spec.with_(alpha=True))
+        else:
+            li.image = img.replace(data=data)
 
 
 def _canny_args(a):

@@ -450,13 +450,42 @@ def rotational_blur(img: jnp.ndarray, angle: float) -> jnp.ndarray:
 
 def selective_blur(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
                    threshold: float = 0.1, virtual_pixel: str = "edge") -> jnp.ndarray:
-    """SelectiveBlurImage (effect.c:3430): Gaussian restricted to pixels whose
-    neighborhood contrast is below threshold."""
-    blurred = gaussian_blur(img, radius, sigma, virtual_pixel)
-    local_mean = blur(img, radius, max(sigma, 1.0), virtual_pixel)
-    contrast = jnp.abs(img - local_mean)
-    mask = jnp.max(contrast, axis=-1, keepdims=True) < threshold
-    return jnp.where(mask, blurred, img)
+    """SelectiveBlurImage (effect.c:3323-3544): an UNNORMALIZED 2-D
+    Gaussian window where each tap joins the average only if the
+    luminance contrast |luma(tap) − intensity(center)| < threshold; the
+    per-pixel included-weight sum renormalizes, and pixels whose gate
+    admits ~nothing keep their original value.  The tap gate uses a
+    GRAY-transformed clone (Rec709Luma) for tap luminance and
+    GetPixelIntensity for the center — identical quantities for sRGB."""
+    from ..core.virtual_pixel import pad_spatial
+    from .enhance import grayscale
+
+    width = optimal_kernel_width_1d(radius, _sigma_safe(sigma))
+    j = (width - 1) // 2
+    s = _sigma_safe(sigma)
+    vs = np.arange(-j, j + 1, dtype=np.float64)
+    k2 = np.exp(-(vs[:, None] ** 2 + vs[None, :] ** 2) / (2.0 * s * s)) \
+        / (2.0 * math.pi * s * s)
+    c = img.shape[-1]
+    ncol = 3 if c >= 3 else 1
+    luma = grayscale(img[..., :ncol]) if ncol == 3 else img[..., :1]
+    center = luma
+    pad = pad_spatial(img, (j, j), (j, j), virtual_pixel)
+    padl = pad_spatial(luma, (j, j), (j, j), virtual_pixel)
+    h, w = img.shape[-3], img.shape[-2]
+    acc = jnp.zeros_like(img)
+    gamma = jnp.zeros(img.shape[:-1] + (1,), img.dtype)
+    for dv in range(width):
+        for du in range(width):
+            tap = pad[..., dv:dv + h, du:du + w, :]
+            tl = padl[..., dv:dv + h, du:du + w, :]
+            inc = (jnp.abs(tl - center) < threshold).astype(img.dtype)
+            kw = float(k2[dv, du])
+            acc = acc + kw * inc * tap
+            gamma = gamma + kw * inc
+    good = jnp.abs(gamma) >= 1e-12
+    out = acc / jnp.where(good, gamma, 1.0)
+    return jnp.where(good, out, img)
 
 
 def despeckle(img: jnp.ndarray) -> jnp.ndarray:
@@ -624,36 +653,70 @@ def kuwahara(img: jnp.ndarray, radius: float = 1.0, sigma: float = None,
 
 
 def bilateral_blur(img: jnp.ndarray, width: int = 5, height: int = 5,
-                   intensity_sigma: float = 0.75, spatial_sigma: float = None,
+                   intensity_sigma: float = None, spatial_sigma: float = None,
                    virtual_pixel: str = "edge") -> jnp.ndarray:
-    """BilateralBlurImage (effect.c:894): edge-preserving range+domain filter.
+    """BilateralBlurImage (effect.c:894-1120), reference-exact.
 
-    Direct windowed form: for window offsets (u,v),
-      w(u,v,p) = exp(-(u²+v²)/2σs²) * exp(-|I(p+uv)-I(p)|²/2σr²)
-    realized as a static unrolled sum over the window — every term is a
-    shifted elementwise multiply the VPU streams at HBM bandwidth.
+    The window is width x height EXACTLY, taps at offsets
+    (mid.x-u, mid.y-v) for u,v over the window (asymmetric for even
+    sizes).  Each tap weight is
+      BlurGaussian(charI(tap)-charI(center), intensity_sigma)
+      * BlurGaussian(sqrt(dx^2+dy^2), spatial_sigma)
+    where charI = ScaleQuantumToChar(GetPixelIntensity) — the INTEGER
+    0..255 rounding of the Rec709Luma intensity (quantum.h:113) — and
+    BlurGaussian(x, s) = exp(-x^2/(2 s^2))/(2 pi s^2) with
+    PerceptibleReciprocal guards (effect.c:846-856).  Defaults follow
+    operation.c:1856-1861: xi = sqrt(w^2+h^2), psi = xi/4.
     """
+    from .enhance import grayscale
+
+    width = max(int(width), 1)
+    height = max(int(height), 1)
+    if intensity_sigma is None:
+        intensity_sigma = math.sqrt(width * width + height * height)
     if spatial_sigma is None:
-        spatial_sigma = max(width, height) / 3.0
-    rh, rw = height // 2, width // 2
+        spatial_sigma = 0.25 * math.sqrt(width * width + height * height)
+
+    def pr(v):
+        return 1.0 / v if abs(v) >= 1e-12 else (1e12 if v >= 0 else -1e12)
+
+    def blur_gaussian(x, sigma):
+        a = pr(2.0 * sigma * sigma)
+        b = pr(2.0 * math.pi * sigma * sigma)
+        return np.exp(-np.asarray(x, np.float64) ** 2 * a) * b
+
+    midx, midy = width // 2, height // 2
     lead = img.shape[:-3]
     h, w, c = img.shape[-3:]
     x = img.reshape((-1, h, w, c))
-    xp = pad_spatial(x, (rh, rh), (rw, rw), virtual_pixel)
+    ncol = 3 if c >= 3 else 1
+    luma = grayscale(x[..., :ncol]) if ncol == 3 else x[..., :1]
+    # ScaleQuantumToChar: round-half-up of q/257 == round(x*255), [0,255]
+    chari = jnp.clip(jnp.floor(luma * 255.0 + 0.5), 0.0, 255.0)
+    pady = (height - 1 - midy, midy)     # offsets midy-(H-1) .. midy
+    padx = (width - 1 - midx, midx)
+    xp = pad_spatial(x, pady, padx, virtual_pixel)
+    cp = pad_spatial(chari, pady, padx, virtual_pixel)
     num = jnp.zeros_like(x)
     den = jnp.zeros((x.shape[0], h, w, 1), x.dtype)
-    inv_s = 1.0 / (2.0 * spatial_sigma * spatial_sigma)
-    inv_r = 1.0 / (2.0 * intensity_sigma * intensity_sigma)
-    for dy in range(-rh, rh + 1):
-        for dx in range(-rw, rw + 1):
-            sw = math.exp(-(dx * dx + dy * dy) * inv_s)
-            nb = lax.dynamic_slice(xp, (0, dy + rh, dx + rw, 0), x.shape)
-            d2 = jnp.sum((nb - x) ** 2, axis=-1, keepdims=True)
-            wgt = sw * jnp.exp(-d2 * inv_r)
+    # precompute the 511-entry intensity gaussian as a device LUT
+    ilut = jnp.asarray(blur_gaussian(np.arange(-255, 256), intensity_sigma),
+                       x.dtype)
+    for v in range(height):
+        for u in range(width):
+            oy, ox = midy - v, midx - u
+            sw = float(blur_gaussian(math.sqrt((u - midx) ** 2 +
+                                               (v - midy) ** 2),
+                                     spatial_sigma))
+            ys, xs = oy + pady[0], ox + padx[0]
+            nb = lax.dynamic_slice(xp, (0, ys, xs, 0), x.shape)
+            nc = lax.dynamic_slice(cp, (0, ys, xs, 0), chari.shape)
+            d = (nc - chari).astype(jnp.int32) + 255
+            wgt = sw * jnp.take(ilut, jnp.clip(d, 0, 510))
             num = num + wgt * nb
             den = den + wgt
-    out = num / jnp.maximum(den, 1e-12)
-    return jnp.clip(out.reshape(img.shape), 0.0, 1.0)
+    out = num * jnp.where(jnp.abs(den) >= 1e-12, 1.0 / den, 1e12)
+    return out.reshape(img.shape)
 
 
 def local_contrast(img: jnp.ndarray, radius: float = 10.0,

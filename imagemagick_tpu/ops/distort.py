@@ -28,8 +28,49 @@ def _grid(h, w, dtype=jnp.float32):
     return jnp.broadcast_to(yy, (h, w)), jnp.broadcast_to(xx, (h, w))
 
 
+def _make_tap(img: jnp.ndarray,
+              background: Optional[Sequence[float]] = None,
+              vp: str = "edge"):
+    """Build a tap(yi, xi) gather honoring the virtual-pixel policy.
+
+    vp='edge' with a background keeps the legacy behavior (constant fill
+    outside the canvas); any other vp routes through core.virtual_pixel's
+    coordinate remapping (cache.c:2928-3066), with vp_constant supplying
+    the fill for constant/tile-fill methods."""
+    from ..core.virtual_pixel import vp_constant, vp_tap
+
+    h, w, c = img.shape[-3:]
+    img2 = img.reshape(img.shape[:-3] + (h * w, c))
+    m = (vp or "edge").lower()
+    if m in ("edge", "undefined", ""):
+        if background is None:
+            def tap(yi, xi):
+                return jnp.take(img2, jnp.clip(yi, 0, h - 1) * w +
+                                jnp.clip(xi, 0, w - 1), axis=-2)
+            return tap
+        bg = jnp.asarray(tuple(background)[:c], img.dtype)
+
+        def tap(yi, xi):
+            px = jnp.take(img2, jnp.clip(yi, 0, h - 1) * w +
+                          jnp.clip(xi, 0, w - 1), axis=-2)
+            valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
+            return jnp.where(valid, px, bg)
+        return tap
+    const = vp_constant(m, background, c)
+    bg = None if const is None else jnp.asarray(const, img.dtype)
+
+    def tap(yi, xi):
+        yc, xc, mask = vp_tap(yi, xi, h, w, m)
+        px = jnp.take(img2, yc * w + xc, axis=-2)
+        if mask is not None and bg is not None:
+            px = jnp.where(mask[..., None], bg, px)
+        return px
+    return tap
+
+
 def sample_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
-                    background: Optional[Sequence[float]] = None) -> jnp.ndarray:
+                    background: Optional[Sequence[float]] = None,
+                    vp: str = "edge") -> jnp.ndarray:
     """Bilinear lookup of (..., H, W, C) at fractional coords (u=x, v=y).
 
     Out-of-canvas samples take the background color (the reference's default
@@ -43,29 +84,10 @@ def sample_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def at(yi, xi):
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        flat = yc * w + xc
-        img2 = img.reshape(img.shape[:-3] + (h * w, c))
-        return jnp.take(img2, flat, axis=-2)
-
-    if background is None:
-        # virtual-pixel EDGE (clamp) — the reference's default for
-        # distorts (cache.c EdgeX policy); rotate/wave pass an explicit
-        # background instead
-        tap = at
-    else:
-        bg = jnp.asarray(background, img.dtype)[:c]
-
-        def tap(yi, xi):
-            # per-tap virtual pixel: off-canvas taps contribute the
-            # background color INSIDE the bilinear blend, like the
-            # reference's InterpolatePixelChannels over a background
-            # virtual-pixel view (no hard inside/outside edge)
-            valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
-            return jnp.where(valid, at(yi, xi), bg)
-
+    # per-tap virtual pixel: off-canvas taps contribute the policy color
+    # INSIDE the bilinear blend, like the reference's
+    # InterpolatePixelChannels over a virtual-pixel cache view
+    tap = _make_tap(img, background, vp)
     p00 = tap(y0i, x0i)
     p01 = tap(y0i, x0i + 1)
     p10 = tap(y0i + 1, x0i)
@@ -78,12 +100,13 @@ def sample_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
 def warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
          background: Optional[Sequence[float]] = None,
          sampler: str = "bilinear",
-         jac: Optional[Tuple[float, float, float, float]] = None) -> jnp.ndarray:
+         jac: Optional[Tuple[float, float, float, float]] = None,
+         vp: str = "edge") -> jnp.ndarray:
     if sampler == "ewa":
         if jac is not None:
-            return sample_ewa_reference(img, u, v, jac, background)
+            return sample_ewa_reference(img, u, v, jac, background, vp)
         return sample_ewa(img, u, v, background)
-    return sample_bilinear(img, u, v, background)
+    return sample_bilinear(img, u, v, background, vp)
 
 
 _ROBIDOUX_LUT = None
@@ -114,8 +137,8 @@ def _robidoux_lut() -> jnp.ndarray:
 
 def sample_ewa_reference(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                          jac: Tuple[float, float, float, float],
-                         background: Optional[Sequence[float]] = None
-                         ) -> jnp.ndarray:
+                         background: Optional[Sequence[float]] = None,
+                         vp: str = "edge") -> jnp.ndarray:
     """Reference-exact EWA resampling for a CONSTANT Jacobian.
 
     Replicates resample.c: ClampUpAxes (clamped-EWA per Robidoux,
@@ -152,9 +175,7 @@ def sample_ewa_reference(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     nv = int(2.0 * Vlimit) + 1 + 1   # max scan lines (v2-v1+1 <= 2V+1)
     uw = int(2.0 * Uwidth) + 1
     lut = _robidoux_lut()
-    img2 = img.reshape(img.shape[:-3] + (h * w, c))
-    if background is not None:
-        bg = jnp.asarray(tuple(background)[:c], img.dtype)
+    tap = _make_tap(img, background, vp)
 
     v1 = jnp.ceil(v0 := v - Vlimit)
     v2 = jnp.floor(v + Vlimit)
@@ -173,18 +194,11 @@ def sample_ewa_reference(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
             qi = Q.astype(jnp.int32)
             wgt = jnp.where(vmask & (qi >= 0) & (qi < 1024),
                             jnp.take(lut, jnp.clip(qi, 0, 1023)), 0.0)
-            xi = uu.astype(jnp.int32)
-            yi = vv.astype(jnp.int32)
-            xc = jnp.clip(xi, 0, w - 1)
-            yc = jnp.clip(yi, 0, h - 1)
-            px = jnp.take(img2, yc * w + xc, axis=-2)
-            if background is not None:
-                inside = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))[..., None]
-                px = jnp.where(inside, px, bg)
+            px = tap(vv.astype(jnp.int32), uu.astype(jnp.int32))
             acc = acc + wgt[..., None] * px
             den = den + wgt[..., None]
     out = acc / jnp.where(den == 0.0, 1.0, den)
-    fallback = sample_bilinear(img, u, v, background)
+    fallback = sample_bilinear(img, u, v, background, vp)
     return jnp.where(den == 0.0, fallback, out)
 
 
@@ -237,8 +251,8 @@ def _pow2_bucket(n, lo=4):
 
 
 def sample_ewa_reference_var(img: jnp.ndarray, u, v, jac,
-                             background: Optional[Sequence[float]] = None
-                             ) -> jnp.ndarray:
+                             background: Optional[Sequence[float]] = None,
+                             vp: str = "edge") -> jnp.ndarray:
     """Reference EWA resampling with a PER-PIXEL Jacobian (resample.c
     ResamplePixelColor driven by per-pixel ScaleFilter calls, as the
     Arc/Polar/Barrel/Cylinder distorts do — distort.c:2655-2817).
@@ -281,28 +295,16 @@ def sample_ewa_reference_var(img: jnp.ndarray, u, v, jac,
                  Vlimit=Vlimit, nv=nv, uw=uw).items()}
     limit_f = limit.ravel()
 
-    img2 = img.reshape(img.shape[:-3] + (h * w, c))
-    bg = None
-    if background is not None:
-        bg = jnp.asarray(tuple(background)[:c], img.dtype)
     lut = _robidoux_lut()
+    _gather = _make_tap(img, background, vp)
 
     # fallback plane: reference bilinear at the shifted s (the -0.5 is
     # already applied before ResamplePixelColor, distort.c:2856;
     # InterpolatePixelChannel BilinearInterpolatePixel, pixel.c:4769)
     out = sample_bilinear(
         img, jnp.asarray(uf.reshape(out_shape), img.dtype),
-        jnp.asarray(vf.reshape(out_shape), img.dtype), background)
+        jnp.asarray(vf.reshape(out_shape), img.dtype), background, vp)
     out = out.reshape(img.shape[:-3] + (uf.size, c))
-
-    def _gather(yi, xi):
-        xc = jnp.clip(xi, 0, w - 1)
-        yc = jnp.clip(yi, 0, h - 1)
-        px = jnp.take(img2, yc * w + xc, axis=-2)
-        if bg is not None:
-            inside = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))[..., None]
-            px = jnp.where(inside, px, bg)
-        return px
 
     # limit-reached pixels: 4-neighbour average at floor(s)
     lim_idx = np.nonzero(limit_f)[0]
@@ -398,12 +400,13 @@ def rotate_bilinear(img: jnp.ndarray, theta: float,
     ct, st = math.cos(theta), math.sin(theta)
     u = ct * (xx - cx) + st * (yy - cy) + cx
     v = -st * (xx - cx) + ct * (yy - cy) + cy
-    return sample_bilinear(img, u, v, background)
+    return sample_bilinear(img, u, v, background, vp)
 
 
 def rotate(img: jnp.ndarray, degrees: float,
            background: Optional[Sequence[float]] = None,
-           expand: bool = True, sampler: str = "ewa") -> jnp.ndarray:
+           expand: bool = True, sampler: str = "ewa",
+           vp: str = "edge") -> jnp.ndarray:
     """RotateImage (shear.c:~1400): arbitrary-angle rotation.
 
     The reference uses the 3-shear method (paper cited at shear.c:36) for
@@ -457,12 +460,12 @@ def rotate(img: jnp.ndarray, degrees: float,
     v = c3 * dx + c4 * dy + c5 - 0.5
     if sampler == "bilinear":
         return warp(img, u, v, background, "bilinear")
-    return sample_ewa_reference(img, u, v, (c0, c1, c3, c4), background)
+    return sample_ewa_reference(img, u, v, (c0, c1, c3, c4), background, vp)
 
 
 def affine_projection_bestfit(img: jnp.ndarray, matrix: Sequence[float],
-                              background: Optional[Sequence[float]] = None
-                              ) -> jnp.ndarray:
+                              background: Optional[Sequence[float]] = None,
+                              vp: str = "edge") -> jnp.ndarray:
     """AffineTransformImage (distort.c): DistortImage(AffineProjection,
     bestfit) — forward matrix (sx, rx, ry, sy, tx, ty) in the AffineMatrix
     convention x' = sx·x + ry·y + tx ; y' = rx·x + sy·y + ty, background
@@ -486,13 +489,14 @@ def affine_projection_bestfit(img: jnp.ndarray, matrix: Sequence[float],
     dy = yy + (gy + 0.5)
     u = c0 * dx + c1 * dy + c2 - 0.5
     v = c3 * dx + c4 * dy + c5 - 0.5
-    return sample_ewa_reference(img, u, v, (c0, c1, c3, c4), background)
+    return sample_ewa_reference(img, u, v, (c0, c1, c3, c4), background, vp)
 
 
 def affine_transform(img: jnp.ndarray, matrix: Sequence[float],
                      out_shape: Optional[Tuple[int, int]] = None,
                      background: Optional[Sequence[float]] = None,
-                     sampler: str = "bilinear") -> jnp.ndarray:
+                     sampler: str = "bilinear",
+                     vp: str = "edge") -> jnp.ndarray:
     """AffineTransformImage / DistortImage AffineDistortion.
 
     matrix = (sx, rx, ry, sy, tx, ty) as in the reference's AffineMatrix:
@@ -511,7 +515,7 @@ def affine_transform(img: jnp.ndarray, matrix: Sequence[float],
     yy, xx = _grid(oh, ow, img.dtype)
     u = isx * xx + iry * yy + itx
     v = irx * xx + isy * yy + ity
-    return warp(img, u, v, background, sampler)
+    return warp(img, u, v, background, sampler, vp=vp)
 
 
 def _solve_perspective(src_pts, dst_pts):
@@ -558,7 +562,8 @@ def _affine_bestfit_grid(c, h, w, img_dtype):
 
 def distort(img: jnp.ndarray, method: str, args: Sequence[float],
             background: Optional[Sequence[float]] = None,
-            sampler: str = "ewa", bestfit: bool = False) -> jnp.ndarray:
+            sampler: str = "ewa", bestfit: bool = False,
+            vp: str = "edge") -> jnp.ndarray:
     """DistortImage (distort.c:1754) — core methods.
 
     Supported: affine (3+ point pairs), perspective (4 pairs), srt
@@ -570,6 +575,26 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
     bounds (distort.c:1822-2030).
     """
     method = method.lower()
+    if (vp or "").lower() == "transparent":
+        # transparent virtual pixels blend ALPHA-WEIGHTED (resample.c
+        # accumulates alpha-premultiplied colors and divides by the
+        # resampled alpha): promote to alpha, premultiply, sample with a
+        # (0,0,0,0) fill, un-premultiply.  The image gains an alpha
+        # channel like the reference's SetImageVirtualPixelMethod path.
+        c = img.shape[-1]
+        if c in (1, 3):
+            a = jnp.ones(img.shape[:-1] + (1,), img.dtype)
+            img = jnp.concatenate([img, a], -1)
+        else:
+            a = img[..., -1:]
+            img = jnp.concatenate([img[..., :-1] * a, a], -1)
+        out = distort(img, method, args,
+                      background=(0.0,) * img.shape[-1], sampler=sampler,
+                      bestfit=bestfit, vp="background")
+        al = out[..., -1:]
+        col = out[..., :-1] / jnp.where(jnp.abs(al) < 1e-12, 1.0, al)
+        return jnp.concatenate([col, al], -1)
+
     h, w = img.shape[-3], img.shape[-2]
     yy, xx = _grid(h, w, img.dtype)
     cy, cx = h / 2.0, w / 2.0
@@ -615,8 +640,8 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         v = c3 * dx + c4 * dy + c5 - 0.5
         if sampler == "ewa":
             return sample_ewa_reference(img, u, v, (c0, c1, c3, c4),
-                                        background)
-        return warp(img, u, v, background, sampler)
+                                        background, vp)
+        return warp(img, u, v, background, sampler, vp=vp)
 
     if method == "affine":
         pts = np.asarray(args, np.float64).reshape(-1, 4)
@@ -637,8 +662,8 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         v = ic[3] * dx + ic[4] * dy + ic[5] - 0.5
         if sampler == "ewa":
             return sample_ewa_reference(
-                img, u, v, (ic[0], ic[1], ic[3], ic[4]), background)
-        return warp(img, u, v, background, sampler)
+                img, u, v, (ic[0], ic[1], ic[3], ic[4]), background, vp)
+        return warp(img, u, v, background, sampler, vp=vp)
 
     if method == "perspective":
         pts = np.asarray(args, np.float64).reshape(-1, 4)
@@ -646,7 +671,8 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         # ground-sky sign from the first dest control point (distort.c:929)
         c8 = coeff[6] * pts[0, 2] + coeff[7] * pts[0, 3] + 1.0
         c8 = -1.0 if c8 < 0.0 else 1.0
-        return _perspective_eval(img, coeff, c8, background, bestfit, sampler)
+        return _perspective_eval(img, coeff, c8, background, bestfit,
+                                 sampler, vp)
 
     if method == "affineprojection":
         # 6 raw forward coefficients sx,rx,ry,sy,tx,ty (distort.h)
@@ -662,8 +688,8 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         v = ic[3] * dx + ic[4] * dy + ic[5] - 0.5
         if sampler == "ewa":
             return sample_ewa_reference(
-                img, u, v, (ic[0], ic[1], ic[3], ic[4]), background)
-        return warp(img, u, v, background, sampler)
+                img, u, v, (ic[0], ic[1], ic[3], ic[4]), background, vp)
+        return warp(img, u, v, background, sampler, vp=vp)
 
     if method == "perspectiveprojection":
         # 8 raw forward coefficients inverted (distort.c:948
@@ -677,7 +703,8 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         # forward maps source (0,0) to (c, f): sign of r there (distort.c:956)
         c8 = coeff[6] * c + coeff[7] * f + 1.0
         c8 = -1.0 if c8 < 0.0 else 1.0
-        return _perspective_eval(img, coeff, c8, background, bestfit, sampler)
+        return _perspective_eval(img, coeff, c8, background, bestfit,
+                                 sampler, vp)
 
     if method == "rigidaffine":
         # similarity transform: rotation + uniform scale + translation
@@ -703,8 +730,8 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         v = ic[3] * dx + ic[4] * dy + ic[5] - 0.5
         if sampler == "ewa":
             return sample_ewa_reference(
-                img, u, v, (ic[0], ic[1], ic[3], ic[4]), background)
-        return warp(img, u, v, background, sampler)
+                img, u, v, (ic[0], ic[1], ic[3], ic[4]), background, vp)
+        return warp(img, u, v, background, sampler, vp=vp)
 
     if method == "bilinearforward":
         # forward-fitted bilinear i = c0·x+c1·y+c2·xy+c3 (source x,y ->
@@ -738,14 +765,14 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         one = np.ones_like(sx)
         zero = np.zeros_like(sx)
         out = sample_ewa_reference_var(img, sx - 0.5, sy - 0.5,
-                                       (one, zero, zero, one), background)
+                                       (one, zero, zero, one), background, vp)
         if np.all(validity >= 1.0):
             return out
         return _blend_invalid(out, validity, img.shape[-1], img.dtype)
 
     if method in ("barrel", "barrelinverse", "arc", "polar", "depolar",
                   "cylinder2plane", "plane2cylinder"):
-        return _polar_family(img, method, args, background, bestfit)
+        return _polar_family(img, method, args, background, bestfit, vp)
 
     if method == "polynomial":
         # args: order, then x,y,X,Y control points (distort.c Polynomial)
@@ -763,7 +790,7 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         cv, *_ = np.linalg.lstsq(A, src[:, 1], rcond=None)
         u = sum(c * xx ** i * yy ** j for c, (i, j) in zip(cu, terms))
         v = sum(c * xx ** i * yy ** j for c, (i, j) in zip(cv, terms))
-        return warp(img, u, v, background, sampler)
+        return warp(img, u, v, background, sampler, vp=vp)
 
     if method in ("shepards", "shepard"):
         # inverse-distance-weighted displacement about the DEST control
@@ -790,7 +817,7 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         one = np.ones_like(u)
         zero = np.zeros_like(u)
         return sample_ewa_reference_var(img, u - 0.5, v - 0.5,
-                                        (one, zero, zero, one), background)
+                                        (one, zero, zero, one), background, vp)
 
     if method in ("bilineardistortion", "bilinear", "bilinearreverse"):
         # reverse-fitted bilinear s = c0·x+c1·y+c2·xy+c3 over dest control
@@ -809,7 +836,7 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
         jac = (cu[0] + cu[2] * dy, cu[1] + cu[2] * dx,
                cv[0] + cv[2] * dy, cv[1] + cv[2] * dx)
         return sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac,
-                                        background)
+                                        background, vp)
 
     if method in ("resize", "resizedistortion"):
         from .resize import resize as rz_resize
@@ -835,7 +862,8 @@ def _blend_invalid(out, validity, img_channels, dtype):
 
 def _perspective_eval(img: jnp.ndarray, coeff, c8: float,
                       background: Optional[Sequence[float]],
-                      bestfit: bool, sampler: str = "ewa") -> jnp.ndarray:
+                      bestfit: bool, sampler: str = "ewa",
+                      vp: str = "edge") -> jnp.ndarray:
     """PerspectiveDistortion evaluation (distort.c:2548-2580): ratio of
     affines with sky/ground validity, horizon anti-alias band, and the
     per-pixel EWA derivative matrix; matte-color blend for invalid."""
@@ -877,11 +905,12 @@ def _perspective_eval(img: jnp.ndarray, coeff, c8: float,
     jac = ((r * c0 - p * c6) * s2, (r * c1 - p * c7) * s2,
            (r * c3 - n * c6) * s2, (r * c4 - n * c7) * s2)
     if sampler == "ewa":
-        out = sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac, background)
+        out = sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac, background, vp)
     else:
         # -filter point / interpolated resampling: plain warp, no EWA
         out = warp(img, jnp.asarray(u - 0.5, img.dtype),
-                   jnp.asarray(v - 0.5, img.dtype), background, sampler)
+                   jnp.asarray(v - 0.5, img.dtype), background, sampler,
+                   vp=vp)
     if np.all(validity >= 1.0):
         return out
     return _blend_invalid(out, validity, img.shape[-1], img.dtype)
@@ -889,7 +918,7 @@ def _perspective_eval(img: jnp.ndarray, coeff, c8: float,
 
 def _polar_family(img: jnp.ndarray, method: str, args: Sequence[float],
                   background: Optional[Sequence[float]],
-                  bestfit: bool = False) -> jnp.ndarray:
+                  bestfit: bool = False, vp: str = "edge") -> jnp.ndarray:
     """Arc/Polar/DePolar/Barrel/Cylinder distorts, reference-exact.
 
     Coefficient generation mirrors distort.c GenerateCoefficients
@@ -957,7 +986,7 @@ def _polar_family(img: jnp.ndarray, method: str, args: Sequence[float],
         u = sx * c1s + c4 + 0.5
         v = (c2 - r) * c3s
         return sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac,
-                                        background)
+                                        background, vp)
 
     if method in ("polar", "depolar"):
         if na == 3 or (na > 6 and method == "polar") or na > 8:
@@ -1009,7 +1038,7 @@ def _polar_family(img: jnp.ndarray, method: str, args: Sequence[float],
             u = sx * c6 + w / 2.0
             v = (r - c1) * c7
             return sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac,
-                                            background)
+                                            background, vp)
         # depolar: direct polar->cartesian lookup; the reference never
         # rescales the resample filter here, so every pixel samples with
         # the default UNIT-circle EWA set at filter init (distort.c:2705,
@@ -1032,7 +1061,7 @@ def _polar_family(img: jnp.ndarray, method: str, args: Sequence[float],
         one = np.ones_like(u)
         zero = np.zeros_like(u)
         return sample_ewa_reference_var(img, u - 0.5, v - 0.5,
-                                        (one, zero, zero, one), background)
+                                        (one, zero, zero, one), background, vp)
 
     if method in ("barrel", "barrelinverse"):
         if na < 3 or na in (7, 9) or na > 10:
@@ -1077,7 +1106,7 @@ def _polar_family(img: jnp.ndarray, method: str, args: Sequence[float],
                np.where(r > 1e-10, gy * dx * dy, 0.0),
                np.where(r > 1e-10, gy * dy * dy + fy, ctr_y))
         return sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac,
-                                        background)
+                                        background, vp)
 
     # cylinder2plane / plane2cylinder (distort.c:1342, :2715-2770)
     fov = math.radians(a[0]) if a else math.radians(90.0)
@@ -1117,7 +1146,7 @@ def _polar_family(img: jnp.ndarray, method: str, args: Sequence[float],
                np.where(np.abs(dy) < 1e-10, cxs, sy /
                         np.where(np.abs(dy) < 1e-10, 1.0, dy)))
         return sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac,
-                                        background)
+                                        background, vp)
     # plane2cylinder with horizon validity blend (distort.c:2746)
     validity = (radius * math.pi / 2.0 - np.abs(dx)) / 1.0 + 0.5
     dxr = dx / radius
@@ -1127,7 +1156,7 @@ def _polar_family(img: jnp.ndarray, method: str, args: Sequence[float],
     v = dy * cxs + c3
     jac = (cxs * cxs, np.zeros_like(dx),
            dy * cxs * cxs / radius, cxs)
-    out = sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac, background)
+    out = sample_ewa_reference_var(img, u - 0.5, v - 0.5, jac, background, vp)
     return _blend_invalid(out, validity, img.shape[-1], img.dtype)
 
 

@@ -283,6 +283,29 @@ CASES = [
     ("-fuzz 15% -transparent blue", 300.0),
     ("-white-balance", 300.0),
     ("-auto-orient", 300.0),
+    # virtual-pixel methods in the distort resampling path
+    # (cache.c:2928-3066 coordinate remapping; residual ±1-quantum
+    # rounding on isolated boundary pixels for the tiling methods)
+    ("-virtual-pixel mirror -distort SRT 30", 300.0),
+    ("-virtual-pixel tile -distort SRT 30", 80.0),
+    ("-virtual-pixel black -distort SRT 30", 300.0),
+    ("-virtual-pixel gray -distort SRT 30", 80.0),
+    ("-virtual-pixel white -distort SRT 30", 300.0),
+    ("-virtual-pixel dither -distort SRT 30", 80.0),
+    ("-virtual-pixel horizontaltile -distort SRT 30", 300.0),
+    ("-virtual-pixel verticaltile -distort SRT 30", 80.0),
+    ("-virtual-pixel horizontaltileedge -distort SRT 30", 300.0),
+    ("-virtual-pixel verticaltileedge -distort SRT 30", 80.0),
+    ("-virtual-pixel checkertile -distort SRT 30", 300.0),
+    # SelectiveBlur: per-tap luminance-contrast gate (effect.c:3323)
+    ("-selective-blur 0x3+10%", 80.0),
+    ("-selective-blur 0x2+15%", 300.0),
+    # BilateralBlur: charI-difference LUT × spatial gaussian
+    # (effect.c:894); even window sizes read past the reference's own
+    # tap buffer (UB) and are not gated
+    ("-bilateral-blur 3x1.5+3+10", 300.0),
+    ("-bilateral-blur 5", 300.0),
+    ("-bilateral-blur 3x3+8+3", 300.0),
 ]
 
 
@@ -673,3 +696,31 @@ def test_remap_exact(src, tmp_path, pre):
     a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"), np.int32)
     b = np.asarray(PILImage.open(str(our_out)).convert("RGB"), np.int32)
     np.testing.assert_array_equal(a, b)
+
+
+def test_transparent_virtual_pixel_premultiplied(src, tmp_path):
+    """-virtual-pixel transparent: alpha-weighted EWA (resample.c alpha
+    premultiplication).  Compared in PREMULTIPLIED space — the color
+    stored under (near-)zero alpha is undefined wire noise; alpha itself
+    and the visible premultiplied color must match within one quantum."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, src, "-virtual-pixel", "transparent",
+                    "-distort", "SRT", "30", str(ref_out)],
+                   check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([src, "-virtual-pixel", "transparent", "-distort", "SRT", "30",
+             str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("RGBA"),
+                   np.float64) / 255.0
+    b = np.asarray(PILImage.open(str(our_out)).convert("RGBA"),
+                   np.float64) / 255.0
+    assert np.abs(a[..., 3] - b[..., 3]).max() <= 1.5 / 255.0
+    ap = a[..., :3] * a[..., 3:]
+    bp = b[..., :3] * b[..., 3:]
+    mse = np.mean((ap - bp) ** 2)
+    psnr = 300.0 if mse == 0 else 10 * np.log10(1.0 / mse)
+    assert psnr >= 80.0, psnr
