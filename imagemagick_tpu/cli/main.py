@@ -199,9 +199,13 @@ def _op_resize(st, arg, plus, op="resize"):
         elif op == "sample":
             fn = lambda x, h=h, w=w: rz.sample(x, h, w)
         elif op == "thumbnail":
-            fn = lambda x, h=h, w=w: rz.thumbnail(x, h, w, has_alpha=alpha)
-            if not alpha and not (cw > 5 * w and ch > 5 * h):
-                tag = ("resize", (h, w, _default_filter(ch, cw, h, w, alpha)))
+            # resize.c:3692: the final filter defaults to LanczosSharp
+            tf_ = filt if filt not in ("undefined", "", None) else \
+                "lanczossharp"
+            fn = lambda x, h=h, w=w, f=tf_: rz.thumbnail(
+                x, h, w, has_alpha=alpha, filter_name=f)
+            if not alpha and not ((cw // w) > 2 and (ch // h) > 2):
+                tag = ("resize", (h, w, tf_))
         li.push(fn, new_shape=(h, w), tag=tag)
 
 
@@ -1375,22 +1379,18 @@ def _op_colors(st, arg, plus):
 
 
 def _op_kmeans(st, arg, plus):
+    # operation.c:2618-2632: rho=colors, sigma=max iterations (default
+    # 300), xi=tolerance (default 0.0001); no dithering
     from ..ops import quantize as qz
 
-    n = int(arg.split()[0])
-    dither = st.settings.get("dither", "none").lower() in (
-        "floydsteinberg", "fs", "true", "riemersma")
+    g = parse_geometry(arg)
+    n = int(g.width or 8)
+    iters = int(g.height) if g.height is not None else 300
+    tol = float(g.x) if g.x is not None else 0.0001
     for li in st.images:
         img = li.materialize()
-        if dither:
-            pal, _ = qz.kmeans(img.data, n)
-            if st.settings.get("dither", "").lower() == "riemersma":
-                data = qz.riemersma(img.data, pal)
-            else:
-                data = qz.floyd_steinberg(img.data, pal)
-            li.image = img.replace(data=data)
-        else:
-            li.image = img.replace(data=qz.kmeans_quantize(img.data, n))
+        li.image = img.replace(data=qz.kmeans_reference(
+            img.data, n, max_iters=iters, tolerance=tol))
 
 
 def _op_auto_threshold(st, arg, plus):
@@ -1715,8 +1715,8 @@ def _op_polaroid(st, arg, plus):
     angle = 0.0 if plus or arg is None else float(arg)
     for li in st.images:
         img = li.materialize()
-        out = vfx.polaroid(img.data, angle)
-        li.image = Image(out, img.spec)
+        out = vfx.polaroid(img.data, angle, background=st.bg()[:3])
+        li.image = Image(out, img.spec.with_(alpha=True))
 
 
 def _op_shadow(st, arg, plus):

@@ -96,9 +96,14 @@ def parse_color(name: str, default_alpha: float = 1.0) -> RGBA:
                 return (comps[0], comps[1], comps[2], default_alpha)
             return tuple(comps)  # type: ignore
         raise ValueError(f"bad hex color {name!r}")
-    m = re.match(r"(rgba?|hsla?|hsba?|gray|graya|cmyka?)\s*\(([^)]*)\)", s)
+    m = re.match(r"(srgba?|rgba?|hsla?|hsba?|hsva?|gray|graya|cmyka?)"
+                 r"\s*\(([^)]*)\)", s)
     if m:
         fn, body = m.group(1), m.group(2)
+        if fn.startswith("srgb"):          # sRGB(...) == rgb(...) (color.c)
+            fn = "rgb" + fn[4:]
+        if fn.startswith("hsv"):           # hsv() == hsb()
+            fn = "hsb" + fn[3:]
         parts = [p.strip() for p in re.split(r"[,/\s]+", body) if p.strip()]
 
         def num(p, scale=255.0):

@@ -28,6 +28,28 @@ def _grid(h, w, dtype=jnp.float32):
     return jnp.broadcast_to(yy, (h, w)), jnp.broadcast_to(xx, (h, w))
 
 
+def _premult_sample(img: jnp.ndarray, background, run):
+    """Alpha-premultiplied resampling wrapper (resample.c alpha blend):
+    colors are weighted by alpha during interpolation and un-premultiplied
+    by the interpolated alpha.  `run(pm_img, pm_background)` does the
+    actual sampling; no-op for images without alpha."""
+    c = img.shape[-1]
+    if c not in (2, 4):
+        return run(img, background)
+    a = img[..., -1:]
+    pm = jnp.concatenate([img[..., :-1] * a, a], -1)
+    bg = None
+    if background is not None:
+        bl = list(background)[:c]
+        while len(bl) < c:
+            bl.append(1.0)
+        bg = tuple(x * bl[-1] for x in bl[:-1]) + (bl[-1],)
+    out = run(pm, bg)
+    al = out[..., -1:]
+    col = out[..., :-1] / jnp.where(jnp.abs(al) < 1e-12, 1.0, al)
+    return jnp.concatenate([col, al], -1)
+
+
 def _make_tap(img: jnp.ndarray,
               background: Optional[Sequence[float]] = None,
               vp: str = "edge"):
@@ -406,7 +428,7 @@ def rotate_bilinear(img: jnp.ndarray, theta: float,
 def rotate(img: jnp.ndarray, degrees: float,
            background: Optional[Sequence[float]] = None,
            expand: bool = True, sampler: str = "ewa",
-           vp: str = "edge") -> jnp.ndarray:
+           vp: str = "edge", _pm: bool = True) -> jnp.ndarray:
     """RotateImage (shear.c:~1400): arbitrary-angle rotation.
 
     The reference uses the 3-shear method (paper cited at shear.c:36) for
@@ -426,6 +448,12 @@ def rotate(img: jnp.ndarray, degrees: float,
         return rotate180(img)
     if deg == 270.0:
         return rotate270(img)
+    if _pm and img.shape[-1] in (2, 4):
+        # alpha images resample premultiplied (resample.c alpha blend)
+        return _premult_sample(
+            img, background,
+            lambda i, b: rotate(i, degrees, b, expand, sampler, vp,
+                                _pm=False))
     theta = math.radians(deg)
     h, w = img.shape[-3], img.shape[-2]
     # RotateImage (distort.c:2954) = DistortImage(SRT, bestfit) about
@@ -563,7 +591,7 @@ def _affine_bestfit_grid(c, h, w, img_dtype):
 def distort(img: jnp.ndarray, method: str, args: Sequence[float],
             background: Optional[Sequence[float]] = None,
             sampler: str = "ewa", bestfit: bool = False,
-            vp: str = "edge") -> jnp.ndarray:
+            vp: str = "edge", _pm: bool = True) -> jnp.ndarray:
     """DistortImage (distort.c:1754) — core methods.
 
     Supported: affine (3+ point pairs), perspective (4 pairs), srt
@@ -576,24 +604,20 @@ def distort(img: jnp.ndarray, method: str, args: Sequence[float],
     """
     method = method.lower()
     if (vp or "").lower() == "transparent":
-        # transparent virtual pixels blend ALPHA-WEIGHTED (resample.c
-        # accumulates alpha-premultiplied colors and divides by the
-        # resampled alpha): promote to alpha, premultiply, sample with a
-        # (0,0,0,0) fill, un-premultiply.  The image gains an alpha
-        # channel like the reference's SetImageVirtualPixelMethod path.
-        c = img.shape[-1]
-        if c in (1, 3):
+        # transparent virtual pixels: promote to alpha and sample with a
+        # (0,0,0,0) background fill (SetImageVirtualPixelMethod path)
+        if img.shape[-1] in (1, 3):
             a = jnp.ones(img.shape[:-1] + (1,), img.dtype)
             img = jnp.concatenate([img, a], -1)
-        else:
-            a = img[..., -1:]
-            img = jnp.concatenate([img[..., :-1] * a, a], -1)
-        out = distort(img, method, args,
-                      background=(0.0,) * img.shape[-1], sampler=sampler,
-                      bestfit=bestfit, vp="background")
-        al = out[..., -1:]
-        col = out[..., :-1] / jnp.where(jnp.abs(al) < 1e-12, 1.0, al)
-        return jnp.concatenate([col, al], -1)
+        background = (0.0,) * img.shape[-1]
+        vp = "background"
+    if _pm and img.shape[-1] in (2, 4):
+        # resample.c blends alpha-weighted for images carrying alpha
+        return _premult_sample(
+            img, background,
+            lambda i, b: distort(i, method, args, background=b,
+                                 sampler=sampler, bestfit=bestfit, vp=vp,
+                                 _pm=False))
 
     h, w = img.shape[-3], img.shape[-2]
     yy, xx = _grid(h, w, img.dtype)

@@ -111,6 +111,85 @@ def kmeans_quantize(img: jnp.ndarray, n_colors: int = 16,
     return palette[labels]
 
 
+def kmeans_reference(img: jnp.ndarray, n_colors: int,
+                     max_iters: int = 300, tolerance: float = 1e-4,
+                     seed_palette=None) -> jnp.ndarray:
+    """KmeansImage (quantize.c:2352-2854), reference-exact.
+
+    Seeds the clusters from the octree quantizer at the derived depth
+    (quantize.c:2543 ``for (depth=1; n != 0; depth++) n>>=2``), then
+    iterates: assign by first-strictly-smaller squared RGB distance in
+    normalized units, recompute means (empty clusters collapse to black
+    via PerceptibleReciprocal(0)), and stop when the summed assignment
+    distortion changes by <= tolerance.  Small images run host-side in
+    f64 so the distortion-delta stop decision matches the reference
+    bit-for-bit; large ones use the device MXU path."""
+    from .. import native
+
+    c = img.shape[-1]
+    arr = np.asarray(img, np.float32)
+    if seed_palette is None:
+        depth, m = 1, int(n_colors)
+        while m != 0:
+            m >>= 2
+            depth += 1
+        q = native.octree_quantize(arr[..., :3] if c >= 3 else arr,
+                                   int(n_colors), dither="none",
+                                   tree_depth=depth)
+        if q is None:
+            centers = np.asarray(kmeans(img, n_colors)[0], np.float64)[:, :3]
+        else:
+            centers = np.asarray(q[1], np.float64)[:, :3]
+    else:
+        centers = np.asarray(seed_palette, np.float64)[:, :3]
+    flat = arr.reshape(-1, c)[:, :3].astype(np.float64)
+    n = flat.shape[0]
+    if n <= (1 << 20):
+        prev = 0.0
+        labels = np.zeros(n, np.int64)
+        for _ in range(int(max_iters)):
+            d2 = ((flat[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            labels = np.argmin(d2, axis=1)
+            mind = d2[np.arange(n), labels]
+            distortion = float(mind.sum())
+            k = centers.shape[0]
+            counts = np.bincount(labels, minlength=k).astype(np.float64)
+            sums = np.zeros((k, 3), np.float64)
+            np.add.at(sums, labels, flat)
+            centers = np.where(counts[:, None] > 0,
+                               sums / np.maximum(counts[:, None], 1.0), 0.0)
+            if abs(distortion - prev) <= tolerance:
+                break
+            prev = distortion
+        out3 = centers[labels].reshape(img.shape[:-1] + (3,))
+        out3 = jnp.asarray(out3.astype(np.float32))
+    else:
+        cj = jnp.asarray(centers, jnp.float32)
+        fj = jnp.asarray(flat, jnp.float32)
+        prev = 0.0
+        k = centers.shape[0]
+        labels = None
+        for _ in range(int(max_iters)):
+            d2 = (jnp.sum(fj * fj, 1, keepdims=True)
+                  - 2.0 * fj @ cj.T + jnp.sum(cj * cj, 1)[None, :])
+            labels = jnp.argmin(d2, axis=1)
+            oh = jax.nn.one_hot(labels, k, dtype=jnp.float32)
+            counts = jnp.sum(oh, axis=0)
+            sums = oh.T @ fj
+            distortion = float(jnp.sum(jnp.min(d2, axis=1)))
+            cj = jnp.where(counts[:, None] > 0,
+                           sums / jnp.maximum(counts[:, None], 1.0), 0.0)
+            if abs(distortion - prev) <= tolerance:
+                break
+            prev = distortion
+        out3 = jnp.take(cj, labels, axis=0).reshape(img.shape[:-1] + (3,))
+    if c > 3:
+        return jnp.concatenate([out3, img[..., 3:]], -1)
+    if c < 3:
+        return out3[..., :c]
+    return out3
+
+
 def remap(img: jnp.ndarray, palette: jnp.ndarray,
           dither: bool = False) -> jnp.ndarray:
     """RemapImage: snap each pixel to the nearest palette entry."""

@@ -525,13 +525,23 @@ def scale(img: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
 
 
 def thumbnail(img: jnp.ndarray, height: int, width: int,
-              has_alpha: bool = False) -> jnp.ndarray:
-    """ThumbnailImage (resize.c): pre-sample to 5x target then resize."""
+              has_alpha: bool = False,
+              filter_name: str = None) -> jnp.ndarray:
+    """ThumbnailImage (resize.c:3641-3703): point-sample to 4x the target
+    when both shrink factors exceed 4, box-resize to 2x when both exceed
+    2, then a final resize whose default filter is LANCZOSSHARP (not the
+    usual resize heuristic)."""
     *_, in_h, in_w, _ = img.shape
     work = img
-    if in_w > 5 * width and in_h > 5 * height:
-        work = sample(work, 5 * height, 5 * width)
-    return resize(work, height, width, has_alpha=has_alpha)
+    if (in_w // width) > 4 and (in_h // height) > 4:
+        work = sample(work, 4 * height, 4 * width)
+    wh, ww = work.shape[-3], work.shape[-2]
+    if (ww // width) > 2 and (wh // height) > 2:
+        work = resize(work, 2 * height, 2 * width, filter_name="box",
+                      has_alpha=has_alpha)
+    return resize(work, height, width,
+                  filter_name=filter_name or "lanczossharp",
+                  has_alpha=has_alpha)
 
 
 def magnify(img: jnp.ndarray) -> jnp.ndarray:

@@ -134,24 +134,67 @@ def rotate270(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def trim_bounds(img: jnp.ndarray, fuzz: float = 0.0) -> Tuple[int, int, int, int]:
-    """GetImageBoundingBox analog for TrimImage (host-returning).
+    """GetImageBoundingBox (attribute.c:391-565) for TrimImage.
 
-    Background is taken from the corner pixels (the reference uses the
-    top-left corner color, attribute.c GetImageBoundingBox).  Returns
+    Each edge compares against ITS corner pixel (left/top vs top-left,
+    right vs top-right, bottom vs bottom-left) with
+    IsFuzzyEquivalencePixelInfo (pixel.c:6028): fuzz floored at √½
+    quanta, alpha distance gated first, color distances scaled by the
+    alpha product (both-transparent pixels compare equal).  Returns
     (x, y, width, height) as Python ints — shape-changing, so host-side.
     """
-    arr = np.asarray(img)
+    import math
+
+    arr = np.asarray(img, np.float64)
     if arr.ndim == 4:
         arr = arr[0]
-    bg = arr[0, 0, :]
-    diff = np.any(np.abs(arr - bg) > fuzz, axis=-1)
-    rows = np.any(diff, axis=1)
-    cols = np.any(diff, axis=0)
-    if not rows.any():
-        return 0, 0, arr.shape[1], arr.shape[0]
-    y0, y1 = int(np.argmax(rows)), int(len(rows) - np.argmax(rows[::-1]))
-    x0, x1 = int(np.argmax(cols)), int(len(cols) - np.argmax(cols[::-1]))
-    return x0, y0, x1 - x0, y1 - y0
+    H, W, C = arr.shape
+    QR = 65535.0
+    q = arr * QR
+    has_alpha = C in (2, 4)
+    fz = max(float(fuzz) * QR, math.sqrt(0.5)) ** 2
+
+    def differs(target):
+        # vectorized IsFuzzyEquivalencePixelInfo == MagickFalse
+        if has_alpha:
+            ap, at = q[..., -1], float(target[-1])
+            d0 = (ap - at) ** 2
+            neq = d0 > fz
+            scale = (ap / QR) * (at / QR)
+            trans_eq = scale <= 1e-12          # both ~transparent: equal
+            dist = d0 * 3.0
+            col = q[..., :-1]
+            tc = target[:-1]
+        else:
+            neq = np.zeros((H, W), bool)
+            trans_eq = np.zeros((H, W), bool)
+            scale = 1.0
+            dist = np.zeros((H, W))
+            col = q
+            tc = target
+        acc = dist + ((col - tc) ** 2 * (np.asarray(scale)[..., None]
+                                         if has_alpha else 1.0)).sum(-1)
+        return neq | (~trans_eq & (acc > fz * 3.0))
+
+    t0 = q[0, 0]
+    t1 = q[0, W - 1]
+    t2 = q[H - 1, 0]
+    n0 = differs(t0)
+    n1 = differs(t1)
+    n2 = differs(t2)
+    xs = np.arange(W)
+    ys = np.arange(H)
+    x0 = int(xs[n0.any(0)].min()) if n0.any() else W
+    y0 = int(ys[n0.any(1)].min()) if n0.any() else H
+    x1 = int(xs[n1.any(0)].max()) if n1.any() else 0
+    y1 = int(ys[n2.any(1)].max()) if n2.any() else 0
+    if x1 == 0 and not n1.any() and y1 == 0 and not n2.any():
+        return 0, 0, W, H
+    w = x1 - (x0 - 1)
+    h = y1 - (y0 - 1)
+    if w <= 0 or h <= 0:
+        return 0, 0, W, H
+    return x0, y0, w, h
 
 
 def trim(img: jnp.ndarray, fuzz: float = 0.0) -> jnp.ndarray:

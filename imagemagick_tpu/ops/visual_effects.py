@@ -263,20 +263,53 @@ def shadow(img_alpha: jnp.ndarray, alpha_pct: float = 80.0, sigma: float = 3.0,
 
 
 def polaroid(img: jnp.ndarray, angle: float = 0.0,
-             border: int = 8, caption_height: int = 24) -> jnp.ndarray:
-    """PolaroidImage: white border + bottom caption strip + rotation."""
-    from .transform import splice
-    from .distort import rotate
+             background: Sequence[float] = (1.0, 1.0, 1.0),
+             border_color: Sequence[float] = (223/255.0,)*3) -> jnp.ndarray:
+    """PolaroidImage (visual-effects.c:2297-2442), caption-less path.
 
-    c = img.shape[-1]
-    white = [1.0] * c
+    quantum = max(max(W,H)/25, 10); frame the image on a border_color
+    canvas (+quantum each side, opaque), bend it (rotate 90 → WaveImage
+    (0.01·rows, 2·columns) → rotate −90), drop an 80%/σ2 shadow offset
+    quantum/3, flop the shadow, composite the picture over it at
+    trunc(−0.01·W/2), rotate by angle over transparent, and trim.
+    Returns RGBA."""
+    from .composite import composite_at
+    from .distort import rotate, wave
+    from .transform import flop, trim
+
     h, w = img.shape[-3], img.shape[-2]
-    framed = jnp.ones(img.shape[:-3] + (h + 2 * border + caption_height,
-                                        w + 2 * border, c), img.dtype)
-    framed = framed.at[..., border:border + h, border:border + w, :].set(img)
-    if angle:
-        framed = rotate(framed, angle, background=[1.0] * c)
-    return framed
+    c = img.shape[-1]
+    q = int(max(max(w, h) / 25.0, 10.0))
+    bc = jnp.asarray(tuple(border_color)[:3], img.dtype)
+    pic = jnp.ones(img.shape[:-3] + (h + 2 * q, w + 2 * q, 4), img.dtype)
+    pic = pic.at[..., :3].set(bc)
+    rgb = img[..., :3] if c >= 3 else jnp.repeat(img[..., :1], 3, -1)
+    if c in (2, 4):   # compose over the frame color
+        a = img[..., -1:]
+        rgb = rgb * a + bc * (1.0 - a)
+    pic = pic.at[..., q:q + h, q:q + w, :3].set(rgb)
+    # bend: rotate 90, wave, rotate back (transparent off-canvas)
+    pic = rotate(pic, 90.0)
+    # WaveImage forces Background virtual pixels (here "none") and
+    # interpolates alpha-premultiplied: wave the premultiplied RGBA and
+    # un-premultiply so partially-covered edges keep their color
+    al = pic[..., -1:]
+    pm = jnp.concatenate([pic[..., :3] * al, al], -1)
+    pm = wave(pm, 0.01 * pic.shape[-3], 2.0 * pic.shape[-2],
+              background=(0.0, 0.0, 0.0, 0.0))
+    al = pm[..., -1:]
+    col = pm[..., :3] / jnp.where(jnp.abs(al) < 1e-12, 1.0, al)
+    pic = jnp.concatenate([col, al], -1)
+    pic = rotate(pic, -90.0)
+    sh = shadow(pic, 80.0, 2.0, q // 3, q // 3, color=tuple(background)[:3])
+    sh = flop(sh)
+    # CompositeImage places at raw canvas coords (the shadow's page
+    # offsets are metadata only); C ssize_t cast truncates toward zero
+    px = int(-0.01 * pic.shape[-2] / 2.0)
+    out = composite_at(sh, pic, "over", px, 0,
+                       dst_alpha=True, src_alpha=True)
+    out = rotate(out, angle, background=(0.0, 0.0, 0.0, 0.0))
+    return trim(out)
 
 
 def _hat_transform(x: jnp.ndarray, axis: int, scale: int) -> jnp.ndarray:

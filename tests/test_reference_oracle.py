@@ -306,6 +306,18 @@ CASES = [
     ("-bilateral-blur 3x1.5+3+10", 300.0),
     ("-bilateral-blur 5", 300.0),
     ("-bilateral-blur 3x3+8+3", 300.0),
+    # ThumbnailImage staged shrink + LanczosSharp default (resize.c:3641)
+    ("-thumbnail 40x30", 300.0),
+    ("-thumbnail 20x15", 300.0),
+    ("-thumbnail 10x8!", 300.0),
+    ("-filter triangle -thumbnail 40x30", 80.0),
+    # KmeansImage: octree seeding + distortion-delta stop (quantize.c:2352)
+    ("-kmeans 8", 300.0),
+    ("-kmeans 4", 300.0),
+    ("-kmeans 16", 300.0),
+    # sRGB() functional color syntax (color.c QueryColorCompliance)
+    ("-color-threshold sRGB(20%,20%,20%)-sRGB(80%,80%,80%)", 300.0),
+    ("-fill srgb(255,0,0) -tint 40", 300.0),
 ]
 
 
@@ -724,3 +736,34 @@ def test_transparent_virtual_pixel_premultiplied(src, tmp_path):
     mse = np.mean((ap - bp) ** 2)
     psnr = 300.0 if mse == 0 else 10 * np.log10(1.0 / mse)
     assert psnr >= 80.0, psnr
+
+
+def test_polaroid_premultiplied(src, tmp_path):
+    """PolaroidImage (visual-effects.c:2297): frame+bend+shadow+rotate+trim.
+    Angle 0 is bit-exact; rotated output is compared premultiplied (the
+    color under near-zero alpha is undefined) over the common canvas —
+    trim can differ by a hair of sub-quantum alpha at the border."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    for angle, gate, shape_slack in (("0", 300.0, 0), ("15", 60.0, 2)):
+        ref_out = tmp_path / f"ref{angle}.png"
+        subprocess.run([_REF, src, "-polaroid", angle, str(ref_out)],
+                       check=True, capture_output=True)
+        our_out = tmp_path / f"ours{angle}.png"
+        process([src, "-polaroid", angle, str(our_out)])
+        a = np.asarray(PILImage.open(str(ref_out)).convert("RGBA"),
+                       np.float64) / 255.0
+        b = np.asarray(PILImage.open(str(our_out)).convert("RGBA"),
+                       np.float64) / 255.0
+        assert abs(a.shape[0] - b.shape[0]) <= shape_slack
+        assert abs(a.shape[1] - b.shape[1]) <= shape_slack
+        h = min(a.shape[0], b.shape[0])
+        w = min(a.shape[1], b.shape[1])
+        a, b = a[:h, :w], b[:h, :w]
+        ap = np.concatenate([a[..., :3] * a[..., 3:], a[..., 3:]], -1)
+        bp = np.concatenate([b[..., :3] * b[..., 3:], b[..., 3:]], -1)
+        mse = np.mean((ap - bp) ** 2)
+        psnr = 300.0 if mse == 0 else 10 * np.log10(1.0 / mse)
+        assert psnr >= gate, (angle, psnr)
