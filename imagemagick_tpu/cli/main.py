@@ -379,13 +379,21 @@ def _op_grayscale(st, arg, plus):
 
 
 def _op_separate(st, arg, plus):
+    # SeparateImages (channel.c): one gray image per channel in the
+    # -channel mask ("-channel R -separate" yields exactly one image)
     from ..ops import channel as chan
 
+    channel_setting = st.settings.get("channel", "default")
     new_images = []
     for li in st.images:
         img = li.materialize()
-        for comp in chan.separate_all(img.data):
-            new_images.append(LazyImage(Image(comp, ImageSpec(colorspace="gray"))))
+        comps = chan.separate_all(img.data)
+        sel = _channel_indices(channel_setting, img.data.shape[-1])
+        if sel is not None:
+            comps = [comps[i] for i in sel]
+        gspec = img.spec.with_(colorspace="gray", alpha=False)
+        for comp in comps:
+            new_images.append(LazyImage(Image(comp, gspec)))
     st.images = new_images
 
 
@@ -396,7 +404,8 @@ def _op_combine(st, arg, plus):
     data = chan.combine([im.data for im in imgs])
     cs_name = "srgb" if data.shape[-1] >= 3 else "gray"
     alpha = data.shape[-1] in (2, 4)
-    st.images = [LazyImage(Image(data, ImageSpec(colorspace=cs_name, alpha=alpha)))]
+    st.images = [LazyImage(Image(data, imgs[0].spec.with_(
+        colorspace=cs_name, alpha=alpha)))]
 
 
 def _op_alpha(st, arg, plus):
@@ -492,29 +501,29 @@ def _op_composite_list(st, arg, plus):
     if g:
         gg = parse_geometry(g)
         x, y = gg.x or 0, gg.y or 0
+    cargs = ()
+    art = st.defines.get("compose:args")
+    if art:
+        cargs = tuple(float(v) for v in re.findall(
+            r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", art))
     out = comp.composite_at(dst.data, src.data, op, x, y,
                             st.settings["gravity"],
-                            dst_alpha=dst.spec.alpha, src_alpha=src.spec.alpha)
+                            dst_alpha=dst.spec.alpha, src_alpha=src.spec.alpha,
+                            args=cargs)
     alpha = out.shape[-1] > dst.spec.color_channels
     st.images = [LazyImage(Image(out, dst.spec.with_(alpha=alpha),
                                  dst.properties, dst.profiles))]
 
 
 def _op_append(st, arg, plus):
-    import jax.numpy as jnp
+    # AppendImages (image.c:379): -append = top-to-bottom, +append =
+    # left-to-right; background fill + gravity cross-axis placement
+    from ..ops import layer as ly
 
     imgs = [li.materialize() for li in st.images]
-    axis = -2 if plus else -3  # -append = vertical, +append = horizontal
-    datas = [im.data for im in imgs]
-    if plus:
-        hh = max(d.shape[-3] for d in datas)
-        datas = [jnp.pad(d, [(0, hh - d.shape[-3]), (0, 0), (0, 0)], mode="edge")
-                 for d in datas]
-    else:
-        ww = max(d.shape[-2] for d in datas)
-        datas = [jnp.pad(d, [(0, 0), (0, ww - d.shape[-2]), (0, 0)], mode="edge")
-                 for d in datas]
-    st.images = [LazyImage(Image(jnp.concatenate(datas, axis=axis), imgs[0].spec))]
+    out = ly.append(imgs, stack=not plus, background=st.bg(),
+                    gravity=st.settings.get("gravity", "northwest"))
+    st.images = [LazyImage(out)]
 
 
 def _op_flatten(st, arg, plus):
@@ -1060,13 +1069,40 @@ def _op_type(st, arg, plus):
         li.image = Image(data, spec, img.properties, img.profiles)
 
 
+def _normalize_list_channels(imgs):
+    """Promote a mixed image list to a common layout (gray→RGB when any
+    member is color, opaque alpha added when any member carries alpha) so
+    sequence reductions can stack them; returns (datas, spec)."""
+    import jax.numpy as jnp
+
+    any_color = any(im.spec.color_channels >= 3 for im in imgs)
+    any_alpha = any(im.spec.alpha for im in imgs)
+    datas = []
+    for im in imgs:
+        d = im.data
+        a = d[..., -1:] if im.spec.alpha else None
+        col = d[..., :-1] if im.spec.alpha else d
+        if any_color and col.shape[-1] == 1:
+            col = jnp.repeat(col, 3, -1)
+        if any_alpha:
+            if a is None:
+                a = jnp.ones(col.shape[:-1] + (1,), col.dtype)
+            col = jnp.concatenate([col, a], -1)
+        datas.append(col)
+    spec = imgs[0].spec.with_(alpha=any_alpha)
+    if any_color and spec.colorspace == "gray":
+        spec = spec.with_(colorspace="srgb")
+    return datas, spec
+
+
 def _op_eval_seq(st, arg, plus):
     import jax.numpy as jnp
     from ..ops import statistic as stx
 
     imgs = [li.materialize() for li in st.images]
-    stack = jnp.stack([im.data for im in imgs])
-    st.images = [LazyImage(Image(stx.evaluate_images(stack, arg), imgs[0].spec))]
+    datas, spec = _normalize_list_channels(imgs)
+    stack = jnp.stack(datas)
+    st.images = [LazyImage(Image(stx.evaluate_images(stack, arg), spec))]
 
 
 def _op_orient(st, arg, plus):
@@ -1164,22 +1200,16 @@ def _op_insert(st, arg, plus):
 
 
 def _op_smush(st, arg, plus):
-    import jax.numpy as jnp
+    # SmushImages (image.c:3706): -smush stacks vertically, +smush
+    # horizontally; offset = minimum seam distance (may be negative)
+    from ..ops import layer as ly
 
-    offset = int(arg) if arg else 0
+    offset = int(float(arg)) if arg else 0
     imgs = [li.materialize() for li in st.images]
-    datas = [im.data for im in imgs]
-    axis = -2 if plus else -3
-    if plus:
-        hh = max(d.shape[-3] for d in datas)
-        datas = [jnp.pad(d, [(0, hh - d.shape[-3]), (0, 0), (0, 0)],
-                         mode="edge") for d in datas]
-    else:
-        ww = max(d.shape[-2] for d in datas)
-        datas = [jnp.pad(d, [(0, 0), (0, ww - d.shape[-2]), (0, 0)],
-                         mode="edge") for d in datas]
-    st.images = [LazyImage(Image(jnp.concatenate(datas, axis=axis),
-                                 imgs[0].spec))]
+    out = ly.smush(imgs, stack=not plus, offset=offset,
+                   background=st.bg(),
+                   gravity=st.settings.get("gravity", "northwest"))
+    st.images = [LazyImage(out)]
 
 
 def _op_coalesce(st, arg, plus):
@@ -1704,9 +1734,22 @@ def _op_clut(st, arg, plus):
     if len(st.images) < 2:
         raise CLIError("-clut needs an image and a lookup image")
     lut = st.images.pop().materialize()
+    method = st.settings.get("interpolate", "bilinear") or "bilinear"
+    if method.lower() in ("undefined", ""):
+        method = "bilinear"
     for li in st.images:
         img = li.materialize()
-        li.image = img.replace(data=eh.clut(img.data, lut.data))
+        out = eh.clut(img.data, lut.data, method=method,
+                      lut_alpha=lut.spec.alpha, has_alpha=img.spec.alpha)
+        spec = img.spec
+        if lut.spec.alpha and not spec.alpha:
+            # ClutImage tail: clut with alpha activates the channel
+            import jax.numpy as jnp
+
+            out = jnp.concatenate(
+                [out, jnp.ones(out.shape[:-1] + (1,), out.dtype)], -1)
+            spec = spec.with_(alpha=True)
+        li.image = img.replace(data=out, spec=spec)
 
 
 def _op_polaroid(st, arg, plus):
@@ -1804,8 +1847,10 @@ def _op_poly(st, arg, plus):
         raise CLIError("-poly needs weight,exponent pairs")
     pairs = [(terms[j], terms[j + 1]) for j in range(0, len(terms), 2)]
     imgs = [li.materialize() for li in st.images]
-    out = stx.polynomial_images([im.data for im in imgs], pairs)
-    st.images = [LazyImage(imgs[0].replace(data=out))]
+    datas, spec = _normalize_list_channels(imgs)
+    out = stx.polynomial_images(datas, pairs)
+    st.images = [LazyImage(Image(out, spec, imgs[0].properties,
+                                 imgs[0].profiles))]
 
 
 def _op_compare_list(st, arg, plus):
@@ -2067,14 +2112,14 @@ def _op_morph(st, arg, plus):
 
     n = int(arg)
     frames = [li.materialize() for li in st.images]
+    datas, spec = _normalize_list_channels(frames)
     out = []
-    for a, b in zip(frames, frames[1:]):
-        out.append(a)
+    for k0, (a, b) in enumerate(zip(datas, datas[1:])):
+        out.append(Image(a, spec))
         for k in range(1, n + 1):
             t = k / (n + 1)
-            out.append(Image((1 - t) * a.data + t * jnp.asarray(b.data),
-                             a.spec))
-    out.append(frames[-1])
+            out.append(Image((1 - t) * a + t * b, spec))
+    out.append(Image(datas[-1], spec))
     st.images = [LazyImage(im) for im in out]
 
 
@@ -2415,11 +2460,24 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
                 li.image.profiles.clear()
             continue
         if name == "delete":
-            idx = args[i] if i < len(args) and not args[i].startswith("-") else "-1"
-            if idx == args[i:i + 1][0] if i < len(args) else False:
+            # mogrify.c: comma list and ranges ("0,2", "1-3"); +delete
+            # (no arg) drops the last image
+            idx = "-1"
+            if i < len(args) and re.match(r"^-?\d", args[i]):
+                idx = args[i]
                 i += 1
-            sel = int(idx)
-            del st.images[sel]
+            sels = set()
+            for part in idx.split(","):
+                part = part.strip()
+                if "-" in part[1:]:
+                    lo, _, hi = part.rpartition("-")
+                    rng = range(int(lo), int(hi) + 1)
+                else:
+                    rng = [int(part)]
+                for s in rng:
+                    sels.add(s if s >= 0 else len(st.images) + s)
+            st.images = [im for k, im in enumerate(st.images)
+                         if k not in sels]
             continue
         if name == "clone":
             spec = args[i]; i += 1

@@ -40,6 +40,10 @@ def gradient(spec: str = "white-black", width: int = 256, height: int = 256,
         c1s, c2s = spec or "white", "black"
     c1 = jnp.asarray(parse_color(c1s or "white"), jnp.float32)
     c2 = jnp.asarray(parse_color(c2s or "black"), jnp.float32)
+    # paint.c:545-551: the default diagonal vector collapses to vertical
+    # only when rows>1 (y2 != 0); a 1-row gradient runs horizontally
+    if direction == "vertical" and height == 1:
+        direction = "horizontal"
     if direction == "horizontal":
         t = jnp.linspace(0.0, 1.0, width)[None, :, None]
         t = jnp.broadcast_to(t, (height, width, 1))

@@ -320,12 +320,24 @@ def composite(dst: jnp.ndarray, src: jnp.ndarray, operator: str = "over",
     if op in ("clear",):
         return unpack(jnp.zeros_like(dca), jnp.zeros_like(da))
     if op in ("dissolve",):
-        frac = (args[0] / 100.0) if args else 0.5
-        return unpack(frac * sca + dca * (1.0 - frac * sa),
-                      frac * sa + da * (1.0 - frac * sa))
+        # composite.c:2056: rho>100 wraps into the canvas factor
+        if args:
+            sd, cd = args[0] / 100.0, 1.0
+            sd = max(sd, 0.0)
+            if sd > 1.0:
+                cd, sd = 2.0 - sd, 1.0
+            if len(args) > 1:
+                cd = args[1] / 100.0
+            cd = min(max(cd, 0.0), 1.0)
+        else:
+            sd = cd = 1.0
+        return unpack(sd * sca + cd * dca * (1.0 - sd * sa),
+                      sd * sa + cd * da * (1.0 - sd * sa))
     if op in ("blend",):
-        sw = (args[0] / 100.0) if args else 0.5
-        dw = (args[1] / 100.0) if len(args) > 1 else 1.0 - sw
+        # composite.c:2083: defaults 1.0/1.0; sigma defaults to 1-rho
+        sw = (args[0] / 100.0) if args else 1.0
+        dw = (args[1] / 100.0) if len(args) > 1 else \
+            (1.0 - sw if args else 1.0)
         return unpack(sw * sca + dw * dca, jnp.minimum(sw * sa + dw * da, 1.0))
     if op in ("mathematics",):
         a0, b0, c0, d0 = (list(args) + [0.0] * 4)[:4]
@@ -345,9 +357,11 @@ def composite(dst: jnp.ndarray, src: jnp.ndarray, operator: str = "over",
         out = jnp.concatenate([sc[..., :1], dc[..., 1:]], axis=-1)
         return unpack(out * da, da)
     if op in ("copyred", "copygreen", "copyblue", "copyalpha", "copyblack",
-              "copycyan", "copymagenta", "copyyellow"):
+              "copycyan", "copymagenta", "copyyellow", "copyopacity"):
         ch = {"copyred": 0, "copycyan": 0, "copygreen": 1, "copymagenta": 1,
               "copyblue": 2, "copyyellow": 2, "copyblack": 3}.get(op)
+        if op == "copyopacity":   # IM6 alias (option.c maps both)
+            op = "copyalpha"
         if op == "copyalpha":
             new_a = sa if src_alpha else sc[..., :1]
             return jnp.concatenate([dc, jnp.clip(new_a, 0, 1)], axis=-1)

@@ -551,21 +551,69 @@ def clahe(img: jnp.ndarray, tiles_x: int = 8, tiles_y: int = 8,
 # LUT application ops
 # ---------------------------------------------------------------------------
 
-def clut(img: jnp.ndarray, lut_img: jnp.ndarray) -> jnp.ndarray:
-    """ClutImage (enhance.c): per-channel 1-D lookup through a CLUT image."""
-    lut_flat = lut_img.reshape(-1, lut_img.shape[-1])  # (n, c)
-    n = lut_flat.shape[0]
-    pos = jnp.clip(img, 0.0, 1.0) * (n - 1)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, n - 1)
-    frac = pos - lo
+def clut(img: jnp.ndarray, lut_img: jnp.ndarray,
+         method: str = "bilinear", lut_alpha: bool = False,
+         has_alpha: bool = False) -> jnp.ndarray:
+    """ClutImage (enhance.c:798-990): per-channel lookup through a CLUT
+    image sampled along its DIAGONAL — channel value v maps to clut
+    position (v·(cols−adjust), v·(rows−adjust)) interpolated by
+    ``method`` (adjust = 0 for integer interpolation, 1 otherwise); the
+    input is first quantized to Q16 (ScaleQuantumToMap truncation).
+    Alpha-carrying cluts interpolate premultiplied (pixel.c
+    InterpolatePixelInfo AlphaBlendPixelInfo)."""
+    hl, wl = lut_img.shape[-3], lut_img.shape[-2]
+    cl = lut_img.shape[-1]
+    lut = lut_img
+    if lut_alpha and cl in (2, 4):
+        a = lut[..., -1:]
+        lut = jnp.concatenate([lut[..., :-1] * a, a], -1)
+    method = (method or "bilinear").lower()
+    adjust = 0 if method == "integer" else 1
     c = img.shape[-1]
+    v = jnp.clip(img, 0.0, 1.0)
+    t = jnp.floor(v * 65535.0) / 65535.0        # Q16 map-index truncation
+    px = t * (wl - adjust)
+    py = t * (hl - adjust)
+    if method in ("integer",):
+        ix = jnp.clip(px.astype(jnp.int32), 0, wl - 1)
+        iy = jnp.clip(py.astype(jnp.int32), 0, hl - 1)
+        samp = lut[iy, ix]                       # (..., C, cl)
+    elif method in ("nearest", "nearestneighbor", "point"):
+        ix = jnp.clip(jnp.floor(px + 0.5).astype(jnp.int32), 0, wl - 1)
+        iy = jnp.clip(jnp.floor(py + 0.5).astype(jnp.int32), 0, hl - 1)
+        samp = lut[iy, ix]
+    else:                                        # bilinear (default)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        fx = (px - x0)[..., None]
+        fy = (py - y0)[..., None]
+        x0c = jnp.clip(x0, 0, wl - 1)
+        y0c = jnp.clip(y0, 0, hl - 1)
+        x1c = jnp.clip(x0 + 1, 0, wl - 1)
+        y1c = jnp.clip(y0 + 1, 0, hl - 1)
+        samp = (lut[y0c, x0c] * (1 - fx) * (1 - fy)
+                + lut[y0c, x1c] * fx * (1 - fy)
+                + lut[y1c, x0c] * (1 - fx) * fy
+                + lut[y1c, x1c] * fx * fy)
+    if lut_alpha and cl in (2, 4):
+        al = samp[..., -1:]
+        samp = jnp.concatenate(
+            [samp[..., :-1] / jnp.where(jnp.abs(al) < 1e-12, 1.0, al), al],
+            -1)
+    # channel ch of the pixel reads channel ch of the interpolated clut
+    # entry at the position driven by the pixel's own channel value
     outs = []
     for ch in range(c):
-        lch = min(ch, lut_flat.shape[1] - 1)
-        vlo = jnp.take(lut_flat[:, lch], lo[..., ch])
-        vhi = jnp.take(lut_flat[:, lch], hi[..., ch])
-        outs.append(vlo * (1.0 - frac[..., ch]) + vhi * frac[..., ch])
+        if has_alpha and ch == c - 1:
+            if lut_alpha and cl in (2, 4):
+                outs.append(samp[..., ch, cl - 1])
+            else:           # clut_map alpha is OpaqueAlpha when clut has none
+                outs.append(jnp.ones_like(samp[..., ch, 0]))
+            continue
+        lch = min(ch, cl - 1)
+        if lut_alpha and cl in (2, 4) and lch == cl - 1:
+            lch = max(cl - 2, 0)
+        outs.append(samp[..., ch, lch])
     return jnp.stack(outs, axis=-1)
 
 

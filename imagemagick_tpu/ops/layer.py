@@ -157,3 +157,180 @@ def optimize_transparency(frames: List[Image], fuzz: float = 0.0) -> List[Image]
         out.append(Image(data, cur.spec.with_(alpha=True), cur.properties,
                          cur.profiles, cur.page, cur.delay))
     return out
+
+
+def _gravity_xy(img_w: int, img_h: int, canvas_w: int, canvas_h: int,
+                gravity: str) -> Tuple[int, int]:
+    """GravityAdjustGeometry (geometry.c:527) applied as SmushImages does:
+    region starts as the whole canvas, width/height are the image's.
+    Returns the (negated-at-use) region x/y — C double->long truncation."""
+    g = (gravity or "northwest").lower().replace("-", "")
+    x = 0
+    y = 0
+    if g in ("northeast", "east", "southeast"):
+        x = int(float(img_w) - canvas_w)
+    elif g in ("north", "south", "center", "centre"):
+        x = int(float(img_w) / 2.0 - canvas_w / 2.0)
+    if g in ("southwest", "south", "southeast"):
+        y = int(float(img_h) - canvas_h)
+    elif g in ("east", "west", "center", "centre"):
+        y = int(float(img_h) / 2.0 - canvas_h / 2.0)
+    return x, y
+
+
+def _lead_run(alpha: np.ndarray) -> np.ndarray:
+    """Per-column count of fully-transparent (alpha==0) leading pixels."""
+    nz = alpha != 0.0
+    first = np.argmax(nz, axis=0)
+    return np.where(nz.any(axis=0), first, alpha.shape[0])
+
+
+def _smush_gap(top: np.ndarray, bot: np.ndarray, canvas_extent: int,
+               tg: int, bg: int, offset: int) -> int:
+    """SmushYGap (image.c:3642) along axis 0 (callers transpose for X):
+    minimal over canvas columns of (trailing transparent run of the top
+    image, capped rows-1) + (leading transparent run of the bottom),
+    minus the requested offset.  tg/bg are the gravity-adjusted geometry
+    offsets used to map canvas columns into each image (edge-clamped
+    virtual pixels)."""
+    cols = np.arange(canvas_extent)
+
+    def col_alpha(img: np.ndarray, gx: int) -> np.ndarray:
+        a = img[..., -1] if img.shape[-1] in (2, 4) else \
+            np.ones(img.shape[:2], np.float32)
+        idx = np.clip(cols + gx, 0, img.shape[1] - 1)
+        return a[:, idx]
+
+    ta = col_alpha(top, tg)
+    ba = col_alpha(bot, bg)
+    i = np.minimum(_lead_run(ta[::-1]), top.shape[0] - 1)
+    j = _lead_run(ba)
+    gap = min(int(bot.shape[0]), int((i + j).min()))
+    return gap - offset
+
+
+def smush(frames: List[Image], stack: bool, offset: int,
+          background: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+          gravity: str = "northwest") -> Image:
+    """SmushImages (image.c:3706-3838).
+
+    Adjacent images overlap by the smallest transparent gap found along
+    the seam (SmushX/YGap), less ``offset``; the canvas is background-
+    filled and each image is composited Over at its gravity-adjusted
+    cross-axis position.  Host-side numpy: shape-changing by nature."""
+    if not frames:
+        raise ValueError("no frames")
+    any_alpha = any(f.spec.alpha for f in frames)
+    datas = [np.asarray(f.data, np.float32) for f in frames]
+    if stack:
+        width = max(d.shape[1] for d in datas)
+        height = datas[0].shape[0]
+        for d in datas[1:]:
+            height = max(height + d.shape[0] + offset, 0)
+    else:
+        height = max(d.shape[0] for d in datas)
+        width = datas[0].shape[1]
+        for d in datas[1:]:
+            width = max(width + d.shape[1] + offset, 0)
+    c = 4 if any_alpha else 3
+    bg = list(background)[:c]
+    while len(bg) < c:
+        bg.append(1.0)
+    canvas = np.empty((height, width, c), np.float32)
+    canvas[:] = np.asarray(bg, np.float32)
+
+    def over(dst, src, x0, y0):
+        sh, sw = src.shape[:2]
+        xs, ys = max(x0, 0), max(y0, 0)
+        xe, ye = min(x0 + sw, dst.shape[1]), min(y0 + sh, dst.shape[0])
+        if xe <= xs or ye <= ys:
+            return
+        s = src[ys - y0:ye - y0, xs - x0:xe - x0]
+        srgb = s[..., :3] if s.shape[-1] >= 3 else np.repeat(s[..., :1], 3, -1)
+        sa = s[..., -1:] if s.shape[-1] in (2, 4) else 1.0
+        d = dst[ys:ye, xs:xe]
+        d[..., :3] = srgb * sa + d[..., :3] * (1.0 - sa)
+        if c == 4:
+            d[..., 3:] = sa + d[..., 3:] * (1.0 - sa)
+
+    x_off = y_off = 0
+    geo = [_gravity_xy(d.shape[1], d.shape[0], width, height, gravity)
+           for d in datas]
+    for n, d in enumerate(datas):
+        gx, gy = geo[n]
+        if stack:
+            x_off = -gx
+            if n > 0:
+                y_off -= _smush_gap(datas[n - 1], d, width,
+                                    geo[n - 1][0], gx, offset)
+        else:
+            y_off = -gy
+            if n > 0:
+                x_off -= _smush_gap(datas[n - 1].transpose(1, 0, 2),
+                                    d.transpose(1, 0, 2), height,
+                                    geo[n - 1][1], gy, offset)
+        over(canvas, d, x_off, y_off)
+        if stack:
+            x_off, y_off = 0, y_off + d.shape[0]
+        else:
+            x_off, y_off = x_off + d.shape[1], 0
+    if stack:
+        canvas = canvas[:max(y_off, 0)]
+    else:
+        canvas = canvas[:, :max(x_off, 0)]
+    spec = frames[0].spec.with_(alpha=any_alpha)
+    return Image(jnp.asarray(canvas), spec)
+
+
+def append(frames: List[Image], stack: bool,
+           background: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+           gravity: str = "northwest") -> Image:
+    """AppendImages (image.c:379-560): background-filled canvas, each
+    image RAW-COPIED (not composited) at its gravity-adjusted cross-axis
+    offset.  stack=True appends top-to-bottom."""
+    if not frames:
+        raise ValueError("no frames")
+    any_alpha = any(f.spec.alpha for f in frames)
+    datas = [np.asarray(f.data, np.float32) for f in frames]
+    if stack:
+        width = max(d.shape[1] for d in datas)
+        height = sum(d.shape[0] for d in datas)
+    else:
+        height = max(d.shape[0] for d in datas)
+        width = sum(d.shape[1] for d in datas)
+    c = 4 if any_alpha else 3
+    bg = list(background)[:c]
+    while len(bg) < c:
+        bg.append(1.0)
+    canvas = np.empty((height, width, c), np.float32)
+    canvas[:] = np.asarray(bg, np.float32)
+    x_off = y_off = 0
+    for d in datas:
+        gx, gy = _gravity_xy(d.shape[1], d.shape[0], width, height, gravity)
+        if stack:
+            x0, y0 = -gx, y_off
+        else:
+            x0, y0 = x_off, -gy
+        sh, sw = d.shape[:2]
+        xs, ys = max(x0, 0), max(y0, 0)
+        xe, ye = min(x0 + sw, width), min(y0 + sh, height)
+        if xe > xs and ye > ys:
+            s = d[ys - y0:ye - y0, xs - x0:xe - x0]
+            rgb = s[..., :3] if s.shape[-1] >= 3 else \
+                np.repeat(s[..., :1], 3, -1)
+            canvas[ys:ye, xs:xe, :3] = rgb
+            if c == 4:
+                canvas[ys:ye, xs:xe, 3] = s[..., -1] \
+                    if s.shape[-1] in (2, 4) else 1.0
+        if stack:
+            y_off += sh
+        else:
+            x_off += sw
+    all_gray = all(f.spec.colorspace == "gray" for f in frames)
+    spec = frames[0].spec.with_(alpha=any_alpha)
+    if not all_gray and spec.colorspace == "gray":
+        spec = spec.with_(colorspace="srgb")
+    data = canvas if frames[0].spec.colorspace != "gray" or not all_gray \
+        else canvas[..., :1] if c == 3 else \
+        np.concatenate([canvas[..., :1], canvas[..., 3:]], -1)
+    return Image(jnp.asarray(data), spec)

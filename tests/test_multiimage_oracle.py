@@ -1,0 +1,114 @@
+"""Multi-image list-operator conformance vs the reference binary: full
+arg templates with two generated source images ({a}, {b}) — append,
+smush, separate/combine, composite compose:args, clut, evaluate-sequence
+etc.  Skips without the oracle at /tmp/imbuild."""
+
+import os
+import shlex
+import subprocess
+
+import numpy as np
+import pytest
+
+_REF = "/tmp/imbuild/utilities/magick"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(_REF),
+                                reason="reference binary not built")
+
+
+def _psnr(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    if a.shape != b.shape:
+        return -1.0
+    mse = np.mean((a - b) ** 2)
+    return 300.0 if mse == 0 else 10 * np.log10(1.0 / mse)
+
+
+@pytest.fixture(scope="module")
+def srcs(tmp_path_factory):
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(8)
+    h, w = 60, 92
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img1 = np.stack([0.5 + 0.4 * np.sin(yy / 9) * np.cos(xx / 13),
+                     np.clip(yy / h + 0.05 * rng.standard_normal((h, w)),
+                             0, 1),
+                     1.0 - xx / w], -1)
+    img2 = np.stack([1.0 - yy / h, 0.5 + 0.5 * np.cos(xx / 7),
+                     np.clip(0.3 + 0.6 * np.sin((xx + yy) / 11), 0, 1)], -1)
+    d = tmp_path_factory.mktemp("morcl")
+    a = str(d / "a.png")
+    b = str(d / "b.png")
+    PILImage.fromarray(
+        (np.clip(img1, 0, 1) * 255 + 0.5).astype(np.uint8)).save(a)
+    # b gets an alpha ramp so transparent-seam ops (smush) are exercised
+    rgba = np.concatenate(
+        [np.clip(img2, 0, 1), np.clip(1.2 - xx / w, 0, 1)[..., None]], -1)
+    PILImage.fromarray(
+        (rgba * 255 + 0.5).astype(np.uint8)).save(b)
+    return a, b
+
+
+# (arg template, min PSNR vs the reference binary)
+CASES = [
+    # AppendImages (image.c:379): raw copy + gravity + background fill
+    ("{a} {b} -append", 300.0),
+    ("{a} {b} +append", 300.0),
+    ("{a} {b} -gravity center -append", 300.0),
+    ("{a} {b} -gravity southeast -background red +append", 300.0),
+    # SmushImages (image.c:3706): transparent-seam gap less offset
+    ("{a} {b} -smush 10", 300.0),
+    ("{a} {b} +smush 5", 300.0),
+    ("{a} {b} -background blue -smush -8", 300.0),
+    ("{a} {b} -gravity center -smush 6", 300.0),
+    ("{b} {a} -smush 4", 80.0),   # alpha seam overlap (AA rounding)
+    # SeparateImages honors -channel; depth follows the source
+    ("{a} -channel R -separate", 300.0),
+    ("{a} -channel GB -separate -append", 300.0),
+    ("{a} -separate -append", 300.0),
+    ("{a} -separate -combine", 300.0),
+    # -delete comma list
+    ("{a} {b} -morph 1 -delete 0,2", 300.0),
+    # compose:args (composite.c:2056-2162)
+    ("{a} {b} -compose blend -define compose:args=60,40 -composite", 60.0),
+    ("{a} {b} -compose blend -composite", 300.0),
+    ("{a} {b} -compose dissolve -define compose:args=35 -composite", 60.0),
+    ("{a} {b} -compose dissolve -define compose:args=130 -composite", 60.0),
+    ("{a} {b} -compose mathematics -define compose:args=0.5,0.3,0.2,0.1 "
+     "-composite", 300.0),
+    ("{a} {b} -compose copyopacity -composite", 300.0),
+    # ClutImage (enhance.c:798): diagonal sampling + Q16 index truncation
+    ("{a} ( -size 16x1 gradient:black-white ) -clut", 300.0),
+    ("{a} ( -size 16x16 gradient:black-white ) -clut", 300.0),
+    ("{a} ( -size 16x1 gradient:black-white ) -interpolate integer -clut",
+     300.0),
+    ("{a} ( -size 16x1 gradient:black-white ) -interpolate nearest -clut",
+     300.0),
+    # 1-row gradient: runs horizontally (paint.c:545 vector collapse rule)
+    ("-size 16x1 gradient:black-white", 300.0),
+    # sequence reductions
+    ("{a} {b} -evaluate-sequence mean", 300.0),
+    ("{a} {b} -evaluate-sequence max", 300.0),
+    ("{a} {b} -average", 300.0),
+    ("{a} {b} -poly 0.5,1,0.5,2", 80.0),
+]
+
+
+@pytest.mark.parametrize("tmpl,gate", CASES, ids=[c[0] for c in CASES])
+def test_multiimage_vs_reference(srcs, tmpl, gate, tmp_path):
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    a, b = srcs
+    ref_out = str(tmp_path / "ref.png")
+    our_out = str(tmp_path / "ours.png")
+    args = tmpl.format(a=a, b=b)
+    subprocess.run([_REF, *shlex.split(args), ref_out],
+                   check=True, capture_output=True)
+    process([*shlex.split(args), our_out])
+    x = np.asarray(PILImage.open(ref_out).convert("RGB"), np.float64) / 255.0
+    y = np.asarray(PILImage.open(our_out).convert("RGB"), np.float64) / 255.0
+    p = _psnr(x, y)
+    assert p >= gate, (tmpl, p, x.shape, y.shape)
