@@ -209,20 +209,90 @@ def _op_resize(st, arg, plus, op="resize"):
         li.push(fn, new_shape=(h, w), tag=tag)
 
 
+def _pixel_round(x: float) -> int:
+    """PixelRoundOffset (transform.c:780): round-half-away via floor/ceil
+    distance compare."""
+    import math
+
+    return int(math.floor(x)) if (x - math.floor(x)) < (math.ceil(x) - x) \
+        else int(math.ceil(x))
+
+
+def _crop_tiles(arg, cw, ch, gravity):
+    """CropImageToTiles (transform.c:790) geometry resolution: returns a
+    list of (x, y, w, h) crop rects — one for offset crops, a full tiling
+    for offset-less WxH, an NxM split for the '@' form."""
+    from ..ops.composite import gravity_offset
+
+    has_xy = bool(re.search(r"[-+][\d.]", arg))
+    at_form = "@" in arg
+    w, h, x, y = parse_page_geometry(arg.replace("@", "").replace("!", ""),
+                                     cw, ch)
+    if at_form:
+        nx, ny = max(w, 1) if w else 1, max(h, 1) if h else 1
+        # NxM tiles: delta stepping with PixelRoundOffset boundaries
+        dx = max(cw / nx, 1.0)
+        dy = max(ch / ny, 1.0)
+        tiles = []
+        oy = 0.0
+        while oy < ch:
+            ty = _pixel_round(oy)
+            oy += dy
+            th = _pixel_round(oy) - ty
+            ox = 0.0
+            while ox < cw:
+                tx = _pixel_round(ox)
+                ox += dx
+                tw = _pixel_round(ox) - tx
+                tiles.append((tx, ty, tw, th))
+        return tiles
+    if (w == 0 and h == 0) or has_xy:
+        gx, gy = gravity_offset(gravity, cw, ch, w, h, x, y)
+        return [(gx, gy, w, h)]
+    if cw > w or ch > h:
+        w = w or cw
+        h = h or ch
+        return [(tx, ty, min(w, cw - tx), min(h, ch - ty))
+                for ty in range(0, ch, h) for tx in range(0, cw, w)]
+    return [(0, 0, min(w, cw), min(h, ch))]
+
+
 def _op_geometry_slice(st, arg, plus, op):
     """Geometry slices stay LAZY (static output shapes) except trim,
     whose bounding box is data-dependent (host readback required)."""
     from ..ops import transform as tf
 
+    gravity = st.settings.get("gravity", "northwest")
+
+    if op == "crop":
+        # CropImageToTiles (transform.c:790): offset-less geometry tiles
+        # the image; '@' tiles into NxM pieces; offsets = one gravity-
+        # adjusted region
+        new_images = []
+        for li in st.images:
+            cw, ch = li.width, li.height
+            tiles = _crop_tiles(arg, cw, ch, gravity)
+            if len(tiles) == 1:
+                x, y, w, h = tiles[0]
+                li.push(lambda d, a=(x, y, w, h): tf.crop(d, *a),
+                        new_shape=(h, w))
+                new_images.append(li)
+            else:
+                img = li.materialize()
+                for x, y, w, h in tiles:
+                    new_images.append(LazyImage(img.replace(
+                        data=tf.crop(img.data, x, y, w, h))))
+        st.images = new_images
+        return
+
     for li in st.images:
         cw, ch = li.width, li.height
         nch = li.image.channels
-        if op == "crop":
+        if op == "chop":
             w, h, x, y = parse_page_geometry(arg, cw, ch)
-            li.push(lambda d, a=(x, y, w, h): tf.crop(d, *a),
-                    new_shape=(h, w))
-        elif op == "chop":
-            w, h, x, y = parse_page_geometry(arg, cw, ch)
+            from ..ops.composite import gravity_offset
+
+            x, y = gravity_offset(gravity, cw, ch, w, h, x, y)
             out_h = ch - (min(y + h, ch) - max(y, 0))
             out_w = cw - (min(x + w, cw) - max(x, 0))
             li.push(lambda d, a=(x, y, w, h): tf.chop(d, *a),
@@ -305,24 +375,33 @@ def _op_simple(module: str, fname: str, argmap, tag_fn=None):
         fn = getattr(mod, fname)
         kwargs_builder = argmap
         channel_setting = st.settings.get("channel", "default")
+        any_mask = any(li.image.properties.get("wand:mask") is not None
+                       for li in st.images)
         tag = None
-        if tag_fn is not None and not plus and \
+        if tag_fn is not None and not plus and not any_mask and \
                 _channel_indices(channel_setting, 4) is None:
             tag = tag_fn(st, arg, plus)
 
         def make(li):
             kwargs = kwargs_builder(st, arg, plus) if kwargs_builder else {}
+            wmask = li.image.properties.get("wand:mask")
 
             def run(x):
                 out = fn(x, **kwargs)
                 if out.shape == x.shape:
+                    import jax.numpy as jnp
+
                     sel = _channel_indices(channel_setting, x.shape[-1])
                     if sel is not None:
-                        import jax.numpy as jnp
-
                         mask = jnp.zeros((x.shape[-1],), bool).at[
                             jnp.asarray(sel)].set(True)
                         out = jnp.where(mask, out, x)
+                    if wmask is not None and \
+                            wmask.shape[:2] == x.shape[-3:-1]:
+                        # write mask (-region/-write-mask): pixels outside
+                        # the mask keep their prior values
+                        m = jnp.asarray(wmask)[..., None]
+                        out = jnp.where(m > 0.5, out, x)
                 return out
 
             return run
@@ -2327,13 +2406,28 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
                 li.image = Image(tiled[..., : img.channels], img.spec)
             continue
         if name == "region":
+            # operation.c:3212: -region sets a WRITE mask on a gravity-
+            # adjusted rect (ops update only masked pixels); +region clears
+            if plus:
+                for li in st.images:
+                    li.image = li.materialize()
+                    li.image.properties.pop("wand:mask", None)
+                continue
             geom = args[i]; i += 1
-            from ..ops import transform as tf2
+            from ..ops.composite import gravity_offset
 
             for li in st.images:
-                w2, h2, x2, y2 = parse_page_geometry(geom, li.width, li.height)
-                li.push(lambda d, a=(x2, y2, w2, h2): tf2.excerpt(d, *a),
-                        new_shape=(h2, w2))
+                img = li.materialize()
+                w2, h2, x2, y2 = parse_page_geometry(geom, li.width,
+                                                     li.height)
+                gx, gy = gravity_offset(st.settings.get("gravity",
+                                                        "northwest"),
+                                        li.width, li.height, w2, h2, x2, y2)
+                m = np.zeros((li.height, li.width), np.float32)
+                m[max(gy, 0):max(gy, 0) + h2,
+                  max(gx, 0):max(gx, 0) + w2] = 1.0
+                li.image = img
+                img.properties["wand:mask"] = m
             continue
         if name == "depth":
             st.depth = int(args[i]); i += 1
@@ -2480,10 +2574,24 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
                          if k not in sels]
             continue
         if name == "clone":
-            spec = args[i]; i += 1
-            sel = int(spec)
+            # operation.c: +clone / bare -clone duplicate the last image;
+            # -clone takes comma lists and ranges ("0-2", "-1")
             src = st.stack[-1] if st.stack else st.images
-            st.images.append(LazyImage(src[sel].materialize()))
+            spec = None
+            if not plus and i < len(args) and re.match(r"^-?\d", args[i]):
+                spec = args[i]; i += 1
+            if spec is None:
+                st.images.append(LazyImage(src[-1].materialize()))
+                continue
+            for part in spec.split(","):
+                part = part.strip()
+                if "-" in part[1:]:
+                    lo, _, hi = part.rpartition("-")
+                    rng = range(int(lo), int(hi) + 1)
+                else:
+                    rng = [int(part)]
+                for s in rng:
+                    st.images.append(LazyImage(src[s].materialize()))
             continue
         if name == "swap":
             spec = args[i] if i < len(args) else "-2,-1"

@@ -222,9 +222,17 @@ def test_extract_on_read(tmp_png, tmp_path):
 
 
 def test_region_and_texture(tmp_png, tmp_path):
+    # -region = write mask (operation.c:3212): the image keeps its size;
+    # only pixels inside the rect are updated by later operators
     out = str(tmp_path / "o.png")
-    process([tmp_png, "-region", "10x10+0+0", out])
-    assert iio.read_images(out)[0].width == 10
+    src = iio.read_images(tmp_png)[0]
+    process([tmp_png, "-region", "10x10+0+0", "-negate", out])
+    res = iio.read_images(out)[0]
+    assert res.width == src.width and res.height == src.height
+    a = np.asarray(src.data)
+    b = np.asarray(res.data)
+    assert np.allclose(b[:10, :10], 1.0 - a[:10, :10], atol=1 / 255)
+    assert np.allclose(b[12:, 12:], a[12:, 12:], atol=1 / 255)
 
 
 def test_gif_animation_pipeline(tmp_path, checker_rgb):

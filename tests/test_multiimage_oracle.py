@@ -87,6 +87,20 @@ CASES = [
      300.0),
     # 1-row gradient: runs horizontally (paint.c:545 vector collapse rule)
     ("-size 16x1 gradient:black-white", 300.0),
+    # -region = write mask (operation.c:3212); +region clears
+    ("{a} -region 40x30+10+5 -negate", 300.0),
+    ("{a} -region 40x30+10+5 -negate +region -flop", 300.0),
+    ("{a} -gravity southeast -region 30x20 -modulate 150", 60.0),
+    # CropImageToTiles: offset-less WxH tiles, NxM '@' split, gravity
+    ("{a} -crop 32x32 +append", 300.0),
+    ("{a} -crop 3x2@ +append", 300.0),
+    ("{a} -gravity center -crop 40x30+0+0", 300.0),
+    ("{a} -gravity southeast -crop 40x30+2+3", 300.0),
+    # clone forms and gravity chop
+    ("{a} ( +clone -flop ) +append", 300.0),
+    ("{a} ( -clone 0 -negate ) -append", 300.0),
+    ("{a} -gravity southeast -chop 10x6", 300.0),
+    ("{a} -gravity center -chop 10x6", 300.0),
     # sequence reductions
     ("{a} {b} -evaluate-sequence mean", 300.0),
     ("{a} {b} -evaluate-sequence max", 300.0),
