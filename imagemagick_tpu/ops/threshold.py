@@ -222,6 +222,7 @@ def random_threshold(img: jnp.ndarray, low: float = 0.0, high: float = 1.0,
 
 # Ordered-dither threshold maps (/root/reference/config/thresholds.xml).
 _THRESHOLD_MAPS = {
+    "threshold": (2, [[1]]),
     "checks": (3, [[1, 2], [2, 1]]),
     "o2x2": (5, [[1, 3], [4, 2]]),
     "o3x3": (10, [[3, 7, 4], [6, 1, 9], [2, 8, 5]]),
@@ -252,6 +253,7 @@ _THRESHOLD_MAPS = {
         [20, 35, 41, 46, 42, 29, 15], [11, 21, 36, 37, 28, 22, 6],
         [4, 12, 13, 26, 14, 5, 1]]),
 }
+_THRESHOLD_MAPS["1x1"] = _THRESHOLD_MAPS["threshold"]
 _THRESHOLD_MAPS["2x1"] = _THRESHOLD_MAPS["checks"]
 _THRESHOLD_MAPS["2x2"] = _THRESHOLD_MAPS["o2x2"]
 _THRESHOLD_MAPS["3x3"] = _THRESHOLD_MAPS["o3x3"]
@@ -280,17 +282,24 @@ def ordered_dither(img: jnp.ndarray, map_name: str = "o8x8",
     if map_name not in _THRESHOLD_MAPS:
         raise ValueError(f"unknown threshold map {map_name!r}")
     divisor, rows = _THRESHOLD_MAPS[map_name]
-    m = (np.asarray(rows, np.float32)) / float(divisor)
+    m = np.asarray(rows, np.float32)
     mh, mw = m.shape
     h, w = img.shape[-3], img.shape[-2]
     reps = (-(-h // mh), -(-w // mw))
     tiled = np.tile(m, reps)[:h, :w]
     t = jnp.asarray(tiled)[..., None]
-    n = max(levels - 1, 1)
-    scaled = jnp.clip(img, 0.0, 1.0) * n
-    base = jnp.floor(scaled)
-    frac = scaled - base
-    out = (base + (frac > t).astype(img.dtype)) / n
+    # threshold.c:1774 integer ladder: i = trunc(v*(L*(D-1)+1)),
+    # level = i // (D-1), out = (level + (i mod (D-1) >= map)) / L
+    lv = float(levels)
+    if abs(lv) >= 1.0:
+        lv -= 1.0
+    if abs(lv) < 1e-12:
+        return img
+    d1 = float(divisor - 1)
+    ti = jnp.floor(jnp.clip(img, 0.0, 1.0) * (lv * d1 + 1.0))
+    level = jnp.floor(ti / d1)
+    rem = ti - level * d1
+    out = (level + (rem >= t).astype(img.dtype)) / lv
     return jnp.clip(out, 0.0, 1.0)
 
 
