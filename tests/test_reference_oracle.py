@@ -472,10 +472,13 @@ def test_canny_matches_reference_iou(src, tmp_path):
 
 
 # ordered dither: the oracle build needs MAGICK_CONFIGURE_PATH pointed at
-# the reference's config/ to find thresholds.xml.  Boundary ties flip
-# individual pixels, so gate on fraction of agreeing pixels, not PSNR.
-OD_CASES = [("o2x2", 0.98), ("o3x3", 0.98), ("o4x4", 0.98),
-            ("o8x8", 0.99), ("h4x4a", 0.98), ("checks", 0.98)]
+# the reference's config/ to find thresholds.xml.  The integer threshold
+# ladder (threshold.c:1774) is replicated exactly — gate bit-exact.
+OD_CASES = [("o2x2", 1.0), ("o3x3", 1.0), ("o4x4", 1.0),
+            ("o8x8", 1.0), ("h4x4a", 1.0), ("h6x6a", 1.0),
+            ("h8x8a", 1.0), ("c5x5b", 1.0), ("c6x6b", 1.0),
+            ("c7x7b", 1.0), ("checks", 1.0), ("threshold", 1.0),
+            ("o4x4,6", 1.0), ("o8x8,4", 1.0)]
 
 
 @pytest.mark.parametrize("mapname,gate", OD_CASES,
