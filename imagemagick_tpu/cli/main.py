@@ -776,7 +776,9 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["shade"] = (1, _op_simple("blur", "shade",
         lambda st, a, p: _shade_args(a)))
     O["sketch"] = (1, _op_simple("visual_effects", "sketch",
-        lambda st, a, p: _motion_args(a)))
+        lambda st, a, p: dict(_motion_args(a),
+                              has_alpha=bool(st.images
+                                             and st.images[0].spec.alpha))))
     O["charcoal"] = (1, _op_simple("visual_effects", "charcoal",
         lambda st, a, p: dict(zip(("radius", "sigma"), _geom_args(a)))))
     O["spread"] = (1, _op_simple("blur", "spread",

@@ -228,17 +228,35 @@ def vignette(img: jnp.ndarray, radius: float = 0.0, sigma: float = 10.0,
 
 
 def sketch(img: jnp.ndarray, radius: float = 0.0, sigma: float = 1.0,
-           angle: float = 0.0, key=None) -> jnp.ndarray:
-    """SketchImage: motion-blurred random noise modulated by edges."""
+           angle: float = 0.0, key=None, has_alpha: bool = False) -> jnp.ndarray:
+    """SketchImage (visual-effects.c:2094-2213): build a 2Wx2H uniform
+    random GRAY image, MotionBlur(radius, sigma, angle) it, EdgeImage
+    (radius), clamp + normalize + negate, resize back to 50%, then
+    ColorDodge-composite onto the source.  The final Blend(20x80) with a
+    transparent clone is an alpha-only identity for opaque sources; for
+    alpha sources it mixes 20% of the original premultiplied color."""
+    from . import composite as comp
+    from . import resize as rz
+
     if key is None:
         key = jax.random.PRNGKey(7)
-    noise = add_noise(jnp.full_like(img, 0.5), "random", key=key)
-    streaks = bl.motion_blur(noise, radius, max(sigma, 1.0), angle)
-    gray = en.grayscale(img)
-    edges = bl.edge_image(gray, 1.0)
-    base = 1.0 - en.normalize(edges)
-    sk = jnp.clip(base * 0.6 + streaks[..., :1] * 0.4, 0, 1)
-    return jnp.repeat(sk, img.shape[-1], axis=-1)[..., : img.shape[-1]]
+    h, w = img.shape[-3], img.shape[-2]
+    c = img.shape[-1]
+    val = jax.random.uniform(key, img.shape[:-3] + (2 * h, 2 * w, 1),
+                             img.dtype)
+    noise = jnp.repeat(val, c, axis=-1)
+    streaks = bl.motion_blur(noise, radius, sigma, angle)
+    dodge = bl.edge_image(streaks, radius)
+    dodge = en.normalize(jnp.clip(dodge, 0.0, 1.0))
+    dodge = 1.0 - dodge
+    dodge = rz.resize(dodge, h, w)
+    out = comp.composite(img, dodge, "colordodge",
+                         dst_alpha=has_alpha, src_alpha=False)
+    if has_alpha and c in (2, 4):
+        # Blend 20x80 with the (alpha-carrying) original clone
+        out = comp.composite(out, img, "blend", dst_alpha=True,
+                             src_alpha=True, args=(20.0, 80.0))
+    return out[..., :c]
 
 
 def shadow(img_alpha: jnp.ndarray, alpha_pct: float = 80.0, sigma: float = 3.0,

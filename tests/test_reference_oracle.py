@@ -770,3 +770,31 @@ def test_polaroid_premultiplied(src, tmp_path):
         mse = np.mean((ap - bp) ** 2)
         psnr = 300.0 if mse == 0 else 10 * np.log10(1.0 / mse)
         assert psnr >= gate, (angle, psnr)
+
+
+def test_sketch_statistics_match(src, tmp_path):
+    """SketchImage (visual-effects.c:2094) is internally random (fresh
+    RandomInfo per call — the oracle does not even match ITSELF run to
+    run), so gate on distribution statistics: mean, std, and saturated
+    fraction must sit in the reference band, and our PSNR vs the oracle
+    must be within 3dB of the oracle's own run-to-run PSNR."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    r1 = tmp_path / "r1.png"
+    r2 = tmp_path / "r2.png"
+    for f in (r1, r2):
+        subprocess.run([_REF, src, "-sketch", "3x1+30", str(f)],
+                       check=True, capture_output=True)
+    ours = tmp_path / "ours.png"
+    process([src, "-sketch", "3x1+30", str(ours)])
+    a = np.asarray(PILImage.open(str(r1)).convert("RGB"), np.float64) / 255
+    b = np.asarray(PILImage.open(str(r2)).convert("RGB"), np.float64) / 255
+    o = np.asarray(PILImage.open(str(ours)).convert("RGB"), np.float64) / 255
+    self_psnr = 10 * np.log10(1.0 / max(np.mean((a - b) ** 2), 1e-30))
+    psnr = 10 * np.log10(1.0 / max(np.mean((o - a) ** 2), 1e-30))
+    assert abs(o.mean() - a.mean()) < 0.03, (o.mean(), a.mean())
+    assert abs(o.std() - a.std()) < 0.05, (o.std(), a.std())
+    assert abs((o >= 1.0).mean() - (a >= 1.0).mean()) < 0.05
+    assert psnr >= self_psnr - 3.0, (psnr, self_psnr)
