@@ -1477,16 +1477,35 @@ def _op_colors(st, arg, plus):
     meth = st.settings.get("dither", "riemersma").lower()
     dither = {"none": "none", "false": "none", "": "none",
               "floydsteinberg": "fs", "fs": "fs"}.get(meth, "riemersma")
+    # quantize.c QuantizeImage: quantize_info->colorspace (the -quantize
+    # setting) transforms the pixels into that space for the octree
+    # classify/assign, then back to sRGB
+    qspace = normalize_colorspace(st.settings.get("quantize", "")) \
+        if st.settings.get("quantize") else None
     for li in st.images:
         img = li.materialize()
-        arr = np.asarray(img.data, np.float32)
+        nc = img.spec.color_channels
+        data = img.data[..., :nc] if img.spec.alpha else img.data
+        src_cs = img.spec.colorspace
+        if qspace and qspace != src_cs:
+            from ..ops import colorspace as cs_ops
+
+            data = cs_ops.convert(data[..., :3], src_cs, qspace)
+        arr = np.asarray(data, np.float32)
         res = None
-        if arr.ndim == 3:
+        if arr.ndim == 3 and arr.shape[-1] == 3:
             res = native.octree_quantize(arr, n, dither)
         if res is None:
-            li.image = img.replace(data=qz.kmeans_quantize(img.data, n))
+            out = qz.kmeans_quantize(jnp.asarray(arr), n)
         else:
-            li.image = img.replace(data=jnp.asarray(res[0]))
+            out = jnp.asarray(res[0])
+        if qspace and qspace != src_cs:
+            from ..ops import colorspace as cs_ops
+
+            out = cs_ops.convert(out, qspace, src_cs)
+        if img.spec.alpha:
+            out = jnp.concatenate([out, img.data[..., -1:]], -1)
+        li.image = img.replace(data=out)
 
 
 def _op_kmeans(st, arg, plus):

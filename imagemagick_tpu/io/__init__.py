@@ -505,11 +505,48 @@ def _enumerate_pixels(im) -> str:
     return "\n".join(lines)
 
 
+# IssRGBCompatibleColorspace (colorspace-private.h:1763): colorspaces a
+# raster coder can store verbatim; anything else is transformed to sRGB
+# at write time (e.g. png.c:8283)
+_SRGB_COMPAT = {"srgb", "rgb", "adobe98", "prophoto", "displayp3",
+                "scrgb", "transparent", "gray", "lineargray",
+                "linear-gray", "linear_gray"}
+# formats that persist the colorspace tag (or support CMYK) themselves
+_RAW_CS_FORMATS = {"miff", "mif", "mpc", "info", "json", "yaml", "txt",
+                   "pfm", "null", "ype"}
+
+
+def _to_srgb_for_write(images: List[Image], fmt: str) -> List[Image]:
+    out = []
+    for im in images:
+        cs_name = (im.spec.colorspace or "srgb").lower()
+        if cs_name in _SRGB_COMPAT or fmt in _RAW_CS_FORMATS:
+            out.append(im)
+            continue
+        if cs_name == "cmyk" and fmt in ("jpeg", "jpg", "tiff", "tif",
+                                         "psd", "pdf", "eps"):
+            out.append(im)
+            continue
+        from ..ops import colorspace as cs_ops
+
+        nc = im.spec.color_channels
+        import jax.numpy as jnp
+
+        color = cs_ops.convert(im.data[..., :nc], cs_name, "srgb")
+        rest = im.data[..., nc:]
+        data = jnp.concatenate([color[..., :3], rest], -1) \
+            if rest.shape[-1] else color[..., :3]
+        out.append(im.replace(data=data,
+                              spec=im.spec.with_(colorspace="srgb")))
+    return out
+
+
 def image_to_blob(image: Union[Image, List[Image]], fmt: str,
                   quality: int = 92, depth: Optional[int] = None) -> bytes:
     images = image if isinstance(image, list) else [image]
     fmt = fmt.lower()
     depth = depth or images[0].spec.depth
+    images = _to_srgb_for_write(images, fmt)
     if fmt in ("info", "json", "yaml", "txt"):
         from . import identify as ident
 

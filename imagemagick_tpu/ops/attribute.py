@@ -60,10 +60,23 @@ def set_image_type(img: jnp.ndarray, target: str,
     from .quantize import kmeans_quantize
 
     if t.startswith("bilevel"):
-        return bilevel(grayscale(img) if img.shape[-1] >= 3 else img, 0.5)
+        # attribute.c:2310: gray -> NormalizeImage -> Bilevel(Q/2)
+        from .enhance import normalize
+
+        g = grayscale(img) if img.shape[-1] >= 3 else img
+        return bilevel(normalize(g), 0.5)
     if t.startswith("grayscale"):
         return grayscale(img) if img.shape[-1] >= 3 else img
     if t.startswith("palette"):
+        # attribute.c:2349: QuantizeImage 256 colors (octree, Riemersma
+        # dither by default); k-means fallback without the native kernel
+        from .. import native
+
+        arr = np.asarray(img, np.float32)
+        if arr.ndim == 3 and arr.shape[-1] == 3:
+            res = native.octree_quantize(arr, 256, "riemersma")
+            if res is not None:
+                return jnp.asarray(res[0])
         return kmeans_quantize(img, 256, max_iters=8)
     if t.startswith("truecolor"):
         if img.shape[-1] == 1:

@@ -111,11 +111,37 @@ def number_colors(img: jnp.ndarray, bits: int = 8) -> jnp.ndarray:
 
 
 def unique_colors(img: jnp.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """UniqueImageColors: (colors, counts) — host-returning (dynamic size)."""
-    arr = np.asarray(img).reshape(-1, img.shape[-1])
-    q = np.round(arr * 255.0).astype(np.uint8)
-    colors, counts = np.unique(q, axis=0, return_counts=True)
-    return colors.astype(np.float32) / 255.0, counts
+    """UniqueImageColors (histogram.c:1138): (colors, counts) in the
+    reference's HCube traversal order — an octree walk whose node id per
+    level is (r_bit | g_bit<<1 | b_bit<<2 [| a_bit<<3]) over 8-bit channel
+    bits 7..1 MSB-first (ColorToNodeId, histogram.c:163); colors sharing
+    all seven levels (leaf lists) stay in first-appearance order."""
+    c = img.shape[-1]
+    arr = np.asarray(img).reshape(-1, c)
+    q = np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
+    colors, first, counts = np.unique(q, axis=0, return_index=True,
+                                      return_counts=True)
+    nb = 4 if c in (2, 4) else 3
+    if c == 1:
+        r = g = b = colors[:, 0].astype(np.uint64)
+        a = None
+    elif c == 2:
+        r = g = b = colors[:, 0].astype(np.uint64)
+        a = colors[:, 1].astype(np.uint64)
+    else:
+        r = colors[:, 0].astype(np.uint64)
+        g = colors[:, 1].astype(np.uint64)
+        b = colors[:, 2].astype(np.uint64)
+        a = colors[:, 3].astype(np.uint64) if c >= 4 else None
+    key = np.zeros(len(colors), np.uint64)
+    for idx in range(7, 0, -1):        # levels consume bits 7..1
+        digit = ((r >> idx) & 1) | (((g >> idx) & 1) << 1) \
+            | (((b >> idx) & 1) << 2)
+        if a is not None:
+            digit = digit | (((a >> idx) & 1) << 3)
+        key = (key << np.uint64(nb)) | digit
+    order = np.lexsort((first, key))
+    return (colors[order].astype(np.float32) / 255.0, counts[order])
 
 
 def get_histogram(img: jnp.ndarray, max_colors: int = 1024

@@ -12,8 +12,9 @@ bit-for-bit (/root/reference/MagickCore/cipher.c:561-935):
     cipher.c:999)
   * initial counter block = SHA256(nonce || u64le(columns*rows))[:16]
     (cipher.c:637-648)
-  * keystream: AES-encrypt the counter, increment it little-endian
-    per block (IncrementCipherNonce cipher.c:527), consume
+  * keystream: AES-encrypt the counter, increment it BIG-endian
+    per block (IncrementCipherNonce cipher.c:527 carries from byte 15
+    down; verified by two-way interop with the real binary), consume
     ceil(row_bytes/16) blocks per row, XOR into the row's big-endian
     unsigned quantum samples
 
@@ -62,17 +63,20 @@ def _keystream(key: bytes, counter0: bytes, rows: int, row_bytes: int
     """CTR keystream: rows x ceil(row_bytes/16) blocks, row-truncated."""
     nb = -(-row_bytes // 16)
     total = rows * nb
-    c0 = int.from_bytes(counter0, "little")
+    # IncrementCipherNonce (cipher.c:527) carries from byte 15 DOWN —
+    # the counter is a 128-bit BIG-endian integer
+    c0 = int.from_bytes(counter0, "big")
     lo0 = np.uint64(c0 & 0xFFFFFFFFFFFFFFFF)
     hi0 = np.uint64(c0 >> 64)
-    # counter_k = little-endian 128-bit (c0 + k), as (lo, hi) u64 pairs
     k = np.arange(total, dtype=np.uint64)
     with np.errstate(over="ignore"):
         lo = lo0 + k
         hi = hi0 + (lo < lo0).astype(np.uint64)
     counters = np.empty((total, 16), np.uint8)
-    counters[:, :8] = lo[:, None].view(np.uint8).reshape(total, 8)
-    counters[:, 8:] = hi[:, None].view(np.uint8).reshape(total, 8)
+    counters[:, :8] = hi[:, None].astype(">u8").view(np.uint8).reshape(
+        total, 8)
+    counters[:, 8:] = lo[:, None].astype(">u8").view(np.uint8).reshape(
+        total, 8)
     stream = aes_encrypt_blocks(counters, key)
     return stream.reshape(rows, nb * 16)[:, :row_bytes]
 

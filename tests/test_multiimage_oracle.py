@@ -126,3 +126,30 @@ def test_multiimage_vs_reference(srcs, tmpl, gate, tmp_path):
     y = np.asarray(PILImage.open(our_out).convert("RGB"), np.float64) / 255.0
     p = _psnr(x, y)
     assert p >= gate, (tmpl, p, x.shape, y.shape)
+
+
+def test_cipher_interop_with_reference(srcs, tmp_path):
+    """-encipher here must decipher with the real binary and vice versa
+    (cipher.c CTR construction: BIG-endian counter increment)."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    a, _ = srcs
+    pp = tmp_path / "pass.txt"
+    pp.write_text("secret")
+    enc = tmp_path / "enc.png"
+    dec = tmp_path / "dec.png"
+    process([a, "-encipher", str(pp), str(enc)])
+    subprocess.run([_REF, str(enc), "-decipher", str(pp), str(dec)],
+                   check=True, capture_output=True)
+    x = np.asarray(PILImage.open(str(dec)).convert("RGB"), np.float64)
+    s = np.asarray(PILImage.open(a).convert("RGB"), np.float64)
+    assert (x == s).all()
+    enc2 = tmp_path / "enc2.png"
+    dec2 = tmp_path / "dec2.png"
+    subprocess.run([_REF, a, "-encipher", str(pp), str(enc2)],
+                   check=True, capture_output=True)
+    process([str(enc2), "-decipher", str(pp), str(dec2)])
+    y = np.asarray(PILImage.open(str(dec2)).convert("RGB"), np.float64)
+    assert (y == s).all()

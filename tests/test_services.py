@@ -171,14 +171,17 @@ def test_encipher_ctr_construction(checker_rgb):
     pp = passphrase.encode()
     nonce, keyhalf = pp[:len(pp) // 2], pp[len(pp) // 2:]
     key = keyhalf[:16].ljust(16, b"\0")
+    # IncrementCipherNonce (cipher.c:527) carries from byte 15 down: the
+    # counter is a BIG-endian 128-bit integer (oracle-interop verified)
     counter0 = int.from_bytes(
         hashlib.sha256(nonce + struct.pack("<Q", w * h)).digest()[:16],
-        "little")
+        "big")
 
     q = (np.clip(checker_rgb, 0, 1) * 65535.0 + 0.5).astype(">u2")
     row_bytes = w * c * 2
     nb = -(-row_bytes // 16)
-    blocks = np.array([[(counter0 + k) >> (8 * b) & 0xFF for b in range(16)]
+    blocks = np.array([[((counter0 + k) >> (8 * (15 - b))) & 0xFF
+                        for b in range(16)]
                        for k in range(h * nb)], np.uint8)
     ks = aes_encrypt_blocks(blocks, key).reshape(h, nb * 16)[:, :row_bytes]
     raw = np.frombuffer(q.tobytes(), np.uint8).reshape(h, row_bytes)
