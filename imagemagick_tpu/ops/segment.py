@@ -43,12 +43,18 @@ _SAFE_MARGIN = 3
 # -- scale-space analysis (host, per 256-bin histogram) ---------------------
 
 def _scale_space(hist: np.ndarray, tau: float) -> np.ndarray:
-    """Gaussian-smoothed histogram at scale tau (ScaleSpace, segment.c)."""
+    """Gaussian-smoothed histogram at scale tau (ScaleSpace, segment.c):
+    the kernel table is TRUNCATED at the first entry below MagickEpsilon
+    (the reference's early break leaves the rest zero)."""
     x = np.arange(256, dtype=np.float64)
-    diff = x[:, None] - x[None, :]
-    alpha = 1.0 / max(tau * np.sqrt(2.0 * np.pi), 1e-300)
+    alpha = 1.0 / (tau * np.sqrt(2.0 * np.pi))
     beta = -1.0 / (2.0 * tau * tau)
-    return alpha * (np.exp(beta * diff * diff) @ hist.astype(np.float64))
+    gamma = np.exp(beta * x * x)
+    small = np.nonzero(gamma < 1.0e-12)[0]
+    if len(small):
+        gamma[small[0]:] = 0.0
+    diff = np.abs(x[:, None] - x[None, :]).astype(np.int64)
+    return alpha * (gamma[diff] @ hist.astype(np.float64))
 
 
 def _derivative(h: np.ndarray) -> np.ndarray:
@@ -61,26 +67,25 @@ def _derivative(h: np.ndarray) -> np.ndarray:
 
 
 def _zero_cross(second: np.ndarray, smooth_threshold: float) -> np.ndarray:
-    """Signed zero-crossing marks of the 2nd derivative (ZeroCrossHistogram,
-    segment.c:1897): per its documented contract, "+1 is negative to
-    positive; -1 is positive to negative" — a mark at each sign
-    TRANSITION of the thresholded second derivative.  (The reference's
-    loop body has its parity conditions inverted relative to that
-    comment, marking run continuations instead; we implement the
-    documented semantics, which is what makes the interval tree
-    meaningful.)"""
-    s = np.where(np.abs(second) < smooth_threshold, 0.0, second)
+    """Signed zero-crossing marks of the 2nd derivative — the EXACT
+    ZeroCrossHistogram loop (segment.c:1897).  Note its parity logic
+    marks the 2nd-and-later samples of each same-sign run (s<0 sets
+    parity=+1, and -1 is emitted when parity>0), not the documented
+    sign transitions; the oracle confirms the output depends on this
+    (a 1x1.5 segment of a smooth image collapses to ONE cluster)."""
+    s = second.copy()
+    s[(s < smooth_threshold) & (s >= -smooth_threshold)] = 0.0
     crossings = np.zeros(256, np.int16)
-    in_concave = False
+    parity = 0
     for i in range(256):
         if s[i] < 0.0:
-            if not in_concave:
-                crossings[i] = -1       # entering a concave (peak) run
-            in_concave = True
-        else:
-            if in_concave:
-                crossings[i] = 1        # leaving the concave run
-            in_concave = False
+            if parity > 0:
+                crossings[i] = -1
+            parity = 1
+        elif s[i] > 0.0:
+            if parity < 0:
+                crossings[i] = 1
+            parity = -1
     return crossings
 
 
@@ -175,14 +180,21 @@ def _stability(node: _Node) -> None:
                            len(node.children)) if node.children else 0.0
 
 
-def _active_nodes(node: _Node, out: List[_Node]) -> None:
+def _active_nodes(chain: List[_Node], i: int, out: List[_Node]) -> None:
     """Stable nodes: stability >= mean stability of the children
-    (ActiveNodes, segment.c:1483); a stable node hides its subtree."""
-    for ch in node.children:
-        if ch.stability >= ch.mean_stability:
-            out.append(ch)
-        else:
-            _active_nodes(ch, out)
+    (ActiveNodes, segment.c:1483).  A stable node hides its subtree; an
+    unstable node's SIBLINGS are visited before its children (the
+    reference's recursion order — it decides extrema overwrites at
+    shared interval endpoints)."""
+    if i >= len(chain):
+        return
+    node = chain[i]
+    if node.stability >= node.mean_stability:
+        out.append(node)
+        _active_nodes(chain, i + 1, out)
+    else:
+        _active_nodes(chain, i + 1, out)
+        _active_nodes(node.children, 0, out)
 
 
 def optimal_tau(hist: np.ndarray, smooth_threshold: float = 1.0,
@@ -192,30 +204,45 @@ def optimal_tau(hist: np.ndarray, smooth_threshold: float = 1.0,
     analysis (OptimalTau, segment.c:1509).  Positive entries mark peak
     regions (value = peak bin, with bin 0 encoded as 256), negative mark
     valleys."""
-    taus = list(np.arange(max_tau, min_tau - 1e-9, -delta_tau))
+    # the reference steps tau as a float32 constant: tau starts at
+    # double(5.2f) and the loop stops BEFORE 0.19999981 < 0.2 — 10 taus,
+    # not 11 (OptimalTau, segment.c:1571)
+    taus = []
+    tau = float(np.float32(max_tau))
+    dt = float(np.float32(delta_tau))
+    while tau >= min_tau:
+        taus.append(tau)
+        tau -= dt
     smoothed = [_scale_space(hist, t) for t in taus]
     taus.append(0.0)
     smoothed.append(hist.astype(np.float64))
     crossings = [_zero_cross(_derivative(_derivative(h)), smooth_threshold)
                  for h in smoothed]
     _consolidate(crossings)
-    # force endpoints into every interval
+    # force endpoints to be included in the interval (literal loop —
+    # note a nonzero crossings[0] negates ITSELF, like the reference)
     for c in crossings:
-        nz = np.nonzero(c[:255])[0]
-        c[0] = -c[nz[0]] if len(nz) else 0
-        nz = np.nonzero(c[1:])[0] + 1
-        c[255] = -c[nz[-1]] if len(nz) else 0
+        j = 0
+        while j < 255 and c[j] == 0:
+            j += 1
+        c[0] = -c[j]
+        j = 255
+        while j > 0 and c[j] == 0:
+            j -= 1
+        c[255] = -c[j]
     root = _build_tree(crossings, taus)
     active: List[_Node] = []
-    _active_nodes(root, active)
+    _active_nodes(root.children, 0, active)
     extrema = np.zeros(256, np.int32)
     for node in active:
-        level = taus.index(node.tau)
+        level = len(taus) - 1
+        for j, t in enumerate(taus):
+            if t == node.tau:
+                level = j
         hist_s = smoothed[level]
-        # a peak interval spans the concave run: 2nd derivative goes
-        # pos->neg at its left shoulder and neg->pos at its right, so the
-        # right boundary carries the +1 transition mark
-        peak = crossings[level][node.right] == 1
+        # OptimalTau: a peak interval carries the -1 mark at its right
+        # boundary (with ZeroCrossHistogram's run-continuation parity)
+        peak = crossings[level][node.right] == -1
         span = hist_s[node.left:node.right + 1]
         index = node.left + (int(np.argmax(span)) if peak
                              else int(np.argmin(span)))
@@ -312,8 +339,9 @@ def segment(img: jnp.ndarray, colorspace: str = "srgb",
                       jnp.float32) - _SAFE_MARGIN
     hi2 = jnp.asarray([[r[1], g[1], b[1]] for (r, g, b), _ in kept_centers],
                       jnp.float32) + _SAFE_MARGIN
-    centers = jnp.asarray(np.round([c_ for _, c_ in kept_centers]),
-                          jnp.float32)                       # (K', 3) chars
+    # (unsigned char)(center+0.5): round-half-UP, not numpy's half-even
+    centers = jnp.asarray(np.floor(np.asarray(
+        [c_ for _, c_ in kept_centers]) + 0.5), jnp.float32)  # (K', 3) chars
 
     # assignment pass: first matching box, else fuzzy membership — whose
     # argmax is analytically the nearest center (membership_j =

@@ -101,6 +101,13 @@ CASES = [
     ("{a} ( -clone 0 -negate ) -append", 300.0),
     ("{a} -gravity southeast -chop 10x6", 300.0),
     ("{a} -gravity center -chop 10x6", 300.0),
+    # SegmentImage: full scale-space interval-tree port (segment.c:1496
+    # ZeroCrossHistogram parity quirk, f32 tau stepping = 10 scales,
+    # truncated ScaleSpace kernel, ActiveNodes recursion order)
+    ("{a} -segment 1x1.5", 300.0),
+    ("{a} -segment 0.5x0.5", 300.0),
+    ("{a} -segment 2x2", 300.0),
+    ("{a} -segment 3x1", 300.0),
     # sequence reductions
     ("{a} {b} -evaluate-sequence mean", 300.0),
     ("{a} {b} -evaluate-sequence max", 300.0),
