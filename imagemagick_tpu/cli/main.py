@@ -1745,16 +1745,35 @@ def _op_segment(st, arg, plus):
 
 
 def _op_hough(st, arg, plus):
+    # HoughLineImage (feature.c:1840): detect lines in the accumulator
+    # and RENDER them as MVG 'line' primitives on a background canvas
+    import jax.numpy as jnp
+
+    from ..ops import draw as dw
     from ..ops import feature as ft
 
     g = parse_geometry(arg)
     w = int(g.width or 5)
     h = int(g.height or w)
-    thr = int(g.x or 40)
+    thr = int(g.x or 0)
     for li in st.images:
         img = li.materialize()
-        for rho, theta, count in ft.hough_lines(img.data, w, h, thr):
-            print(f"line: rho={rho:.1f} theta={theta:.3f} count={count:.0f}")
+        segs = ft.hough_line_segments(img.data, w, h, thr)
+        ih, iw = img.height, img.width
+        bgc = st.bg()[:3]
+        canvas = jnp.broadcast_to(
+            jnp.asarray(bgc, jnp.float32), (ih, iw, 3)).astype(jnp.float32)
+        prelude = [f"fill '{st.settings.get('fill', 'black')}'"]
+        if st.settings.get("stroke"):
+            prelude.append(f"stroke '{st.settings['stroke']}'")
+        if st.settings.get("strokewidth"):
+            prelude.append(f"stroke-width {st.settings['strokewidth']}")
+        mvg = " ".join(prelude) + " " + " ".join(
+            f"line {x1:g},{y1:g} {x2:g},{y2:g}"
+            for x1, y1, x2, y2, _, _, _ in segs)
+        out = dw.draw(canvas, mvg, False) if segs else canvas
+        li.image = Image(out, img.spec.with_(colorspace="srgb",
+                                             alpha=False))
 
 
 # ---------------------------------------------------------------------------

@@ -218,32 +218,162 @@ def _sample_grid(h: int, w: int, dtype=jnp.float32):
     return xs, ys
 
 
+def _segment_dist2(X: np.ndarray, Y: np.ndarray,
+                   a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared point-to-segment distances, GetFillAlpha's exact branch
+    structure (draw.c:4845-4880): beta<=0 -> endpoint a; beta>=|ab|^2 ->
+    endpoint b; else perpendicular via the cross product."""
+    dx = (b[:, 0] - a[:, 0])[None, None, :]
+    dy = (b[:, 1] - a[:, 1])[None, None, :]
+    px = X - a[None, None, :, 0]
+    py = Y - a[None, None, :, 1]
+    beta = dx * px + dy * py
+    seg2 = dx * dx + dy * dy
+    qx = X - b[None, None, :, 0]
+    qy = Y - b[None, None, :, 1]
+    cross = dx * py - dy * px
+    with np.errstate(divide="ignore", invalid="ignore"):
+        perp = np.where(seg2 > 0.0, cross * cross / seg2, px * px + py * py)
+    d2 = np.where(beta <= 0.0, px * px + py * py,
+                  np.where(beta >= seg2, qx * qx + qy * qy, perp))
+    return d2
+
+
+def _ref_alphas(h: int, w: int,
+                subpaths: Sequence[Sequence[Tuple[float, float]]],
+                mid: float = 0.5, fill_rule: str = "nonzero",
+                want_fill: bool = True, want_stroke: bool = False,
+                closed_flags: Optional[Sequence[bool]] = None,
+                _chunk: int = 512):
+    """The reference rasterization model (DrawPolygonPrimitive +
+    GetFillAlpha, draw.c:4803-5210), evaluated at integer pixel centers:
+
+      fill   = 1 inside (winding) else max over segments of (1-d)^2, d<=1
+      stroke = 1 where d <= mid-0.25 else (d-(mid+0.75))^2 for
+               d <= mid+0.75   (mid = stroke_width/2)
+
+    Open subpaths gain a GHOST closing edge (ConvertPrimitiveToPath,
+    draw.c:886-900) that participates in fill winding and fill AA but
+    never in the stroke.  Returns (fill_alpha, stroke_alpha) float64
+    (h, w) arrays — callers convert.
+    """
+    X = np.arange(w, dtype=np.float64)[None, :, None]
+    Y = np.arange(h, dtype=np.float64)[:, None, None]
+    fill_sub = np.zeros((h, w))
+    stroke = np.zeros((h, w))
+    wind = np.zeros((h, w), np.int64)
+
+    def chains_of(a, b, ghosts):
+        """Split a segment run into monotone-y chains like
+        ConvertPathToPolygon (direction flips start a new edge)."""
+        out = []
+        cur = []
+        direction = 0
+        for i in range(len(a)):
+            dy = b[i, 1] - a[i, 1]
+            d = 1 if dy > 0 else (-1 if dy < 0 else direction)
+            if cur and ((d != direction and direction != 0 and d != 0)
+                        or ghosts[i] != cur[2]):
+                out.append((np.asarray(cur[0]), np.asarray(cur[1]), cur[2]))
+                cur = []
+            if not cur:
+                cur = [[], [], ghosts[i]]
+            cur[0].append(a[i])
+            cur[1].append(b[i])
+            if d != 0:
+                direction = d
+        if cur:
+            out.append((np.asarray(cur[0]), np.asarray(cur[1]), cur[2]))
+        return out
+
+    for pi, pts in enumerate(subpaths):
+        p = np.asarray([(float(x), float(y)) for x, y in pts], np.float64)
+        if len(p) == 0:
+            continue
+        if len(p) == 1:
+            if want_stroke:
+                d = np.sqrt(_segment_dist2(X, Y, p, p)[..., 0])
+                s = np.where(d <= mid - 0.25, 1.0,
+                             np.where(d <= mid + 0.75,
+                                      (d - (mid + 0.75)) ** 2, 0.0))
+                stroke = np.maximum(stroke, s)
+            continue
+        closed = bool(closed_flags[pi]) if closed_flags is not None else \
+            bool(np.all(p[0] == p[-1]))
+        a = p[:-1]
+        b = p[1:]
+        ghost_flags = [False] * len(a)
+        ghost = not (closed and np.all(p[0] == p[-1]))
+        if want_fill and ghost:
+            a = np.concatenate([a, p[-1:]], 0)
+            b = np.concatenate([b, p[:1]], 0)
+            ghost_flags.append(True)
+        for ca, cb, is_ghost in chains_of(a, b, ghost_flags):
+            # chain-level window (GetFillAlpha edge guards: the pixel
+            # must fall within the chain bbox expanded by mid+0.5,
+            # with <=/> boundary asymmetry)
+            xlo = min(ca[:, 0].min(), cb[:, 0].min())
+            xhi = max(ca[:, 0].max(), cb[:, 0].max())
+            ylo = min(ca[:, 1].min(), cb[:, 1].min())
+            yhi = max(ca[:, 1].max(), cb[:, 1].max())
+            cwin = ((Y[..., 0] > ylo - mid - 0.5) &
+                    (Y[..., 0] <= yhi + mid + 0.5) &
+                    (X[..., 0] > xlo - mid - 0.5) &
+                    (X[..., 0] <= xhi + mid + 0.5))
+            for lo in range(0, len(ca), _chunk):
+                aa = ca[lo:lo + _chunk]
+                bb = cb[lo:lo + _chunk]
+                d2 = _segment_dist2(X, Y, aa, bb)
+                # segment-level y window (points ascending per chain)
+                sylo = np.minimum(aa[:, 1], bb[:, 1])[None, None]
+                syhi = np.maximum(aa[:, 1], bb[:, 1])[None, None]
+                swin = (Y > sylo - mid - 0.5) & (Y <= syhi + mid + 0.5)
+                if want_fill:
+                    d = np.sqrt(d2)
+                    f = np.where(d2 <= 1.0, (d - 1.0) ** 2, 0.0)
+                    f = np.where(d2 <= 0.0, 1.0, f)
+                    f = np.where(swin, f, 0.0)
+                    fill_sub = np.maximum(fill_sub,
+                                          np.where(cwin, f.max(-1), 0.0))
+                    # winding: window (sy, ey], right-or-on sidedness
+                    # (draw.c:4952-4962) — no mid expansion here
+                    down = bb[:, 1] > aa[:, 1]
+                    sx = np.where(down, aa[:, 0], bb[:, 0])
+                    sy = np.where(down, aa[:, 1], bb[:, 1])
+                    ex = np.where(down, bb[:, 0], aa[:, 0])
+                    ey = np.where(down, bb[:, 1], aa[:, 1])
+                    dirs = np.where(down, 1, -1)
+                    nh = aa[:, 1] != bb[:, 1]
+                    inwin = (Y > sy[None, None]) & (Y <= ey[None, None])
+                    side = ((ey - sy)[None, None] * (X - sx[None, None]) -
+                            (ex - sx)[None, None] *
+                            (Y - sy[None, None])) >= 0.0
+                    wind += np.where(inwin & side & nh[None, None],
+                                     dirs[None, None], 0).sum(-1)
+                if want_stroke and not is_ghost:
+                    d = np.sqrt(d2)
+                    s = np.where(d <= mid - 0.25, 1.0,
+                                 np.where(d <= mid + 0.75,
+                                          (d - (mid + 0.75)) ** 2, 0.0))
+                    s = np.where(swin, s, 0.0)
+                    stroke = np.maximum(stroke,
+                                        np.where(cwin, s.max(-1), 0.0))
+    if fill_rule in ("evenodd", "even-odd"):
+        inside = (np.abs(wind) & 1) != 0
+    else:
+        inside = wind != 0
+    fill = np.where(inside, 1.0, fill_sub)
+    return fill, stroke
+
+
 def polygon_coverage(h: int, w: int, points: Sequence[Tuple[float, float]],
                      fill_rule: str = "nonzero") -> jnp.ndarray:
-    """Supersampled polygon fill coverage in [0,1], shape (h, w)."""
-    pts = np.asarray(points, np.float64)
-    if len(pts) < 3:
+    """Polygon fill alpha, the reference's winding + edge-AA model."""
+    pts = list(points)
+    if len(pts) < 2:
         return jnp.zeros((h, w), jnp.float32)
-    xs, ys = _sample_grid(h, w)
-    winding = jnp.zeros(xs.shape, jnp.int32)
-    n = len(pts)
-    for i in range(n):
-        x1, y1 = pts[i]
-        x2, y2 = pts[(i + 1) % n]
-        if y1 == y2:
-            continue
-        # upward/downward crossing test at sample y
-        cond = ((ys >= min(y1, y2)) & (ys < max(y1, y2)))
-        t = (ys - y1) / (y2 - y1)
-        x_at = x1 + t * (x2 - x1)
-        crosses = cond & (xs < x_at)
-        direction = 1 if y2 > y1 else -1
-        winding = winding + jnp.where(crosses, direction, 0)
-    if fill_rule in ("evenodd", "even-odd"):
-        inside = (winding % 2) != 0
-    else:
-        inside = winding != 0
-    return jnp.mean(inside.astype(jnp.float32), axis=-1)
+    fill, _ = _ref_alphas(h, w, [pts], fill_rule=fill_rule)
+    return jnp.asarray(fill.astype(np.float32))
 
 
 def stroke_coverage(h: int, w: int, points: Sequence[Tuple[float, float]],
@@ -264,94 +394,138 @@ def stroke_coverage(h: int, w: int, points: Sequence[Tuple[float, float]],
         return jnp.zeros((h, w), jnp.float32)
     if closed and pts[0] != pts[-1]:
         pts = pts + [pts[0]]
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     r = width / 2.0
-    segs = list(zip(pts[:-1], pts[1:]))
-    round_everything = linecap == "round" and linejoin == "round"
-    # sd accumulates the SIGNED distance to the stroke region (min over
-    # primitives); coverage = clip(0.5 - sd, 0, 1) gives a 1px AA edge.
-    sd = jnp.full((h, w), 1e6, jnp.float32)
-    for si, ((x1, y1), (x2, y2)) in enumerate(segs):
-        vx, vy = x2 - x1, y2 - y1
-        ln = math.hypot(vx, vy)
-        if ln < 1e-9:
-            d = jnp.sqrt((xs - x1) ** 2 + (ys - y1) ** 2) - r
-            sd = jnp.minimum(sd, d)
-            continue
-        ux, uy = vx / ln, vy / ln
-        along = (xs - x1) * ux + (ys - y1) * uy
-        perp = jnp.abs((xs - x1) * -uy + (ys - y1) * ux)
-        if round_everything:
-            t = jnp.clip(along, 0.0, ln)
-            d = jnp.sqrt((along - t) ** 2 + perp ** 2 + 1e-12) - r
+    distance_model = linejoin == "round" and (linecap == "round" or closed)
+    if r <= 1.0 or distance_model:
+        # DrawPrimitive (draw.c:5830): thin strokes (mid <= 1) and
+        # round-join strokes with round caps (or closed paths) render
+        # with the distance model (endpoint balls = the round caps)
+        _, stroke = _ref_alphas(h, w, [pts], mid=r, want_fill=False,
+                                want_stroke=True,
+                                closed_flags=[closed])
+        return jnp.asarray(stroke.astype(np.float32))
+    # wide strokes: trace the stroke outline polygon and FILL it
+    # (DrawStrokePolygon -> TraceStrokePolygon -> DrawPolygonPrimitive);
+    # round caps composite separately as stroke-point discs
+    # (DrawRoundLinecap, draw.c:5938-5960)
+    rings = _stroke_outline(pts, r, linecap, linejoin, miterlimit, closed)
+    fill, _ = _ref_alphas(h, w, rings, mid=0.0, fill_rule="nonzero",
+                          closed_flags=[True] * len(rings))
+    alpha = fill
+    if linecap == "round" and not closed:
+        _, caps = _ref_alphas(h, w, [[pts[0]], [pts[-1]]], mid=r,
+                              want_fill=False, want_stroke=True)
+        alpha = alpha + caps - alpha * caps   # over-composite, same ink
+    return jnp.asarray(alpha.astype(np.float32))
+
+
+def _stroke_outline(pts, r, linecap="butt", linejoin="miter",
+                    miterlimit=10.0, closed=False):
+    """TraceStrokePolygon analog: offset outline ring(s) of a stroked
+    path — butt/square caps, miter-or-bevel joins (draw.c:6571+).
+    Returns a list of closed polygons (closed paths yield outer+inner
+    rings whose combined nonzero winding is the stroke band)."""
+    P = [np.asarray(q, np.float64) for q in pts]
+    # drop duplicate consecutive points
+    Q = [P[0]]
+    for q in P[1:]:
+        if np.hypot(*(q - Q[-1])) > 1e-12:
+            Q.append(q)
+    if len(Q) < 2:
+        return []
+    if closed and np.hypot(*(Q[0] - Q[-1])) > 1e-12:
+        Q.append(Q[0])
+
+    def unit(v):
+        n = np.hypot(*v)
+        return v / n if n > 0 else v
+
+    def miter_point(i, side):
+        """Outer miter point at vertex Q[i] (prev segment -> next), or
+        None when the turn is inner / bevel-limited."""
+        pu = unit(Q[i] - Q[i - 1]) if i > 0 else unit(Q[0] - Q[-2])
+        u = unit(Q[i + 1] - Q[i]) if i < len(Q) - 1 else unit(Q[1] - Q[0])
+        cross = pu[0] * u[1] - pu[1] * u[0]
+        if not ((cross * side) < 0) or linejoin != "miter":
+            return None
+        m = pu + u
+        ml = np.hypot(*m)
+        if ml <= 1e-9:
+            return None
+        cos_half = ml / 2.0
+        miter_len = r / max(cos_half, 1e-9)
+        if miter_len > miterlimit * r:
+            return None
+        mdir = unit(np.array([-m[1], m[0]]) * side)
+        return Q[i] + mdir * miter_len
+
+    def arc_points(center, a0, a1, ccw):
+        """Arc vertex run at TraceEllipse density (step = 1/(8r))."""
+        step = 1.0 / (8.0 * max(r, 1e-9))
+        if ccw:
+            while a1 < a0:
+                a1 += 2.0 * math.pi
         else:
-            lo, hi = 0.0, ln
-            # caps apply only at true polyline ends (not interior joins)
-            at_start = si == 0 and not closed
-            at_end = si == len(segs) - 1 and not closed
-            if linecap == "square":
-                if at_start:
-                    lo = -r
-                if at_end:
-                    hi = ln + r
-            elif linecap == "round":
-                if at_start or at_end:
-                    t = jnp.clip(along, 0.0, ln)
-                    d = jnp.sqrt((along - t) ** 2 + perp ** 2 + 1e-12) - r
-                    sd = jnp.minimum(sd, d)
-                    continue
-            over = jnp.maximum(lo - along, along - hi)   # beyond the ends
-            d = jnp.maximum(perp - r, over)
-            sd = jnp.minimum(sd, d)
-            continue
-        sd = jnp.minimum(sd, d)
-    # join primitives at interior vertices (and the closing vertex)
-    if not round_everything and len(segs) > 1 or (closed and not
-                                                  round_everything):
-        nverts = len(segs) - 1 + (1 if closed else 0)
-        for k in range(nverts):
-            a = segs[k]
-            b = segs[(k + 1) % len(segs)]
-            p0, p1 = a
-            d1 = (p1[0] - p0[0], p1[1] - p0[1])
-            q0, q1 = b
-            d2 = (q1[0] - q0[0], q1[1] - q0[1])
-            l1 = math.hypot(*d1) or 1.0
-            l2 = math.hypot(*d2) or 1.0
-            u1 = (d1[0] / l1, d1[1] / l1)
-            u2 = (d2[0] / l2, d2[1] / l2)
-            v = a[1]  # the shared vertex
+            while a1 > a0:
+                a1 -= 2.0 * math.pi
+        n = max(int(abs(a1 - a0) / step), 1)
+        return [center + r * np.array([math.cos(a0 + (a1 - a0) * k / n),
+                                       math.sin(a0 + (a1 - a0) * k / n)])
+                for k in range(n + 1)]
+
+    def offside(side):
+        """One side of the outline (+1 left, -1 right), walked forward."""
+        out = []
+        n = len(Q) - 1
+        for i in range(n):
+            u = unit(Q[i + 1] - Q[i])
+            nrm = np.array([-u[1], u[0]]) * side * r
+            a = Q[i] + nrm
+            b = Q[i + 1] + nrm
+            if linecap == "square" and not closed:
+                if i == 0:
+                    a = a - u * r
+                if i == n - 1:
+                    b = b + u * r
+            if out:
+                if linejoin == "round":
+                    pn = out[-1] - Q[i]       # previous offset end
+                    an = a - Q[i]
+                    out.extend(arc_points(
+                        Q[i], math.atan2(pn[1], pn[0]),
+                        math.atan2(an[1], an[0]), side < 0))
+                else:
+                    mp = miter_point(i, side)
+                    if mp is not None:
+                        out.append(mp)
+                out.append(a)
+            else:
+                out.append(a)
+            out.append(b)
+        if closed:
+            # seam join at vertex 0 (between the last and first segments)
             if linejoin == "round":
-                d = jnp.sqrt((xs - v[0]) ** 2 + (ys - v[1]) ** 2) - r
-                sd = jnp.minimum(sd, d)
-                continue
-            # outer normals of each segment on the turn's outside
-            cross = u1[0] * u2[1] - u1[1] * u2[0]
-            if abs(cross) < 1e-9:        # collinear: nothing to fill
-                continue
-            s_ = -1.0 if cross > 0 else 1.0  # outer side of the turn
-            n1 = (-u1[1] * s_, u1[0] * s_)
-            n2 = (-u2[1] * s_, u2[0] * s_)
-            c1 = (v[0] + r * n1[0], v[1] + r * n1[1])
-            c2 = (v[0] + r * n2[0], v[1] + r * n2[1])
-            tri = [v, c1, c2]
-            prims = [tri]
-            if linejoin == "miter":
-                mx, my = n1[0] + n2[0], n1[1] + n2[1]
-                mlen = math.hypot(mx, my)
-                if mlen > 1e-9:
-                    cos_half = mlen / 2.0
-                    miter_len = r / max(cos_half, 1e-9)
-                    if miter_len / max(r, 1e-9) <= miterlimit:
-                        m = (v[0] + miter_len * mx / mlen,
-                             v[1] + miter_len * my / mlen)
-                        prims = [[v, c1, m, c2]]
-            for poly in prims:
-                cov_p = polygon_coverage(h, w, poly)
-                # fold polygon coverage into the signed-distance union
-                sd = jnp.minimum(sd, 0.5 - cov_p)
-    return jnp.clip(0.5 - sd, 0.0, 1.0)
+                u0 = unit(Q[1] - Q[0])
+                a0 = Q[0] + np.array([-u0[1], u0[0]]) * side * r
+                pn = out[-1] - Q[0]
+                an = a0 - Q[0]
+                out.extend(arc_points(Q[0], math.atan2(pn[1], pn[0]),
+                                      math.atan2(an[1], an[0]), side < 0))
+            else:
+                mp = miter_point(0, side)
+                if mp is not None:
+                    out.append(mp)
+        return out
+
+    left = offside(1.0)
+    right = offside(-1.0)
+    if closed:
+        left.append(left[0])
+        right.append(right[0])
+        return [left, right[::-1]]
+    ring = left + right[::-1]
+    ring.append(ring[0])
+    return [ring]
 
 
 def dash_polyline(points: Sequence[Tuple[float, float]],
@@ -714,10 +888,16 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
         elif cmd == "affine":
             gc.affine = (num(), num(), num(), num(), num(), num())
         elif cmd in ("line",):
+            # the reference composites FILL (ghost-closed AA) then STROKE
+            # like any other primitive; with stroke unset the fill paints
+            # the on-path pixels (DrawPrimitive default case)
             pts = gc.xform([(num(), num()), (num(), num())])
-            cov = _stroke_cov(h, w, pts, gc, False)
-            col = gc.stroke if gc.stroke[3] > 0 else gc.fill
-            out = _blend(out, _clip(cov, gc) * gc.stroke_opacity, col)
+            if gc.stroke[3] > 0:
+                out = _draw_shape(out, h, w, pts, gc, closed=False,
+                                  gradients=gradients)
+            else:
+                cov = polygon_coverage(h, w, pts, gc.fill_rule)
+                out = _blend(out, _clip(cov, gc) * gc.fill_opacity, gc.fill)
         elif cmd in ("rectangle",):
             x1, y1, x2, y2 = num(), num(), num(), num()
             pts = gc.xform([(x1, y1), (x2, y1), (x2, y2), (x1, y2)])
@@ -885,13 +1065,16 @@ def _stroke_cov(h, w, pts, gc: _GC, closed: bool):
 
 
 def _draw_shape(img, h, w, pts, gc: _GC, closed: bool, gradients=None):
+    # the reference fills OPEN paths too (ghost-closed winding + edge AA
+    # — an unstroked 'line' paints its on-lattice pixels); fill applies
+    # regardless of `closed`
     out = img
-    if closed and gc.fill_gradient and gradients and \
+    if gc.fill_gradient and gradients and \
             gc.fill_gradient in gradients and gc.fill_opacity > 0:
         cov = polygon_coverage(h, w, pts, gc.fill_rule)
         field = _gradient_field(h, w, gradients[gc.fill_gradient], img.dtype)
         out = _blend(out, _clip(cov, gc) * gc.fill_opacity, field)
-    elif closed and gc.fill[3] > 0 and gc.fill_opacity > 0:
+    elif gc.fill[3] > 0 and gc.fill_opacity > 0:
         cov = polygon_coverage(h, w, pts, gc.fill_rule)
         out = _blend(out, _clip(cov, gc) * gc.fill_opacity, gc.fill)
     if gc.stroke[3] > 0 and gc.stroke_opacity > 0 and gc.stroke_width > 0:
@@ -900,14 +1083,32 @@ def _draw_shape(img, h, w, pts, gc: _GC, closed: bool, gradients=None):
     return out
 
 
+def _trace_ellipse(cx, cy, rx, ry, a0=0.0, a1=360.0):
+    """TraceEllipse (draw.c): short segmented poly, step = 1/(8 max r)
+    radians, endpoint appended at the exact stop angle."""
+    step = 1.0 / (8.0 * max(max(abs(rx), abs(ry)), 1e-12))
+    t0 = math.radians(a0)
+    while a1 < a0:
+        a1 += 360.0
+    t1 = math.radians(a1)
+    pts = []
+    t = t0
+    while t < t1:
+        tm = math.fmod(t, 2.0 * math.pi)
+        pts.append((cx + rx * math.cos(tm), cy + ry * math.sin(tm)))
+        t += step
+    tm = math.fmod(t1, 2.0 * math.pi)
+    pts.append((cx + rx * math.cos(tm), cy + ry * math.sin(tm)))
+    return pts
+
+
 def _draw_ellipse(img, h, w, cx, cy, rx, ry, gc: _GC):
     out = img
+    pts = _trace_ellipse(cx, cy, rx, ry)
     if gc.fill[3] > 0 and gc.fill_opacity > 0:
-        cov = ellipse_coverage(h, w, cx, cy, rx, ry)
+        cov = polygon_coverage(h, w, pts, gc.fill_rule)
         out = _blend(out, _clip(cov, gc) * gc.fill_opacity, gc.fill)
     if gc.stroke[3] > 0 and gc.stroke_width > 0:
-        th = np.linspace(0, 2 * math.pi, 64)
-        pts = [(cx + rx * math.cos(t), cy + ry * math.sin(t)) for t in th]
         cov = _stroke_cov(h, w, pts, gc, True)
         out = _blend(out, _clip(cov, gc) * gc.stroke_opacity, gc.stroke)
     return out

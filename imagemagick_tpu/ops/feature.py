@@ -117,29 +117,84 @@ def hough_accumulator(edges: jnp.ndarray, n_theta: int = 180,
 def hough_lines(img: jnp.ndarray, width: int = 5, height: int = 5,
                 threshold: int = 40, n_top: int = 16
                 ) -> List[Tuple[float, float, float]]:
-    """HoughLineImage: returns up to n_top (rho, theta, count) peaks (host)."""
-    edges = canny_edge(img) if img.shape[-1] > 1 else img
-    acc = hough_accumulator(edges)
-    # peak-pick with local-max suppression
-    from .statistic import statistic
-
-    acc4 = acc[None, ..., None]
-    local_max = statistic(acc4, "max", width, height)[0, ..., 0]
-    peaks = jnp.where((acc >= local_max) & (acc >= threshold), acc, 0.0)
-    flat = np.asarray(peaks).reshape(-1)
-    n_rho, n_theta = peaks.shape
-    order = np.argsort(-flat)[:n_top]
-    h, w = img.shape[-3], img.shape[-2]
-    diag = math.hypot(h, w)
+    """Legacy peak list: (rho, theta, count) from the reference
+    accumulator (kept for wand/tests; HoughLineImage parity lives in
+    hough_line_segments/hough_lines_image)."""
+    segs = hough_line_segments(img, width, height, threshold)
     out = []
-    for idx in order:
-        if flat[idx] <= 0:
-            break
-        r_i, t_i = divmod(int(idx), n_theta)
-        rho = r_i / (n_rho - 1) * 2 * diag - diag
-        theta = t_i / n_theta * math.pi
-        out.append((float(rho), float(theta), float(flat[idx])))
+    for x1, y1, x2, y2, count, theta_deg, ridx in segs[:n_top]:
+        out.append((float(ridx), math.radians(theta_deg), float(count)))
     return out
+
+
+def hough_line_segments(img: jnp.ndarray, width: int = 5, height: int = 5,
+                        threshold: int = 40
+                        ) -> List[Tuple[float, float, float, float,
+                                        float, float, float]]:
+    """HoughLineImage (feature.c:1840-2076) accumulator + maxima scan:
+    votes from pixels whose intensity exceeds QuantumRange/2, 180 theta
+    bins, rho index = MagickRound(radius + hough_height) in an edge-
+    clamped matrix; a cell is a line iff count >= line_count and no
+    neighbor in the (width x height) window is strictly greater.
+    Returns (x1, y1, x2, y2, count, theta_deg, rho_idx) in the
+    reference's emission order (rho-major)."""
+    from .threshold import _intensity
+
+    h, w = img.shape[-3], img.shape[-2]
+    hough_height = (math.sqrt(2.0) * max(h, w)) / 2.0
+    acc_h = int(2.0 * hough_height)
+    inten = np.asarray(_intensity(img[..., :3] if img.shape[-1] >= 3
+                                  else img))
+    ys, xs = np.nonzero(inten > 0.5)
+    thetas = np.radians(np.arange(180, dtype=np.float64))
+    acc = np.zeros((180, acc_h), np.float64)
+    if len(xs):
+        cx, cy = w / 2.0, h / 2.0
+        radius = ((xs[:, None] - cx) * np.cos(thetas)[None] +
+                  (ys[:, None] - cy) * np.sin(thetas)[None])
+        # MagickRound: half away from zero
+        r = radius + hough_height
+        ridx = np.where(r >= 0, np.floor(r + 0.5), np.ceil(r - 0.5))
+        ridx = np.clip(ridx.astype(np.int64), 0, acc_h - 1)
+        tidx = np.broadcast_to(np.arange(180)[None], ridx.shape)
+        np.add.at(acc, (tidx.reshape(-1), ridx.reshape(-1)), 1.0)
+    line_count = (w // 4) if w > h else (h // 4)
+    if threshold != 0:
+        line_count = threshold
+    # strict local maxima with edge-clamped neighborhood (GetMatrixElement
+    # EdgeX/EdgeY semantics)
+    neigh = np.full_like(acc, -np.inf)
+    for v in range(-(height // 2), height // 2 + 1):
+        for u in range(-(width // 2), width // 2 + 1):
+            if u == 0 and v == 0:
+                continue
+            ti = np.clip(np.arange(180) + u, 0, 179)
+            ri = np.clip(np.arange(acc_h) + v, 0, acc_h - 1)
+            neigh = np.maximum(neigh, acc[np.ix_(ti, ri)])
+    is_line = (acc >= line_count) & (neigh <= acc)
+    segs = []
+    for y in range(acc_h):
+        for x in range(180):
+            if not is_line[x, y]:
+                continue
+            count = acc[x, y]
+            t = math.radians(x)
+            if 45 <= x <= 135:
+                x1 = 0.0
+                y1 = ((y - acc_h / 2.0) - ((x1 - w / 2.0) * math.cos(t))) \
+                    / math.sin(t) + h / 2.0
+                x2 = float(w)
+                y2 = ((y - acc_h / 2.0) - ((x2 - w / 2.0) * math.cos(t))) \
+                    / math.sin(t) + h / 2.0
+            else:
+                y1 = 0.0
+                x1 = ((y - acc_h / 2.0) - ((y1 - h / 2.0) * math.sin(t))) \
+                    / math.cos(t) + w / 2.0
+                y2 = float(h)
+                x2 = ((y - acc_h / 2.0) - ((y2 - h / 2.0) * math.sin(t))) \
+                    / math.cos(t) + w / 2.0
+            segs.append((x1, y1, x2, y2, count, float(x), float(y)))
+    return segs
 
 
 def mean_shift(img: jnp.ndarray, width: int = 7, height: int = 7,

@@ -70,11 +70,14 @@ def test_linejoin_miter_vs_round_vs_bevel():
     rnd = _ink(dr.draw(_canvas(), base.format(join="stroke-linejoin round")))
     bevel = _ink(dr.draw(_canvas(), base.format(
         join="stroke-linejoin bevel")))
-    # outer corner of the elbow: miter square corner at (34,34); that
-    # point is sqrt(32)~5.66 > r=4 from the vertex so round leaves it
+    # outer corner of the elbow: miter square corner at (34,34).
+    # ORACLE-ANCHORED: the reference paints (33,33) miter=0, round=109
+    # (join-arc outline AA, (1-0.243)^2=0.57 ink), bevel=255 — the round
+    # join's polygonal arc boundary bleeds one AA pixel past radius
     assert miter[33, 33]
-    assert not rnd[33, 33]
+    assert rnd[33, 33]
     assert not bevel[33, 33]
+    assert not rnd[34, 34]      # a full pixel past the arc stays clear
     # all joins cover points inside the segments and the bevel triangle
     assert miter[32, 29] and rnd[32, 29] and bevel[32, 29]
     assert bevel[32, 31]        # inside the bevel triangle
