@@ -184,9 +184,21 @@ def encode(images, fmt: str, quality: int = 92, depth: int = 8) -> bytes:
                     if blob is not None:
                         return blob
                 elif arr.shape[-1] in (1, 2, 3, 4):
+                    if arr.shape[-1] == 3 and \
+                            arr.shape[0] * arr.shape[1] <= 1 << 22 and \
+                            (arr[..., 0] == arr[..., 1]).all() and \
+                            (arr[..., 1] == arr[..., 2]).all():
+                        # png.c auto-reduces equal-channel images to gray
+                        arr = arr[..., :1]
                     if depth > 8:
                         q16 = (np.clip(arr, 0, 1) * 65535.0 + 0.5).astype(np.uint16)
-                        blob = native.encode_png(q16, 16)
+                        # png.c ok_to_reduce: drop to 8 bits when every
+                        # sample is a 257-multiple (exactly 8-bit)
+                        if (q16 % 257 == 0).all():
+                            blob = native.encode_png(
+                                (q16 // 257).astype(np.uint8), 8)
+                        else:
+                            blob = native.encode_png(q16, 16)
                     else:
                         q8 = (np.clip(arr, 0, 1) * 255.0 + 0.5).astype(np.uint8)
                         blob = native.encode_png(q8, 8)
@@ -235,8 +247,17 @@ def encode(images, fmt: str, quality: int = 92, depth: int = 8) -> bytes:
 def _to_pil(arr: np.ndarray, spec: ImageSpec, pil_fmt: str, depth: int):
     arr = np.clip(arr, 0.0, 1.0)
     c = arr.shape[-1]
+    if pil_fmt == "PNG" and c == 3 and arr.shape[0] * arr.shape[1] <= 1 << 22:
+        # png.c auto-reduces equal-channel images to grayscale PNGs
+        if (arr[..., 0] == arr[..., 1]).all() and \
+                (arr[..., 1] == arr[..., 2]).all():
+            arr = arr[..., :1]
+            c = 1
     if pil_fmt == "PNG" and depth > 8 and c == 1:
         q = (arr[..., 0] * 65535.0 + 0.5).astype(np.uint16)
+        if (q % 257 == 0).all():       # png.c ok_to_reduce depth drop
+            return PILImage.fromarray((q // 257).astype(np.uint8),
+                                      mode="L")
         return PILImage.fromarray(q)  # uint16 -> I;16 inferred
     q = (arr * 255.0 + 0.5).astype(np.uint8)
     if c == 1:

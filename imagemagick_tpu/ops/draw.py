@@ -36,22 +36,40 @@ _SS = 4  # supersampling grid per axis (16 samples/pixel)
 # Geometry helpers (host-side flattening)
 # ---------------------------------------------------------------------------
 
-def _flatten_bezier(p0, p1, p2, p3, n=24):
-    ts = np.linspace(0.0, 1.0, n)
-    mt = 1.0 - ts
-    x = (mt ** 3 * p0[0] + 3 * mt ** 2 * ts * p1[0] +
-         3 * mt * ts ** 2 * p2[0] + ts ** 3 * p3[0])
-    y = (mt ** 3 * p0[1] + 3 * mt ** 2 * ts * p1[1] +
-         3 * mt * ts ** 2 * p2[1] + ts ** 3 * p3[1])
-    return list(zip(x, y))
+def _trace_bezier(ctrl):
+    """TraceBezier (draw.c): Bernstein evaluation at quantum*n steps,
+    quantum = min(trunc(max pairwise |dx|,|dy|) // n, 200), exact end
+    point appended — the reference's flattening density."""
+    n = len(ctrl)
+    q = float(n)
+    for i in range(n):
+        for j in range(i + 1, n):
+            ax = abs(ctrl[j][0] - ctrl[i][0])
+            ay = abs(ctrl[j][1] - ctrl[i][1])
+            if ax > q:
+                q = float(int(ax))
+            if ay > q:
+                q = float(int(ay))
+    quantum = min(int(q) // n, 200)
+    cp = max(quantum * n, 1)
+    ts = np.arange(cp, dtype=np.float64) / cp
+    coef = np.array([math.comb(n - 1, k) for k in range(n)], np.float64)
+    px = np.array([c[0] for c in ctrl], np.float64)
+    py = np.array([c[1] for c in ctrl], np.float64)
+    basis = coef[None, :] * (ts[:, None] ** np.arange(n)[None, :]) *         ((1.0 - ts[:, None]) ** (n - 1 - np.arange(n))[None, :])
+    xs = basis @ px
+    ys = basis @ py
+    out = list(zip(xs, ys))
+    out.append((ctrl[-1][0], ctrl[-1][1]))
+    return out
 
 
-def _flatten_quad(p0, p1, p2, n=16):
-    ts = np.linspace(0.0, 1.0, n)
-    mt = 1.0 - ts
-    x = mt ** 2 * p0[0] + 2 * mt * ts * p1[0] + ts ** 2 * p2[0]
-    y = mt ** 2 * p0[1] + 2 * mt * ts * p1[1] + ts ** 2 * p2[1]
-    return list(zip(x, y))
+def _flatten_bezier(p0, p1, p2, p3, n=None):
+    return _trace_bezier([p0, p1, p2, p3])
+
+
+def _flatten_quad(p0, p1, p2, n=None):
+    return _trace_bezier([p0, p1, p2])
 
 
 def _flatten_arc(p0, rx, ry, rot, large, sweep, p1, n=32):
@@ -914,11 +932,12 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
             cx, cy, rx, ry, a0, a1 = num(), num(), num(), num(), num(), num()
             out = _draw_ellipse(out, h, w, cx, cy, rx, ry, gc)
         elif cmd == "arc":
+            # TraceArc (draw.c): ellipse about the midpoint of the two
+            # given points, radii |center-start|, TraceEllipse density
             x1, y1, x2, y2, a0, a1 = num(), num(), num(), num(), num(), num()
-            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
-            rx, ry = abs(x2 - x1) / 2, abs(y2 - y1) / 2
-            th = np.linspace(math.radians(a0), math.radians(a1), 48)
-            pts = [(cx + rx * math.cos(t), cy + ry * math.sin(t)) for t in th]
+            cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+            rx, ry = abs(cx - x1), abs(cy - y1)
+            pts = _trace_ellipse(cx, cy, rx, ry, a0, a1)
             out = _draw_shape(out, h, w, gc.xform(pts), gc, closed=False, gradients=gradients)
         elif cmd in ("polyline", "polygon"):
             pts = []
@@ -930,8 +949,8 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
             pts = []
             while i < len(toks) and re.match(r"^[-+0-9.]", toks[i]):
                 pts.append((num(), num()))
-            if len(pts) >= 4:
-                flat = _flatten_bezier(pts[0], pts[1], pts[2], pts[3])
+            if len(pts) >= 2:
+                flat = _trace_bezier(pts)
                 out = _draw_shape(out, h, w, gc.xform(flat), gc,
                                   closed=False, gradients=gradients)
         elif cmd == "path":
@@ -1003,17 +1022,20 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
     return jnp.clip(out, 0.0, 1.0)
 
 
-def _roundrect_points(x1, y1, x2, y2, rx, ry, n=8):
+def _roundrect_points(x1, y1, x2, y2, rx, ry, n=None):
+    """TraceRoundRectangle (draw.c): clamp radii to half the extent,
+    four quarter TraceEllipse arcs (270-360, 0-90, 90-180, 180-270),
+    closed at the first point."""
+    sx, sy = abs(x2 - x1), abs(y2 - y1)
+    rx = min(rx, 0.5 * sx)
+    ry = min(ry, 0.5 * sy)
+    x0, y0 = min(x1, x2), min(y1, y2)
     pts = []
-    corners = [
-        (x2 - rx, y1 + ry, -math.pi / 2, 0),
-        (x2 - rx, y2 - ry, 0, math.pi / 2),
-        (x1 + rx, y2 - ry, math.pi / 2, math.pi),
-        (x1 + rx, y1 + ry, math.pi, 3 * math.pi / 2),
-    ]
-    for cx, cy, a0, a1 in corners:
-        for t in np.linspace(a0, a1, n):
-            pts.append((cx + rx * math.cos(t), cy + ry * math.sin(t)))
+    pts += _trace_ellipse(x0 + sx - rx, y0 + ry, rx, ry, 270.0, 360.0)
+    pts += _trace_ellipse(x0 + sx - rx, y0 + sy - ry, rx, ry, 0.0, 90.0)
+    pts += _trace_ellipse(x0 + rx, y0 + sy - ry, rx, ry, 90.0, 180.0)
+    pts += _trace_ellipse(x0 + rx, y0 + ry, rx, ry, 180.0, 270.0)
+    pts.append(pts[0])
     return pts
 
 

@@ -121,9 +121,13 @@ def hough_lines(img: jnp.ndarray, width: int = 5, height: int = 5,
     accumulator (kept for wand/tests; HoughLineImage parity lives in
     hough_line_segments/hough_lines_image)."""
     segs = hough_line_segments(img, width, height, threshold)
+    h, w = img.shape[-3], img.shape[-2]
+    hough_height = (math.sqrt(2.0) * max(h, w)) / 2.0
     out = []
     for x1, y1, x2, y2, count, theta_deg, ridx in segs[:n_top]:
-        out.append((float(ridx), math.radians(theta_deg), float(count)))
+        out.append((float(ridx) - hough_height, math.radians(theta_deg),
+                    float(count)))
+    out.sort(key=lambda t: -t[2])
     return out
 
 

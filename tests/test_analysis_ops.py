@@ -66,9 +66,11 @@ def test_hough_detects_vertical_line():
     lines = feature.hough_lines(img, threshold=10)
     assert lines
     rho, theta, count = lines[0]
-    # vertical line: theta ~ 0, rho ~ 16
+    # vertical line through the center: theta ~ 0, rho ~ 0 (the reference
+    # accumulator measures radius from the image CENTER, feature.c:1905)
     assert abs(theta) < 0.2 or abs(theta - np.pi) < 0.2
-    assert abs(abs(rho) - 16) < 2.5
+    assert abs(rho) < 2.5
+    assert count >= 30
 
 
 def test_glcm_features_flat_vs_noise(rng):

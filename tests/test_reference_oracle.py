@@ -373,30 +373,47 @@ def test_colorspace_roundtrip_matches_reference(src, tmp_path, cs, gate):
     assert p >= gate - 0.5, f"{cs}: {p:.1f}dB"
 
 
-# -draw scenes (drawtest.c analog): the oracle build rasterizes WITHOUT
-# anti-aliasing (hard pixel-center inclusion) while we render 4x4
-# supersampled coverage, so gates reflect the 1px AA band difference;
-# ink-geometry (extents/placement) matches the closed-region convention.
+# -draw scenes (drawtest.c analog): the rasterizer replicates the
+# reference's GetFillAlpha model exactly (winding + (1-d)^2 edge AA;
+# distance-ramp thin strokes; outline-polygon wide strokes), so these
+# scenes compare near-bit-exact.  NOTE: PIL mangles 16-bit gray PNGs via
+# convert() (I;16->L clips), so the loader normalizes by true depth.
 DRAW_CASES = [
-    ("stroke black stroke-width 3 fill none line 5,20 85,20", 30.0),
+    ("stroke black stroke-width 3 fill none line 5,20 85,20", 100.0),
     ("stroke black stroke-width 3 fill none stroke-dasharray 8 6 "
-     "line 4,20 90,20", 22.0),
+     "line 4,20 90,20", 100.0),
     ("stroke black stroke-width 8 stroke-linecap square fill none "
-     "line 20,20 70,20", 18.0),
+     "line 20,20 70,20", 100.0),
     ("stroke black stroke-width 8 stroke-linejoin miter fill none "
-     "polyline 10,35 45,35 45,8", 18.0),
-    ("fill red stroke blue stroke-width 2 rectangle 10,10 80,35", 30.0),
-    ("fill green circle 45,22 45,12", 24.0),
+     "polyline 10,35 45,35 45,8", 100.0),
+    ("fill red stroke blue stroke-width 2 rectangle 10,10 80,35", 100.0),
+    ("fill green circle 45,22 45,12", 100.0),
     ("stroke purple stroke-width 2 fill none bezier 5,40 30,5 60,5 90,40",
-     27.0),
+     100.0),
 ]
+
+
+def _load_norm(path):
+    """Read a PNG at its TRUE bit depth as (H, W, 3) floats in [0,1]."""
+    from PIL import Image as PILImage
+
+    im = PILImage.open(str(path))
+    raw = np.asarray(im)
+    arr = raw.astype(np.float64)
+    if raw.dtype.itemsize > 1 or im.mode in ("I;16", "I", "I;16B"):
+        arr = arr / 65535.0
+    else:
+        arr = arr / 255.0
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, -1)
+    if arr.shape[-1] == 4:
+        arr = arr[..., :3] * arr[..., 3:] + (1.0 - arr[..., 3:])
+    return arr
 
 
 @pytest.mark.parametrize("mvg,gate", DRAW_CASES,
                          ids=[f"draw{i}" for i in range(len(DRAW_CASES))])
 def test_draw_matches_reference(tmp_path, mvg, gate):
-    from PIL import Image as PILImage
-
     from imagemagick_tpu.cli.main import process
 
     ref_out = tmp_path / "ref.png"
@@ -404,17 +421,10 @@ def test_draw_matches_reference(tmp_path, mvg, gate):
                     str(ref_out)], check=True, capture_output=True)
     our_out = tmp_path / "ours.png"
     process(["-size", "96x44", "xc:white", "-draw", mvg, str(our_out)])
-    a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"),
-                   np.float64) / 255.0
-    b = np.asarray(PILImage.open(str(our_out)).convert("RGB"),
-                   np.float64) / 255.0
+    a = _load_norm(ref_out)
+    b = _load_norm(our_out)
     p = _psnr(a, b)
     assert p >= gate, f"{mvg[:40]}: {p:.1f}dB"
-    # ink placement agrees (IoU of painted masks)
-    ia = a.min(-1) < 0.5
-    ib = b.min(-1) < 0.5
-    iou = (ia & ib).sum() / max((ia | ib).sum(), 1)
-    assert iou >= 0.70, f"ink IoU {iou:.2f}"
 
 
 def test_resize_filter_table_matches_reference(src, tmp_path):
