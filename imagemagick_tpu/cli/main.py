@@ -1218,7 +1218,9 @@ def _op_draw(st, arg, plus):
     mvg = " ".join(prelude) + " " + arg
     for li in st.images:
         img = li.materialize()
-        li.image = img.replace(data=dw.draw(img.data, mvg, img.spec.alpha))
+        li.image = img.replace(data=dw.draw(
+            img.data, mvg, img.spec.alpha,
+            fuzz=_percent(st.settings.get("fuzz", "0") or "0")))
 
 
 def _op_annotate(st, arg, plus):

@@ -731,7 +731,8 @@ def _tokenize_mvg(content: str) -> List[str]:
     return _MVG_TOKEN.findall(content)
 
 
-def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
+def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False,
+         fuzz: float = 0.0) -> jnp.ndarray:
     """DrawImage (draw.c:4554): interpret MVG content over an image."""
     h, w = img.shape[-3], img.shape[-2]
     toks = _tokenize_mvg(mvg)
@@ -1005,15 +1006,59 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False) -> jnp.ndarray:
                         cp["mvg"] + " pop graphic-context")
                     cp["mask"] = mask_img[..., 0]
                 gc.clip_mask = cp["mask"]
-        elif cmd in ("color", "matte", "clip-rule", "decorate",
+        elif cmd in ("color", "matte", "alpha"):
+            # pixel paint methods (DrawPrimitive, draw.c:5630-5700):
+            # point/replace/floodfill/filltoborder/reset on the fill
+            # color ("color") or the alpha channel ("matte"/"alpha")
+            px, py = num(), num()
+            method = toks[i].lower() if i < len(toks) else "point"
+            i += 1
+            from . import paint as pt
+
+            xi = int(math.ceil(px - 0.5))
+            yi = int(math.ceil(py - 0.5))
+            xi = min(max(xi, 0), w - 1)
+            yi = min(max(yi, 0), h - 1)
+            nc = out.shape[-1]
+            if cmd == "color":
+                fillc = jnp.asarray(gc.fill[:nc], out.dtype)
+                if method == "point":
+                    out = out.at[yi, xi, :].set(fillc)
+                elif method == "replace":
+                    target = out[yi, xi]
+                    out = pt.opaque_paint(out, target, gc.fill[:nc],
+                                          fuzz=fuzz)
+                elif method in ("floodfill", "filltoborder"):
+                    out = pt.floodfill(out, xi, yi, gc.fill[:nc],
+                                       fuzz=fuzz)
+                elif method == "reset":
+                    out = jnp.broadcast_to(fillc, out.shape).astype(
+                        out.dtype)
+            elif nc in (2, 4):      # matte/alpha need an alpha channel
+                av = gc.fill[3] if len(gc.fill) > 3 else 1.0
+                if method == "point":
+                    out = out.at[yi, xi, nc - 1].set(av)
+                elif method == "replace":
+                    target = out[yi, xi, :nc - 1]
+                    m = jnp.all(jnp.abs(out[..., :nc - 1] - target)
+                                <= fuzz + 1e-6, -1)
+                    out = out.at[..., nc - 1].set(
+                        jnp.where(m, av, out[..., nc - 1]))
+                elif method in ("floodfill", "filltoborder"):
+                    filled = pt.floodfill(out[..., :nc - 1], xi, yi,
+                                          [-1.0] * (nc - 1), fuzz=fuzz)
+                    m = filled[..., 0] < 0
+                    out = out.at[..., nc - 1].set(
+                        jnp.where(m, av, out[..., nc - 1]))
+                elif method == "reset":
+                    out = out.at[..., nc - 1].set(av)
+        elif cmd in ("clip-rule", "decorate",
                      "encoding", "gravity", "interline-spacing",
                      "interword-spacing", "kerning", "viewbox",
                      "class", "use", "compliance"):
             # consume this keyword's arguments
             if cmd == "viewbox":
                 i += 4
-            elif cmd in ("color", "matte"):
-                i += 3  # x y method
             else:
                 i += 1
         else:

@@ -108,6 +108,24 @@ CASES = [
     ("{a} -segment 0.5x0.5", 300.0),
     ("{a} -segment 2x2", 300.0),
     ("{a} -segment 3x1", 300.0),
+    # MVG pixel-paint methods (DrawPrimitive color/matte dispatch)
+    ("{a} -fill blue -draw 'color 10,10 floodfill'", 300.0),
+    ("{a} -fill blue -draw 'color 10,10 point'", 300.0),
+    ("{a} -fill blue -draw 'color 10,10 replace'", 300.0),
+    ("{a} -fill blue -draw 'color 10,10 reset'", 300.0),
+    ("{a} -fill blue -fuzz 20% -draw 'color 10,10 floodfill'", 300.0),
+    # reference-exact rasterizer: curves and wide strokes
+    ("{a} -draw 'bezier 10,50 25,10 60,10 80,50'", 300.0),
+    ("{a} -fill orange -draw 'roundrectangle 15,15 70,45 8,8'", 300.0),
+    ("{a} -stroke purple -strokewidth 2 -draw 'arc 20,15 70,45 30,270'",
+     300.0),
+    ("{a} -fill none -stroke blue -strokewidth 3 "
+     "-draw 'polyline 10,50 30,10 50,50 70,15'", 300.0),
+    ("{a} -fill none -stroke black -strokewidth 8 "
+     "-draw 'stroke-linecap round line 20,20 64,29'", 300.0),
+    ("{a} -fill none -stroke black -strokewidth 6 "
+     "-draw 'stroke-dasharray 8 6 line 4,20 80,39'", 300.0),
+    ("{a} -hough-lines 9x9+20", 12.0),  # AA thin-line phase sensitivity
     # sequence reductions
     ("{a} {b} -evaluate-sequence mean", 300.0),
     ("{a} {b} -evaluate-sequence max", 300.0),
