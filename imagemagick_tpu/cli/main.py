@@ -606,15 +606,13 @@ def _op_append(st, arg, plus):
 
 
 def _op_flatten(st, arg, plus):
-    from ..ops import composite as comp
+    # MergeImageLayers FlattenLayer (layer.c:2010): background-color
+    # canvas sized to the first frame, every frame composited at its
+    # page offsets.
+    from ..ops import layer as ly
 
     imgs = [li.materialize() for li in st.images]
-    base = imgs[0]
-    out = base.data
-    for im in imgs[1:]:
-        out = comp.composite_at(out, im.data, "over", 0, 0, "northwest",
-                                dst_alpha=base.spec.alpha, src_alpha=im.spec.alpha)
-    st.images = [LazyImage(Image(out, base.spec))]
+    st.images = [LazyImage(ly.flatten(imgs, background=st.bg()))]
 
 
 def _op_border(st, arg, plus):
@@ -1266,7 +1264,7 @@ def _op_mosaic(st, arg, plus):
     from ..ops import layer as ly
 
     imgs = [li.materialize() for li in st.images]
-    st.images = [LazyImage(ly.mosaic(imgs))]
+    st.images = [LazyImage(ly.mosaic(imgs, background=st.bg()))]
 
 
 def _op_duplicate(st, arg, plus):
@@ -1916,10 +1914,12 @@ def _op_stereo(st, arg, plus):
 
     if len(st.images) < 2:
         raise CLIError("-stereo needs two images")
+    g = parse_geometry(arg or "+0+0", offsets_first=True)
+    xo, yo = int(g.x or 0), int(g.y or 0)
     right = st.images.pop().materialize()
     left = st.images[-1].materialize()
     st.images[-1].image = left.replace(
-        data=vfx.stereo(left.data, right.data))
+        data=vfx.stereo(left.data, right.data, xo, yo))
 
 
 def _read_passphrase(arg: str) -> str:
@@ -2582,10 +2582,20 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
                 li.image.properties["comment"] = val
             continue
         if name == "repage":
-            if i < len(args) and not args[i].startswith(("-", "+")):
-                i += 1
+            # +repage resets the page; -repage GEOM sets it (the canvas
+            # w/h default to the image's own when omitted, image.c
+            # ResetImagePage semantics).  Page tuple layout: (x, y, w, h).
+            if plus:
+                for li in st.images:
+                    li.image.page = None
+                continue
+            geom = args[i]; i += 1
+            gp = parse_geometry(geom, offsets_first=True)
             for li in st.images:
-                li.image.page = None
+                im = li.image
+                li.image.page = (int(gp.x or 0), int(gp.y or 0),
+                                 int(gp.width or im.width),
+                                 int(gp.height or im.height))
             continue
         if name == "verbose":
             st.settings["verbose"] = "1"
@@ -2994,13 +3004,25 @@ def _compare_main(argv) -> int:
             return 0
         print("compare: image sizes differ", file=sys.stderr)
         return 2
-    d = float(cmp_ops.get_distortion(a.data, b.data, metric))
-    print(f"{d:.6g}", file=sys.stderr)
+    if metric == "mepp":
+        # MEPP prints "raw (normalized_mean, normalized_max)"
+        # (MagickWand/compare.c:1303-1310)
+        raw, nm, nx = (float(v) for v in
+                       cmp_ops.mean_error_per_pixel(a.data, b.data))
+        print(f"{raw:.6g} ({nm:.6g}, {nx:.6g})", file=sys.stderr)
+        d = nm
+    else:
+        d = float(cmp_ops.get_distortion(a.data, b.data, metric))
+        if metric in ("ncc", "dpc", "phase"):
+            # correlation metrics report 1-corr (MagickWand/compare.c:1253)
+            d = 1.0 - d
+        # "quantum (normalized)" print layout (MagickWand/compare.c:1289)
+        print(f"{65535.0 * d:.6g} ({d:.6g})", file=sys.stderr)
     if len(paths) > 2:
         vis, _ = cmp_ops.compare_images(a.data, b.data, metric)
         iio.write_image(Image(vis, a.spec), paths[2])
     # exit code: 0 similar, 1 dissimilar (reference semantics)
-    return 0 if d < 0.01 or metric in ("psnr", "ncc", "ssim") else 1
+    return 0 if d < 0.01 or metric in ("psnr", "ssim") else 1
 
 
 if __name__ == "__main__":

@@ -91,6 +91,10 @@ def composite_main(argv: Sequence[str]) -> int:
         elif a == "-dissolve":
             compose = "dissolve"
             opts += ["-define", f"dissolve={argv[i + 1]}"]; i += 2
+        elif a == "-stereo":
+            # composite.c:183: StereoAnaglyphImage(base, overlay, x, y)
+            compose = None
+            opts += ["-stereo", argv[i + 1]]; i += 2
         elif a.startswith("-"):
             opts.append(a)
             i += 1
@@ -101,12 +105,16 @@ def composite_main(argv: Sequence[str]) -> int:
         print("composite: usage: composite src dst out", file=sys.stderr)
         return 2
     src, dst, out = paths[0], paths[-2], paths[-1]
-    args = [dst, src, "-compose", compose]
+    args = [dst, src, *opts]
+    if compose is not None:   # None: a list-op in opts (e.g. -stereo)
+        args += ["-compose", compose]
     if gravity:
         args += ["-gravity", gravity]
     if geometry:
         args += ["-geometry", geometry]
-    args += ["-composite", out]
+    if compose is not None:
+        args += ["-composite"]
+    args += [out]
     try:
         process(args)
         return 0

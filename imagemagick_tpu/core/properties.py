@@ -100,6 +100,10 @@ def interpret(fmt: str, image, filename: str = "", index: int = 0,
                 ("a" if img.spec.alpha else "")
         if low == "depth":
             return str(img.spec.depth)
+        if low == "colors":
+            from ..ops import histogram as hg
+
+            return str(int(hg.number_colors(img.data)))
         if low == "size":
             return f"{img.width}x{img.height}"
         if low in ("mean", "standard-deviation", "standard_deviation", "min",
@@ -107,7 +111,11 @@ def interpret(fmt: str, image, filename: str = "", index: int = 0,
             key = {"standard-deviation": "std", "standard_deviation": "std"}.get(low, low)
             s = stats()
             v = np.asarray(s[key])
-            return f"{float(v.mean()):.6g}"
+            # %[min]/%[max] are GetImageRange — extrema ACROSS channels
+            # (property.c:3190/:3238); the others are the composite
+            # (channel-averaged) statistic.
+            agg = {"min": v.min, "max": v.max}.get(key, v.mean)
+            return f"{float(agg()):.6g}"
         if low.startswith("fx:"):
             from ..ops import fx as fxm
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .blur import _depthwise_conv, gaussian_kernel_1d
+from .blur import _depthwise_conv
 
 
 def _reduce(x):
@@ -58,17 +58,21 @@ def peak_absolute_error(a, b):
 
 
 def mean_error_per_pixel(a, b):
-    """MEPP triple analog: returns (mean_error, normalized_mean, normalized_max)."""
+    """MEPP triple (compare.c:712 GetMeanErrorPerPixel): the metric value
+    is the RAW quantum-unit absolute-error sum over all samples (the
+    distortion array is never divided); image->error carries
+    normalized_mean = mean over samples of d² (== pooled MSE, since the
+    reference's ``area`` counter increments per CHANNEL sample,
+    compare.c:800) and normalized_max = max |d|."""
     diff = jnp.abs(a - b)
-    return jnp.mean(diff), jnp.mean(diff), jnp.max(diff)
+    return (jnp.sum(diff) * 65535.0, jnp.mean(diff * diff), jnp.max(diff))
 
 
 def mepp(a, b):
-    """MEPP scalar (compare.c MeanErrorPerPixelErrorMetric): mean
-    per-pixel summed-channel absolute error.  Reported in normalized
-    [0,1] units (the reference scales by QuantumRange; multiply by 65535
-    for Q16-comparable figures)."""
-    return jnp.mean(jnp.sum(jnp.abs(a - b), axis=-1))
+    """MEPP scalar: the reference CLI's headline figure — the raw
+    quantum-domain |d| sum (compare.c GetImageDistortion returns the
+    undivided composite accumulator for this metric)."""
+    return jnp.sum(jnp.abs(a - b)) * 65535.0
 
 
 def phash_metric(a, b):
@@ -81,23 +85,40 @@ def phash_metric(a, b):
 
 
 def psnr(a, b):
-    """PSNR in dB (compare.c PeakSignalToNoiseRatioErrorMetric)."""
-    mse = mean_squared_error(a, b)
-    return 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-30))
+    """PSNR as the reference's normalized fraction (compare.c:1201
+    GetPeakSignalToNoiseRatio): per-channel -10*log10(mse_c)/48.1647,
+    averaged over channels (channels with mse below MagickEpsilon are
+    skipped from the sum but still counted in the divisor).  Multiply by
+    48.1647 for dB."""
+    axes = tuple(range(a.ndim - 1))
+    mse_c = jnp.mean((a - b) ** 2, axis=axes)
+    eps = 1.0e-12  # MagickEpsilon
+    per = jnp.where(mse_c >= eps,
+                    (-10.0 * jnp.log10(jnp.maximum(mse_c, eps))) / 48.1647,
+                    0.0)
+    return jnp.mean(per)
 
 
 def normalized_cross_correlation(a, b):
-    """NCC (compare.c GetNormalizedCrossCorrelationDistortion)."""
-    am = a - jnp.mean(a)
-    bm = b - jnp.mean(b)
-    num = jnp.sum(am * bm)
-    den = jnp.sqrt(jnp.sum(am * am) * jnp.sum(bm * bm))
-    return num / jnp.maximum(den, 1e-30)
+    """NCC (compare.c:933): per-channel correlation of mean-centered
+    samples, averaged over channels.  (The compare CLI prints
+    1.0 - this value as the distortion.)"""
+    axes = tuple(range(a.ndim - 1))
+    am = a - jnp.mean(a, axis=axes, keepdims=True)
+    bm = b - jnp.mean(b, axis=axes, keepdims=True)
+    num = jnp.sum(am * bm, axis=axes)
+    den = jnp.sqrt(jnp.sum(am * am, axis=axes) * jnp.sum(bm * bm, axes))
+    return jnp.mean(num / jnp.maximum(den, 1e-30))
 
 
 def _ssim_maps(a, b, radius: float = 5.0, sigma: float = 1.5,
                k1: float = 0.01, k2: float = 0.03):
-    k = gaussian_kernel_1d(radius, sigma)
+    # The SSIM window is AcquireKernelInfo("gaussian:5x1.5") — morphology.c's
+    # SAMPLED 2-D gaussian (morphology.c:1074-1088), NOT the rank-3
+    # supersampled blur: kernel (gaussian_kernel_1d).  Width 2*radius+1.
+    u = np.arange(-int(radius), int(radius) + 1, dtype=np.float64)
+    k = np.exp(-(u * u) / (2.0 * sigma * sigma))
+    k /= k.sum()
     k2d = np.outer(k, k).astype(np.float32)
 
     def win(x):
@@ -130,9 +151,11 @@ def fuzz_error(a, b):
 
 
 def dot_product_correlation(a, b):
-    num = jnp.sum(a * b)
-    den = jnp.sqrt(jnp.sum(a * a) * jnp.sum(b * b))
-    return num / jnp.maximum(den, 1e-30)
+    """DPC: for whole-image comparison the reference's GetImageDistortion
+    dispatches DotProductCorrelationErrorMetric into the NCC default case
+    (compare.c:1634-1640) — DPC-proper exists only in the FFT similarity
+    search path."""
+    return normalized_cross_correlation(a, b)
 
 
 def phase_correlation(a, b):

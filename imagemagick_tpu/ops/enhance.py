@@ -765,16 +765,55 @@ def contrast(img: jnp.ndarray, sharpen: bool = True) -> jnp.ndarray:
 
 def local_contrast(img: jnp.ndarray, radius: float = 10.0,
                    strength: float = 10.0) -> jnp.ndarray:
-    """LocalContrastImage (effect.c:2013): unsharp against a wide blur.
+    """LocalContrastImage (effect.c:2014): unsharp against a wide
+    luma-only blur, replicated exactly.
 
-    radius is a PERCENTAGE — 100%% means a blur radius of 20%% of the
-    largest dimension (effect.c:2005); out = src + (src - blur) *
-    strength/100 (effect.c mult at the scanline loop).
-    """
-    from .blur import gaussian_blur
-
+    width = (ssize_t)(max(cols,rows) * 0.002 * |radius|) — C truncation
+    (effect.c:2070).  The blur is a separable ASYMMETRIC triangle filter
+    over the Rec709 luma: taps at offsets -width..-1 carry weights
+    1..width, the center carries width+1, offsets +1..+width-2 carry
+    width..3, and offsets width-1/width are never read (effect.c:2151-
+    2163 scanline loops); every pass divides by (width+1)^2 regardless
+    of the true tap sum.  The vertical pass reads edge-replicated
+    virtual pixels; the horizontal pass reads the vertical result with
+    reflect-101 column padding written by the mirror stores at
+    effect.c:2173-2177.  Finally mult = (L + (L-blur)*strength/100)/L
+    scales R,G,B (effect.c:2245-2259), clamped."""
     h, w = img.shape[-3], img.shape[-2]
-    r_px = max((radius / 100.0) * 0.20 * max(h, w), 1.0)
-    blurred = gaussian_blur(img, 0.0, r_px / 2.0)
-    out = img + (img - blurred) * (strength / 100.0)
-    return jnp.clip(out, 0.0, 1.0)
+    width = int(max(h, w) * 0.002 * abs(radius))
+    luma = (0.212656 * img[..., 0] + 0.715158 * img[..., 1]
+            + 0.072186 * img[..., 2]).astype(jnp.float32)
+    total = float((width + 1) * (width + 1))
+    if width == 0:
+        blur = jnp.zeros_like(luma)
+    else:
+        # loop 1 (effect.c:2151): taps -width..-1, weights 1..width;
+        # loop 2 (effect.c:2156): width-1 taps starting AT the center,
+        # weights width+1 descending — for width==1 loop 2 is empty and
+        # the center pixel is never read.
+        wts = np.zeros(2 * width + 1, np.float64)
+        for i in range(width):
+            wts[i] = i + 1.0
+        for k in range(width - 1):
+            wts[width + k] = width + 1.0 - k
+        wts /= total
+
+        def _pass(x, axis, mode):
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (width, width)
+            xp = jnp.pad(x, pad, mode=mode)
+            acc = jnp.zeros_like(x)
+            n = x.shape[axis]
+            for i, wt in enumerate(wts):
+                if wt == 0.0:
+                    continue
+                sl = [slice(None)] * x.ndim
+                sl[axis] = slice(i, i + n)
+                acc = acc + jnp.float32(wt) * xp[tuple(sl)]
+            return acc
+
+        blur = _pass(luma, luma.ndim - 2, "edge")       # vertical
+        blur = _pass(blur, luma.ndim - 1, "reflect")    # horizontal
+    mult = (luma + (luma - blur) * (strength / 100.0)) / jnp.where(
+        jnp.abs(luma) < 1e-12, 1e-12, luma)
+    return jnp.clip(img * mult[..., None], 0.0, 1.0)

@@ -115,14 +115,23 @@ def flatten(frames: List[Image],
     return Image(out, base.spec, base.properties, base.profiles)
 
 
-def mosaic(frames: List[Image]) -> Image:
-    """MergeImageLayers MosaicLayer: canvas sized to the union of pages."""
+def mosaic(frames: List[Image],
+           background: Optional[Sequence[float]] = None) -> Image:
+    """MergeImageLayers MosaicLayer (layer.c:2020): background-color
+    canvas sized to the union of page extents, every frame composited at
+    its page offsets."""
     if not frames:
         raise ValueError("no frames")
     max_w = max((f.page[0] if f.page else 0) + f.width for f in frames)
     max_h = max((f.page[1] if f.page else 0) + f.height for f in frames)
     c = frames[0].spec.channels
-    canvas = jnp.zeros((max_h, max_w, c), frames[0].data.dtype)
+    if background is not None:
+        canvas = jnp.broadcast_to(
+            jnp.asarray(list(background[:c]) + [1.0] * (c - len(background[:c])),
+                        frames[0].data.dtype),
+            (max_h, max_w, c)).astype(frames[0].data.dtype)
+    else:
+        canvas = jnp.zeros((max_h, max_w, c), frames[0].data.dtype)
     for fr in frames:
         x, y = (fr.page[0], fr.page[1]) if fr.page else (0, 0)
         canvas = composite_at(canvas, fr.data, "over", x, y, "northwest",

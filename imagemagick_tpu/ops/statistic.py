@@ -43,16 +43,22 @@ def get_statistics(img: jnp.ndarray, bins: int = 1024) -> Dict[str, jnp.ndarray]
     safe = jnp.where(std < 1e-12, 1.0, std)
     skew = jnp.mean(centered ** 3, axis=axes) / safe ** 3
     kurt = jnp.mean(centered ** 4, axis=axes) / safe ** 4 - 3.0
-    # entropy from a fixed-bin histogram per channel
+    # entropy (statistic.c:2248-2266): per-channel histogram over
+    # MaxMap+1 = 65536 quantum bins, normalized by log(count of NONZERO
+    # bins) for that channel — not by log(total bins).
     ents = []
     n = img[..., 0].size
     for c in range(img.shape[-1]):
         from .histogram import _histogram_fixed
 
-        hist = _histogram_fixed(img[..., c], bins)  # MXU path, no scatter
+        hist = _histogram_fixed(img[..., c], 65536)  # MXU path, no scatter
         p = hist / n
-        ents.append(-jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0))
-                    / math.log2(bins))
+        nbins = jnp.sum((hist > 0).astype(jnp.float32))
+        log_nbins = jnp.log(jnp.maximum(nbins, 1.0))
+        ents.append(-jnp.sum(jnp.where(p > 0,
+                                       p * jnp.log(jnp.maximum(p, 1e-30)),
+                                       0.0))
+                    / jnp.maximum(log_nbins, 1e-30))
     return {
         "min": mn, "max": mx, "mean": mean, "std": std,
         "variance": var, "skewness": skew, "kurtosis": kurt,
@@ -61,23 +67,28 @@ def get_statistics(img: jnp.ndarray, bins: int = 1024) -> Dict[str, jnp.ndarray]
     }
 
 
-def get_moments(img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """GetImageMoments: centroid, ellipse params, Hu invariants I1..I8."""
+def get_moments(img: jnp.ndarray, xp=jnp) -> Dict[str, jnp.ndarray]:
+    """GetImageMoments: centroid, ellipse params, Hu invariants I1..I8.
+
+    Pass ``xp=numpy`` (with a host ndarray) for float64 moments — the
+    reference accumulates in double, and the higher invariants lose
+    ~2 decimals in f32 (visible in perceptual-hash distortions)."""
     h, w = img.shape[-3], img.shape[-2]
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None, None]
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :, None]
-    m00 = jnp.sum(img, axis=(-3, -2))
-    safe = jnp.where(m00 < 1e-12, 1.0, m00)
-    cx = jnp.sum(img * xx, axis=(-3, -2)) / safe
-    cy = jnp.sum(img * yy, axis=(-3, -2)) / safe
+    ftype = jnp.float32 if xp is jnp else np.float64
+    yy = xp.arange(h, dtype=ftype)[:, None, None]
+    xx = xp.arange(w, dtype=ftype)[None, :, None]
+    m00 = xp.sum(img, axis=(-3, -2))
+    safe = xp.where(m00 < 1e-12, 1.0, m00)
+    cx = xp.sum(img * xx, axis=(-3, -2)) / safe
+    cy = xp.sum(img * yy, axis=(-3, -2)) / safe
 
     def mu(p, q):
         dx = xx - cx[..., None, None, :] if cx.ndim > 1 else xx - cx
         dy = yy - cy[..., None, None, :] if cy.ndim > 1 else yy - cy
-        return jnp.sum(img * dx ** p * dy ** q, axis=(-3, -2))
+        return xp.sum(img * dx ** p * dy ** q, axis=(-3, -2))
 
     mu00 = m00
-    n = lambda p, q: mu(p, q) / jnp.power(safe, (p + q) / 2.0 + 1.0)
+    n = lambda p, q: mu(p, q) / xp.power(safe, (p + q) / 2.0 + 1.0)
     n20, n02, n11 = n(2, 0), n(0, 2), n(1, 1)
     n30, n03, n21, n12 = n(3, 0), n(0, 3), n(2, 1), n(1, 2)
     i1 = n20 + n02
@@ -98,21 +109,70 @@ def get_moments(img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
           (n20 - n02) * (n30 + n12) * (n03 + n21))
     return {
         "centroid": (cx, cy),
-        "invariants": jnp.stack([i1, i2, i3, i4, i5, i6, i7, i8]),
+        "invariants": xp.stack([i1, i2, i3, i4, i5, i6, i7, i8]),
         "m00": m00,
     }
 
 
 def perceptual_hash(img: jnp.ndarray) -> jnp.ndarray:
-    """GetImagePerceptualHash: -log10|Hu| over sRGB and HCLp channels."""
-    from . import colorspace as cs
+    """GetImagePerceptualHash (statistic.c:1745): per colorspace in
+    {xyY, HSB}, BlurImage(sigma=1) -> colorspace transform -> Hu
+    invariants per channel -> -MagickLog10 = -log10(max(|I|, 1e-12))."""
+    rgb = np.asarray(img[..., :3], np.float64)
+    out = _phash_host(rgb)
+    return jnp.asarray(out)  # (2, 8, C)
 
+
+def _phash_host(rgb: np.ndarray) -> np.ndarray:
+    """Float64 host pipeline for the perceptual hash: rank-3 gaussian
+    blur (sigma 1, edge virtual pixels) -> xyY / HSB -> Hu moments.
+    The reference runs this whole chain in doubles; in f32 the
+    higher-order HSB invariants (hue is chaotic on near-gray pixels)
+    lose enough precision to triple the PHASH compare distortion."""
+    from .blur import gaussian_kernel_1d
+
+    k = gaussian_kernel_1d(0.0, 1.0).astype(np.float64)
+    k /= k.sum()
+    w = len(k) // 2
+    x = np.pad(rgb, [(w, w), (0, 0), (0, 0)], mode="edge")
+    x = np.einsum("t,thwc->hwc", k,
+                  np.stack([x[i:i + rgb.shape[0]] for i in range(len(k))]))
+    x = np.pad(x, [(0, 0), (w, w), (0, 0)], mode="edge")
+    x = np.einsum("t,htwc->hwc", k,
+                  np.stack([x[:, i:i + rgb.shape[1]] for i in range(len(k))],
+                           axis=1))
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+
+    def prec(v):
+        s = np.where(v < 0, -1.0, 1.0)
+        return s / np.maximum(np.abs(v), 1e-12)
+
+    # xyY (colorspace.c xyYColorspace: sRGB decompand -> XYZ -> chromaticity)
+    lin = np.where(x <= 0.0404482362771076, x / 12.92,
+                   ((x + 0.055) / 1.055) ** 2.4)
+    m = np.array([[0.4123955889674142161, 0.3575834307637148171,
+                   0.1804926473817015735],
+                  [0.2125862307855955516, 0.7151703037034108499,
+                   0.07220049864333622685],
+                  [0.01929721549174694484, 0.1191838645808485318,
+                   0.9504971251315797660]])
+    xyz = lin @ m.T
+    s = prec(xyz.sum(-1))
+    xyy = np.stack([s * xyz[..., 0], s * xyz[..., 1], xyz[..., 1]], -1)
+    # HSB (gem.c ConvertRGBToHSB semantics, mirrored from ops.colorspace)
+    mx = x.max(-1)
+    c = mx - x.min(-1)
+    cr = prec(c)
+    h = np.where(mx == r, (g - b) * cr % 6.0,
+                 np.where(mx == g, (b - r) * cr + 2.0, (r - g) * cr + 4.0))
+    h = np.where(c <= 0.0, 0.0, h / 6.0)
+    sat = np.where(c <= 0.0, 0.0, c * prec(mx))
+    hsb = np.stack([h, sat, mx], -1)
     out = []
-    for space in ("xyy", "hsb"):
-        conv = cs.convert(img[..., :3], "srgb", space)
-        mom = get_moments(conv)["invariants"]  # (8, C)
-        out.append(-jnp.sign(mom) * jnp.log10(jnp.maximum(jnp.abs(mom), 1e-30)))
-    return jnp.stack(out)  # (2, 8, C)
+    for conv in (xyy, hsb):
+        mom = get_moments(conv, xp=np)["invariants"]  # (8, C) f64
+        out.append(-np.log10(np.maximum(np.abs(mom), 1e-12)))
+    return np.stack(out)
 
 
 def phash_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -168,9 +168,17 @@ def stegano(img: jnp.ndarray, watermark: jnp.ndarray, offset: int = 0) -> jnp.nd
     return q.astype(img.dtype) / 255.0
 
 
-def stereo(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
-    """StereoAnaglyphImage: red from left, green/blue from right."""
-    return jnp.stack([left[..., 0], right[..., 1], right[..., 2]], axis=-1)
+def stereo(left: jnp.ndarray, right: jnp.ndarray,
+           x_offset: int = 0, y_offset: int = 0) -> jnp.ndarray:
+    """StereoAnaglyphImage (visual-effects.c:2626): red from the left
+    image sampled at (x - x_offset, y - y_offset) through edge virtual
+    pixels; green/blue from the right image in place."""
+    h, w = left.shape[-3], left.shape[-2]
+    ys = jnp.clip(jnp.arange(h) - y_offset, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) - x_offset, 0, w - 1)
+    shifted = left[..., ys[:, None], xs[None, :], :]
+    return jnp.stack([shifted[..., 0], right[..., 1], right[..., 2]],
+                     axis=-1)
 
 
 def tint(img: jnp.ndarray, color: Sequence[float],

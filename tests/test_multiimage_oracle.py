@@ -131,6 +131,22 @@ CASES = [
     ("{a} {b} -evaluate-sequence max", 300.0),
     ("{a} {b} -average", 300.0),
     ("{a} {b} -poly 0.5,1,0.5,2", 80.0),
+    # layer merges (layer.c MergeImageLayers): flatten composes at page
+    # offsets over a background canvas; mosaic grows to the bounding box
+    ("{a} ( {b} -repage +20+10 ) -flatten", 300.0),
+    ("{a} ( {b} -repage +30+15 ) -background blue -mosaic", 300.0),
+    # -alpha forms on an alpha-carrying source (channel.c SetImageAlpha)
+    ("{b} -alpha extract", 300.0),
+    ("{b} -background green -alpha remove", 300.0),
+    ("{b} -alpha off", 300.0),
+    # HaldClutImage (enhance.c): identity hald:3 CLUT is a near no-op
+    ("{a} hald:3 -hald-clut", 80.0),
+    # tile: pseudo-coder over a real file
+    ("-size 200x100 tile:{a}", 300.0),
+    # two-image fx (u = first, v = second)
+    ("{a} {b} -fx (u+v)/2", 80.0),
+    # -floodfill at a point (paint.c FloodfillPaintImage via CLI option)
+    ("{a} -fill lime -fuzz 45% -floodfill +10+10 srgb(50%,50%,50%)", 300.0),
 ]
 
 
@@ -178,3 +194,21 @@ def test_cipher_interop_with_reference(srcs, tmp_path):
     process([str(enc2), "-decipher", str(pp), str(dec2)])
     y = np.asarray(PILImage.open(str(dec2)).convert("RGB"), np.float64)
     assert (y == s).all()
+
+
+def test_composite_stereo_matches_reference(srcs, tmp_path):
+    """composite -stereo +x+y (composite.c:183): base -> red channel
+    sampled at (x-xo, y-yo) edge-virtual, overlay -> green/blue."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.tools import composite_main
+
+    a, b = srcs
+    ref_out = str(tmp_path / "ref.png")
+    our_out = str(tmp_path / "ours.png")
+    subprocess.run([_REF, "composite", "-stereo", "+5+3", b, a, ref_out],
+                   check=True, capture_output=True)
+    assert composite_main(["-stereo", "+5+3", b, a, our_out]) == 0
+    x = np.asarray(PILImage.open(ref_out).convert("RGB"), np.float64) / 255.0
+    y = np.asarray(PILImage.open(our_out).convert("RGB"), np.float64) / 255.0
+    assert _psnr(x, y) >= 300.0

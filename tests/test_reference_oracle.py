@@ -318,6 +318,14 @@ CASES = [
     # sRGB() functional color syntax (color.c QueryColorCompliance)
     ("-color-threshold sRGB(20%,20%,20%)-sRGB(80%,80%,80%)", 300.0),
     ("-fill srgb(255,0,0) -tint 40", 300.0),
+    # sixth sweep (round 3 cont.): local-contrast/transverse/channel-fx/
+    # unique-colors
+    ("-local-contrast 3x25%", 60.0),
+    ("-local-contrast 10x50%", 60.0),
+    ("-transverse", 300.0),
+    ("-unique-colors", 300.0),
+    ('-channel-fx "red<=>blue"', 300.0),
+    ('-channel-fx "green=>blue"', 300.0),
 ]
 
 
@@ -808,3 +816,71 @@ def test_sketch_statistics_match(src, tmp_path):
     assert abs(o.std() - a.std()) < 0.05, (o.std(), a.std())
     assert abs((o >= 1.0).mean() - (a >= 1.0).mean()) < 0.05
     assert psnr >= self_psnr - 3.0, (psnr, self_psnr)
+
+
+# -- compare -metric value oracle -------------------------------------------
+# The reference prints "quantum (normalized)" for most metrics (or a bare
+# count/dB value); ours prints the normalized value.  Gate: our number must
+# match ONE of the reference-printed floats to the given relative tolerance.
+METRIC_CASES = [
+    ("AE", 1e-6), ("MAE", 1e-3), ("MSE", 1e-3), ("RMSE", 1e-3),
+    ("PAE", 1e-3), ("PSNR", 1e-3), ("NCC", 1e-3), ("FUZZ", 1e-3),
+    ("SSIM", 2e-3), ("DSSIM", 2e-3), ("MEPP", 1e-3), ("PHASH", 0.05),
+    ("DPC", 1e-3),
+]
+
+
+@pytest.fixture(scope="module")
+def cmp_pair(src, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cmp")
+    b = str(d / "b.png")
+    subprocess.run([_REF, src, "-gaussian-blur", "0x1", b],
+                   check=True, capture_output=True)
+    return src, b
+
+
+@pytest.mark.parametrize("metric,tol", METRIC_CASES,
+                         ids=[m[0] for m in METRIC_CASES])
+def test_compare_metric_matches_reference(cmp_pair, metric, tol, capsys):
+    import re
+
+    from imagemagick_tpu.cli.main import _compare_main
+
+    a, b = cmp_pair
+    r = subprocess.run([_REF, "compare", "-metric", metric, a, b, "null:"],
+                       capture_output=True, text=True)
+    ref_floats = [float(x) for x in
+                  re.findall(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?",
+                             r.stderr)]
+    assert ref_floats, r.stderr
+    _compare_main(["-metric", metric.lower(), a, b, "null:"])
+    out = capsys.readouterr().err.strip().split()[0]
+    ours = float(out)
+    best = min(abs(ours - rf) / max(abs(rf), 1e-12) for rf in ref_floats)
+    absbest = min(abs(ours - rf) for rf in ref_floats)
+    assert best <= tol or absbest <= 1e-6, (metric, ours, r.stderr.strip())
+
+
+# -- identify -format numeric property oracle --------------------------------
+FMT_CASES = ["%w", "%h", "%[mean]", "%[standard-deviation]", "%[min]",
+             "%[max]", "%[entropy]", "%[colors]", "%[depth]"]
+
+
+@pytest.mark.parametrize("fmt", FMT_CASES)
+def test_identify_format_matches_reference(src, fmt, capsys):
+    from imagemagick_tpu.cli.main import main as cli_main
+
+    r = subprocess.run([_REF, "identify", "-format", fmt, src],
+                       capture_output=True, text=True, check=True)
+    cli_main(["identify", "-format", fmt, src])
+    ours = capsys.readouterr().out.strip()
+    ref = r.stdout.strip()
+    try:
+        rv, ov = float(ref), float(ours)
+    except ValueError:
+        assert ours == ref, (fmt, ours, ref)
+        return
+    # statistics print quantum-scaled in Q16; accept either scaling
+    candidates = (ov, ov * 65535.0, ov / 65535.0)
+    assert any(abs(c - rv) <= max(2e-4 * max(abs(rv), 1.0), 1e-6)
+               for c in candidates), (fmt, ours, ref)
