@@ -2209,15 +2209,17 @@ def _op_floodfill(st, arg, plus):
     """-floodfill +X+Y color (FloodfillPaintImage, paint.c:112)."""
     from ..ops import paint as pt
 
-    geom, _, _color_s = arg.partition(" ")
+    geom, _, color_s = arg.partition(" ")
     g = parse_geometry(geom)
     fill = st.fill()
     fuzz = _percent(st.settings.get("fuzz", "0") or "0")
+    target = parse_color(color_s.strip()) if color_s.strip() else None
     for li in st.images:
         img = li.materialize()
         li.image = img.replace(data=pt.floodfill(
             img.data, int(g.x or 0), int(g.y or 0),
-            fill[:img.channels], fuzz=fuzz))
+            fill[:img.channels], fuzz=fuzz,
+            target_color=target))
 
 
 def _integral_image(x):
@@ -2582,20 +2584,41 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
                 li.image.properties["comment"] = val
             continue
         if name == "repage":
-            # +repage resets the page; -repage GEOM sets it (the canvas
-            # w/h default to the image's own when omitted, image.c
-            # ResetImagePage semantics).  Page tuple layout: (x, y, w, h).
+            # +repage resets the page; -repage GEOM follows ResetImagePage
+            # (image.c:2171) field-by-field: only parsed components are
+            # overwritten, omitted height defaults to width, '!' ADDS
+            # offsets, and a positive offset onto a zero canvas sets the
+            # canvas dim to image dim + offset.  Page layout: (x, y, w, h).
             if plus:
                 for li in st.images:
                     li.image.page = None
                 continue
+            if i >= len(args):
+                raise CLIError("option requires an argument `-repage'")
             geom = args[i]; i += 1
             gp = parse_geometry(geom, offsets_first=True)
             for li in st.images:
                 im = li.image
-                li.image.page = (int(gp.x or 0), int(gp.y or 0),
-                                 int(gp.width or im.width),
-                                 int(gp.height or im.height))
+                px, py, pw, ph = im.page if im.page else (0, 0, 0, 0)
+                if gp.width is not None:
+                    pw = int(gp.width)
+                    ph = int(gp.height if gp.height is not None
+                             else gp.width)
+                if gp.exact:        # '!' add-offset form
+                    if gp.x is not None:
+                        px += int(gp.x)
+                    if gp.y is not None:
+                        py += int(gp.y)
+                else:
+                    if gp.x is not None:
+                        px = int(gp.x)
+                        if pw == 0 and px > 0:
+                            pw = im.width + px
+                    if gp.y is not None:
+                        py = int(gp.y)
+                        if ph == 0 and py > 0:
+                            ph = im.height + py
+                li.image.page = (px, py, pw, ph)
             continue
         if name == "verbose":
             st.settings["verbose"] = "1"
@@ -3010,7 +3033,7 @@ def _compare_main(argv) -> int:
         raw, nm, nx = (float(v) for v in
                        cmp_ops.mean_error_per_pixel(a.data, b.data))
         print(f"{raw:.6g} ({nm:.6g}, {nx:.6g})", file=sys.stderr)
-        d = nm
+        d = raw
     else:
         d = float(cmp_ops.get_distortion(a.data, b.data, metric))
         if metric in ("ncc", "dpc", "phase"):
@@ -3021,8 +3044,9 @@ def _compare_main(argv) -> int:
     if len(paths) > 2:
         vis, _ = cmp_ops.compare_images(a.data, b.data, metric)
         iio.write_image(Image(vis, a.spec), paths[2])
-    # exit code: 0 similar, 1 dissimilar (reference semantics)
-    return 0 if d < 0.01 or metric in ("psnr", "ssim") else 1
+    # exit code (MagickWand/compare.c:1264 CompareEpsilon): dissimilar
+    # when |post-transform distortion| > 1e-6, uniformly for all metrics
+    return 0 if abs(d) <= 1.0e-6 else 1
 
 
 if __name__ == "__main__":

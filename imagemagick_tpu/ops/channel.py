@@ -60,7 +60,10 @@ def channel_fx(img: jnp.ndarray, expression: str,
 
     for clause in expr.split(","):
         clause = clause.strip()
-        if "=>" in clause:
+        if "<=>" in clause:
+            a, b = (resolve(t) for t in clause.split("<=>"))
+            out = out.at[..., a].set(img[..., b]).at[..., b].set(img[..., a])
+        elif "=>" in clause:
             src_s, dst_s = clause.split("=>")
             src_s, dst_s = src_s.strip(), dst_s.strip()
             if len(src_s) > 1 and len(dst_s) == len(src_s) and src_s.isalpha() \
@@ -70,9 +73,6 @@ def channel_fx(img: jnp.ndarray, expression: str,
                 out = img[..., perm]
             else:
                 out = out.at[..., resolve(dst_s)].set(img[..., resolve(src_s)])
-        elif "<=>" in clause:
-            a, b = (resolve(t) for t in clause.split("<=>"))
-            out = out.at[..., a].set(img[..., b]).at[..., b].set(img[..., a])
     return out
 
 

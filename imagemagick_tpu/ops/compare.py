@@ -99,6 +99,13 @@ def psnr(a, b):
     return jnp.mean(per)
 
 
+def psnr_db(a, b):
+    """Pooled-MSE PSNR in dB — the local fidelity-gate helper (NOT the
+    reference metric; use :func:`psnr` for compare.c:1201 semantics)."""
+    mse = jnp.mean((a - b) ** 2)
+    return 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-30))
+
+
 def normalized_cross_correlation(a, b):
     """NCC (compare.c:933): per-channel correlation of mean-centered
     samples, averaged over channels.  (The compare CLI prints

@@ -45,25 +45,35 @@ STRICT = os.environ.get("IMTPU_DISPATCH_STRICT", "") == "1"
 _MAX_DIM = 4096          # dense host-side operator composition bound
 _MAX_CHANNELS = 4
 
-# The axon TPU worker on this machine hard-hangs (multi-hour, process-
-# wide) when first compiling/running the fused kernel on a pad_align
-# shape — observed twice, both times immediately after that exact
-# compile, while born-aligned shapes (bench.py, benchmarks.py) run
-# fine.  Until the trigger is isolated, padded shapes only dispatch on
-# real hardware when explicitly requested; interpret/CPU paths (tests)
-# are unaffected.
-ALLOW_PADDED = os.environ.get("IMTPU_DISPATCH_PADDED", "") == "1"
+# Padding strategy (round 4): the old in-kernel pad_align — flattening
+# NHWC to (N*H, W*C) and padding the MERGED lane dim to %128, leaving a
+# WINC that is not a multiple of C — hard-hung the axon worker twice
+# (multi-hour, process-wide) on its first Mosaic compile, while
+# born-aligned shapes always ran fine.  Round 4 replaces it with
+# NHWC-space alignment: pad W so that (W'·C) % 128 == 0 exactly and
+# H to %8, zero-extend the operators, and call the kernel with
+# pad_align=False — the program is then structurally identical to a
+# born-aligned image's, the code path the worker has never hung on.
+# IMTPU_DISPATCH_NO_PAD=1 refuses padded shapes entirely (fallback to
+# the XLA op chain); IMTPU_DISPATCH_PADDED=1 is accepted for backward
+# compat (it forces the old behavior of allowing padded dispatch, which
+# is now the default).
+NO_PAD = os.environ.get("IMTPU_DISPATCH_NO_PAD", "") == "1"
 
 
 def _shape_safe(H: int, W: int, C: int, interpret: bool) -> bool:
     """True when (H, W, C) may dispatch on the current backend."""
-    if interpret or ALLOW_PADDED:
-        return True
     if H % 8 == 0 and (W * C) % 128 == 0:
         return True
-    import jax
+    return not NO_PAD
 
-    return jax.default_backend() not in ("axon",)
+
+def _aligned_dims(H: int, W: int, C: int) -> Tuple[int, int]:
+    """Smallest (H', W') >= (H, W) with H'%8 == 0 and (W'·C)%128 == 0."""
+    import math
+
+    step = 128 // math.gcd(128, C)
+    return -(-H // 8) * 8, -(-W // step) * step
 
 
 @functools.lru_cache(maxsize=64)
@@ -129,17 +139,24 @@ def _chain_runner(H: int, W: int, C: int, prefix: tuple,
     if plan is None:
         return None
     Mv, Mw, mix, Hout, Wout, Cout = plan
-    probe = jax.ShapeDtypeStruct((1, H, W, C), jnp.float32)
+    Hp, Wp = _aligned_dims(H, W, C)
+    if (Hp, Wp) != (H, W):
+        # zero-extend the operators over the pad; the kernel then sees a
+        # structurally born-aligned (Hp, Wp, C) image (see NO_PAD note)
+        Mv = np.pad(Mv, ((0, 0), (0, Hp - H)))
+        Mw = np.pad(Mw, ((0, 0), (0, Wp - W)))
+    probe = jax.ShapeDtypeStruct((1, Hp, Wp, C), jnp.float32)
     ok = fused_linear_pipeline(probe, [(Mv, Mw)], C, mix=mix,
-                               pad_align=True, interpret=interpret,
-                               plan_only=True)
+                               interpret=interpret, plan_only=True)
     if not ok:
         return None
 
     @jax.jit
     def run(x):
+        if (Hp, Wp) != (H, W):
+            x = jnp.pad(x, ((0, Hp - H), (0, Wp - W), (0, 0)))
         out = fused_linear_pipeline(x[None], [(Mv, Mw)], C, mix=mix,
-                                    pad_align=True, interpret=interpret)
+                                    interpret=interpret)
         return out[0]
 
     return run
@@ -161,18 +178,23 @@ def _batch_runner(N: int, H: int, W: int, C: int, prefix: tuple,
     if plan is None:
         return None
     Mv, Mw, mix, Hout, Wout, Cout = plan
-    probe = jax.ShapeDtypeStruct((N, H, W, C), jnp.float32)
+    Hp, Wp = _aligned_dims(H, W, C)
+    if (Hp, Wp) != (H, W):
+        Mv = np.pad(Mv, ((0, 0), (0, Hp - H)))
+        Mw = np.pad(Mw, ((0, 0), (0, Wp - W)))
+    probe = jax.ShapeDtypeStruct((N, Hp, Wp, C), jnp.float32)
     ok = fused_linear_pipeline(probe, [(Mv, Mw)], C, mix=mix,
-                               pad_align=True, interpret=interpret,
-                               plan_only=True)
+                               interpret=interpret, plan_only=True)
     if not ok:
         return None
 
     @jax.jit
     def run(*xs):
         x = jnp.stack(xs)
+        if (Hp, Wp) != (H, W):
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
         return fused_linear_pipeline(x, [(Mv, Mw)], C, mix=mix,
-                                     pad_align=True, interpret=interpret)
+                                     interpret=interpret)
 
     return run
 

@@ -51,6 +51,31 @@ def _histogram_fixed(values: jnp.ndarray, bins: int) -> jnp.ndarray:
                        axis=0)
     b1 = 1 << (bins.bit_length() // 2)   # hi factor
     b2 = bins // b1                      # lo factor
+    # Large bin counts (entropy's 65536 = 256x256) would materialize two
+    # (N, 256) bf16 one-hots — ~7.3 GB each at 14MP.  Chunk the pixel axis
+    # with lax.map, summing partial 2-D contractions: exact counts (f32
+    # accum, < 2^24 px per chunk), bounded ~128 MB of one-hot at a time.
+    budget = 64 * 1024 * 1024  # bytes per one-hot operand
+    if idx.size * (b1 + b2) * 2 > 2 * budget:
+        chunk = max(8192, budget // ((b1 + b2) * 2) // 128 * 128)
+        nchunks = -(-idx.size // chunk)
+        pad = nchunks * chunk - idx.size
+        idxp = jnp.pad(idx, (0, pad), constant_values=0).reshape(nchunks, chunk)
+
+        def _partial(row):
+            hi_r = row // b2
+            lo_r = row - hi_r * b2
+            oh = (hi_r[:, None] == jnp.arange(b1, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+            ol = (lo_r[:, None] == jnp.arange(b2, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                oh, ol, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        hist2d = jnp.sum(jax.lax.map(_partial, idxp), axis=0)
+        hist2d = hist2d.at[0, 0].add(-float(pad))  # undo bin-0 pad counts
+        return hist2d.reshape(bins)
     hi = idx // b2
     lo = idx - hi * b2
     onehot_hi = (hi[:, None] == jnp.arange(b1, dtype=jnp.int32)[None, :]

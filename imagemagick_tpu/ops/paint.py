@@ -52,13 +52,20 @@ def transparent_paint(img: jnp.ndarray, target_color: Sequence[float],
 
 
 def floodfill(img: jnp.ndarray, x: int, y: int, fill_color: Sequence[float],
-              fuzz: float = 0.0, max_iters: Optional[int] = None) -> jnp.ndarray:
+              fuzz: float = 0.0, max_iters: Optional[int] = None,
+              target_color: Optional[Sequence[float]] = None) -> jnp.ndarray:
     """FloodfillPaintImage (paint.c:112): 4-connected fill from a seed.
 
     Mask propagation: seed -> repeat (dilate ∧ matchable) until fixpoint.
+    The flood target is the explicit ``target_color`` when given (the CLI
+    ``-floodfill geometry color`` form, mogrify.c) else the seed pixel
+    (the MVG ``color x,y floodfill`` form, draw.c).
     """
     h, w = img.shape[-3], img.shape[-2]
-    target = img[..., y, x, :]
+    if target_color is not None:
+        target = jnp.asarray(target_color, img.dtype)[: img.shape[-1]]
+    else:
+        target = img[..., y, x, :]
     matchable = _fuzz_match(img, target, fuzz)  # (..., H, W)
     seed = jnp.zeros(img.shape[:-1], bool).at[..., y, x].set(True)
 

@@ -1461,7 +1461,12 @@ class MagickWand:
 
     # --- page / metadata accessors ---
     def get_image_page(self):
-        return self.current.page or (self.width, self.height, 0, 0)
+        """MagickGetImagePage: returns (width, height, x, y); page is
+        stored internally as (x, y, w, h)."""
+        if self.current.page is None:
+            return (self.width, self.height, 0, 0)
+        x, y, w, h = self.current.page
+        return (w, h, x, y)
 
     def set_image_page(self, width, height, x, y):
         self.current.page = (x, y, width, height)

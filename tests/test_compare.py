@@ -16,7 +16,9 @@ def test_mepp_and_phash_registered():
               "phash", "rmse", "ssim", "dssim", "phase", "dpc"):
         v = float(cmp.get_distortion(a, b, m))
         assert np.isfinite(v), m
-    # MEPP = mean summed-channel abs error
-    assert abs(float(cmp.get_distortion(a, b, "mepp")) - 0.03) < 2e-3
+    # MEPP = RAW quantum-unit |d| sum (compare.c:712 never divides);
+    # mean |d| per sample back out ≈ the 0.01 perturbation
+    raw = float(cmp.get_distortion(a, b, "mepp"))
+    assert abs(raw / (32 * 32 * 3 * 65535.0) - 0.01) < 1e-3, raw
     # PHASH of identical images is ~0
     assert float(cmp.get_distortion(a, a, "phash")) < 1e-6

@@ -46,7 +46,7 @@ def test_miff_properties_roundtrip(img):
 def test_jpeg_lossy_close(img):
     blob = image_to_blob(img, "jpeg", quality=95)
     back = image_from_blob(blob)[0]
-    psnr = float(cmp_ops.psnr(img.data, back.data))
+    psnr = float(cmp_ops.psnr_db(img.data, back.data))
     assert psnr > 28.0
 
 

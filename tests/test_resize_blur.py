@@ -47,7 +47,7 @@ def test_resize_matches_pil_lanczos(checker_rgb):
     ref_f = np.asarray(ref).astype(np.float32) / 255.0
     out = np.asarray(rz.resize(checker_rgb, 12, 16, "lanczos"))
     # Different phase conventions/clamping → close but not identical
-    psnr = float(cmp_ops.psnr(out, ref_f))
+    psnr = float(cmp_ops.psnr_db(out, ref_f))
     assert psnr > 30.0, psnr
 
 
@@ -123,7 +123,7 @@ def test_kuwahara_flat_regions():
 
 
 def test_psnr_ssim_identity(checker_rgb):
-    p = float(cmp_ops.psnr(checker_rgb, checker_rgb))
+    p = float(cmp_ops.psnr_db(checker_rgb, checker_rgb))
     assert p > 90.0
     s = float(cmp_ops.ssim(checker_rgb, checker_rgb))
     assert s > 0.999
@@ -132,5 +132,5 @@ def test_psnr_ssim_identity(checker_rgb):
 def test_psnr_known_value():
     a = np.zeros((8, 8, 1), np.float32)
     b = np.full((8, 8, 1), 0.1, np.float32)
-    p = float(cmp_ops.psnr(a, b))
+    p = float(cmp_ops.psnr_db(a, b))
     assert abs(p - 20.0) < 1e-3  # 10*log10(1/0.01)

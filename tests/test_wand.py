@@ -211,7 +211,7 @@ def test_wand_second_batch(wand):
     assert 0.0 <= ink.get_image_total_ink_density() <= 4.0
     assert ink.get_number_images() == 1
     ink.set_image_page(8, 8, 1, 2)
-    assert ink.get_image_page()[:2] == (1, 2)
+    assert ink.get_image_page() == (8, 8, 1, 2)  # (w, h, x, y)
     ink.set_image_resolution(150, 150)
     assert ink.get_image_resolution() == (150.0, 150.0)
 
