@@ -34,6 +34,45 @@ class CLIError(Exception):
     pass
 
 
+# -define tpu:mesh=SYxSX (or DPxSYxSX) state: (mesh, min_pixels) or None.
+# Set by the -define handler; consulted by LazyImage.materialize.
+_ACTIVE_SHARD = None
+
+
+def _set_shard_mesh(spec: Optional[str], threshold: Optional[str] = None):
+    """Activate (or clear) CLI auto-sharding from -define tpu:mesh=..."""
+    global _ACTIVE_SHARD
+    if not spec:
+        _ACTIVE_SHARD = None
+        return
+    from ..parallel.mesh import make_mesh
+
+    parts = [int(p) for p in spec.lower().replace("x", ",").split(",") if p]
+    if len(parts) == 2:
+        dp, (sy, sx) = 1, parts
+    elif len(parts) == 3:
+        dp, sy, sx = parts
+    else:
+        raise CLIError(f"bad tpu:mesh geometry {spec!r} (want SYxSX)")
+    mesh = make_mesh(dp=dp, sy=sy, sx=sx)
+    minpx = int(threshold) if threshold else 4 * 1024 * 1024
+    _ACTIVE_SHARD = (mesh, minpx)
+
+
+def _auto_shard_sharding(data):
+    """NamedSharding for a (H, W, C) image when auto-sharding applies."""
+    if _ACTIVE_SHARD is None or getattr(data, "ndim", 0) != 3:
+        return None
+    mesh, minpx = _ACTIVE_SHARD
+    h, w = int(data.shape[0]), int(data.shape[1])
+    sy, sx = mesh.shape["sy"], mesh.shape["sx"]
+    if h * w < minpx or h % sy or w % sx:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P("sy", "sx", None))
+
+
 class LazyImage:
     """An image plus a queue of pending device ops (for whole-chain fusion).
 
@@ -101,6 +140,16 @@ class LazyImage:
                     x = fn(x)
                 return x
 
+            sharding = _auto_shard_sharding(data)
+            if sharding is not None:
+                # -define tpu:mesh= auto-sharding: the image lives
+                # spatially sharded over the mesh and XLA GSPMD inserts
+                # the halo/reduction collectives every op needs — the
+                # general tera-pixel execution story (the explicit-halo
+                # ops in parallel/spatial.py are the hand-tuned forms)
+                data = jax.device_put(data, sharding)
+                _dispatch.COUNTS["gspmd"] = \
+                    _dispatch.COUNTS.get("gspmd", 0) + 1
             data = jax.jit(chain)(data)
         spec = self.image.spec
         for _, upd, _ in ops:
@@ -2344,7 +2393,9 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
         OPS = _build_ops()
     from .. import io as iio
 
-    st = st or CLIState()
+    if st is None:
+        st = CLIState()
+        _set_shard_mesh(None)   # sharding defines are per-invocation
     args = list(args)
     i = 0
     output_written = False
@@ -2479,7 +2530,16 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
         if name == "define":
             kv = args[i]; i += 1
             k, _, v = kv.partition("=")
-            st.defines[k] = v
+            if plus:
+                st.defines.pop(k, None)
+            else:
+                st.defines[k] = v
+            if k == "tpu:mesh":
+                _set_shard_mesh(None if plus else v,
+                                st.defines.get("tpu:shard-threshold"))
+            elif k == "tpu:shard-threshold" and "tpu:mesh" in st.defines:
+                _set_shard_mesh(st.defines.get("tpu:mesh"),
+                                None if plus else v)
             continue
         if name == "set":
             k, v = args[i], args[i + 1]; i += 2

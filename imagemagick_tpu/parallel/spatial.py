@@ -91,6 +91,257 @@ def halo_map(fn: Callable[[jnp.ndarray], jnp.ndarray], mesh: Mesh,
     return shard_map(local, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec)
 
 
+def sharded_neighborhood(fn: Callable[[jnp.ndarray], jnp.ndarray],
+                         mesh: Mesh, radius_y: int, radius_x: int,
+                         in_spec: P = P("dp", "sy", "sx", None)) -> Callable:
+    """Shard ANY 'same'-mode neighborhood op of bounded radius.
+
+    ``fn`` maps (N, h, w, C) -> (N, h, w, C) using only pixels within
+    (radius_y, radius_x) of each output pixel (the op's own virtual-pixel
+    padding is never reached by kept outputs: the halo provides real
+    neighbor rows, replicated at the global boundary = 'edge' policy).
+    This is the general DPC replacement (distribute-cache.c:939): run the
+    op on tile+halo, crop the halo, result stays sharded.
+    """
+
+    def local(block):
+        ry, rx = radius_y, radius_x
+        if ry:
+            block = _exchange_halo_1d(block, "sy", block.ndim - 3, ry)
+        if rx:
+            block = _exchange_halo_1d(block, "sx", block.ndim - 2, rx)
+        out = fn(block)
+        if ry:
+            out = lax.slice_in_dim(out, ry, out.shape[out.ndim - 3] - ry,
+                                   axis=out.ndim - 3)
+        if rx:
+            out = lax.slice_in_dim(out, rx, out.shape[out.ndim - 2] - rx,
+                                   axis=out.ndim - 2)
+        return out
+
+    return shard_map(local, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec)
+
+
+# primitive-pass decomposition per morphology method: each pass gets its
+# OWN halo exchange — edge replication of an intermediate result is NOT
+# the same as running the composite over one wide halo (the reference
+# re-applies virtual-pixel padding to the current image on every pass)
+_METHOD_PRIMS = {
+    "erode": ("e",), "dilate": ("d",),
+    "erodeintensity": ("e",), "dilateintensity": ("d",),
+    "open": ("e", "d"), "close": ("d", "e"),
+    "openintensity": ("e", "d"), "closeintensity": ("d", "e"),
+    "smooth": ("e", "d", "d", "e"),
+    "convolve": ("c",), "correlate": ("x",),
+}
+
+
+def sharded_morphology(mesh: Mesh, method: str, kernel_spec: str,
+                       iterations: int = 1,
+                       in_spec: P = P("dp", "sy", "sx", None)) -> Callable:
+    """Spatially-sharded MorphologyImage (morphology.c:4129) for bounded
+    methods (erode/dilate/open/close/smooth/edge/tophat/bottomhat/
+    convolve/correlate).  Convergence (-1) methods need a global fixpoint
+    and are not shardable this way."""
+    import numpy as np
+
+    from ..ops import morphology as mo
+
+    if iterations < 0:
+        raise ValueError("iterations=-1 (converge) is not shardable")
+    m = method.lower().replace("-", "").replace("_", "")
+    kernel = mo.get_kernel(kernel_spec)[0]
+    ry, rx = kernel.shape[0] // 2, kernel.shape[1] // 2
+
+    prim_fns = {
+        "e": lambda b: mo.erode(b, kernel),
+        "d": lambda b: mo.dilate(b, kernel),
+        "c": lambda b: mo.convolve_kernel(b, kernel),
+        "x": lambda b: mo.correlate_kernel(b, kernel),
+    }
+
+    def seq(prims):
+        fns = [sharded_neighborhood(prim_fns[p], mesh, ry, rx, in_spec)
+               for p in prims]
+
+        def run(x):
+            for _ in range(max(iterations, 1)):
+                for f in fns:
+                    x = f(x)
+            return x
+
+        return run
+
+    if m in _METHOD_PRIMS:
+        return seq(_METHOD_PRIMS[m])
+    if m == "edge":            # dilate - erode
+        d, e = seq(("d",)), seq(("e",))
+        return lambda x: d(x) - e(x)
+    if m == "edgein":          # x - erode
+        e = seq(("e",))
+        return lambda x: x - e(x)
+    if m == "edgeout":         # dilate - x
+        d = seq(("d",))
+        return lambda x: d(x) - x
+    if m == "tophat":          # x - open
+        o = seq(("e", "d"))
+        return lambda x: x - o(x)
+    if m == "bottomhat":       # close - x
+        c = seq(("d", "e"))
+        return lambda x: c(x) - x
+    raise ValueError(f"morphology method {method!r} has no sharded form")
+
+
+def sharded_median(mesh: Mesh, radius: int = 1,
+                   in_spec: P = P("dp", "sy", "sx", None)) -> Callable:
+    """Spatially-sharded median / rank filter (StatisticImage,
+    statistic.c MedianStatistic) via halo exchange."""
+    from ..ops.statistic import median_filter
+
+    return sharded_neighborhood(lambda b: median_filter(b, radius),
+                                mesh, radius, radius, in_spec)
+
+
+def sharded_statistic(mesh: Mesh, stat: str, width: int, height: int,
+                      in_spec: P = P("dp", "sy", "sx", None)) -> Callable:
+    """Spatially-sharded windowed statistic (min/max/mean/median/mode/
+    gradient...) — the rank-filter family of statistic.c."""
+    from ..ops.statistic import statistic
+
+    return sharded_neighborhood(lambda b: statistic(b, stat, width, height),
+                                mesh, height // 2, width // 2, in_spec)
+
+
+def _shard_axis_weights(M: "np.ndarray", n: int):
+    """Split a dense (out, in) resample operator into per-shard local
+    blocks.  Returns (W, h): W[d] is (out/n, in/n + 2h) acting on shard
+    d's halo'd rows; h is the uniform halo width (max boundary overreach
+    of any shard's output support into its neighbors)."""
+    import numpy as np
+
+    Hout, Hin = M.shape
+    if Hout % n or Hin % n:
+        raise ValueError(f"axis dims ({Hout}, {Hin}) not divisible by {n}")
+    out_loc, in_loc = Hout // n, Hin // n
+    h = 1
+    for d in range(n):
+        rows = M[d * out_loc:(d + 1) * out_loc]
+        nz = np.nonzero(np.any(rows != 0.0, axis=0))[0]
+        if nz.size:
+            h = max(h, d * in_loc - int(nz[0]), int(nz[-1]) + 1
+                    - (d + 1) * in_loc)
+    if h > in_loc:
+        raise ValueError(
+            f"resize support halo {h} exceeds shard extent {in_loc}; use "
+            f"fewer devices on this axis")
+    W = np.zeros((n, out_loc, in_loc + 2 * h), np.float32)
+    for d in range(n):
+        lo = d * in_loc - h
+        for j in range(in_loc + 2 * h):
+            col = lo + j
+            if 0 <= col < Hin:
+                W[d, :, j] = M[d * out_loc:(d + 1) * out_loc, col]
+    return W, h
+
+
+def sharded_resize(mesh: Mesh, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
+                   filter_name: str = "lanczos", has_alpha: bool = False,
+                   in_spec: P = P("dp", "sy", "sx", None)) -> Callable:
+    """Spatially-sharded separable filter resize (resize.c HorizontalFilter/
+    VerticalFilter): each device applies its shard's slice of the dense
+    resample operator to its halo'd tile — shard-boundary weight splitting,
+    no gather-redistribute.  Both in and out dims must divide the mesh axis.
+    Alpha inputs get the reference's alpha-weighted resample (premultiply /
+    renormalize are pointwise, so they ride the sharding for free).
+    """
+    import numpy as np
+
+    from ..ops.resize import resize_matrix
+
+    Hin, Win = in_hw
+    Hout, Wout = out_hw
+    ny = mesh.shape["sy"]
+    nx = mesh.shape["sx"]
+    Mv = np.asarray(resize_matrix(Hin, Hout, filter_name), np.float32).T
+    Mw = np.asarray(resize_matrix(Win, Wout, filter_name), np.float32).T
+    WY, hy = _shard_axis_weights(Mv, ny)
+    WX, hx = _shard_axis_weights(Mw, nx)
+
+    def local(block):
+        iy = lax.axis_index("sy")
+        ix = lax.axis_index("sx")
+        b = _exchange_halo_1d(block, "sy", block.ndim - 3, hy)
+        wv = jnp.asarray(WY)[iy]
+        # resize einsums at HIGH precision (repo invariant: >=60dB gate)
+        b = jnp.einsum("oi,...iwc->...owc", wv, b, precision="high")
+        b = _exchange_halo_1d(b, "sx", b.ndim - 2, hx)
+        ww = jnp.asarray(WX)[ix]
+        b = jnp.einsum("oj,...hjc->...hoc", ww, b, precision="high")
+        return b
+
+    smap = shard_map(local, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec)
+
+    def run(x):
+        if has_alpha and x.shape[-1] > 1:
+            a = x[..., -1:]
+            x = jnp.concatenate([x[..., :-1] * a, a], axis=-1)
+        out = smap(x)
+        if has_alpha and out.shape[-1] > 1:
+            a = out[..., -1:]
+            safe = jnp.where(jnp.abs(a) < 1e-6, 1.0, a)
+            out = jnp.concatenate([out[..., :-1] / safe, a], axis=-1)
+        return jnp.clip(out, 0.0, 1.0)   # resize.c clamps the final pass
+
+    return run
+
+
+def sharded_otsu_threshold(mesh: Mesh,
+                           in_spec: P = P("dp", "sy", "sx", None)) -> Callable:
+    """Sharded -auto-threshold otsu: psum'd global intensity histogram,
+    threshold computed redundantly on every device (256-bin argmax is
+    microscopic), pointwise apply — output stays sharded."""
+    from ..ops.enhance import grayscale
+
+    def local(block):
+        inten = grayscale(block)[..., 0] if block.shape[-1] >= 3 \
+            else block[..., 0]
+        # PER-IMAGE histograms (threshold.c processes one image at a time;
+        # dp carries independent images — never merge across it)
+        flat = inten.reshape((inten.shape[0], -1))
+        hists = lax.map(_local_histogram_256, flat)       # (Nloc, 256)
+        hists = lax.psum(hists, "sy")
+        hists = lax.psum(hists, "sx")
+        p = hists / jnp.maximum(jnp.sum(hists, -1, keepdims=True), 1.0)
+        omega = jnp.cumsum(p, -1)
+        levels = jnp.arange(256, dtype=jnp.float32)
+        mu = jnp.cumsum(p * levels, -1)
+        denom = omega * (1.0 - omega)
+        sigma_b = jnp.where(denom > 1e-12,
+                            (mu[:, -1:] * omega - mu) ** 2
+                            / jnp.maximum(denom, 1e-12), 0.0)
+        t = jnp.argmax(sigma_b, -1).astype(jnp.float32) / 255.0
+        # auto_threshold semantics: single-channel bilevel of intensity
+        return (inten > t[:, None, None])[..., None].astype(block.dtype)
+
+    return shard_map(local, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec)
+
+
+def _local_histogram_256(values: jnp.ndarray) -> jnp.ndarray:
+    """Per-device 256-bin histogram via the factored one-hot matmul
+    (scatter-adds serialize on TPU — see ops/histogram._histogram_fixed)."""
+    idx = jnp.clip((values.reshape(-1) * 255.0 + 0.5).astype(jnp.int32),
+                   0, 255)
+    hi = idx // 16
+    lo = idx - hi * 16
+    oh = (hi[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]
+          ).astype(jnp.bfloat16)
+    ol = (lo[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]
+          ).astype(jnp.bfloat16)
+    h2 = lax.dot_general(oh, ol, (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    return h2.reshape(256)
+
+
 def sharded_gaussian_blur(mesh: Mesh, sigma: float,
                           in_spec: P = P("dp", "sy", "sx", None)) -> Callable:
     """Spatially-sharded separable Gaussian blur with ICI halo exchange.
@@ -136,8 +387,14 @@ def sharded_histogram(mesh: Mesh, bins: int = 256,
     """
 
     def local(block):
-        idx = jnp.clip((block * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
-        hist = jnp.zeros((bins,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+        if bins == 256:
+            hist = _local_histogram_256(block)
+        else:  # small bin counts: direct compare (no scatter — serializes)
+            idx = jnp.clip((block.reshape(-1) * (bins - 1) + 0.5)
+                           .astype(jnp.int32), 0, bins - 1)
+            iota = jnp.arange(bins, dtype=jnp.int32)
+            hist = jnp.sum((idx[:, None] == iota[None, :])
+                           .astype(jnp.float32), axis=0)
         hist = lax.psum(hist, "sy")
         hist = lax.psum(hist, "sx")
         hist = lax.psum(hist, "dp") if "dp" in mesh.axis_names else hist

@@ -100,3 +100,99 @@ def test_gigapixel_grayscale(mesh, rng):
     img = rng.uniform(0, 1, (2, 32, 64, 3)).astype(np.float32)
     out, _ = gp.process_gigapixel(img, mesh=mesh, sigma=1.0, to_gray=True)
     assert out.shape == (2, 32, 64, 1)
+
+
+# --- round-4 sharded op families (VERDICT r3 #4): equality vs 1-device ---
+
+def test_sharded_resize_matches_single_device(mesh, batch):
+    from imagemagick_tpu.ops import resize as rz
+    from imagemagick_tpu.parallel.spatial import sharded_resize
+
+    sharding = NamedSharding(mesh, P("dp", "sy", "sx", None))
+    xs = jax.device_put(batch, sharding)
+    h, w = batch.shape[1], batch.shape[2]
+    fn = jax.jit(sharded_resize(mesh, (h, w), (h // 2, w // 2), "lanczos"))
+    out = np.asarray(fn(xs))
+    ref = np.asarray(rz.resize(batch, h // 2, w // 2, "lanczos"))
+    assert out.shape == ref.shape
+    assert np.max(np.abs(out - ref)) < 1e-4
+
+
+def test_sharded_resize_upscale(mesh, batch):
+    from imagemagick_tpu.ops import resize as rz
+    from imagemagick_tpu.parallel.spatial import sharded_resize
+
+    sharding = NamedSharding(mesh, P("dp", "sy", "sx", None))
+    xs = jax.device_put(batch, sharding)
+    h, w = batch.shape[1], batch.shape[2]
+    fn = jax.jit(sharded_resize(mesh, (h, w), (h * 2, w * 2), "mitchell"))
+    out = np.asarray(fn(xs))
+    ref = np.asarray(rz.resize(batch, h * 2, w * 2, "mitchell"))
+    assert np.max(np.abs(out - ref)) < 1e-4
+
+
+def test_sharded_morphology_matches_single_device(mesh, batch):
+    from imagemagick_tpu.ops import morphology as mo
+    from imagemagick_tpu.parallel.spatial import sharded_morphology
+
+    sharding = NamedSharding(mesh, P("dp", "sy", "sx", None))
+    xs = jax.device_put(batch, sharding)
+    for method, spec in (("erode", "square:1"), ("dilate", "diamond:1"),
+                         ("open", "square:1"), ("edge", "square:1")):
+        fn = jax.jit(sharded_morphology(mesh, method, spec))
+        out = np.asarray(fn(xs))
+        ref = np.asarray(mo.morphology(batch, method, spec))
+        assert np.max(np.abs(out - ref)) < 1e-6, method
+
+
+def test_sharded_median_matches_single_device(mesh, batch):
+    from imagemagick_tpu.ops.statistic import median_filter
+    from imagemagick_tpu.parallel.spatial import sharded_median
+
+    sharding = NamedSharding(mesh, P("dp", "sy", "sx", None))
+    xs = jax.device_put(batch, sharding)
+    out = np.asarray(jax.jit(sharded_median(mesh, radius=1))(xs))
+    ref = np.asarray(median_filter(batch, 1))
+    assert np.max(np.abs(out - ref)) < 1e-6
+
+
+def test_sharded_otsu_matches_auto_threshold(mesh, batch):
+    from imagemagick_tpu.ops.threshold import auto_threshold
+    from imagemagick_tpu.parallel.spatial import sharded_otsu_threshold
+
+    sharding = NamedSharding(mesh, P("dp", "sy", "sx", None))
+    xs = jax.device_put(batch, sharding)
+    out = np.asarray(jax.jit(sharded_otsu_threshold(mesh))(xs))
+    ref = np.asarray(auto_threshold(batch, "otsu"))
+    assert out.shape == ref.shape
+    assert np.mean(out != ref) < 1e-3  # identical up to bin-edge ties
+
+
+def test_cli_define_tpu_mesh_autoshards(tmp_path):
+    """-define tpu:mesh=SYxSX runs the lazy chain GSPMD-sharded and the
+    output matches the unsharded run (distribute-cache.c replacement
+    surfaced at the CLI)."""
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import main as cli_main
+    from imagemagick_tpu.ops import dispatch
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    rng = np.random.default_rng(7)
+    src = tmp_path / "big.png"
+    PILImage.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                       ).save(src)
+    chain = ["-gaussian-blur", "0x2", "-auto-threshold", "otsu"]
+    rc = cli_main([str(src)] + chain + [str(tmp_path / "plain.png")])
+    assert rc == 0
+    before = dispatch.COUNTS.get("gspmd", 0)
+    rc = cli_main([str(src), "-define", "tpu:mesh=2x2",
+                   "-define", "tpu:shard-threshold=1024"] + chain +
+                  [str(tmp_path / "sharded.png")])
+    assert rc == 0
+    assert dispatch.COUNTS.get("gspmd", 0) == before + 1
+    a = np.asarray(PILImage.open(tmp_path / "plain.png"))
+    b = np.asarray(PILImage.open(tmp_path / "sharded.png"))
+    assert a.shape == b.shape
+    assert np.mean(a != b) < 1e-3
