@@ -1070,8 +1070,8 @@ def _build_ops() -> Dict[str, Tuple[int, Callable]]:
     O["read-mask"] = (1, _op_clip_mask)
     O["write-mask"] = (1, _op_clip_mask)
     O["mask"] = (1, _op_clip_mask)
-    O["clip"] = (0, lambda st, a, p: None)  # needs an 8BIM clip path
-    O["clip-path"] = (1, lambda st, a, p: None)
+    O["clip"] = (0, _op_clip)
+    O["clip-path"] = (1, _op_clip)
     O["process"] = (1, _op_process_module)
 
     def _op_cycle(st, a, p):
@@ -2308,6 +2308,22 @@ def _op_sort_pixels(st, arg, plus):
             out = jnp.take_along_axis(flat, order[..., None], axis=-2)
             return out.reshape(x.shape)
         li.push(fn)
+
+
+def _op_clip(st, arg, plus):
+    """-clip / -clip-path: activate the image's 8BIM clip path as its
+    write mask (ClipImage / ClipImagePath, image.c).  +clip removes."""
+    from ..io.coders_r4 import _clip_path_mask
+
+    for li in st.images:
+        img = li.materialize()
+        if plus:
+            img.properties.pop("wand:mask", None)
+            continue
+        m = _clip_path_mask(img)
+        if m is None:
+            raise CLIError("image does not have a clip mask")
+        img.properties["wand:mask"] = m
 
 
 def _op_clip_mask(st, arg, plus):

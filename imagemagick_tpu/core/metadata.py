@@ -193,6 +193,68 @@ def parse_8bim(blob: bytes) -> Dict[str, str]:
     return out
 
 
+def clip_path_from_8bim(blob: bytes, width: int, height: int
+                        ) -> "Optional[str]":
+    """First Photoshop clip path (resource ids 2000-2997) as an SVG path.
+
+    Mirrors TracePSClippingPath (property.c Get8BIMProperty '#1' form):
+    path records are 26 bytes — a selector then 3 (y, x) points as signed
+    32-bit 8.24 fixed fractions of the canvas; knots chain into cubic
+    beziers (prev control-out, this control-in, this anchor)."""
+    pos = 14 if blob[:14] == b"Photoshop 3.0\x00" else 0
+    n = len(blob)
+    payload = None
+    while pos + 12 <= n:
+        if blob[pos:pos + 4] != b"8BIM":
+            pos += 1
+            continue
+        (rid,) = struct.unpack_from(">H", blob, pos + 4)
+        pos += 6
+        name_len = blob[pos]
+        pos += 1 + name_len
+        if (name_len + 1) % 2:
+            pos += 1
+        (size,) = struct.unpack_from(">I", blob, pos)
+        pos += 4
+        if 2000 <= rid <= 2997:
+            payload = blob[pos:pos + size]
+            break
+        pos += size + (size % 2)
+    if payload is None:
+        return None
+
+    def pt(off):
+        y, x = struct.unpack_from(">ii", payload, off)
+        return (x / (1 << 24)) * width, (y / (1 << 24)) * height
+
+    subpaths = []
+    knots: list = []
+    for off in range(0, len(payload) - 25, 26):
+        (sel,) = struct.unpack_from(">H", payload, off)
+        if sel in (0, 3):                      # subpath length record
+            if knots:
+                subpaths.append(knots)
+            knots = []
+        elif sel in (1, 2, 4, 5):              # knot: in, anchor, out
+            knots.append((pt(off + 2), pt(off + 10), pt(off + 18)))
+    if knots:
+        subpaths.append(knots)
+    if not subpaths:
+        return None
+    parts = []
+    for kn in subpaths:
+        (x0, y0) = kn[0][1]
+        parts.append(f"M{x0:.4g},{y0:.4g}")
+        for i in range(1, len(kn) + 1):
+            prev, cur = kn[i - 1], kn[i % len(kn)]
+            (c1x, c1y), (c2x, c2y), (ax, ay) = \
+                prev[2], cur[0], cur[1]
+            parts.append(f"C{c1x:.4g},{c1y:.4g} {c2x:.4g},{c2y:.4g} "
+                         f"{ax:.4g},{ay:.4g}")
+        parts.append("Z")
+    return " ".join(parts)
+
+
 def parse_iptc(blob: bytes) -> Dict[str, str]:
     """Parse raw IPTC-NAA datasets (0x1C record dataset len payload)."""
     out: Dict[str, str] = {}

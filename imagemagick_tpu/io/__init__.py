@@ -19,8 +19,8 @@ from typing import List, Optional, Union
 import numpy as np
 
 from ..core.image import Image
-from . import (codecs, delegates, dng, exr, extra_coders, formats2,
-               formats3, formats4, miff, mpc, pnm, pseudo)
+from . import (codecs, coders_r4, delegates, dng, exr, extra_coders,
+               formats2, formats3, formats4, miff, mpc, pnm, pseudo)
 from ..core.geometry import parse_geometry
 
 __all__ = ["read_image", "read_images", "write_image", "image_from_blob",
@@ -95,6 +95,10 @@ _PSEUDO = {
     "stegano": lambda arg, w, h: pseudo.stegano_file(arg, w, h,
                                                      _CURRENT_SETTINGS),
     "vid": lambda arg, w, h: pseudo.vid_file(arg, w, h, _CURRENT_SETTINGS),
+    # round-4 pseudo-coders (coders/kernel.c inverse, coders/pango.c)
+    "kernel": lambda arg, w, h: coders_r4.kernel_pseudo(arg or "unity"),
+    "pango": lambda arg, w, h: coders_r4.pango_pseudo(arg or "", w, h,
+                                                      _CURRENT_SETTINGS),
 }
 
 def _null_image(w, h):
@@ -135,6 +139,8 @@ def detect_format(data: bytes) -> Optional[str]:
     if data[:2] == b"\xff\x0a" or \
             data[:12] == b"\x00\x00\x00\x0cJXL \r\n\x87\n":
         return "jxl"
+    if data[:4] == b"PK\x03\x04" and b"image/openraster" in data[:128]:
+        return "ora"   # zip whose stored-first mimetype entry is ORA
     if data[:8] == b"farbfeld":
         return "ff"
     if data[:4] == b"\x76\x2f\x31\x01":
@@ -203,7 +209,8 @@ def _split_filename(filename: str):
               set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
               | _FORMATS2_READ | _FORMATS2_WRITE
               | {"mpr", "info", "txt", "json", "dng",
-                 "url", "http", "https", "ftp", "file"}):
+                 "url", "http", "https", "ftp", "file",
+                 "mask", "clip", "ora", "kernel", "pango"} | _VIDEO_FMTS):
         return m.group(1).lower(), m.group(2)
     return None, filename
 
@@ -232,6 +239,17 @@ def read_images(filename: str, size: Optional[str] = None,
         if rest not in _MPR_REGISTRY:
             raise FileNotFoundError(f"no mpr registry entry {rest!r}")
         return list(_MPR_REGISTRY[rest])
+    if fmt in ("mask", "clip"):
+        # coders/mask.c:236 / coders/clip.c: decode the underlying file,
+        # then surface the grayscale raster / rasterized 8BIM clip path
+        inner = read_images(rest, size, settings)
+        return coders_r4.read_mask(inner) if fmt == "mask" \
+            else coders_r4.read_clip(inner)
+    if (fmt in _VIDEO_FMTS or (fmt is None and
+            os.path.splitext(rest)[1].lstrip(".").lower() in _VIDEO_FMTS)) \
+            and os.path.exists(rest.split("[")[0]):
+        # coders/video.c read side: ffmpeg frame extraction delegate
+        return delegates.decode_video_frames(rest.split("[")[0])
     if fmt in ("url", "http", "https", "ftp", "file"):
         # url.c / the curl delegate rule (delegates.xml.in:66-67): fetch
         # the blob over the network (or file://) into the normal decode
@@ -244,6 +262,14 @@ def read_images(filename: str, size: Optional[str] = None,
     with open(rest, "rb") as f:
         data = f.read()
     ext = fmt or os.path.splitext(rest)[1].lstrip(".").lower()
+    if ext in ("dot", "gv"):
+        return delegates.decode_dot(data)
+    if ext == "pcl":
+        return delegates.decode_pcl(data)
+    if ext == "xps":
+        return delegates.decode_xps(data)
+    if ext in ("doc", "docx", "odt", "ppt", "pptx", "xls", "xlsx"):
+        return delegates.decode_office(data, ext)
     if ext in ("gray", "rgb", "rgba", "bgr", "bgra", "cmyk",
                "ycbcr") and w and h:
         return [extra_coders.decode_raw(data, ext, w, h)]
@@ -288,6 +314,8 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [extra_coders.decode_xpm(data)]
     elif use == "svg":
         images = [extra_coders.decode_svg(data)]
+    elif use == "ora":
+        images = coders_r4.decode_ora(data)
     elif use == "exr":
         images = [exr.decode(data)]
     elif use == "hdr":
@@ -439,6 +467,12 @@ def write_image(image: Union[Image, List[Image]], filename: str,
         return
     if fmt == "mpc" or (fmt is None and rest.lower().endswith(".mpc")):
         mpc.write_mpc(images, rest)
+        return
+    if fmt == "mask":
+        # coders/mask.c:311 WriteMASKImage: write the image's mask raster
+        # in the format the remaining filename implies
+        write_image([coders_r4.write_mask_image(im) for im in images],
+                    rest, quality=quality, depth=depth)
         return
     if fmt in ("info", "json", "yaml", "txt") and rest in ("", "-"):
         from . import identify as ident
@@ -681,6 +715,12 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return formats4.encode_wpg(images[0])
     if fmt == "raw":
         return extra_coders.encode_raw(images[0], "gray", depth=depth)
+    if fmt == "ora":
+        return coders_r4.encode_ora(images)
+    if fmt == "kernel":
+        return coders_r4.encode_kernel(images[0])
+    if fmt in _VIDEO_FMTS:
+        return coders_r4.encode_video(images, fmt)
     if fmt == "svg":
         # raster-in-SVG wrapper (the reference embeds the raster too
         # unless a tracing delegate like autotrace is installed)
@@ -738,17 +778,36 @@ def _heifjxl_formats():
     return out
 
 
+_VIDEO_FMTS = {"mp4", "mkv", "webm", "avi", "mov", "mpeg", "mpg", "wmv"}
+
+
 def supported_read_formats():
-    return sorted(set(_PSEUDO) | set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
-                  | _FORMATS2_READ | _PIL_READ_EXTRA | {"mpr", "dng"}
-                  | _heifjxl_formats())
+    out = (set(_PSEUDO) | set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
+           | _FORMATS2_READ | _PIL_READ_EXTRA
+           | {"mpr", "dng", "ora", "mask", "clip"}
+           | _heifjxl_formats())
+    if delegates.has_ffmpeg():
+        out |= _VIDEO_FMTS
+    if delegates.has_graphviz():
+        out |= {"dot", "gv"}
+    if delegates.has_pcl():
+        out.add("pcl")
+    if delegates.has_xps():
+        out.add("xps")
+    if delegates.has_office():
+        out |= {"doc", "docx", "odt", "pptx", "xlsx"}
+    return sorted(out)
 
 
 def supported_write_formats():
-    return sorted(set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
-                  | _FORMATS2_WRITE
-                  | {"mpr", "null", "info", "json", "txt", "yaml", "dng"}
-                  | _heifjxl_formats())
+    out = (set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
+           | _FORMATS2_WRITE
+           | {"mpr", "null", "info", "json", "txt", "yaml", "dng",
+              "ora", "kernel", "mask"}
+           | _heifjxl_formats())
+    if delegates.has_ffmpeg():
+        out |= _VIDEO_FMTS
+    return sorted(out)
 
 
 def _decode_hdr(data: bytes) -> Image:

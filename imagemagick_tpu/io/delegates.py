@@ -90,9 +90,135 @@ def decode_video_frames(path: str, max_frames: int = 16, fps: float = 1.0) -> Li
         return images
 
 
+def has_graphviz() -> bool:
+    return _which("dot") is not None
+
+
+def has_pcl() -> bool:
+    return _which("gpcl6", "pcl6") is not None
+
+
+def has_xps() -> bool:
+    return _which("gxps") is not None
+
+
+def has_office() -> bool:
+    return _which("libreoffice", "soffice") is not None
+
+
+def has_dcraw() -> bool:
+    return _which("dcraw_emu", "dcraw", "darktable-cli") is not None
+
+
+def decode_dot(data: bytes) -> List:
+    """Graphviz dot/gv via the dot binary (delegates.xml.in:75 region
+    'dot' rule: dot -Tsvg -> svg pipeline; we render to PNG directly)."""
+    policy.enforce("delegate", "dot", "execute")
+    dot = _which("dot")
+    if dot is None:
+        raise DelegateError("no dot delegate (graphviz not installed)")
+    r = subprocess.run([dot, "-Tpng"], input=data, capture_output=True,
+                       timeout=120)
+    if r.returncode != 0:
+        raise DelegateError(f"dot failed: {r.stderr[:200]!r}")
+    from . import image_from_blob
+
+    return image_from_blob(r.stdout, "png")
+
+
+def _gs_like(data: bytes, fmt: str, prog_names, density: int = 96) -> List:
+    """Shared page-rasterizer driver for the ghostscript-family binaries
+    (gpcl6 for PCL, gxps for XPS — delegates.xml.in pcl:/xps: rules)."""
+    policy.enforce("delegate", prog_names[0], "execute")
+    prog = _which(*prog_names)
+    if prog is None:
+        raise DelegateError(
+            f"no decode delegate for {fmt!r} ({prog_names[0]} not installed)")
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, f"in.{fmt}")
+        with open(src, "wb") as f:
+            f.write(data)
+        out_pat = os.path.join(td, "page%03d.png")
+        cmd = [prog, "-dQUIET", "-dBATCH", "-dNOPAUSE", "-sDEVICE=png16m",
+               f"-r{density}", f"-sOutputFile={out_pat}", src]
+        r = subprocess.run(cmd, capture_output=True, timeout=300)
+        if r.returncode != 0:
+            raise DelegateError(f"{prog_names[0]} failed: "
+                                f"{r.stderr[:200]!r}")
+        from . import image_from_blob
+
+        images = []
+        for name in sorted(os.listdir(td)):
+            if name.startswith("page"):
+                with open(os.path.join(td, name), "rb") as f:
+                    images.extend(image_from_blob(f.read(), "png"))
+        if not images:
+            raise DelegateError(f"{prog_names[0]} produced no pages")
+        return images
+
+
+def decode_pcl(data: bytes, density: int = 96) -> List:
+    return _gs_like(data, "pcl", ("gpcl6", "pcl6"), density)
+
+
+def decode_xps(data: bytes, density: int = 96) -> List:
+    return _gs_like(data, "xps", ("gxps",), density)
+
+
+def decode_office(data: bytes, fmt: str) -> List:
+    """doc/docx/odt/... via libreoffice -> PDF -> ghostscript
+    (delegates.xml.in:68-70)."""
+    policy.enforce("delegate", "libreoffice", "execute")
+    lo = _which("libreoffice", "soffice")
+    if lo is None:
+        raise DelegateError(
+            f"no decode delegate for {fmt!r} (libreoffice not installed)")
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, f"in.{fmt}")
+        with open(src, "wb") as f:
+            f.write(data)
+        cmd = [lo, "--headless", "--convert-to", "pdf", "--outdir", td, src]
+        r = subprocess.run(cmd, capture_output=True, timeout=300)
+        pdf = os.path.join(td, "in.pdf")
+        if r.returncode != 0 or not os.path.exists(pdf):
+            raise DelegateError(f"libreoffice failed: {r.stderr[:200]!r}")
+        with open(pdf, "rb") as f:
+            return decode_postscript(f.read(), "pdf")
+
+
+def decode_dcraw(data: bytes, fmt: str) -> List:
+    """Camera-raw fallback via dcraw/darktable (delegates.xml.in:68-69
+    dng:decode rules) — used when the native DNG demosaic path declines."""
+    policy.enforce("delegate", "dcraw", "execute")
+    prog = _which("dcraw_emu", "dcraw")
+    if prog is None:
+        raise DelegateError(
+            f"no raw delegate for {fmt!r} (dcraw not installed)")
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, f"in.{fmt}")
+        with open(src, "wb") as f:
+            f.write(data)
+        r = subprocess.run([prog, "-w", "-T", src], capture_output=True,
+                           timeout=300, cwd=td)
+        if r.returncode != 0:
+            raise DelegateError(f"dcraw failed: {r.stderr[:200]!r}")
+        from . import image_from_blob
+
+        for name in os.listdir(td):
+            if name.endswith((".tiff", ".tif")):
+                with open(os.path.join(td, name), "rb") as f:
+                    return image_from_blob(f.read(), "tiff")
+        raise DelegateError("dcraw produced no output")
+
+
 def list_delegates() -> dict:
     """Delegate availability report (identify -list delegate analog)."""
     return {
         "gs (ps/eps/pdf)": has_ghostscript(),
-        "ffmpeg (video)": has_ffmpeg(),
+        "ffmpeg (video read/write)": has_ffmpeg(),
+        "dot (graphviz dot/gv)": has_graphviz(),
+        "gpcl6 (pcl)": has_pcl(),
+        "gxps (xps)": has_xps(),
+        "libreoffice (doc/docx/odt)": has_office(),
+        "dcraw (camera raw fallback)": has_dcraw(),
     }
