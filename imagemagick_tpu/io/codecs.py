@@ -82,6 +82,43 @@ def _pil_to_image(pim) -> Image:
     return img
 
 
+def _attach_density(img: Image, data: bytes, fmt: str) -> Image:
+    """Parse resolution + units from PNG pHYs / JPEG JFIF APP0 headers
+    into properties (png.c:2108 pHYs handling, jpeg.c JFIF density) —
+    drives identify's Units:/Resolution: lines and -units/-density."""
+    import struct as _s
+
+    try:
+        if fmt == "png":
+            pos = 8
+            while pos + 8 <= len(data):
+                (ln,) = _s.unpack_from(">I", data, pos)
+                typ = data[pos + 4:pos + 8]
+                if typ == b"pHYs" and ln == 9:
+                    x, y = _s.unpack_from(">II", data, pos + 8)
+                    unit = data[pos + 16]
+                    if unit == 1:   # pixels per meter
+                        img.properties["units"] = "PixelsPerCentimeter"
+                        img.properties["resolution"] = (x / 100.0, y / 100.0)
+                    break
+                if typ == b"IDAT":
+                    break
+                pos += 12 + ln
+        elif fmt in ("jpeg", "jpg") and data[2:4] == b"\xff\xe0" \
+                and data[6:10] == b"JFIF":
+            unit = data[13]
+            x, y = _s.unpack_from(">HH", data, 14)
+            if unit == 1:
+                img.properties["units"] = "PixelsPerInch"
+                img.properties["resolution"] = (float(x), float(y))
+            elif unit == 2:
+                img.properties["units"] = "PixelsPerCentimeter"
+                img.properties["resolution"] = (float(x), float(y))
+    except Exception:   # noqa: BLE001 — malformed headers stay undefined
+        pass
+    return img
+
+
 def decode(data: bytes, fmt: Optional[str] = None) -> List[Image]:
     # HEIC/JXL: native dlopen bindings over the same system libheif/libjxl
     # the reference's coders/heic.c and coders/jxl.c link (PIL lacks both)
@@ -92,7 +129,7 @@ def decode(data: bytes, fmt: Optional[str] = None) -> List[Image]:
             native.decode_heif(data)
         if arr is not None:
             return [Image(arr.astype(np.float32) / 255.0,
-                          _infer_spec(arr.shape[-1]))]
+                          _infer_spec(arr.shape[-1]).with_(depth=8))]
         # fall through to PIL (may support via plugins on other machines)
     # native fast path (GIL-free libjpeg/libpng — see native/miniio.cpp)
     if fmt in ("jpeg", "jpg", "png"):
@@ -102,8 +139,9 @@ def decode(data: bytes, fmt: Optional[str] = None) -> List[Image]:
             if fmt in ("jpeg", "jpg"):
                 arr = native.decode_jpeg(data)
                 if arr is not None:
-                    return [Image(arr.astype(np.float32) / 255.0,
-                                  _infer_spec(arr.shape[-1]))]
+                    img = Image(arr.astype(np.float32) / 255.0,
+                                _infer_spec(arr.shape[-1]).with_(depth=8))
+                    return [_attach_density(img, data, fmt)]
             else:
                 res = native.decode_png(data)
                 if res is not None:
@@ -112,7 +150,7 @@ def decode(data: bytes, fmt: Optional[str] = None) -> List[Image]:
                     img = Image(arr.astype(np.float32) / scale,
                                 _infer_spec(arr.shape[-1]))
                     img.spec = img.spec.with_(depth=min(depth, 16))
-                    return [img]
+                    return [_attach_density(img, data, fmt)]
     if not HAVE_PIL:
         raise RuntimeError("Pillow unavailable for standard-format decode")
     pim = PILImage.open(_io.BytesIO(data))

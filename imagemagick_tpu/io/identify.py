@@ -41,8 +41,11 @@ def describe(image, filename: str = "", verbose: bool = False) -> str:
 
     lines = ["Image:", f"  Filename: {filename}", f"  Format: {fmt}",
              "  Class: DirectClass",
-             f"  Geometry: {w}x{h}+0+0",
-             "  Units: " + props.get("units", "Undefined"),
+             f"  Geometry: {w}x{h}+0+0"]
+    if "resolution" in props:
+        rx, ry = props["resolution"]
+        lines.append(f"  Resolution: {rx:g}x{ry:g}")
+    lines += ["  Units: " + props.get("units", "Undefined"),
              f"  Colorspace: {info['colorspace']}",
              f"  Type: {info['type']}",
              "  Endianness: " + props.get("endian", "Undefined"),

@@ -44,9 +44,12 @@ def image_type(img: jnp.ndarray, has_alpha: bool = False) -> str:
         if set(vals.tolist()) <= {0.0, 255.0}:
             return "bilevel" + suffix
         return "grayscale" + suffix
-    from .histogram import number_colors
-
-    if int(number_colors(img)) <= 256:
+    # IsPaletteImage counts DISTINCT full-quantum colors (attribute.c /
+    # histogram.c at Q16) — an 8-bit pack undercounts on 16-bit content
+    q = np.round(np.clip(arr, 0.0, 1.0) * 65535.0).astype(np.uint64)
+    mult = (65536 ** np.arange(q.shape[-1], dtype=np.uint64))
+    packed = (q * mult).sum(axis=-1).reshape(-1)
+    if np.unique(packed).size <= 256:
         return "palette" + suffix
     return "truecolor" + suffix
 

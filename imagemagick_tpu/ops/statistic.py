@@ -41,8 +41,12 @@ def get_statistics(img: jnp.ndarray, bins: int = 1024) -> Dict[str, jnp.ndarray]
     var = jnp.mean(centered ** 2, axis=axes)
     std = jnp.sqrt(var)
     safe = jnp.where(std < 1e-12, 1.0, std)
-    skew = jnp.mean(centered ** 3, axis=axes) / safe ** 3
-    kurt = jnp.mean(centered ** 4, axis=axes) / safe ** 4 - 3.0
+    # constant channels report 0 skewness/kurtosis (statistic.c:2581
+    # guards the standard_deviation==0 division; oracle prints 0, not -3)
+    skew = jnp.where(std < 1e-12, 0.0,
+                     jnp.mean(centered ** 3, axis=axes) / safe ** 3)
+    kurt = jnp.where(std < 1e-12, 0.0,
+                     jnp.mean(centered ** 4, axis=axes) / safe ** 4 - 3.0)
     # entropy (statistic.c:2248-2266): per-channel histogram over
     # MaxMap+1 = 65536 quantum bins, normalized by log(count of NONZERO
     # bins) for that channel — not by log(total bins).
