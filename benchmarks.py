@@ -291,6 +291,9 @@ def config4_fft():
     from imagemagick_tpu.ops import fourier as ff
 
     fft_ok = ff.probe_fft(recheck=True)
+    # VERDICT r3 #9: once the FFT probe passes, a later failure must
+    # surface as an ERROR — never silently substitute a last-good figure
+    config4_fft.probe_ok = bool(fft_ok)
     path = "fft" if fft_ok else "matmul-dft (degraded worker)"
 
     x = jax.random.uniform(jax.random.PRNGKey(3), (1, 2160, 4096, 1),
@@ -312,6 +315,18 @@ def config4_fft():
         # 2 complex DFTs as matmuls: 2 * 4 real MACs * N * (H + W)
         flops = 2 * 8.0 * n * (2160 + 4096)
     _roofline("config4_fft", per, 4 * n, n, flops=flops)
+    # speed-of-light honesty (VERDICT r3 #9): the theoretical floor is
+    # max(HBM traffic bound, DFT FLOP bound) — report both and the
+    # implied MP/s ceiling next to the measured figure
+    hbm_bound = (4 * n + n) * 4 / (HBM_GBS * 1e9)
+    flop_bound = flops / (PEAK_BF16_TF / 2 * 1e12)   # f32 ~ half bf16 peak
+    sol = max(hbm_bound, flop_bound)
+    _emit(({"note": "config4 speed-of-light",
+            "measured_ms": round(per * 1e3, 3),
+            "hbm_bound_ms": round(hbm_bound * 1e3, 4),
+            "dft_flop_bound_ms": round(flop_bound * 1e3, 4),
+            "speed_of_light_MPs": round(mp / sol, 1),
+            "fraction_of_sol": round(sol / per, 3)}))
     return mp / per
 
 
@@ -351,12 +366,23 @@ def config5_thumbnailer():
         "ms_per_image": round(dt / n_images * 1e3, 2),
         "stats": {k: (round(v, 2) if isinstance(v, float) else v)
                   for k, v in (stats or {}).items()},
-        "ceiling_note": "upload-bound through this machine's tunnel: "
-                        f"{upload_mb:.2f} MB/img staged; at the measured "
-                        "~13 MB/s tunnel the host->device path caps at "
-                        f"~{13.0 / upload_mb:.1f} img/s regardless of "
-                        "device speed (double-buffering hides compute "
-                        "+readback behind it — see device_drain_wait_s)",
+        # overlap evidence (VERDICT r3 #8), side by side with the ceiling
+        # math: achieved host->device rate, and the img/s the pipeline
+        # would reach at 100% overlap (device fully hidden); the residual
+        # un-hidden device time is device_drain_wait_s
+        "overlap": {
+            "achieved_upload_MBps":
+                round(n_images * upload_mb / dt, 2),
+            "overlap_efficiency": (stats or {}).get("overlap_efficiency"),
+            "img_s_at_100pct_overlap":
+                round(n_images / max(dt - (stats or {}).get(
+                    "device_drain_wait_s", 0.0), 1e-9), 2),
+            "note": "upload-bound through this machine's tunnel: "
+                    f"{upload_mb:.2f} MB/img staged via jit-arg transfer; "
+                    "img/s at 100% overlap = wall time minus the "
+                    "un-hidden device wait (double-buffering hides the "
+                    "rest of compute+readback behind decode)",
+        },
     }))
     return n_images / dt
 
@@ -390,7 +416,11 @@ if __name__ == "__main__":
             # last RECORDED good figure (from a prior run's artifact) and
             # mark it "_lastgood" so it cannot be mistaken for a measurement
             msg = {"metric": fn.__name__, "error": str(e)[:200]}
-            if fn.__name__ in last_good:
+            # never substitute last-good once a config's own health probe
+            # passed this run (VERDICT r3 #9) — a post-probe failure is a
+            # real error, not worker degradation
+            if fn.__name__ in last_good and \
+                    not getattr(fn, "probe_ok", False):
                 msg["last_good"] = last_good[fn.__name__]
                 results[fn.__name__ + "_lastgood"] = last_good[fn.__name__]
             _emit((msg))

@@ -244,10 +244,64 @@ def encode_sixel(img: Image, max_colors: int = 16) -> bytes:
 # SVG subset (coders/svg.c internal-renderer path -> MVG)
 # ---------------------------------------------------------------------------
 
-def _svg_style(attrs: dict) -> List[str]:
+def _svg_len(v, ref: float) -> float:
+    """SVG length: plain number, unit-suffixed, or percentage of `ref`."""
+    if v is None:
+        return 0.0
+    v = str(v).strip()
+    if v.endswith("%"):
+        return float(v[:-1]) / 100.0 * ref
+    m = re.match(r"[-+]?[0-9.]+(?:[eE][-+]?[0-9]+)?", v)
+    return float(m.group(0)) if m else 0.0
+
+
+def _parse_css(text: str) -> List[tuple]:
+    """Parse the <style> subset: 'sel1, sel2 { prop: val; ... }' rules.
+    Returns (selector, decls) pairs; comments stripped (svg.c's CSS
+    handling via the class attribute)."""
+    rules = []
+    text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+    for m in re.finditer(r"([^{}]+)\{([^}]*)\}", text):
+        decls = {}
+        for part in m.group(2).split(";"):
+            if ":" in part:
+                k, v = part.split(":", 1)
+                decls[k.strip()] = v.strip()
+        for sel in m.group(1).split(","):
+            sel = sel.strip()
+            if sel:
+                rules.append((sel, decls))
+    return rules
+
+
+def _css_decls_for(rules, tag: str, attrs: dict) -> dict:
+    """Matching declarations, lowest->highest specificity (tag < class
+    < id), so a later dict.update wins correctly."""
+    cls = set((attrs.get("class") or "").split())
+    eid = attrs.get("id")
+    matched = []
+    for sel, decls in rules or ():
+        if sel == "*" or sel == tag:
+            matched.append((0, decls))
+        elif sel.startswith(".") and sel[1:] in cls:
+            matched.append((1, decls))
+        elif sel.startswith("#") and sel[1:] == eid:
+            matched.append((2, decls))
+        elif re.fullmatch(re.escape(tag) + r"\.[\w-]+", sel) and \
+                sel.split(".", 1)[1] in cls:
+            matched.append((1, decls))
+    out = {}
+    for _, decls in sorted(matched, key=lambda t: t[0]):
+        out.update(decls)
+    return out
+
+
+def _svg_style(attrs: dict, tag: str = "", css_rules=None) -> List[str]:
     mvg = []
     style = attrs.get("style", "")
+    # cascade: presentation attributes < CSS rules < inline style
     merged = dict(attrs)
+    merged.update(_css_decls_for(css_rules, tag, attrs))
     for part in style.split(";"):
         if ":" in part:
             k, v = part.split(":", 1)
@@ -260,6 +314,17 @@ def _svg_style(attrs: dict) -> List[str]:
         mvg.append(f"stroke-width {merged['stroke-width']}")
     if "fill-opacity" in merged:
         mvg.append(f"fill-opacity {merged['fill-opacity']}")
+    if "stroke-opacity" in merged:
+        mvg.append(f"stroke-opacity {merged['stroke-opacity']}")
+    if "fill-rule" in merged:
+        mvg.append(f"fill-rule {merged['fill-rule']}")
+    if "stroke-dasharray" in merged and merged["stroke-dasharray"] != "none":
+        da = " ".join(re.split(r"[\s,]+", merged["stroke-dasharray"].strip()))
+        mvg.append(f"stroke-dasharray {da}")
+    if "stroke-linecap" in merged:
+        mvg.append(f"stroke-linecap {merged['stroke-linecap']}")
+    if "stroke-linejoin" in merged:
+        mvg.append(f"stroke-linejoin {merged['stroke-linejoin']}")
     if "font-size" in merged:
         mvg.append(f"font-size {re.sub('[a-z]+$', '', merged['font-size'])}")
     return mvg
@@ -297,14 +362,84 @@ def decode_svg(data: bytes, width: Optional[int] = None,
     mvg_parts: List[str] = []
     overlays: List[tuple] = []
     sx, sy = w / vw, h / vh
+
+    # pre-pass: id registry, <style> CSS rules, gradient definitions
+    by_id = {}
+    css_rules: List[tuple] = []
+    for el in root.iter():
+        t = el.tag.split("}")[-1]
+        if "id" in el.attrib:
+            by_id[el.attrib["id"]] = el
+        if t == "style" and el.text:
+            css_rules.extend(_parse_css(el.text))
+
+    def grad_stops(el):
+        """<stop> list, following href= inheritance to another gradient."""
+        stops = list(el)
+        stops = [st for st in stops if st.tag.split("}")[-1] == "stop"]
+        if not stops:
+            ref = (el.get("href") or "").lstrip("#")
+            if ref in by_id:
+                return grad_stops(by_id[ref])
+        return stops
+
+    def emit_gradient(el):
+        t = el.tag.split("}")[-1]
+        name = el.get("id")
+        if not name:
+            return
+        units = el.get("gradientUnits", "objectBoundingBox")
+        # objectBoundingBox approximated against the viewport (exact for
+        # full-canvas shapes; svg.c maps these through the bbox)
+        fx = (lambda v, d: _svg_len(v, vw) * sx) if units != "objectBoundingBox" \
+            else (lambda v, d: _svg_len(v, 1.0) * d)
+        if t == "linearGradient":
+            x1 = fx(el.get("x1", "0%"), w)
+            y1 = fx(el.get("y1", "0%"), h)
+            x2 = fx(el.get("x2", "100%"), w)
+            y2 = fx(el.get("y2", "0%"), h)
+            if units != "objectBoundingBox":
+                y1 = _svg_len(el.get("y1", "0%"), vh) * sy
+                y2 = _svg_len(el.get("y2", "0%"), vh) * sy
+            mvg_parts.append(f"push gradient {name} linear "
+                             f"{x1},{y1} {x2},{y2}")
+        else:
+            cx = fx(el.get("cx", "50%"), w)
+            cy = fx(el.get("cy", "50%"), h)
+            r = fx(el.get("r", "50%"), min(w, h))
+            if units != "objectBoundingBox":
+                cy = _svg_len(el.get("cy", "50%"), vh) * sy
+            mvg_parts.append(f"push gradient {name} radial "
+                             f"{cx},{cy} {cx + r},{cy}")
+        for st in grad_stops(el):
+            sa = dict(st.attrib)
+            for part in (sa.get("style") or "").split(";"):
+                if ":" in part:
+                    k, v = part.split(":", 1)
+                    sa[k.strip()] = v.strip()
+            col = sa.get("stop-color", "black")
+            off = _svg_len(sa.get("offset", "0"), 1.0)
+            mvg_parts.append(f"stop-color '{col}' {off}")
+        mvg_parts.append("pop gradient")
+
+    for el in root.iter():
+        if el.tag.split("}")[-1] in ("linearGradient", "radialGradient"):
+            emit_gradient(el)
+
     if sx != 1.0 or sy != 1.0:
         mvg_parts.append(f"scale {sx},{sy}")
 
+    _NO_RENDER = {"defs", "style", "linearGradient", "radialGradient",
+                  "symbol", "clipPath", "mask", "metadata", "title",
+                  "desc", "pattern"}
+
     def walk(el):
         tag = el.tag.split("}")[-1]
+        if tag in _NO_RENDER:
+            return
         a = el.attrib
         mvg_parts.append("push graphic-context")
-        mvg_parts.extend(_svg_style(a))
+        mvg_parts.extend(_svg_style(a, tag, css_rules))
         tr = a.get("transform", "")
         for m in re.finditer(r"(translate|scale|rotate)\(([^)]*)\)", tr):
             vals = [float(v) for v in re.split(r"[\s,]+", m.group(2).strip()) if v]
@@ -336,6 +471,20 @@ def decode_svg(data: bytes, width: Optional[int] = None,
             mvg_parts.append(f"{tag} {pairs}")
         elif tag == "path":
             mvg_parts.append(f"path '{a.get('d', '')}'")
+        elif tag == "use":
+            # <defs>/<use> reuse (svg.c SVGStartElement 'use'): render the
+            # referenced element translated by x,y in this context
+            ref = (a.get("href") or "").lstrip("#")
+            ux, uy = float(a.get("x", 0)), float(a.get("y", 0))
+            if ref in by_id:
+                if ux or uy:
+                    mvg_parts.append(f"translate {ux},{uy}")
+                target = by_id[ref]
+                if target.tag.split("}")[-1] == "symbol":
+                    for child in target:
+                        walk(child)
+                else:
+                    walk(target)
         elif tag == "text":
             x, y = float(a.get("x", 0)), float(a.get("y", 0))
             mvg_parts.append(f"text {x},{y} '{(el.text or '').strip()}'")

@@ -229,5 +229,10 @@ def run(paths: Sequence[str], out_dir: str,
         "images_per_sec": round(n_done / dt, 2) if dt > 0 else 0.0,
         "megapixels_per_sec": round(total_mp / dt, 2) if dt > 0 else 0.0,
         "device_drain_wait_s": round(drain_wait, 3),
+        # fraction of wall time the host pipeline (decode/stage/encode)
+        # ran WITHOUT blocking on the device — the double-buffering win;
+        # 1.0 = device time fully hidden behind host work
+        "overlap_efficiency": round(1.0 - drain_wait / dt, 3)
+        if dt > 0 else 0.0,
         "size_groups": len(steps),
     }

@@ -689,6 +689,7 @@ class _GC:
     def __init__(self):
         self.fill = (0.0, 0.0, 0.0, 1.0)
         self.fill_gradient = None  # name of gradient for url(#...) fills
+        self.stroke_gradient = None  # name of gradient for url(#) strokes
         self.stroke = (0.0, 0.0, 0.0, 0.0)
         self.stroke_width = 1.0
         self.fill_opacity = 1.0
@@ -711,7 +712,8 @@ class _GC:
         g.__dict__ = {}
         for k in ("fill", "stroke", "stroke_width", "fill_opacity",
                   "stroke_opacity", "fill_rule", "font_size", "font",
-                  "affine", "text_anchor", "fill_gradient", "linecap",
+                  "affine", "text_anchor", "fill_gradient",
+                  "stroke_gradient", "linecap",
                   "linejoin", "miterlimit", "dasharray", "dashoffset",
                   "clip_mask"):
             setattr(g, k, getattr(self, k))
@@ -872,9 +874,15 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False,
                 gc.fill_gradient = None
                 gc.fill = color_arg()
         elif cmd == "stroke":
-            if re.match(r"^'?url\(", toks[i]):
-                i += 1   # pattern strokes: keep current stroke color
+            m_url = re.match(r"^'?url\(#([^)]+)\)'?$", toks[i])
+            if m_url:
+                i += 1
+                # gradient/pattern stroke: paint the stroke coverage with
+                # the gradient field (draw.c stroke-pattern semantics)
+                gc.stroke_gradient = m_url.group(1)
+                gc.stroke = (0.0, 0.0, 0.0, 1.0)
             else:
+                gc.stroke_gradient = None
                 gc.stroke = color_arg()
         elif cmd == "stroke-width":
             gc.stroke_width = num()
@@ -1144,7 +1152,14 @@ def _draw_shape(img, h, w, pts, gc: _GC, closed: bool, gradients=None):
     elif gc.fill[3] > 0 and gc.fill_opacity > 0:
         cov = polygon_coverage(h, w, pts, gc.fill_rule)
         out = _blend(out, _clip(cov, gc) * gc.fill_opacity, gc.fill)
-    if gc.stroke[3] > 0 and gc.stroke_opacity > 0 and gc.stroke_width > 0:
+    if gc.stroke_gradient and gradients and \
+            gc.stroke_gradient in gradients and gc.stroke_opacity > 0 \
+            and gc.stroke_width > 0:
+        cov = _stroke_cov(h, w, pts, gc, closed)
+        field = _gradient_field(h, w, gradients[gc.stroke_gradient],
+                                img.dtype)
+        out = _blend(out, _clip(cov, gc) * gc.stroke_opacity, field)
+    elif gc.stroke[3] > 0 and gc.stroke_opacity > 0 and gc.stroke_width > 0:
         cov = _stroke_cov(h, w, pts, gc, closed)
         out = _blend(out, _clip(cov, gc) * gc.stroke_opacity, gc.stroke)
     return out
