@@ -316,6 +316,14 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [extra_coders.decode_svg(data)]
     elif use == "ora":
         images = coders_r4.decode_ora(data)
+    elif use == "kernel":
+        # ReadKERNELImage inverse of WriteKERNELImage (coders/kernel.c):
+        # the written 'WxH:v,v,...' text is itself a valid
+        # AcquireKernelInfo spec — parse it back through the pseudo-read
+        # (values min-max normalized, '-' taps transparent, as the
+        # reference's kernel-image rendering does).
+        images = [coders_r4.kernel_pseudo(
+            data.decode("ascii", "replace").strip())]
     elif use == "exr":
         images = [exr.decode(data)]
     elif use == "hdr":

@@ -32,6 +32,11 @@ SKIP = {
     "ipl",              # grayscale-only by design (covered separately)
     "pgx",              # grayscale-only by design (covered separately)
     "cube",             # LUT resource, not raster
+    "kernel",           # kernel-spec resource: read normalizes min-max
+                        # (kernel.c semantics; own tests in test_coders_r4)
+    "mask",             # wrapper coder: writes the image's write-mask via
+                        # an inner format (mask.c; own tests in
+                        # test_coders_r4)
     "heic", "avif",     # plugin-dependent encode quality
     "xbm", "xpm", "wbmp", "otb", "rgf",  # bilevel/palette by design
     "sixel", "six",     # 6-row banding + palette
