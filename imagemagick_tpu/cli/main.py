@@ -127,7 +127,8 @@ class LazyImage:
         ops = list(self.pending)
         data = self.image.data
         consumed = 0
-        res = _dispatch.try_fused_chain(data, [t for _, _, t in ops])
+        res = _dispatch.try_fused_chain(data, [t for _, _, t in ops],
+                                        alpha=self.image.spec.alpha)
         if res is not None:
             data, consumed = res
             _dispatch.COUNTS["pallas"] += 1
@@ -238,10 +239,11 @@ def _op_resize(st, arg, plus, op="resize"):
             fn = lambda x, h=h, w=w: rz.interpolative_resize(x, h, w, "mesh")
         elif op == "resize":
             fn = lambda x, h=h, w=w: rz.resize(x, h, w, filt, has_alpha=alpha)
-            if op == "resize" and not alpha:
-                rf = filt if filt not in ("undefined", "", None) else \
-                    _default_filter(ch, cw, h, w, alpha)
-                tag = ("resize", (h, w, rf))
+            # alpha images tag too: dispatch runtime-probes full opacity,
+            # where premultiplied sampling == straight sampling exactly
+            rf = filt if filt not in ("undefined", "", None) else \
+                _default_filter(ch, cw, h, w, alpha)
+            tag = ("resize", (h, w, rf))
         elif op == "scale":
             fn = lambda x, h=h, w=w: rz.scale(x, h, w)
             tag = ("resize", (h, w, "box"))
@@ -480,9 +482,14 @@ def _op_colorspace(st, arg, plus):
                 if rest.shape[-1] else color
 
         tag = None
-        if src == "srgb" and target == "gray" and not li.spec.alpha \
-                and nc == 3:
-            tag = ("mix", (tuple(cs.REC709_LUMA),))
+        if src == "srgb" and target == "gray" and nc == 3:
+            luma = tuple(cs.REC709_LUMA)
+            if li.spec.alpha:
+                # gray+alpha: luma row with zero alpha weight + identity
+                # alpha row (commutes with unpremultiplication)
+                tag = ("mix", (luma + (0.0,), (0.0, 0.0, 0.0, 1.0)))
+            else:
+                tag = ("mix", (luma,))
         li.push(fn, spec_update=lambda s, t=target: s.with_(colorspace=t),
                 tag=tag)
 
@@ -499,9 +506,11 @@ def _op_grayscale(st, arg, plus):
 
         tag = None
         lumas = {"rec709luma": cs.REC709_LUMA, "rec601luma": cs.REC601_LUMA}
-        if method.lower() in lumas and not li.spec.alpha \
-                and li.spec.color_channels == 3:
-            tag = ("mix", (tuple(lumas[method.lower()]),))
+        if method.lower() in lumas and li.spec.color_channels == 3:
+            luma = tuple(lumas[method.lower()])
+            # en.grayscale drops alpha: single luma row either way
+            tag = ("mix", (luma + (0.0,),)) \
+                if li.spec.alpha else ("mix", (luma,))
         li.push(fn, spec_update=lambda s: s.with_(colorspace="gray"),
                 tag=tag)
 
@@ -2885,13 +2894,13 @@ def materialize_all(lazies: List["LazyImage"]) -> List[Image]:
         tags = tuple(t for _, _, t in li.pending)
         if any(t is None for t in tags):
             continue
-        key = (tuple(map(int, d.shape)), tags)
+        key = (tuple(map(int, d.shape)), tags, bool(li.image.spec.alpha))
         groups.setdefault(key, []).append(idx)
-    for (shape, tags), idxs in groups.items():
+    for (shape, tags, has_alpha), idxs in groups.items():
         if len(idxs) < 2:
             continue
         out = _dsp.try_fused_batch([lazies[i].image.data for i in idxs],
-                                   list(tags))
+                                   list(tags), alpha=has_alpha)
         if out is None:
             continue
         _dsp.COUNTS["pallas"] += 1

@@ -68,6 +68,20 @@ def _shape_safe(H: int, W: int, C: int, interpret: bool) -> bool:
     return not NO_PAD
 
 
+def _fully_opaque(data) -> bool:
+    """True when the trailing (alpha) channel is 1 everywhere.
+
+    Alpha-carrying chains are only dispatched when the image is fully
+    opaque: the reference resizes/interpolates alpha-PREMULTIPLIED
+    (resize.c BlendPixelTrait) and premultiplication is the identity
+    exactly there, making the whole chain linear on the straight
+    channels.  One 4-byte scalar readback; callers only pay it for
+    alpha specs."""
+    import jax.numpy as jnp
+
+    return bool(float(jnp.min(data[..., -1])) >= 1.0 - 1e-6)
+
+
 def _aligned_dims(H: int, W: int, C: int) -> Tuple[int, int]:
     """Smallest (H', W') >= (H, W) with H'%8 == 0 and (W'·C)%128 == 0."""
     import math
@@ -199,7 +213,7 @@ def _batch_runner(N: int, H: int, W: int, C: int, prefix: tuple,
     return run
 
 
-def try_fused_batch(datas, tags: List[Optional[tuple]]):
+def try_fused_batch(datas, tags: List[Optional[tuple]], alpha: bool = False):
     """Batch variant of try_fused_chain: ``datas`` is a sequence of N
     same-shape (H, W, C) arrays sharing one FULLY-tagged chain.  Returns
     the (N, Hout, Wout, Cout) result or None."""
@@ -215,6 +229,8 @@ def try_fused_batch(datas, tags: List[Optional[tuple]]):
     if any(tuple(map(int, d.shape)) != (H, W, C) for d in datas[1:]):
         return None
     if not _shape_safe(H, W, C, FORCE_INTERPRET):
+        return None
+    if alpha and not all(_fully_opaque(d) for d in datas):
         return None
     n = match_prefix(tags)
     if n != len(tags) or n == 0:
@@ -245,13 +261,15 @@ def match_prefix(tags: List[Optional[tuple]]) -> int:
     return n
 
 
-def try_fused_chain(data, tags: List[Optional[tuple]]
+def try_fused_chain(data, tags: List[Optional[tuple]], alpha: bool = False
                     ) -> Optional[Tuple[object, int]]:
     """Dispatch the longest expressible prefix of a tagged lazy chain.
 
     data: (H, W, C) f32 device array.  tags: one entry per pending op
-    (None = not expressible).  Returns (out_array, n_ops_consumed) or
-    None when nothing dispatches (caller runs the XLA chain).
+    (None = not expressible).  alpha: the image spec carries alpha (the
+    trailing channel) — dispatch requires it fully opaque, see
+    _fully_opaque.  Returns (out_array, n_ops_consumed) or None when
+    nothing dispatches (caller runs the XLA chain).
     """
     if not ENABLED:
         return None
@@ -262,6 +280,8 @@ def try_fused_chain(data, tags: List[Optional[tuple]]
             or H > _MAX_DIM or W > _MAX_DIM):
         return None
     if not _shape_safe(H, W, C, FORCE_INTERPRET):
+        return None
+    if alpha and not _fully_opaque(data):
         return None
     n = match_prefix(tags)
     if n == 0:

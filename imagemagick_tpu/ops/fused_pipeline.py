@@ -546,6 +546,7 @@ def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
     Mv_union = sum(np.abs(a) for a, _ in terms)
     Mw_union = sum(np.abs(b) for _, b in terms)
     plan = None
+    ns_try = (nslots,) if nslots <= 2 else (nslots, 2)
     while TO >= 16:          # halve the row tile until VMEM fits
         _, r0s, BAND, ntiles = _v_blocks(Mv_union, Hin, TO)
         GBu, c0s, SPAN, OUT, OUTP = _h_blocks(Mw_union, C, mix, WINC)
@@ -585,17 +586,25 @@ def fused_linear_pipeline(x: jnp.ndarray, terms, C: int,
                 keep.append(blk)
             guids.append(uniq[key])
         GB_all = np.stack(keep)
-        vmem = (nslots * BAND * WINC + GB_all.size + WV_all.size +
-                2 * TO * OUTP + TO * WINC) * 4
-        if vmem <= _VMEM_BUDGET:
+        # wide images at deep DMA can exceed the budget on the slab
+        # slots alone — fall back to depth 2 before shrinking TO further
+        # (depth only matters when DMA-bound; CLAUDE perf lesson 8)
+        ns_fit = None
+        for ns in ns_try:
+            vmem = (ns * BAND * WINC + GB_all.size + WV_all.size +
+                    2 * TO * OUTP + TO * WINC) * 4
+            if vmem <= _VMEM_BUDGET:
+                ns_fit = ns
+                break
+        if ns_fit is not None:
             plan = (r0s, BAND, ntiles, c0s, SPAN, OUT, OUTP,
-                    WV_all, GB_all, tuple(guids), len(keep), TO)
+                    WV_all, GB_all, tuple(guids), len(keep), TO, ns_fit)
             break
         TO //= 2
     if plan is None:
         return None
     (r0s, BAND, ntiles, c0s, SPAN, OUT, OUTP,
-     WV_all, GB_all, guids, n_unique, TO) = plan
+     WV_all, GB_all, guids, n_unique, TO, nslots) = plan
     if plan_only:
         return True
     call = _build_call(N, Hin, WINC, TO, BAND, ntiles, len(c0s), SPAN,

@@ -499,7 +499,8 @@ class MagickWand:
             img = self.images[i]
             data = None
             if tag is not None:
-                res = _dsp.try_fused_chain(img.data, [tag])
+                res = _dsp.try_fused_chain(img.data, [tag],
+                                           alpha=img.spec.alpha)
                 if res is not None:
                     data = res[0]
                     _dsp.COUNTS["pallas"] += 1
@@ -518,11 +519,11 @@ class MagickWand:
         tag = None
         if self.images and blur == 1.0:
             im0 = self.images[0]
-            if not im0.spec.alpha:
-                rf = f if f not in ("undefined", "", None) else \
-                    _default_filter(im0.height, im0.width, height, width,
-                                    False)
-                tag = ("resize", (height, width, rf))
+            # alpha images tag too — dispatch opacity-probes at runtime
+            rf = f if f not in ("undefined", "", None) else \
+                _default_filter(im0.height, im0.width, height, width,
+                                im0.spec.alpha)
+            tag = ("resize", (height, width, rf))
         self._apply(lambda im: rz.resize(im.data, height, width, f, blur,
                                          has_alpha=im.spec.alpha), tag=tag)
 

@@ -191,19 +191,72 @@ def test_batched_materialize_one_kernel_call(tmp_path, interpret_dispatch):
                                np.asarray(single.data), atol=1e-6)
 
 
-def test_dispatch_declines_alpha_and_upscale(interpret_dispatch):
-    """Alpha images and upscales stay on the XLA path (no tag / no plan)."""
+def test_dispatch_alpha_opacity_probe(interpret_dispatch):
+    """Alpha chains dispatch ONLY when the image is fully opaque —
+    premultiplied sampling (resize.c BlendPixelTrait) is the identity
+    exactly there.  Semi-transparent images stay on the XLA path;
+    upscales still decline at the planner."""
     st = climain.CLIState()
     from imagemagick_tpu.core.image import Image
     from imagemagick_tpu.core.spec import ImageSpec
 
-    rgba = np.concatenate([_natural(32, 32), np.full((32, 32, 1), 0.5,
+    rgb = _natural(32, 32)
+    semi = np.concatenate([rgb, np.full((32, 32, 1), 0.5, np.float32)], -1)
+    st.images = [climain.LazyImage(Image(jnp.asarray(semi),
+                                         ImageSpec(colorspace="srgb",
+                                                   alpha=True)))]
+    climain._op_resize(st, "16x16!", False)
+    tag = st.images[0].pending[-1][2]
+    assert tag is not None and tag[0] == "resize"   # alpha images tag now
+    # ... but the opacity probe declines the semi-transparent data
+    assert dispatch.try_fused_chain(jnp.asarray(semi), [tag],
+                                    alpha=True) is None
+
+    # fully opaque: dispatches, and matches the op path
+    opaque = np.concatenate([rgb, np.ones((32, 32, 1), np.float32)], -1)
+    res = dispatch.try_fused_chain(jnp.asarray(opaque), [tag], alpha=True)
+    assert res is not None
+    out, consumed = res
+    assert consumed == 1 and out.shape == (16, 16, 4)
+    from imagemagick_tpu.ops import resize as rz
+    ref = rz.resize(jnp.asarray(opaque), 16, 16, tag[1][2], has_alpha=True)
+    assert _psnr(out, ref) >= 60.0
+
+    # upscale: tag exists but the plan declines
+    assert dispatch._plan_chain(16, 16, 3,
+                                (("resize", (32, 32, "lanczos")),)) is None
+
+
+def test_dispatch_gray_mix_keeps_alpha(interpret_dispatch):
+    """-colorspace gray on an opaque RGBA image dispatches with the
+    2-row mix (luma row + identity alpha row) and matches the op path."""
+    st = climain.CLIState()
+    from imagemagick_tpu.core.image import Image
+    from imagemagick_tpu.core.spec import ImageSpec
+
+    rgba = np.concatenate([_natural(48, 40), np.ones((48, 40, 1),
                                                      np.float32)], -1)
     st.images = [climain.LazyImage(Image(jnp.asarray(rgba),
                                          ImageSpec(colorspace="srgb",
                                                    alpha=True)))]
-    climain._op_resize(st, "16x16!", False)
-    assert st.images[0].pending[-1][2] is None    # no tag with alpha
-    # upscale: tag exists but the plan declines
-    assert dispatch._plan_chain(16, 16, 3,
-                                (("resize", (32, 32, "lanczos")),)) is None
+    climain._op_resize(st, "16x32!", False)
+    climain._op_colorspace(st, "gray", False)
+    li = st.images[0]
+    tags = [t for _, _, t in li.pending]
+    assert tags[1] is not None and tags[1][0] == "mix"
+    assert len(tags[1][1]) == 2                    # luma + alpha rows
+    out = li.materialize()
+    assert interpret_dispatch["pallas"] >= 1
+    assert out.data.shape == (32, 16, 2)           # gray + alpha
+    assert float(jnp.min(out.data[..., 1])) >= 1.0 - 1e-5
+
+
+def test_dispatch_wide_image_nslots_fallback(interpret_dispatch):
+    """A wide image whose DMA slabs exceed VMEM at depth 4 must still
+    plan (depth-2 fallback in fused_linear_pipeline) — the mountains.jpg
+    1000x1500 CLI case validated on hardware this round."""
+    tags = (("resize", (256, 256, "lanczos")),
+            ("gblur", (0.0, 2.0, "2d")),
+            ("mix", ((0.212656, 0.715158, 0.072186),)))
+    run = dispatch._chain_runner(1000, 1500, 3, tags, interpret=True)
+    assert run is not None
