@@ -1291,7 +1291,8 @@ def _op_annotate(st, arg, plus):
             color=st.fill(),
             size=float(st.settings.get("pointsize", "12")),
             font=st.settings.get("font"),
-            gravity=st.settings["gravity"]))
+            gravity=st.settings["gravity"],
+            direction=st.settings.get("direction")))
 
 
 def _op_frame(st, arg, plus):

@@ -222,7 +222,8 @@ def label(text: str, width=None, height=None, settings=None) -> Image:
     font = s.get("font") or None
     fill = parse_color(s.get("fill", "black"))
     bg = parse_color(s.get("background", "white"))
-    mask, _ = render_text_mask(text, font, size)
+    mask, _ = render_text_mask(text, font, size,
+                               direction=s.get("direction"))
     mh, mw = mask.shape
     w = width or mw
     h = height or mh

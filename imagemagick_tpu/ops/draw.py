@@ -699,6 +699,7 @@ class _GC:
         self.font = None
         self.affine = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
         self.text_anchor = "start"
+        self.direction = None        # draw.c "direction" keyword (raqm)
         # stroke geometry state (draw.c DrawInfo defaults: butt/miter/10)
         self.linecap = "butt"
         self.linejoin = "miter"
@@ -715,7 +716,7 @@ class _GC:
                   "affine", "text_anchor", "fill_gradient",
                   "stroke_gradient", "linecap",
                   "linejoin", "miterlimit", "dasharray", "dashoffset",
-                  "clip_mask"):
+                  "clip_mask", "direction"):
             setattr(g, k, getattr(self, k))
         return g
 
@@ -975,10 +976,13 @@ def draw(img: jnp.ndarray, mvg: str, has_alpha: bool = False,
             if 0 <= xi < w and 0 <= yi < h:
                 col = jnp.asarray(gc.fill[: out.shape[-1]], out.dtype)
                 out = out.at[..., yi, xi, :].set(col)
+        elif cmd == "direction":
+            gc.direction = toks[i].strip("'\"").lower(); i += 1
         elif cmd == "text":
             x, y = num(), num()
             s = toks[i].strip("'\""); i += 1
-            new = draw_text(out, s, x, y, gc.fill, gc.font_size, gc.font)
+            new = draw_text(out, s, x, y, gc.fill, gc.font_size, gc.font,
+                            direction=gc.direction)
             out = new if gc.clip_mask is None else \
                 out + (new - out) * gc.clip_mask[..., None]
         elif cmd == "stroke-linecap":
@@ -1200,9 +1204,21 @@ def _draw_ellipse(img, h, w, cx, cy, rx, ry, gc: _GC):
 # Text (annotate.c flow: host glyph rasterization + device composite)
 # ---------------------------------------------------------------------------
 
+def _have_raqm() -> bool:
+    from PIL import features
+
+    return bool(features.check("raqm"))
+
+
 def _load_font(font: Optional[str], size: float):
+    """FreeType face lookup; complex-text shaping via the raqm layout
+    engine when libraqm is present — the same engine annotate.c:147
+    RenderFreetype drives (raqm_layout: bidi reorder + HarfBuzz shaping
+    for Arabic/Indic/Hebrew scripts), falling back to basic layout."""
     from PIL import ImageFont
 
+    engine = ImageFont.Layout.RAQM if _have_raqm() else \
+        ImageFont.Layout.BASIC
     candidates = []
     if font:
         candidates.append(font)
@@ -1213,36 +1229,63 @@ def _load_font(font: Optional[str], size: float):
     ]
     for c in candidates:
         try:
-            return ImageFont.truetype(c, int(round(size)))
+            return ImageFont.truetype(c, int(round(size)),
+                                      layout_engine=engine)
         except Exception:
             continue
     return ImageFont.load_default()
 
 
+def _text_kwargs(direction: Optional[str], language: Optional[str]):
+    """Map draw_info->direction / -direction values onto raqm's
+    paragraph direction (annotate.c raqm_set_par_direction); shaping
+    kwargs are only legal under the raqm engine."""
+    if not _have_raqm():
+        return {}
+    kw = {}
+    d = (direction or "").lower()
+    if d in ("right-to-left", "rtl"):
+        kw["direction"] = "rtl"
+    elif d in ("left-to-right", "ltr"):
+        kw["direction"] = "ltr"
+    if language:
+        kw["language"] = language
+    return kw
+
+
 def render_text_mask(text: str, font: Optional[str] = None,
-                     size: float = 12.0) -> np.ndarray:
+                     size: float = 12.0,
+                     direction: Optional[str] = None,
+                     language: Optional[str] = None) -> np.ndarray:
     """Host-side glyph rasterization -> float coverage mask (annotate.c
-    RenderFreetype analog via the same FreeType, through PIL)."""
+    RenderFreetype analog via the same FreeType, through PIL; complex
+    scripts shaped by raqm when available)."""
     from PIL import Image as PImage
     from PIL import ImageDraw
 
     f = _load_font(font, size)
+    kw = _text_kwargs(direction, language)
     probe = PImage.new("L", (4, 4))
     dr = ImageDraw.Draw(probe)
-    bbox = dr.textbbox((0, 0), text, font=f)
+    try:
+        bbox = dr.textbbox((0, 0), text, font=f, **kw)
+    except Exception:       # bitmap default font: no shaping kwargs
+        kw = {}
+        bbox = dr.textbbox((0, 0), text, font=f)
     tw = max(bbox[2] - bbox[0], 1)
     th = max(bbox[3] - bbox[1], 1)
     canvas = PImage.new("L", (tw + 4, th + 4), 0)
     dr = ImageDraw.Draw(canvas)
-    dr.text((2 - bbox[0], 2 - bbox[1]), text, fill=255, font=f)
+    dr.text((2 - bbox[0], 2 - bbox[1]), text, fill=255, font=f, **kw)
     return np.asarray(canvas, np.float32) / 255.0, -bbox[1] + 2
 
 
 def draw_text(img: jnp.ndarray, text: str, x: float, y: float,
               color: Sequence[float], size: float = 12.0,
-              font: Optional[str] = None) -> jnp.ndarray:
+              font: Optional[str] = None,
+              direction: Optional[str] = None) -> jnp.ndarray:
     """AnnotateImage core: composite a glyph mask at the baseline point."""
-    mask, ascent = render_text_mask(text, font, size)
+    mask, ascent = render_text_mask(text, font, size, direction=direction)
     mh, mw = mask.shape
     h, w = img.shape[-3], img.shape[-2]
     x0 = int(round(x))
@@ -1259,15 +1302,17 @@ def draw_text(img: jnp.ndarray, text: str, x: float, y: float,
 
 def annotate(img: jnp.ndarray, text: str, x: float = 0, y: float = 0,
              color=(0, 0, 0, 1), size: float = 12.0,
-             font: Optional[str] = None, gravity: str = "northwest") -> jnp.ndarray:
+             font: Optional[str] = None, gravity: str = "northwest",
+             direction: Optional[str] = None) -> jnp.ndarray:
     """AnnotateImage (annotate.c:229) with gravity placement."""
-    mask, ascent = render_text_mask(text, font, size)
+    mask, ascent = render_text_mask(text, font, size, direction=direction)
     mh, mw = mask.shape
     h, w = img.shape[-3], img.shape[-2]
     from .composite import gravity_offset
 
     gx, gy = gravity_offset(gravity, w, h, mw, mh, int(x), int(y))
-    return draw_text(img, text, gx, gy + ascent, color, size, font)
+    return draw_text(img, text, gx, gy + ascent, color, size, font,
+                     direction=direction)
 
 
 def get_type_metrics(text: str, font: Optional[str] = None,

@@ -1333,11 +1333,17 @@ class MagickWand:
         color = (0, 0, 0, 1)
         size = self.pointsize
         font = self.font
+        direction = None
         if isinstance(drawing, DrawingWand):
             color = drawing.gc_fill
             size = drawing.gc_font_size
             font = drawing.gc_font
-        self._apply(lambda im: dwm.draw_text(im.data, text, x, y, color, size, font))
+            direction = drawing.get_text_direction()
+            if direction in ("undefined", ""):
+                direction = None
+        self._apply(lambda im: dwm.draw_text(im.data, text, x, y, color,
+                                             size, font,
+                                             direction=direction))
 
     def query_font_metrics(self, drawing, text: str):
         from ..ops import draw as dwm
