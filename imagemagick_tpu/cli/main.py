@@ -2450,8 +2450,9 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
                 _write_output(st, tok)
                 output_written = True
             else:
-                frames = iio.read_images(tok, size=st.size,
-                                         settings=st.settings)
+                frames = iio.read_images(
+                    tok, size=st.size,
+                    settings=dict(st.settings, defines=st.defines))
                 extract = st.settings.pop("extract", None)
                 if extract:
                     from ..ops import transform as tf3
@@ -2475,8 +2476,9 @@ def process(args: Sequence[str], st: Optional[CLIState] = None) -> CLIState:
         if name == "read":
             # explicit read (magick-script style): same as a bare filename
             target = args[i]; i += 1
-            for im in iio.read_images(target, size=st.size,
-                                      settings=st.settings):
+            for im in iio.read_images(
+                    target, size=st.size,
+                    settings=dict(st.settings, defines=st.defines)):
                 st.images.append(LazyImage(im))
             continue
         if name == "script":
@@ -2927,7 +2929,7 @@ def _write_output(st: CLIState, target: str):
         raise CLIError("no image to write")
     iio.write_image(imgs if len(imgs) > 1 else imgs[0], target,
                     quality=int(st.settings["quality"]),
-                    depth=st.depth)
+                    depth=st.depth, settings={"defines": st.defines})
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:

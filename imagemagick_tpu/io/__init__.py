@@ -19,7 +19,7 @@ from typing import List, Optional, Union
 import numpy as np
 
 from ..core.image import Image
-from . import (codecs, coders_r4, delegates, dng, exr, extra_coders,
+from . import (codecs, coders_r4, coders_r4b, delegates, dng, exr, extra_coders,
                formats2, formats3, formats4, miff, mpc, pnm, pseudo)
 from ..core.geometry import parse_geometry
 
@@ -68,6 +68,7 @@ _MAGIC = [
     (b"mmmm", "ipl"),
     (b"TIM2", "tim2"),
     (b"#PES", "pes"),
+    (b"\xd7\xcd\xc6\x9a", "wmf"),   # placeable metafile key (wmf.c)
 ]
 
 _PSEUDO = {
@@ -99,6 +100,8 @@ _PSEUDO = {
     "kernel": lambda arg, w, h: coders_r4.kernel_pseudo(arg or "unity"),
     "pango": lambda arg, w, h: coders_r4.pango_pseudo(arg or "", w, h,
                                                       _CURRENT_SETTINGS),
+    # strimg.c: the filename string as a 1-row image
+    "strimg": lambda arg, w, h: coders_r4b.strimg_pseudo(arg or ""),
 }
 
 def _null_image(w, h):
@@ -210,7 +213,9 @@ def _split_filename(filename: str):
               | _FORMATS2_READ | _FORMATS2_WRITE
               | {"mpr", "info", "txt", "json", "dng",
                  "url", "http", "https", "ftp", "file",
-                 "mask", "clip", "ora", "kernel", "pango"} | _VIDEO_FMTS):
+                 "mask", "clip", "ora", "kernel", "pango",
+                 "strimg", "debug", "matte", "dmr", "wmf"}
+              | set(coders_r4b._META_PROFILE) | _VIDEO_FMTS):
         return m.group(1).lower(), m.group(2)
     return None, filename
 
@@ -239,6 +244,9 @@ def read_images(filename: str, size: Optional[str] = None,
         if rest not in _MPR_REGISTRY:
             raise FileNotFoundError(f"no mpr registry entry {rest!r}")
         return list(_MPR_REGISTRY[rest])
+    if fmt == "dmr":
+        # dmr.c:101 ReadDMRImage: repository IRI -> resource
+        return coders_r4b.read_dmr(rest, settings)
     if fmt in ("mask", "clip"):
         # coders/mask.c:236 / coders/clip.c: decode the underlying file,
         # then surface the grayscale raster / rasterized 8BIM clip path
@@ -262,6 +270,9 @@ def read_images(filename: str, size: Optional[str] = None,
     with open(rest, "rb") as f:
         data = f.read()
     ext = fmt or os.path.splitext(rest)[1].lstrip(".").lower()
+    if ext in coders_r4b._META_PROFILE:
+        # meta.c:1198 ReadMETAImage: the blob as a 1x1 image's profile
+        return [coders_r4b.decode_meta(data, ext)]
     if ext in ("dot", "gv"):
         return delegates.decode_dot(data)
     if ext == "pcl":
@@ -324,6 +335,13 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         # reference's kernel-image rendering does).
         images = [coders_r4.kernel_pseudo(
             data.decode("ascii", "replace").strip())]
+    elif use == "wmf":
+        images = [coders_r4b.decode_wmf(data)]
+    elif use == "strimg":
+        images = [coders_r4b.strimg_pseudo(
+            data.decode("utf-8", "replace").rstrip("\n"))]
+    elif use in coders_r4b._META_PROFILE:
+        images = [coders_r4b.decode_meta(data, use)]
     elif use == "exr":
         images = [exr.decode(data)]
     elif use == "hdr":
@@ -465,11 +483,15 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
 
 
 def write_image(image: Union[Image, List[Image]], filename: str,
-                quality: int = 92, depth: Optional[int] = None) -> None:
+                quality: int = 92, depth: Optional[int] = None,
+                settings: Optional[dict] = None) -> None:
     fmt, rest = _split_filename(str(filename))
     images = image if isinstance(image, list) else [image]
     if fmt == "mpr":
         _MPR_REGISTRY[rest] = list(images)
+        return
+    if fmt == "dmr":
+        coders_r4b.write_dmr(images, rest, settings)
         return
     if fmt in ("null",):
         return
@@ -727,6 +749,14 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return coders_r4.encode_ora(images)
     if fmt == "kernel":
         return coders_r4.encode_kernel(images[0])
+    if fmt == "strimg":
+        return coders_r4b.encode_strimg(images[0])
+    if fmt == "debug":
+        return coders_r4b.encode_debug(images)
+    if fmt == "matte":
+        return coders_r4b.encode_matte(images[0])
+    if fmt in coders_r4b._META_PROFILE:
+        return coders_r4b.encode_meta(images[0], fmt)
     if fmt in _VIDEO_FMTS:
         return coders_r4.encode_video(images, fmt)
     if fmt == "svg":
@@ -792,7 +822,8 @@ _VIDEO_FMTS = {"mp4", "mkv", "webm", "avi", "mov", "mpeg", "mpg", "wmv"}
 def supported_read_formats():
     out = (set(_PSEUDO) | set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
            | _FORMATS2_READ | _PIL_READ_EXTRA
-           | {"mpr", "dng", "ora", "mask", "clip"}
+           | {"mpr", "dng", "ora", "mask", "clip", "dmr", "wmf"}
+           | set(coders_r4b._META_PROFILE)
            | _heifjxl_formats())
     if delegates.has_ffmpeg():
         out |= _VIDEO_FMTS
@@ -811,7 +842,8 @@ def supported_write_formats():
     out = (set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
            | _FORMATS2_WRITE
            | {"mpr", "null", "info", "json", "txt", "yaml", "dng",
-              "ora", "kernel", "mask"}
+              "ora", "kernel", "mask", "strimg", "debug", "matte", "dmr"}
+           | set(coders_r4b._META_PROFILE)
            | _heifjxl_formats())
     if delegates.has_ffmpeg():
         out |= _VIDEO_FMTS

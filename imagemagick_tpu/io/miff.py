@@ -50,8 +50,11 @@ def _parse_header(data: bytes, pos: int) -> Tuple[Dict[str, str], int]:
             token = b""
             i += 1
             continue
-        if ch == b":":
-            # header terminator; may be followed by \x1a
+        if ch == b":" and key is None and token == b"":
+            # header terminator (a ':' starting a token, i.e. after
+            # whitespace); may be followed by \x1a.  Keys themselves may
+            # contain ':' (date:create=, quantum:format= — miff.c writes
+            # namespaced attributes), so a mid-token colon is data.
             i += 1
             if data[i:i + 1] == b"\x1a":
                 i += 1
@@ -144,11 +147,18 @@ def decode(data: bytes) -> List[Image]:
             pos += 4
             profiles[name] = data[pos:pos + int(plen)]
             pos += int(plen)
+        qfmt = fields.get("quantum-format",
+                          fields.get("quantum:format", ""))
         if depth == 8:
             itemsize, dt = 1, np.uint8
+        elif depth == 16 and qfmt == "floating-point":
+            # HDRI half-float quantums, normalized [0,1] (the reference
+            # emits these for non-integer samples, e.g. MATTE of a
+            # fractional alpha — quantum.c FloatingPointQuantumFormat)
+            itemsize, dt = 2, ">f2"
         elif depth == 16:
             itemsize, dt = 2, ">u2"
-        elif depth == 32 and fields.get("quantum-format", "") == "floating-point":
+        elif depth == 32 and qfmt == "floating-point":
             itemsize, dt = 4, ">f4"
         else:
             itemsize, dt = 4, ">u4"
@@ -207,7 +217,7 @@ def decode(data: bytes) -> List[Image]:
             if alpha:
                 a = arr[..., 1].astype(np.float32) / scale
                 f = np.concatenate([f, a[..., None]], axis=-1)
-        elif dt == ">f4":
+        elif dt in (">f4", ">f2"):
             f = arr.astype(np.float32)
         else:
             f = arr.astype(np.float32) / scale

@@ -48,6 +48,13 @@ SKIP = {
                         # that Pillow's DIB-only CUR reader rejects
     "dng",              # CFA mosaic: lossy by construction on noise;
                         # own round-trip tests in test_dng.py
+    "8bim", "8bimtext", "exif", "app1", "xmp", "icc", "icm", "iptc",
+    "iptctext",         # meta.c profile carriers, not rasters (own
+                        # tests in test_coders_r4b)
+    "strimg",           # string<->image coder: write reduces to 8-bit
+                        # gray text bytes (own tests in test_coders_r4b)
+    "dmr",              # repository coder: needs dmr:path define (own
+                        # tests in test_coders_r4b)
 }
 
 LOSSY = {"jpeg", "jpg", "webp", "jxl", "pdb", "j2k", "jp2",
