@@ -46,12 +46,15 @@ import numpy as np
 
 BATCH = 32
 H, W, C = 512, 768, 3
-STEPS = 20
+# 60 steps => ~28ms of pure device delta between the 1-step and N-step
+# programs; a 20-step chain's ~9ms delta drowned in tunnel RPC jitter
+# (single-round figures swung 26-45k MP/s for the same cached program)
+STEPS = 60
 
 GRAY_MIX = np.array([[0.212656, 0.715158, 0.072186]])  # colorspace.c:886
 
 
-def pipeline_flat(flat_batch):
+def pipeline_flat(flat_batch, wscale=None):
     """Fused kernel path on the (N*H, W*C) wire layout."""
     from imagemagick_tpu.ops.fused_pipeline import fused_resize_pipeline
 
@@ -60,7 +63,8 @@ def pipeline_flat(flat_batch):
     return fused_resize_pipeline(flat_batch, 256, 256, "lanczos", 2.0,
                                  GRAY_MIX, TO=128, nslots=4,
                                  vmem_budget=14 * 1024 * 1024,
-                                 in_shape=(BATCH, H, W, C))
+                                 in_shape=(BATCH, H, W, C),
+                                 wscale=wscale)
 
 
 def pipeline_xla(batch):
@@ -82,9 +86,15 @@ def _chain(n, fused):
     def fn(b):
         acc = jnp.float32(0.0)
         for i in range(n):
-            # per-step input scaling defeats CSE between steps
-            bi = b * (1.0 + jnp.float32(i) * 1e-6)
-            out = pipeline_flat(bi) if fused else pipeline_xla(bi)
+            if fused:
+                # per-step scale on the kernel's (small) weight operand
+                # defeats CSE without an extra full-tensor multiply pass
+                # over the 151MB input (which tripled HBM traffic/step)
+                out = pipeline_flat(b, wscale=1.0 + jnp.float32(i) * 1e-6)
+            else:
+                # fallback path: perturb the input (ops are not opaque,
+                # so identical inputs would CSE into one step)
+                out = pipeline_xla(b * (1.0 + jnp.float32(i) * 1e-6))
             # full sum — a sliced sum lets XLA dead-code whole images out
             # of the (non-opaque) fallback path and under-report
             acc = acc + jnp.sum(out)
@@ -118,9 +128,18 @@ def main():
     float(one(x))   # compile
     float(many(x))  # compile
 
-    t1 = _time(one, x)
-    tn = _time(many, x)
-    per_step = max((tn - t1) / (STEPS - 1), 1e-9)
+    # the worker's throughput drifts between (and within) sessions —
+    # observed 26.8-30.8k MP/s for the identical cached program across
+    # process runs at a single round.  Take the MEDIAN of 5 per-round
+    # marginals: min-of-rounds would cherry-pick anti-correlated jitter
+    # (slow t1 + fast tn in one round measured 45k — not real), a single
+    # round inherits the session's drift wholesale.
+    marginals = []
+    for _ in range(5):
+        t1 = _time(one, x)
+        tn = _time(many, x)
+        marginals.append(max((tn - t1) / (STEPS - 1), 1e-9))
+    per_step = sorted(marginals)[len(marginals) // 2]
 
     mp = BATCH * H * W / 1e6  # input megapixels per step
     mp_per_s = mp / per_step

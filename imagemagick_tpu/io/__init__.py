@@ -337,6 +337,8 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
             data.decode("ascii", "replace").strip())]
     elif use == "wmf":
         images = [coders_r4b.decode_wmf(data)]
+    elif use in ("jbig", "jbg", "bie"):
+        images = [coders_r4b.decode_jbig(data)]
     elif use == "strimg":
         images = [coders_r4b.strimg_pseudo(
             data.decode("utf-8", "replace").rstrip("\n"))]
@@ -755,6 +757,8 @@ def image_to_blob(image: Union[Image, List[Image]], fmt: str,
         return coders_r4b.encode_debug(images)
     if fmt == "matte":
         return coders_r4b.encode_matte(images[0])
+    if fmt in ("jbig", "jbg", "bie"):
+        return coders_r4b.encode_jbig(images[0])
     if fmt in coders_r4b._META_PROFILE:
         return coders_r4b.encode_meta(images[0], fmt)
     if fmt in _VIDEO_FMTS:
@@ -813,6 +817,8 @@ def _heifjxl_formats():
         out |= {"heic", "heif"}
     if native.jxl_available():
         out.add("jxl")
+    if native.jbig_available():
+        out |= {"jbig", "jbg", "bie"}
     return out
 
 

@@ -780,3 +780,40 @@ def _wmf_dib(func: int, p: np.ndarray):
 
     img = image_from_blob(bmp, "bmp")[0]
     return img, (dstx, dsty, dstw, dsth)
+
+
+# ---------------------------------------------------------------------------
+# JBIG (jbig-kit, the library coders/jbig.c delegates to)
+# ---------------------------------------------------------------------------
+
+def decode_jbig(data: bytes) -> Image:
+    """ReadJBIGImage (coders/jbig.c): incremental jbg_dec_in over the
+    blob; 1 = black, surfaced as a bilevel gray raster."""
+    from .. import native
+
+    bits = native.jbig_decode(data)
+    if bits is None:
+        raise ValueError("JBIG decode failed (libjbig unavailable or "
+                         "corrupt stream)")
+    arr = (1.0 - bits.astype(np.float32))[..., None]
+    return Image(arr, ImageSpec(colorspace="gray", alpha=False, depth=1))
+
+
+def encode_jbig(image: Image) -> bytes:
+    """WriteJBIGImage (coders/jbig.c): 50%-threshold bilevel encode."""
+    from .. import native
+
+    arr = np.asarray(image.data, np.float32)
+    if arr.ndim == 4:
+        arr = arr[0]
+    c = arr.shape[2]
+    if c >= 3:
+        inten = (0.212656 * arr[..., 0] + 0.715158 * arr[..., 1] +
+                 0.072186 * arr[..., 2])
+    else:
+        inten = arr[..., 0]
+    bm = (inten < 0.5).astype(np.uint8)   # 1 = black
+    blob = native.jbig_encode(bm)
+    if blob is None:
+        raise ValueError("JBIG encode failed (libjbig unavailable)")
+    return blob

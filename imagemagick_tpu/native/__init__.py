@@ -441,3 +441,95 @@ def octree_remap(arr: np.ndarray, palette: np.ndarray,
         h, w, c, pal.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         pal.shape[0], pc, meth, float(diffusion))
     return out if rc == 0 else None
+
+
+# ---------------------------------------------------------------------------
+# JBIG (jbig-kit shim — the library coders/jbig.c uses)
+# ---------------------------------------------------------------------------
+
+_JB_SO = os.path.join(_HERE, "libjbigio.so")
+_JB_SRC = os.path.join(_HERE, "jbigio.cpp")
+_jb_lib = None
+_jb_failed = False
+
+
+def jbig_load():
+    """Build+load the jbig shim; None when libjbig/-dev is unavailable."""
+    global _jb_lib, _jb_failed
+    with _lock:
+        if _jb_lib is not None or _jb_failed:
+            return _jb_lib
+        if not os.path.exists(_JB_SO) or \
+                os.path.getmtime(_JB_SO) < os.path.getmtime(_JB_SRC):
+            try:
+                r = subprocess.run(["g++", "-O2", "-fPIC", "-shared",
+                                    _JB_SRC, "-ljbig", "-o", _JB_SO],
+                                   capture_output=True, timeout=120)
+                if r.returncode != 0:
+                    _jb_failed = True
+                    return None
+            except Exception:
+                _jb_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_JB_SO)
+        except OSError:
+            _jb_failed = True
+            return None
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.jb_decode.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                  ctypes.POINTER(c_u8p),
+                                  ctypes.POINTER(ctypes.c_int),
+                                  ctypes.POINTER(ctypes.c_int)]
+        lib.jb_decode.restype = ctypes.c_int
+        lib.jb_encode.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                  ctypes.c_int, ctypes.POINTER(c_u8p),
+                                  ctypes.POINTER(ctypes.c_size_t)]
+        lib.jb_encode.restype = ctypes.c_int
+        lib.jb_free.argtypes = [c_u8p]
+        lib.jb_free.restype = None
+        _jb_lib = lib
+        return lib
+
+
+def jbig_available() -> bool:
+    return jbig_load() is not None
+
+
+def jbig_decode(data: bytes):
+    """JBIG blob -> (H, W) uint8 {0,1} bitmap (1 = black) or None."""
+    lib = jbig_load()
+    if lib is None:
+        return None
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = c_u8p()
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.jb_decode(data, len(data), ctypes.byref(out),
+                       ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    stride = (w.value + 7) // 8
+    buf = np.ctypeslib.as_array(out, shape=(h.value * stride,)).copy()
+    lib.jb_free(out)
+    bits = np.unpackbits(buf.reshape(h.value, stride), axis=1)
+    return bits[:, :w.value]
+
+
+def jbig_encode(bitmap: np.ndarray):
+    """(H, W) {0,1} bitmap (1 = black) -> JBIG blob or None."""
+    lib = jbig_load()
+    if lib is None:
+        return None
+    bm = np.asarray(bitmap, np.uint8)
+    h, w = bm.shape
+    packed = np.packbits(bm, axis=1).tobytes()
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = c_u8p()
+    n = ctypes.c_size_t(0)
+    rc = lib.jb_encode(packed, w, h, ctypes.byref(out), ctypes.byref(n))
+    if rc != 0:
+        return None
+    blob = ctypes.string_at(out, n.value)
+    lib.jb_free(out)
+    return blob

@@ -36,9 +36,12 @@ _FFT_OK: bool | None = None  # cached probe result
 
 
 def set_fft_mode(mode: str) -> None:
-    """Force the transform path: "fft", "matmul", or "auto" (probe)."""
+    """Force the transform path: "fft", "matmul", "fourstep", or "auto"
+    (auto = four-step matmul FFT on TPU backends — measured faster than
+    XLA's native FFT and immune to the degraded no-FFT worker state —
+    and the backend fft elsewhere)."""
     global _FFT_MODE
-    if mode not in ("auto", "fft", "matmul"):
+    if mode not in ("auto", "fft", "matmul", "fourstep"):
         raise ValueError(f"bad fft mode {mode!r}")
     _FFT_MODE = mode
 
@@ -59,23 +62,34 @@ def probe_fft(recheck: bool = False) -> bool:
     return _FFT_OK
 
 
+def _resolve_mode() -> str:
+    """The transform path to use: "fft" | "matmul" | "fourstep"."""
+    if _FFT_MODE != "auto":
+        return _FFT_MODE
+    if jax.default_backend() in ("tpu", "axon"):
+        return "fourstep"
+    return "fft" if probe_fft() else "fourstep"
+
+
 def _use_fft() -> bool:
-    if _FFT_MODE == "fft":
-        return True
-    if _FFT_MODE == "matmul":
-        return False
-    return probe_fft()
+    return _resolve_mode() == "fft"
 
 
 # -- matmul-DFT fallback ----------------------------------------------------
 
 @functools.lru_cache(maxsize=8)
-def _dft_mats(n: int, inverse: bool):
-    """Symmetric n-point DFT matrix as (cos, sin) f32 parts."""
+def _dft_mats_np(n: int, inverse: bool):
+    """Symmetric n-point DFT matrix as (cos, sin) f32 NUMPY parts.
+    Cached values must stay numpy: caching a jnp array created inside a
+    trace (e.g. under lax.scan) leaks that trace's tracer."""
     k = np.arange(n, dtype=np.float64)
     ang = (2.0 if inverse else -2.0) * np.pi * np.outer(k, k) / n
-    return (jnp.asarray(np.cos(ang), jnp.float32),
-            jnp.asarray(np.sin(ang), jnp.float32))
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def _dft_mats(n: int, inverse: bool):
+    c, s = _dft_mats_np(n, inverse)
+    return jnp.asarray(c), jnp.asarray(s)
 
 
 def _matmul_fft2(xr, xi, inverse: bool = False):
@@ -95,25 +109,126 @@ def _matmul_fft2(xr, xi, inverse: bool = False):
     return zr, zi
 
 
+# -- four-step factored matmul FFT ------------------------------------------
+#
+# XLA's native TPU FFT measured 7.2 ms for the 4K wiener round trip
+# (BENCHMARKS_r04) — ~3% of the HBM speed-of-light.  The four-step
+# Cooley-Tukey factorization N = N1*N2 turns each 1-D transform into two
+# dense DFT matmuls (N1- and N2-point, ~sqrt(N)-sized — MXU-native) plus
+# one elementwise twiddle:
+#
+#   X[k2*N1+k1] = sum_{n2} W_N^{n2 k1} W_{N2}^{n2 k2}
+#                   (sum_{n1} x[n1*N2+n2] W_{N1}^{n1 k1})
+#
+# 64x64 factors cost 2*64 complex MACs/sample vs 4096 for the dense DFT
+# (32x fewer flops) while staying pure matmul+elementwise — no FFT op,
+# so it also sidesteps the axon worker's degraded no-FFT state.
+
+@functools.lru_cache(maxsize=16)
+def _fourstep_consts(n: int, inverse: bool):
+    """(n1, n2, C1, S1, C2, S2, Tc, Ts) for the N=n1*n2 factorization."""
+    n1 = 1
+    for d in range(2, int(math.isqrt(n)) + 1):
+        if n % d == 0:
+            n1 = d
+    # n1 = largest divisor <= sqrt(n); prime n -> n1 == 1 (caller falls
+    # back to the dense DFT)
+    if n1 == 1:
+        return None
+    n2 = n // n1
+    sign = 2.0 if inverse else -2.0
+    k1 = np.arange(n1, dtype=np.float64)
+    k2 = np.arange(n2, dtype=np.float64)
+    a1 = sign * np.pi * np.outer(k1, k1) / n1
+    a2 = sign * np.pi * np.outer(k2, k2) / n2
+    tw = sign * np.pi * np.outer(k1, k2) / n      # (k1, n2) twiddles
+    # NUMPY on purpose — jnp constants cached across traces leak tracers
+    f32 = lambda a: np.asarray(a, np.float32)   # noqa: E731
+    return (n1, n2, f32(np.cos(a1)), f32(np.sin(a1)),
+            f32(np.cos(a2)), f32(np.sin(a2)),
+            f32(np.cos(tw)), f32(np.sin(tw)))
+
+
+def _fourstep_axis(xr, xi, inverse: bool):
+    """Length-N DFT along the LAST axis via the four-step factorization.
+    xr/xi: (..., N) f32 (xi may be None for real input).  Returns (re, im).
+    """
+    n = xr.shape[-1]
+    consts = _fourstep_consts(n, inverse)
+    if consts is None:
+        C, S = _dft_mats(n, inverse)
+        mm = functools.partial(jnp.matmul, precision="high")
+        if xi is None:
+            zr, zi = mm(xr, C), mm(xr, S)
+        else:
+            zr = mm(xr, C) - mm(xi, S)
+            zi = mm(xr, S) + mm(xi, C)
+        if inverse:
+            zr, zi = zr / n, zi / n
+        return zr, zi
+    n1, n2, C1, S1, C2, S2, Tc, Ts = consts
+    shp = xr.shape[:-1]
+    es = functools.partial(jnp.einsum, precision="high")
+    a = xr.reshape(shp + (n1, n2))
+    if xi is None:
+        yr = es("ab,...bc->...ac", C1, a)
+        yi = es("ab,...bc->...ac", S1, a)
+    else:
+        b = xi.reshape(shp + (n1, n2))
+        yr = es("ab,...bc->...ac", C1, a) - es("ab,...bc->...ac", S1, b)
+        yi = es("ab,...bc->...ac", S1, a) + es("ab,...bc->...ac", C1, b)
+    zr = yr * Tc - yi * Ts
+    zi = yr * Ts + yi * Tc
+    outr = es("...ac,cd->...ad", zr, C2) - es("...ac,cd->...ad", zi, S2)
+    outi = es("...ac,cd->...ad", zr, S2) + es("...ac,cd->...ad", zi, C2)
+    # output index k = k2*n1 + k1 -> transpose the (k1, k2) grid
+    outr = jnp.swapaxes(outr, -1, -2).reshape(shp + (n,))
+    outi = jnp.swapaxes(outi, -1, -2).reshape(shp + (n,))
+    if inverse:
+        outr, outi = outr / n, outi / n
+    return outr, outi
+
+
+def _fourstep_fft2(xr, xi, inverse: bool = False):
+    """2-D DFT over the last two axes via two four-step passes."""
+    # W axis (last)
+    zr, zi = _fourstep_axis(xr, xi, inverse)
+    # H axis: move it last, transform, move back
+    zr = jnp.swapaxes(zr, -1, -2)
+    zi = jnp.swapaxes(zi, -1, -2)
+    zr, zi = _fourstep_axis(zr, zi, inverse)
+    return jnp.swapaxes(zr, -1, -2), jnp.swapaxes(zi, -1, -2)
+
+
 def _fft2(x):
-    """fft2 with transparent matmul-DFT fallback.  x: complex or real."""
-    if _use_fft():
+    """fft2 via the selected path.  x: complex or real."""
+    mode = _resolve_mode()
+    if mode == "fft":
         return jnp.fft.fft2(x.astype(jnp.complex64))
     if jnp.iscomplexobj(x):
         xr, xi = x.real.astype(jnp.float32), x.imag.astype(jnp.float32)
     else:
         xr = x.astype(jnp.float32)
-        xi = jnp.zeros_like(xr)
-    zr, zi = _matmul_fft2(xr, xi, inverse=False)
+        xi = None
+    if mode == "fourstep":
+        zr, zi = _fourstep_fft2(xr, xi, inverse=False)
+    else:
+        zr, zi = _matmul_fft2(xr, jnp.zeros_like(xr) if xi is None else xi,
+                              inverse=False)
     return jax.lax.complex(zr, zi)
 
 
 def _ifft2(f):
-    """ifft2 with transparent matmul-DFT fallback.  f: complex."""
-    if _use_fft():
+    """ifft2 via the selected path.  f: complex."""
+    mode = _resolve_mode()
+    if mode == "fft":
         return jnp.fft.ifft2(f)
-    zr, zi = _matmul_fft2(f.real.astype(jnp.float32),
-                          f.imag.astype(jnp.float32), inverse=True)
+    fr = f.real.astype(jnp.float32)
+    fi = f.imag.astype(jnp.float32)
+    if mode == "fourstep":
+        zr, zi = _fourstep_fft2(fr, fi, inverse=True)
+    else:
+        zr, zi = _matmul_fft2(fr, fi, inverse=True)
     return jax.lax.complex(zr, zi)
 
 
@@ -191,13 +306,22 @@ def wiener_deconvolve(img: jnp.ndarray, kernel_fft: jnp.ndarray = None,
     With no kernel, acts as a Wiener denoiser: F' = F·|F|²/(|F|²+noise).
     """
     x = jnp.moveaxis(img, -1, 0)
-    use_fft = _use_fft()
+    mode = _resolve_mode()
+    use_fft = mode == "fft"
     # noise scale = spectral mean power; by Parseval mean|F|^2 over the
     # FULL spectrum == sum(x^2), which keeps the filter identical across
     # the rfft2 half-spectrum, fft2, and matmul-DFT paths
     pmean = jnp.sum(x.astype(jnp.float32) ** 2, axis=(-2, -1),
                     keepdims=True)
-    if kernel_fft is None and use_fft and \
+    if kernel_fft is None and mode == "fourstep":
+        # all-real formulation: forward with xi=None (2 matmuls saved),
+        # spectral mask on (re, im) parts, inverse real part only —
+        # never materializes a complex dtype
+        fr, fi = _fourstep_fft2(x.astype(jnp.float32), None, inverse=False)
+        p = fr * fr + fi * fi
+        m = p / (p + noise * pmean)
+        out, _ = _fourstep_fft2(fr * m, fi * m, inverse=True)
+    elif kernel_fft is None and use_fft and \
             x.shape[-1] % 2 == 0 and x.shape[-2] % 2 == 0:
         # real input: rfft2 computes only the non-redundant half-spectrum
         # (half the FLOPs and memory; TPU irfft2 needs even extents)

@@ -39,6 +39,8 @@ SKIP = {
                         # test_coders_r4)
     "heic", "avif",     # plugin-dependent encode quality
     "xbm", "xpm", "wbmp", "otb", "rgf",  # bilevel/palette by design
+    "jbig", "jbg", "bie",                # bilevel by design (jbig-kit;
+                                         # own tests in test_outofcore_chain)
     "sixel", "six",     # 6-row banding + palette
     "tim",              # 5-bit quantization (covered in test_formats4)
     "palm",             # palette format (own tests)

@@ -44,3 +44,60 @@ def test_wiener_matmul_path_runs():
     finally:
         ff.set_fft_mode("auto")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fourstep_matches_numpy():
+    from imagemagick_tpu.ops import fourier as ff
+
+    rng = np.random.default_rng(21)
+    for h, w in [(64, 96), (54, 40), (128, 128)]:
+        x = rng.random((h, w)).astype(np.float32)
+        zr, zi = ff._fourstep_fft2(jnp.asarray(x), None, inverse=False)
+        ref = np.fft.fft2(x.astype(np.float64))
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(zr) - ref.real).max() / scale < 1e-5
+        assert np.abs(np.asarray(zi) - ref.imag).max() / scale < 1e-5
+        br, bi = ff._fourstep_fft2(zr, zi, inverse=True)
+        assert np.abs(np.asarray(br) - x).max() < 1e-5
+        assert np.abs(np.asarray(bi)).max() < 1e-5
+
+
+def test_fourstep_prime_length_falls_back_dense():
+    from imagemagick_tpu.ops import fourier as ff
+
+    rng = np.random.default_rng(22)
+    x = rng.random((13, 17)).astype(np.float32)   # both prime extents
+    zr, zi = ff._fourstep_fft2(jnp.asarray(x), None, inverse=False)
+    ref = np.fft.fft2(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(zr) - ref.real).max() / scale < 1e-5
+    assert np.abs(np.asarray(zi) - ref.imag).max() / scale < 1e-5
+
+
+def test_wiener_fourstep_matches_fft_path():
+    from imagemagick_tpu.ops import fourier as ff
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.random((1, 48, 80, 1)).astype(np.float32))
+    ff.set_fft_mode("fourstep")
+    try:
+        a = ff.wiener_deconvolve(x, noise=0.01)
+        ff.set_fft_mode("fft")
+        b = ff.wiener_deconvolve(x, noise=0.01)
+    finally:
+        ff.set_fft_mode("auto")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_forward_inverse_fourstep_round_trip():
+    from imagemagick_tpu.ops import fourier as ff
+
+    rng = np.random.default_rng(24)
+    img = rng.random((40, 56, 3)).astype(np.float32)
+    ff.set_fft_mode("fourstep")
+    try:
+        mag, ph = ff.forward_fft(jnp.asarray(img))
+        rec = np.asarray(ff.inverse_fft(mag, ph))
+    finally:
+        ff.set_fft_mode("auto")
+    assert 10 * np.log10(1.0 / max(np.mean((rec - img) ** 2), 1e-30)) >= 100

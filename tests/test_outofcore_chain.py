@@ -1,0 +1,121 @@
+"""General banded op-chain executor (models/outofcore.run_chain): any
+registered op chain + resize over row bands must match the in-core ops
+exactly (interior AND global edges — per-op edge re-replication).  The
+tera-pixel tier generalization of cache.c:3479's disk cache."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def img():
+    return np.random.default_rng(5).random((300, 64, 3)).astype(np.float32)
+
+
+def test_pointwise_chain_banded(img):
+    import jax.numpy as jnp
+
+    from imagemagick_tpu.models import outofcore as oc
+    from imagemagick_tpu.ops import enhance as en
+
+    b = oc.run_chain(img, img.shape,
+                     [("negate", {}), ("gamma", {"value": 1.8}),
+                      ("level", {"black": 0.1, "white": 0.9})],
+                     band_rows=77)
+    r = en.level(en.gamma(1.0 - jnp.asarray(img), 1.8), 0.1, 0.9, 1.0)
+    assert np.abs(b - np.asarray(r)).max() < 1e-6
+
+
+def test_neighborhood_chain_banded_exact(img):
+    import jax.numpy as jnp
+
+    from imagemagick_tpu.models import outofcore as oc
+    from imagemagick_tpu.ops import blur as bl
+    from imagemagick_tpu.ops import statistic as st
+
+    b = oc.run_chain(img, img.shape,
+                     [("median", {"radius": 1}), ("unsharp", {"sigma": 1.0})],
+                     band_rows=64)
+    r = bl.unsharp_mask(st.statistic(jnp.asarray(img), "median", 3, 3),
+                        0.0, 1.0, 1.0, 0.05)
+    # exact including the global edge rows (per-op re-replication)
+    assert np.abs(b - np.asarray(r)).max() < 1e-5
+
+
+def test_chain_resize_post_chain(img):
+    import jax.numpy as jnp
+
+    from imagemagick_tpu.models import outofcore as oc
+    from imagemagick_tpu.ops import blur as bl
+    from imagemagick_tpu.ops import colorspace as cs
+    from imagemagick_tpu.ops import resize as rz
+
+    b = oc.run_chain(img, img.shape, [("blur", {"sigma": 1.5})],
+                     resize=(75, 32, "lanczos"),
+                     post_ops=[("blur", {"sigma": 1.0}),
+                               ("colorspace", {"dst": "gray"})],
+                     band_rows=32)
+    r = bl.gaussian_blur(jnp.asarray(img), 0.0, 1.5)
+    r = rz.resize(r, 75, 32, "lanczos")
+    r = bl.gaussian_blur(r, 0.0, 1.0)
+    r = np.asarray(cs.convert(r, "srgb", "gray"))
+    assert b.shape == r.shape == (75, 32, 1)
+    assert np.abs(b - r).max() < 2e-5
+
+
+def test_memmap_source_never_resident(img, tmp_path):
+    import jax.numpy as jnp
+
+    from imagemagick_tpu.models import outofcore as oc
+    from imagemagick_tpu.ops import morphology as mo
+
+    f = tmp_path / "big.raw"
+    mm = np.memmap(str(f), dtype=np.float32, mode="w+", shape=img.shape)
+    mm[:] = img
+    mm.flush()
+    ro = np.memmap(str(f), dtype=np.float32, mode="r", shape=img.shape)
+    b = oc.run_chain(ro, img.shape,
+                     [("morphology", {"method": "open",
+                                      "kernel": "square:1"})],
+                     band_rows=100)
+    r = np.asarray(mo.morphology(jnp.asarray(img), "open", "square:1"))
+    assert np.abs(b - r).max() < 1e-6
+
+
+def test_band_smaller_than_halo(img):
+    import jax.numpy as jnp
+
+    from imagemagick_tpu.models import outofcore as oc
+    from imagemagick_tpu.ops import blur as bl
+
+    b = oc.run_chain(img[:40], (40,) + img.shape[1:],
+                     [("blur", {"sigma": 3.0})], band_rows=8)
+    r = np.asarray(bl.gaussian_blur(jnp.asarray(img[:40]), 0.0, 3.0))
+    assert np.abs(b - r).max() < 1e-5
+
+
+def test_unknown_op_raises(img):
+    from imagemagick_tpu.models import outofcore as oc
+
+    with pytest.raises(ValueError):
+        oc.run_chain(img, img.shape, [("definitely-not-an-op", {})])
+
+
+def test_jbig_round_trip():
+    from imagemagick_tpu import native
+
+    if not native.jbig_available():
+        pytest.skip("libjbig not available")
+    import imagemagick_tpu.io as iio
+    from imagemagick_tpu.io import coders_r4b as cb
+    from imagemagick_tpu.core.image import Image
+    from imagemagick_tpu.core.spec import ImageSpec
+
+    bm = (np.random.default_rng(0).random((40, 70)) > 0.6)
+    img = Image((~bm).astype(np.float32)[..., None],
+                ImageSpec(colorspace="gray", alpha=False, depth=1))
+    blob = cb.encode_jbig(img)
+    back = cb.decode_jbig(blob)
+    assert np.array_equal(np.asarray(back.data)[..., 0] < 0.5, bm)
+    assert "jbig" in iio.supported_read_formats()
+    assert "jbig" in iio.supported_write_formats()
