@@ -69,6 +69,8 @@ _MAGIC = [
     (b"TIM2", "tim2"),
     (b"#PES", "pes"),
     (b"\xd7\xcd\xc6\x9a", "wmf"),   # placeable metafile key (wmf.c)
+    (b"AT&TFORM", "djvu"),
+    (b"FLIF", "flif"),
 ]
 
 _PSEUDO = {
@@ -339,6 +341,12 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
         images = [coders_r4b.decode_wmf(data)]
     elif use in ("jbig", "jbg", "bie"):
         images = [coders_r4b.decode_jbig(data)]
+    elif use in ("djvu", "flif", "fpx"):
+        # recognized but delegate-library-gated, exactly like a reference
+        # build without libdjvu/libflif/libfpx (coders/djvu.c etc. are
+        # compiled out and SetImageInfo raises the same error class)
+        raise ValueError(
+            f"DelegateLibrarySupportNotBuiltIn `{use.upper()}'")
     elif use == "strimg":
         images = [coders_r4b.strimg_pseudo(
             data.decode("utf-8", "replace").rstrip("\n"))]
