@@ -34,6 +34,49 @@ HBM_GBS = 819.0
 PEAK_BF16_TF = 394.0
 
 
+def _time_chain_w(make_step, x, n1=1, n2=11, reps=4):
+    """Marginal per-step time where make_step(b, scale) consumes a
+    per-step traced scalar on a SMALL kernel operand — anti-CSE with no
+    extra full-tensor traffic (the input-perturbation variant below adds
+    a whole read+write of the input per step and bills it to the kernel;
+    it measured config #1 at 28k where the kernel actually runs 53k)."""
+    def chain(n):
+        @jax.jit
+        def f(b):
+            acc = jnp.float32(0)
+            for i in range(n):
+                out = make_step(b, 1.0 + jnp.float32(i) * 1e-6)
+                acc = acc + jnp.sum(out)
+            return acc
+        return f
+
+    f1, f2 = chain(n1), chain(n2)
+    float(f1(x)); float(f2(x))
+    t1 = min(timeit.repeat(lambda: float(f1(x)), number=1, repeat=reps))
+    tn = min(timeit.repeat(lambda: float(f2(x)), number=1, repeat=reps))
+    return max((tn - t1) / (n2 - n1), 1e-9)
+
+
+def _time_chain_feedback(make_step, x, n1=1, n2=11, reps=4):
+    """Marginal per-step time with each step consuming the previous
+    step's output — steady-state throughput for shape-preserving steps,
+    zero anti-CSE overhead (operands genuinely differ)."""
+    def chain(n):
+        @jax.jit
+        def f(b):
+            y = b
+            for _ in range(n):
+                y = make_step(y)
+            return jnp.sum(y)
+        return f
+
+    f1, f2 = chain(n1), chain(n2)
+    float(f1(x)); float(f2(x))
+    t1 = min(timeit.repeat(lambda: float(f1(x)), number=1, repeat=reps))
+    tn = min(timeit.repeat(lambda: float(f2(x)), number=1, repeat=reps))
+    return max((tn - t1) / (n2 - n1), 1e-9)
+
+
 def _time_chain(make_step, x, n1=1, n2=11, reps=4):
     def chain(n):
         @jax.jit
@@ -87,15 +130,15 @@ def config1_thumbnail():
     mix = np.array([[0.212656, 0.715158, 0.072186]])
     x = jax.random.uniform(jax.random.PRNGKey(0), (N * H, W * C), jnp.float32)
 
-    def step(b):
+    def step(b, s):
         return fused_resize_pipeline(b, 256, 256, "lanczos", 2.0, mix,
                                      TO=128, nslots=4,
                                      vmem_budget=14 * 1024 * 1024,
-                                     in_shape=(N, H, W, C))
+                                     in_shape=(N, H, W, C), wscale=s)
 
     # ~0.4 ms/step: a 10-step delta sits at the tunnel's ~5 ms RPC jitter
     # floor (one run measured an impossible 148% of HBM peak) — use 60
-    per = _time_chain(step, x, n1=1, n2=61)
+    per = _time_chain_w(step, x, n1=1, n2=61)
     mp = N * H * W / 1e6
     _report("config1_thumbnail", mp, per, "fused pallas, batch %d" % N)
     # HBM utilization note: one read of input + one write of output
@@ -198,18 +241,18 @@ def config2_blur_unsharp_lab():
         y = cs.convert(y, "srgb", "lab")
         return cs.convert(y, "lab", "srgb")
 
-    def step_fused3(b):
+    def step_fused3(b, s=None):
         # VERDICT r2 #2: the whole chain INCLUDING the Lab round trip as
         # one kernel — the per-pixel Lab math runs as a VPU epilogue on
         # the tile already in VMEM (zero extra HBM traffic)
         return fused_blur_unsharp_pipeline(b, 2.0, 1.0, 1.0, C, TO=128,
                                            nslots=2, in_shape=(N, H, W, C),
-                                           lab_roundtrip=True)
+                                           lab_roundtrip=True, wscale=s)
 
     # headline: two-stage kernel with in-kernel Lab epilogue
     try:
         if step_fused3(xf) is not None:
-            per_f3 = _time_chain(step_fused3, xf, n2=6 if QUICK else 11)
+            per_f3 = _time_chain_w(step_fused3, xf, n2=6 if QUICK else 31)
             _report("config2_fused", mp, per_f3,
                     f"1080p batch {N}, two-stage pallas, in-kernel lab")
             px = N * H * W * C
@@ -270,7 +313,10 @@ def config3_document():
         return fused_bilevel_morph_edge(b, otsu_threshold_value(b))
 
     if fused_bilevel_morph_edge(x, 0.5) is not None:
-        per_f = _time_chain(step_fused, x, n2=6 if QUICK else 11)
+        # feedback chain: edge output feeds the next step's otsu, so the
+        # histogram genuinely recomputes per step and no perturbation
+        # traffic is billed to the kernel
+        per_f = _time_chain_feedback(step_fused, x, n2=6 if QUICK else 31)
         _report("config3_fused", mp, per_f,
                 f"letter-page batch {N}, fused pallas morph/edge")
         # otsu histogram pass + fused kernel read/write (1 channel)

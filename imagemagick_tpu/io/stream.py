@@ -116,3 +116,123 @@ def read_stream(filename: str, handler: StreamHandler,
             return done + n
         done += n
     return done
+
+
+def open_rows(filename: str, size: Optional[str] = None):
+    """Random-access row-range reader for streamable formats.
+
+    Returns (loader, (H, W, C)) where loader(y0, y1) -> float32
+    (y1-y0, W, C) reads exactly that byte range from disk — the source
+    contract of models/outofcore.run_chain, so an op chain can run over
+    an image that is never fully resident (stream.c ReadStream's window
+    + cache.c's disk cache rolled together).  Supports binary PNM
+    (P5/P6), uncompressed DirectClass MIFF, and raw gray/rgb/rgba/bgr
+    with an explicit size.
+    """
+    with open(filename, "rb") as f:
+        head = f.read(16)
+        f.seek(0)
+        if head[:2] in (b"P5", b"P6"):
+            kind, w, h, maxval, off = _pnm_header(f)
+            c = 1 if kind == "P5" else 3
+            itemsize, dtype = (1, np.uint8) if maxval < 256 else (2, ">u2")
+            scale = float(maxval)
+        elif head[:14] == b"id=ImageMagick":
+            from . import miff as miffmod
+
+            data = f.read(64 * 1024)
+            fields, off = miffmod._parse_header(data, 0)
+            comp = fields.get("compression", "None").lower()
+            cls = fields.get("class", "DirectClass").lower()
+            if comp not in ("none", "undefined") or cls != "directclass" \
+                    or "__profiles__" in fields:
+                raise ValueError("open_rows: only uncompressed DirectClass "
+                                 "MIFF streams are row-addressable")
+            w = int(fields["columns"])
+            h = int(fields["rows"])
+            depth = int(fields.get("depth", "16"))
+            cs = fields.get("colorspace", "sRGB").lower()
+            alpha = fields.get("alpha", "False").lower() == "true"
+            c = (1 if "gray" in cs else 4 if cs == "cmyk" else 3) + \
+                (1 if alpha else 0)
+            itemsize, dtype = (1, np.uint8) if depth == 8 else (2, ">u2")
+            scale = 255.0 if depth == 8 else 65535.0
+        else:
+            ext = os.path.splitext(filename)[1].lstrip(".").lower()
+            if ext in ("gray", "rgb", "rgba", "bgr") and size:
+                from ..core.geometry import parse_geometry
+
+                g = parse_geometry(size)
+                w, h = int(g.width), int(g.height)
+                c = {"gray": 1, "rgb": 3, "rgba": 4, "bgr": 3}[ext]
+                itemsize, dtype, scale, off = 1, np.uint8, 255.0, 0
+            else:
+                raise ValueError(f"open_rows: {filename!r} is not a "
+                                 "row-addressable stream format")
+    row_bytes = w * c * itemsize
+
+    def loader(y0: int, y1: int) -> np.ndarray:
+        with open(filename, "rb") as fh:
+            fh.seek(off + y0 * row_bytes)
+            raw = fh.read(row_bytes * (y1 - y0))
+        a = np.frombuffer(raw, dtype, (y1 - y0) * w * c).astype(np.float32)
+        return (a / scale).reshape(y1 - y0, w, c)
+
+    return loader, (h, w, c)
+
+
+def convert_streaming(in_path: str, out_path: str, ops=(),
+                      resize=None, post_ops=(), band_rows: int = 512,
+                      depth: int = 8, size: Optional[str] = None) -> None:
+    """End-to-end never-resident convert: row-addressable input -> banded
+    op chain (+ resize) on device -> incremental binary PNM output.
+
+    The tera-pixel tier as one call: input rows are read per band
+    (open_rows), the chain runs via models/outofcore.run_chain, and each
+    output band appends to a P5/P6 file as soon as it is computed (an
+    out-array writer that never holds the full output)."""
+    from ..models.outofcore import run_chain
+
+    loader, (H, W, C) = open_rows(in_path, size=size)
+    if resize is not None:
+        Hout, Wout = resize[0], resize[1]
+    else:
+        Hout, Wout = H, W
+
+    class _BandWriter:
+        """numpy-assignment shim: run_chain writes out[y0:y1] = band in
+        ascending order; each slice is flushed to disk immediately."""
+
+        def __init__(self):
+            self.f = None
+            self.next_row = 0
+            self.cout = None
+
+        def __setitem__(self, key, value):
+            y0, y1 = key.start or 0, key.stop
+            assert y0 == self.next_row, "bands must arrive in order"
+            if self.f is None:
+                self.cout = value.shape[-1]
+                kind = b"P5" if self.cout == 1 else b"P6"
+                maxval = (1 << depth) - 1
+                self.f = open(out_path, "wb")
+                self.f.write(kind + b"\n%d %d\n%d\n" % (Wout, Hout, maxval))
+            maxval = (1 << depth) - 1
+            q = np.clip(np.asarray(value, np.float64) * maxval + 0.5,
+                        0, maxval)
+            if depth == 8:
+                self.f.write(q.astype(np.uint8).tobytes())
+            else:
+                self.f.write(q.astype(">u2").tobytes())
+            self.next_row = y1
+
+        def close(self):
+            if self.f is not None:
+                self.f.close()
+
+    w = _BandWriter()
+    try:
+        run_chain(loader, (H, W, C), ops, resize=resize,
+                  post_ops=post_ops, band_rows=band_rows, out=w)
+    finally:
+        w.close()

@@ -744,8 +744,8 @@ def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
                                 in_shape: Optional[Tuple[int, int, int,
                                                          int]] = None,
                                 lab_roundtrip: bool = False,
-                                interpret: bool = False
-                                ) -> Optional[jnp.ndarray]:
+                                interpret: bool = False,
+                                wscale=None) -> Optional[jnp.ndarray]:
     """Blur -> unsharp (threshold 0) as ONE kernel, two stages inside.
 
     Instead of the rank-2 sum of separable operators (which doubles
@@ -841,7 +841,13 @@ def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
                        chan_epilogue=chanep)
     r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hin, ntiles) +
                np.tile(r0s.astype(np.int64), N)).astype(np.int32)
+    wv = jnp.asarray(WV)
+    if wscale is not None:
+        # traced scalar on the (small) vertical-operator operand: distinct
+        # benchmark steps without an extra full-tensor pass (see
+        # fused_resize_pipeline wscale)
+        wv = wv * jnp.asarray(wscale, wv.dtype)
     out = call(jnp.asarray(r0_flat), x.reshape(N * Hin, WINC),
-               jnp.asarray(WV), jnp.asarray(GB_all))
+               wv, jnp.asarray(GB_all))
     out = out.reshape(N, ntiles * TO, OUTP)
     return out[:, :Hin, :OUT].reshape(N, Hin, Win, C)

@@ -119,3 +119,36 @@ def test_jbig_round_trip():
     assert np.array_equal(np.asarray(back.data)[..., 0] < 0.5, bm)
     assert "jbig" in iio.supported_read_formats()
     assert "jbig" in iio.supported_write_formats()
+
+
+def test_streaming_convert_end_to_end(tmp_path):
+    """open_rows + run_chain + incremental PNM writer: the input is read
+    per band and the output flushed per band — nothing fully resident."""
+    import jax.numpy as jnp
+
+    from imagemagick_tpu.io import stream as stm
+    from imagemagick_tpu.ops import blur as bl
+    from imagemagick_tpu.ops import resize as rz
+    import imagemagick_tpu.io as iio
+
+    rng = np.random.default_rng(7)
+    H, W = 200, 96
+    raw = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    src = tmp_path / "in.ppm"
+    src.write_bytes(b"P6\n%d %d\n255\n" % (W, H) + raw.tobytes())
+    loader, shape = stm.open_rows(str(src))
+    assert shape == (H, W, 3)
+    assert np.allclose(loader(10, 20), raw[10:20] / 255.0)
+    dst = tmp_path / "out.ppm"
+    stm.convert_streaming(str(src), str(dst),
+                          ops=[("blur", {"sigma": 1.5})],
+                          resize=(100, 48, "lanczos"), band_rows=64)
+    ref = rz.resize(bl.gaussian_blur(
+        jnp.asarray(raw / 255.0, jnp.float32), 0.0, 1.5),
+        100, 48, "lanczos")
+    ref8 = np.clip(np.asarray(ref, np.float64) * 255 + 0.5,
+                   0, 255).astype(np.uint8)
+    got = (np.asarray(iio.read_images(str(dst))[0].data) * 255 +
+           0.5).astype(np.uint8)
+    assert got.shape == (100, 48, 3)
+    assert np.abs(got.astype(int) - ref8.astype(int)).max() <= 1
