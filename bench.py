@@ -89,8 +89,12 @@ def _chain(n, fused):
             if fused:
                 # per-step scale on the kernel's (small) weight operand
                 # defeats CSE without an extra full-tensor multiply pass
-                # over the 151MB input (which tripled HBM traffic/step)
-                out = pipeline_flat(b, wscale=1.0 + jnp.float32(i) * 1e-6)
+                # over the 151MB input (which tripled HBM traffic/step).
+                # 1 + i/64: exactly representable after a bf16 weight
+                # split, so the scaled operands stay DISTINCT (1e-6-scale
+                # nudges round away in bf16 and the steps CSE to one call)
+                out = pipeline_flat(b,
+                                    wscale=1.0 + jnp.float32(i) * 0.015625)
             else:
                 # fallback path: perturb the input (ops are not opaque,
                 # so identical inputs would CSE into one step)

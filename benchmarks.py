@@ -39,13 +39,19 @@ def _time_chain_w(make_step, x, n1=1, n2=11, reps=4):
     per-step traced scalar on a SMALL kernel operand — anti-CSE with no
     extra full-tensor traffic (the input-perturbation variant below adds
     a whole read+write of the input per step and bills it to the kernel;
-    it measured config #1 at 28k where the kernel actually runs 53k)."""
+    it measured config #1 at 28k where the kernel actually runs 53k).
+
+    The step scale must survive a bf16 weight split: kernels pre-split
+    operands to (hi, lo) bf16 (~16-bit combined), where 1+i*1e-6 rounds
+    back to IDENTICAL operands and every step CSEs into one call
+    (measured: a 31-step chain = 1-step wall time, '16 billion MP/s').
+    1 + i/64 is exactly representable in bf16 and keeps steps distinct."""
     def chain(n):
         @jax.jit
         def f(b):
             acc = jnp.float32(0)
             for i in range(n):
-                out = make_step(b, 1.0 + jnp.float32(i) * 1e-6)
+                out = make_step(b, 1.0 + jnp.float32(i) * 0.015625)
                 acc = acc + jnp.sum(out)
             return acc
         return f

@@ -186,14 +186,23 @@ def _mm(a, b, precision):
 
 
 def _lane_shift(z, d):
-    """result[:, t] = z[:, t + d], zero-padded at the edges."""
+    """result[:, t] = z[:, t + d], zero-padded at the edges.
+
+    Implemented as a lane rotate + iota edge mask: Mosaic lowers
+    tpu.dynamic_rotate natively, while the concatenate form trips
+    "result/input offset mismatch on non-concat dimension" for
+    non-128-multiple slice widths (observed on the 5760-lane config-2
+    epilogue)."""
     if d == 0:
         return z
     L = z.shape[1]
-    zeros = jnp.zeros((z.shape[0], abs(d)), z.dtype)
-    if d > 0:
-        return jnp.concatenate([z[:, d:], zeros], axis=1)
-    return jnp.concatenate([zeros, z[:, :L + d]], axis=1)
+    try:
+        rolled = pltpu.roll(z, -d % L, 1)   # rolled[:, t] = z[:, t + d]
+    except Exception:       # interpret mode / non-TPU lowering
+        rolled = jnp.roll(z, -d, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    ok = (lane < L - d) if d > 0 else (lane >= -d)
+    return jnp.where(ok, rolled, jnp.float32(0.0))
 
 
 def _lane_mat3(z, M, C):
@@ -263,8 +272,13 @@ def _lab_roundtrip_rows(z, C):
     # f(t) with per-channel whitepoint
     wp = _lane_chanconst(z.shape, D65, C)
     r = xyz / wp
+    # cbrt via exp2(log2(x)/3): Mosaic has no cbrt primitive, and the
+    # split-exponent form measures in the noise on VPU (CLAUDE.md pow
+    # trick); the branch only uses it for r > CIE_EPSILON > 0
+    cbrt_r = jnp.exp2(jnp.log2(jnp.maximum(r, 1e-30)) *
+                      jnp.float32(1.0 / 3.0))
     f = jnp.where(r > CIE_EPSILON,
-                  jnp.cbrt(jnp.maximum(r, 0.0)),
+                  cbrt_r,
                   (jnp.float32(CIE_K) * r + 16.0) / 116.0)
     # Lab (stored scaling: L/100, a/255+.5, b/255+.5) as an affine mix
     A = [[0.0, 116.0 / 100.0, 0.0],
@@ -406,7 +420,26 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
         # clamp first: the op path clips the unsharp result before the
         # colorspace conversion (per-op Q16-style clamping)
         out = jnp.clip(out, 0.0, 1.0)
-        out = chan_epilogue(out, unsharp[3] if unsharp is not None else 3)
+        Cep = unsharp[3] if unsharp is not None else 3
+        L = out.shape[1]
+        # chunk the lanes so the epilogue's ~8 live (TO, chunk) temps fit
+        # the 16MB Mosaic scoped-vmem stack at TO>=64: chunk boundaries
+        # must be 128-aligned (vreg) AND pixel-aligned (lane mixes stay
+        # in-chunk); target <= ~2K lanes per chunk
+        nch = 1
+        for cand in range(2, 9):
+            if L % cand == 0 and (L // cand) % 128 == 0 and \
+                    (L // cand) % Cep == 0 and L // cand >= 512:
+                nch = cand
+                if L // cand <= 2048:
+                    break
+        if nch > 1:
+            w_ = L // nch
+            out = jnp.concatenate(
+                [chan_epilogue(out[:, j * w_:(j + 1) * w_], Cep)
+                 for j in range(nch)], axis=1)
+        else:
+            out = chan_epilogue(out, Cep)
     if clip:
         out = jnp.clip(out, 0.0, 1.0)
     out_ref[:, :] = out
@@ -824,11 +857,27 @@ def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
     GB_all = np.stack(keep)
     vmem = (nslots * BAND * WINC + GB_all.size + WV.size +
             2 * TOE * OUTP + TOE * WINC) * 4
+    if lab_roundtrip:
+        # the Lab epilogue keeps ~8 live (TOE, chunk) f32 temporaries on
+        # the Mosaic stack — without this surcharge the TO=64 variant
+        # passes the block budget but blows the 16MB scoped-vmem limit
+        # at lowering (measured 17.8M unchunked).  Mirror the kernel's
+        # lane-chunking choice (128- and C-aligned, <= ~2K lanes).
+        chunk = WINC
+        for cand in range(2, 9):
+            if WINC % cand == 0 and (WINC // cand) % 128 == 0 and \
+                    (WINC // cand) % C == 0 and WINC // cand >= 512:
+                chunk = WINC // cand
+                if chunk <= 2048:
+                    break
+        vmem += 8 * TOE * chunk * 4
     if vmem > _VMEM_BUDGET:
         if TO > 16:
             return fused_blur_unsharp_pipeline(
                 x, sigma_blur, sigma_unsharp, gain, C, TO // 2, nslots,
-                precision, in_shape, interpret)
+                precision=precision, in_shape=in_shape,
+                lab_roundtrip=lab_roundtrip, interpret=interpret,
+                wscale=wscale)
         return None
     unsharp = (taps, taps, float(gain), C)
     chanep = _lab_roundtrip_rows if lab_roundtrip and C == 3 else None

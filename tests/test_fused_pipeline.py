@@ -196,3 +196,30 @@ def test_blur_unsharp_lab_roundtrip_epilogue():
     mse = float(np.mean(err ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-30))
     assert psnr >= 60.0, f"in-kernel Lab epilogue PSNR {psnr:.1f}dB"
+
+
+def test_blur_unsharp_lab_survives_vmem_recursion(monkeypatch):
+    """The VMEM-budget TO-halving recursion must forward lab_roundtrip/
+    wscale — a positional-arg slip silently DROPPED the Lab epilogue on
+    real hardware for every shape that recursed (found round 4)."""
+    import numpy as np
+
+    from imagemagick_tpu.ops import colorspace as cs
+    from imagemagick_tpu.ops import fused_pipeline as fp
+
+    rng = np.random.default_rng(22)
+    N, H, W, C = 2, 64, 128, 3
+    x = jnp.asarray(rng.random((N, H, W, C)).astype(np.float32))
+    base = fp.fused_blur_unsharp_pipeline(x, 2.0, 1.0, 1.0, C, TO=64,
+                                          interpret=True)
+    want = cs.convert(cs.convert(base, "srgb", "lab"), "lab", "srgb")
+    # force at least one recursion step
+    monkeypatch.setattr(fp, "_VMEM_BUDGET", 1600 * 1024)
+    got = fp.fused_blur_unsharp_pipeline(x, 2.0, 1.0, 1.0, C, TO=64,
+                                         lab_roundtrip=True, interpret=True)
+    if got is None:
+        import pytest
+        pytest.skip("shape declined at the tiny test budget")
+    err = np.asarray(want) - np.asarray(got)
+    psnr = 10 * np.log10(1.0 / max(float(np.mean(err ** 2)), 1e-30))
+    assert psnr >= 60.0, f"lab missing after recursion: {psnr:.1f}dB"
