@@ -194,9 +194,16 @@ def config1_cli():
     run(N1); run(N2)                              # compile/warm both
     assert dsp.COUNTS["pallas"] >= before + 2, \
         "CLI chain did not dispatch to the fused kernel"
-    t1 = min(timeit.repeat(lambda: run(N1), number=1, repeat=4))
-    t2 = min(timeit.repeat(lambda: run(N2), number=1, repeat=4))
-    per_img = max((t2 - t1) / (N2 - N1), 1e-9)
+    # the per-image cost here is host-side CLI interpretation + the
+    # batched kernel; python timing on this 1-core box is noisy, so take
+    # the median of 5 per-round marginals (observed 112-581 MP/s swings
+    # from a single min-of-4 pair)
+    margs = []
+    for _ in range(5):
+        t1 = min(timeit.repeat(lambda: run(N1), number=1, repeat=3))
+        t2 = min(timeit.repeat(lambda: run(N2), number=1, repeat=3))
+        margs.append(max((t2 - t1) / (N2 - N1), 1e-9))
+    per_img = sorted(margs)[len(margs) // 2]
     mp = H * W / 1e6
     _report("config1_cli", mp, per_img,
             f"CLI-driven batch marginal ({N2}-{N1} imgs, fused dispatch)")
