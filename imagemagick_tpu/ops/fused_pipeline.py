@@ -185,71 +185,69 @@ def _mm(a, b, precision):
                                preferred_element_type=jnp.float32)
 
 
-def _lane_shift(z, d):
-    """result[:, t] = z[:, t + d], zero-padded at the edges.
+def _roll_lanes(z, d):
+    """Lane roll WITHOUT edge masking: result[:, t] = z[:, t + d] (wrapped).
 
-    Implemented as a lane rotate + iota edge mask: Mosaic lowers
-    tpu.dynamic_rotate natively, while the concatenate form trips
+    Mosaic lowers tpu.dynamic_rotate natively (the concatenate form trips
     "result/input offset mismatch on non-concat dimension" for
-    non-128-multiple slice widths (observed on the 5760-lane config-2
-    epilogue)."""
+    non-128-multiple widths).  Callers only combine rolled values with
+    per-lane coefficients/masks that are ZERO wherever the roll wrapped —
+    a within-pixel channel shift never leaves the array (lane t mixing
+    channel ct only reads t + d with ct + d a valid channel of the SAME
+    pixel) — so the iota edge mask the previous implementation paid per
+    shift (~3 extra VPU ops on the full tile) was dead weight."""
     if d == 0:
         return z
     L = z.shape[1]
     try:
-        rolled = pltpu.roll(z, -d % L, 1)   # rolled[:, t] = z[:, t + d]
+        return pltpu.roll(z, -d % L, 1)
     except Exception:       # interpret mode / non-TPU lowering
-        rolled = jnp.roll(z, -d, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-    ok = (lane < L - d) if d > 0 else (lane >= -d)
-    return jnp.where(ok, rolled, jnp.float32(0.0))
+        return jnp.roll(z, -d, axis=1)
 
 
-def _lane_mat3(z, M, C):
+def _lane_mat3(z, M, C, ch):
     """Per-pixel 3x3 channel mix on channel-interleaved lanes.
 
     z: (rows, W*C) with channel c at lane w*C+c.  out[t] =
-    sum_c M[t%C, c] * z[t - t%C + c], built from C*2-1 lane shifts with
-    iota-derived per-channel coefficient masks (all VPU work — the same
-    trick as the unsharp epilogue's border shifts)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-    ch = lane % C
-    out = jnp.zeros_like(z)
+    sum_c M[t%C, c] * z[t - t%C + c], as one roll + one multiply-add per
+    NONZERO band d = c - t%C, with the per-band coefficient field
+    (M[ct][ct+d] at channel-ct lanes) assembled from the shared ch =
+    lane%C field.  All-zero matrix entries drop from the field build and
+    all-zero bands drop entirely (the Lab A/B mixes are 5-nonzero
+    matrices: 3-4 bands instead of 5).  NOTE: every intermediate here is
+    FULL tile shape — (1, L) sublane-broadcast constant fields lowered
+    but wedged the remote Mosaic compile helper on the 5760-lane config-2
+    shape (reproducibly, 2026-08-19); don't reintroduce them."""
+    out = None
     for d in range(-(C - 1), C):
+        terms = [(ct, float(M[ct][ct + d])) for ct in range(C)
+                 if 0 <= ct + d < C and float(M[ct][ct + d]) != 0.0]
+        if not terms:
+            continue
         wv = None
-        for ct in range(C):
-            cs_ = ct + d
-            if 0 <= cs_ < C:
-                m = jnp.where(ch == ct, jnp.float32(M[ct][cs_]), 0.0)
-                wv = m if wv is None else wv + m
-        if wv is not None:
-            out = out + _lane_shift(z, d) * wv
+        for ct, v in terms:
+            m = jnp.where(ch == ct, jnp.float32(v), 0.0)
+            wv = m if wv is None else wv + m
+        contrib = _roll_lanes(z, d) * wv
+        out = contrib if out is None else out + contrib
     return out
 
 
-def _lane_chanconst(shape, vals, C):
-    """(rows, W*C) constant field: vals[c] at every channel-c lane."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    ch = lane % C
-    out = jnp.full(shape, jnp.float32(vals[0]))
-    for c in range(1, C):
+def _lane_chanconst(ch, vals):
+    """Constant field: vals[c] at every channel-c lane."""
+    out = jnp.full(ch.shape, jnp.float32(vals[0]))
+    for c in range(1, len(vals)):
         out = jnp.where(ch == c, jnp.float32(vals[c]), out)
     return out
 
 
-def _lane_chanmin(z, C):
+def _lane_chanmin(z, C, ch):
     """Per-pixel min over the C channels, broadcast back to every lane."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-    ch = lane % C
-    mn = jnp.full(z.shape, jnp.float32(1e30))
-    for d in range(-(C - 1), C):
-        valid = None
-        for ct in range(C):
-            if 0 <= ct + d < C:
-                m = ch == ct
-                valid = m if valid is None else valid | m
-        if valid is not None:
-            mn = jnp.where(valid, jnp.minimum(mn, _lane_shift(z, d)), mn)
+    mn = z
+    for d in [x for x in range(-(C - 1), C) if x != 0]:
+        valid = (ch >= -d) if d < 0 else (ch < C - d)
+        mn = jnp.minimum(mn, jnp.where(valid, _roll_lanes(z, d),
+                                       jnp.float32(1e30)))
     return mn
 
 
@@ -258,25 +256,29 @@ def _lab_roundtrip_rows(z, C):
 
     The exact per-pixel math of ops.colorspace rgb_to_lab/lab_to_rgb
     (sRGBTransformImage/TransformsRGBImage, colorspace.c:722) expressed
-    as VPU elementwise chains + lane-shift 3x3 mixes, so the config-2
+    as VPU elementwise chains + lane-roll 3x3 mixes, so the config-2
     epilogue costs zero extra HBM traffic (VERDICT r2 #2).  pow sites
-    use the measured split-exponent exp2/log2 forms (~100dB)."""
+    use the measured split-exponent exp2/log2 forms; the cbrt estimate
+    gets one Newton step — the op path uses jnp.cbrt, and the raw
+    exp2(log2/3) estimate alone capped kernel-vs-op fidelity at ~97dB."""
     from ..ops.colorspace import (CIE_EPSILON, CIE_K, D65, _RGB2XYZ,
                                   _XYZ2RGB)
 
+    # shared lane-phase field, built once per call (the old helpers each
+    # re-derived iota+mod+compare mask chains per band — the bulk of the
+    # epilogue's VPU time)
+    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    ch = lane % C
     # decode sRGB -> linear (x^2.4 = x^2 * exp2(0.4 log2 x))
     vs = jnp.maximum((z + 0.055) / 1.055, 1e-12)
     p24 = vs * vs * jnp.exp2(jnp.float32(0.4) * jnp.log2(vs))
     lin = jnp.where(z <= 0.0404482362771076, z / 12.92, p24)
-    xyz = _lane_mat3(lin, np.asarray(_RGB2XYZ), C)
+    xyz = _lane_mat3(lin, np.asarray(_RGB2XYZ), C, ch)
     # f(t) with per-channel whitepoint
-    wp = _lane_chanconst(z.shape, D65, C)
-    r = xyz / wp
-    # cbrt via exp2(log2(x)/3): Mosaic has no cbrt primitive, and the
-    # split-exponent form measures in the noise on VPU (CLAUDE.md pow
-    # trick); the branch only uses it for r > CIE_EPSILON > 0
-    cbrt_r = jnp.exp2(jnp.log2(jnp.maximum(r, 1e-30)) *
-                      jnp.float32(1.0 / 3.0))
+    r = xyz * _lane_chanconst(ch, [1.0 / w for w in D65])
+    rm = jnp.maximum(r, 1e-30)
+    y0 = jnp.exp2(jnp.log2(rm) * jnp.float32(1.0 / 3.0))
+    cbrt_r = (2.0 * y0 + rm / (y0 * y0)) * jnp.float32(1.0 / 3.0)
     f = jnp.where(r > CIE_EPSILON,
                   cbrt_r,
                   (jnp.float32(CIE_K) * r + 16.0) / 116.0)
@@ -284,31 +286,31 @@ def _lab_roundtrip_rows(z, C):
     A = [[0.0, 116.0 / 100.0, 0.0],
          [500.0 / 255.0, -500.0 / 255.0, 0.0],
          [0.0, 200.0 / 255.0, -200.0 / 255.0]]
-    lab = _lane_mat3(f, A, C) + _lane_chanconst(z.shape,
-                                                (-16.0 / 100.0, 0.5, 0.5), C)
+    off = _lane_chanconst(ch, (-16.0 / 100.0, 0.5, 0.5))
+    lab = _lane_mat3(f, A, C, ch) + off
     # inverse: unscale + (x,y,z) f-values as an affine mix
-    lab0 = lab - _lane_chanconst(z.shape, (-16.0 / 100.0, 0.5, 0.5), C)
+    lab0 = lab - off
     B = [[100.0 / 116.0, 255.0 / 500.0, 0.0],
          [100.0 / 116.0, 0.0, 0.0],
          [100.0 / 116.0, 0.0, -255.0 / 200.0]]
-    fxyz = _lane_mat3(lab0, B, C)
+    fxyz = _lane_mat3(lab0, B, C, ch)
     f3 = fxyz * fxyz * fxyz
-    # L in raw units for the Y linear-branch test (lab0's L lane holds
-    # (Lraw + 16)/100)
-    Lraw = _lane_mat3(lab0, [[100.0, 0.0, 0.0]] * 3, C) - 16.0
-    lin_branch = (116.0 * fxyz - 16.0) / jnp.float32(CIE_K)
-    xyz2 = jnp.where(f3 > CIE_EPSILON, f3, lin_branch)
-    # Y channel uses the L > K*eps test (lab_raw_to_xyz)
-    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-    is_y = (lane % C) == 1
-    y_lin = Lraw / jnp.float32(CIE_K)
-    xyz2 = jnp.where(is_y,
-                     jnp.where(Lraw > CIE_K * CIE_EPSILON, f3, y_lin),
-                     xyz2)
-    xyz2 = xyz2 * wp
-    rgb = _lane_mat3(xyz2, np.asarray(_XYZ2RGB), C)
+    # linear branch (116 f - 16)/K at every lane; at the Y lane
+    # 116*fxyz - 16 IS Lraw (fxyz_y = (Lraw+16)/116), so the reference's
+    # separate Y test (L > K*eps ? f^3 : L/K — lab_raw_to_xyz) falls out
+    # of the same two fields: the old extra Lraw 3x3 mix + per-lane
+    # selects are gone.  Nested f32 selects — NOT i1 mask algebra:
+    # select-between-bool-vectors doesn't lower (i8->i1 trunc error)
+    linb = (116.0 * fxyz - 16.0) / jnp.float32(CIE_K)
+    xyz2 = jnp.where((ch == 1),
+                     jnp.where(fxyz > jnp.float32((CIE_K * CIE_EPSILON
+                                                   + 16.0) / 116.0),
+                               f3, linb),
+                     jnp.where(f3 > jnp.float32(CIE_EPSILON), f3, linb))
+    xyz2 = xyz2 * _lane_chanconst(ch, D65)
+    rgb = _lane_mat3(xyz2, np.asarray(_XYZ2RGB), C, ch)
     # out-of-gamut lift (colorspace-private.h:84-90)
-    mn = _lane_chanmin(rgb, C)
+    mn = _lane_chanmin(rgb, C, ch)
     rgb = jnp.where(mn < 0.0, rgb - mn, rgb)
     # encode linear -> sRGB
     ve = jnp.maximum(rgb, 1e-12)
