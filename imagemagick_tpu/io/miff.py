@@ -224,8 +224,8 @@ def decode(data: bytes) -> List[Image]:
         props = {k: v for k, v in fields.items()
                  if k not in ("columns", "rows", "depth", "colorspace", "alpha",
                               "matte", "compression", "class", "colors",
-                              "quantum-format", "id", "version", "montage",
-                              "__profiles__")}
+                              "quantum-format", "quantum:format", "quality",
+                              "id", "version", "montage", "__profiles__")}
         img = Image(f, ImageSpec(colorspace=cs, alpha=alpha, depth=min(depth, 16)),
                     properties=props, profiles=profiles)
         images.append(img)
@@ -271,6 +271,13 @@ def _encode_one(img: Image, depth: int, compression: str) -> bytes:
         f"compression={comp_name}  quality=0\n"
     )
     for k, v in img.properties.items():
+        # Never re-emit quantum-format/quality keys: the encoder always
+        # writes integer quantum at its chosen depth, so a stale
+        # quantum:format=floating-point property would make re-decoders
+        # misread the integer payload as half-floats (miff.c's encoder
+        # likewise derives quantum:format from the actual pixel write).
+        if str(k) in ("quantum-format", "quantum:format", "quality"):
+            continue
         if re.match(r"^[A-Za-z][\w:.-]*$", str(k)):
             head += f"{k}={{{v}}}\n"
     head += "\x0c\n:\x1a"

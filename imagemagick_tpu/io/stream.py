@@ -89,7 +89,15 @@ def read_stream(filename: str, handler: StreamHandler,
                 alpha = fields.get("alpha", "False").lower() == "true"
                 c = (1 if "gray" in cs else 4 if cs == "cmyk" else 3) + \
                     (1 if alpha else 0)
+                qfmt = fields.get("quantum:format",
+                                  fields.get("quantum-format", "")).lower()
                 f.seek(pos)
+                if qfmt == "floating-point":
+                    # Q16-HDRI half-float / Q32 float payloads, values
+                    # already normalized [0,1] (miff.c quantum:format) —
+                    # mirror miff.decode's >f2/>f4 handling.
+                    isz, dt = (2, ">f2") if depth == 16 else (4, ">f4")
+                    return deliver_incremental(f, w, h, c, isz, dt, 1.0, pos)
                 if depth == 8:
                     return deliver_incremental(f, w, h, c, 1, np.uint8,
                                                255.0, pos)
@@ -155,8 +163,14 @@ def open_rows(filename: str, size: Optional[str] = None):
             alpha = fields.get("alpha", "False").lower() == "true"
             c = (1 if "gray" in cs else 4 if cs == "cmyk" else 3) + \
                 (1 if alpha else 0)
-            itemsize, dtype = (1, np.uint8) if depth == 8 else (2, ">u2")
-            scale = 255.0 if depth == 8 else 65535.0
+            qfmt = fields.get("quantum:format",
+                              fields.get("quantum-format", "")).lower()
+            if qfmt == "floating-point":
+                itemsize, dtype = (2, ">f2") if depth == 16 else (4, ">f4")
+                scale = 1.0
+            else:
+                itemsize, dtype = (1, np.uint8) if depth == 8 else (2, ">u2")
+                scale = 255.0 if depth == 8 else 65535.0
         else:
             ext = os.path.splitext(filename)[1].lstrip(".").lower()
             if ext in ("gray", "rgb", "rgba", "bgr") and size:
@@ -213,6 +227,11 @@ def convert_streaming(in_path: str, out_path: str, ops=(),
             assert y0 == self.next_row, "bands must arrive in order"
             if self.f is None:
                 self.cout = value.shape[-1]
+                if self.cout not in (1, 3):
+                    raise ValueError(
+                        f"convert_streaming: PNM output supports 1 or 3 "
+                        f"channels, chain produced {self.cout} (flatten or "
+                        f"-separate alpha before a streaming convert)")
                 kind = b"P5" if self.cout == 1 else b"P6"
                 maxval = (1 << depth) - 1
                 self.f = open(out_path, "wb")

@@ -214,6 +214,53 @@ def test_miff_unsupported_compression_raises():
         miff.decode(blob)
 
 
+def test_miff_float_quantum_reencode_roundtrip():
+    """Regression: a decoded half-float MIFF (quantum:format=floating-point,
+    miff.c Q16-HDRI payload) must survive re-encode + re-decode. The decoder
+    used to pass 'quantum:format' through as a property; the encoder re-emitted
+    it while writing integer >u2 pixels, so a second decode misread integers
+    as half-floats (values ~3424.0 from a [0,1] image)."""
+    from imagemagick_tpu.io import miff
+
+    vals = np.linspace(0.0, 1.0, 12, dtype=np.float32).reshape(2, 2, 3)
+    payload = vals.astype(">f2").tobytes()
+    blob = (b"id=ImageMagick  version=1.0\n"
+            b"class=DirectClass  colors=0  alpha=False\n"
+            b"columns=2  rows=2  depth=16\n"
+            b"colorspace=sRGB\ncompression=None\n"
+            b"quantum:format={floating-point}\n"
+            b"\x0c\n:\x1a") + payload
+    first = miff.decode(blob)[0]
+    assert float(np.abs(first.to_numpy() - vals).max()) < 1e-3
+    again = miff.decode(miff.encode(first, depth=16))[0]
+    diff = float(np.abs(again.to_numpy() - first.to_numpy()).max())
+    assert diff < 1e-4, f"re-encode round-trip corrupted pixels (max {diff})"
+    assert "quantum:format" not in again.properties
+
+
+def test_stream_float_quantum_miff(tmp_path):
+    """io.stream row readers must honor quantum:format=floating-point
+    (half-float rows), mirroring miff.decode (ADVICE r4)."""
+    from imagemagick_tpu.io import stream as iostream
+
+    vals = np.linspace(0.0, 1.0, 24, dtype=np.float32).reshape(4, 2, 3)
+    blob = (b"id=ImageMagick  version=1.0\n"
+            b"class=DirectClass  colors=0  alpha=False\n"
+            b"columns=2  rows=4  depth=16\n"
+            b"colorspace=sRGB\ncompression=None\n"
+            b"quantum:format={floating-point}\n"
+            b"\x0c\n:\x1a") + vals.astype(">f2").tobytes()
+    p = tmp_path / "f16.miff"
+    p.write_bytes(blob)
+    loader, (h, w, c) = iostream.open_rows(str(p))
+    assert (h, w, c) == (4, 2, 3)
+    rows = loader(1, 3)
+    assert float(np.abs(rows - vals[1:3]).max()) < 1e-3
+    got = []
+    iostream.read_stream(str(p), lambda b, y: got.append(b), rows_per_batch=2)
+    assert float(np.abs(np.concatenate(got) - vals).max()) < 1e-3
+
+
 def test_meta_channels(img):
     """Meta-channel tail (pixel.h:27 64-channel map analog): carried by
     geometry ops, ignored by color ops, strippable."""
