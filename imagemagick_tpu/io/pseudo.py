@@ -149,65 +149,64 @@ def pattern(name: str, width: int = 256, height: int = 256) -> Image:
     raise ValueError(f"unknown pattern {name!r}")
 
 
-_BUILTIN_WARNED = set()
+# The reference embeds the built-in images as literal GIF/PNM blobs in
+# coders/magick.c:12992 (MagickImageList[]: LOGO/GRANITE/ROSE/WIZARD/
+# NETSCAPE, registered at coders/magick.c:13106+).  We carry the SAME
+# canonical pixels, extracted once from a reference 7.1.1-45 Q16-HDRI
+# build (`magick rose: -depth 8 RGB:rose.raw`) and packed as one
+# zlib-compressed asset — data extraction, so rose:-derived fixtures and
+# user scripts keyed on built-ins are bit-exact with the reference.
+_BUILTIN_CACHE = {}
 
 
-def _warn_builtin(name: str) -> None:
-    """One-time warning: builtin fixtures are procedural stand-ins, so
-    scripts expecting the reference's embedded bitmaps (coders/magick.c)
-    get different pixels (VERDICT r2 weak #6 — surface this)."""
-    if name not in _BUILTIN_WARNED:
-        _BUILTIN_WARNED.add(name)
-        import sys
+def _load_builtin(name: str) -> Image:
+    if name not in _BUILTIN_CACHE:
+        import os
+        import struct
+        import zlib
 
-        print(f"tmagick: note: '{name}:' is a procedural stand-in, not "
-              "the reference's embedded bitmap — pixel values differ",
-              file=sys.stderr)
+        import numpy as np
 
-
-def _builtin(seed: int, width: int, height: int, hue_shift: float) -> Image:
-    """Deterministic decorative stand-ins for the embedded builtin images
-    (logo:, rose:, wizard:, granite:, netscape: — coders/magick.c embeds
-    real bitmaps; we synthesize stable procedural canvases instead)."""
-    img = plasma("", width, height, seed=seed)
-    from ..ops import colorspace as cs
-
-    hsl = cs.rgb_to_hsl(img.data)
-    h = jnp.mod(hsl[..., 0] + hue_shift, 1.0)
-    s = jnp.clip(hsl[..., 1] * 0.7 + 0.2, 0.0, 1.0)
-    out = cs.hsl_to_rgb(jnp.stack([h, s, hsl[..., 2]], axis=-1))
-    return Image(out, ImageSpec(colorspace="srgb"))
+        path = os.path.join(os.path.dirname(__file__), "builtin_images.bin")
+        with open(path, "rb") as f:
+            blob = f.read()
+        pos = 0
+        found = None
+        while pos < len(blob):
+            end = blob.index(b"\0", pos)
+            key = blob[pos:end].decode()
+            h, w, clen = struct.unpack_from("<III", blob, end + 1)
+            data_off = end + 13
+            if key == name:
+                raw = zlib.decompress(blob[data_off:data_off + clen])
+                arr = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+                found = arr.astype(np.float32) / 255.0
+            pos = data_off + clen
+        if found is None:
+            raise ValueError(f"unknown builtin image {name!r}")
+        _BUILTIN_CACHE[name] = found
+    return Image(jnp.asarray(_BUILTIN_CACHE[name]),
+                 ImageSpec(colorspace="srgb", depth=8))
 
 
 def logo() -> Image:
-    _warn_builtin("logo")
-    return _builtin(1, 640, 480, 0.55)
+    return _load_builtin("logo")
 
 
 def rose() -> Image:
-    _warn_builtin("rose")
-    return _builtin(2, 70, 46, 0.95)
+    return _load_builtin("rose")
 
 
 def wizard() -> Image:
-    _warn_builtin("wizard")
-    return _builtin(3, 480, 640, 0.13)
+    return _load_builtin("wizard")
 
 
 def granite() -> Image:
-    _warn_builtin("granite")
-    img = plasma("", 128, 128, seed=4)
-    g = jnp.mean(img.data, axis=-1, keepdims=True) * 0.3 + 0.55
-    return Image(jnp.repeat(g, 3, axis=-1), ImageSpec(colorspace="srgb"))
+    return _load_builtin("granite")
 
 
 def netscape() -> Image:
-    # 216-color web-safe cube swatch (coders/magick.c NETSCAPE image intent)
-    vals = jnp.asarray([0.0, 0.2, 0.4, 0.6, 0.8, 1.0], jnp.float32)
-    r, g, b = jnp.meshgrid(vals, vals, vals, indexing="ij")
-    data = jnp.stack([r, g, b], axis=-1).reshape(6, 36, 3)
-    data = jnp.repeat(jnp.repeat(data, 8, axis=0), 6, axis=1)
-    return Image(data, ImageSpec(colorspace="srgb"))
+    return _load_builtin("netscape")
 
 
 def label(text: str, width=None, height=None, settings=None) -> Image:

@@ -884,3 +884,25 @@ def test_identify_format_matches_reference(src, fmt, capsys):
     candidates = (ov, ov * 65535.0, ov / 65535.0)
     assert any(abs(c - rv) <= max(2e-4 * max(abs(rv), 1.0), 1e-6)
                for c in candidates), (fmt, ours, ref)
+
+
+# built-in images: must be BIT-EXACT with the reference's embedded bitmaps
+# (coders/magick.c:12992 MagickImageList; our pixels are extracted from the
+# oracle binary itself and packed in io/builtin_images.bin)
+@pytest.mark.parametrize("name", ["rose", "logo", "wizard", "granite",
+                                  "netscape"])
+def test_builtin_images_bit_exact(tmp_path, name):
+    from PIL import Image as PILImage
+
+    from imagemagick_tpu.cli.main import process
+
+    ref_out = tmp_path / "ref.png"
+    subprocess.run([_REF, f"{name}:", str(ref_out)],
+                   check=True, capture_output=True)
+    our_out = tmp_path / "ours.png"
+    process([f"{name}:", str(our_out)])
+    a = np.asarray(PILImage.open(str(ref_out)).convert("RGB"))
+    b = np.asarray(PILImage.open(str(our_out)).convert("RGB"))
+    assert a.shape == b.shape, (name, a.shape, b.shape)
+    assert np.array_equal(a, b), \
+        f"{name}: max |diff| = {np.abs(a.astype(int) - b.astype(int)).max()}"
