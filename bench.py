@@ -82,26 +82,34 @@ def _chain(n, fused):
     import jax
     import jax.numpy as jnp
 
+    # lax.scan, NOT an unrolled Python loop: the round-4 driver bench timed
+    # out (540s) because the 60-step UNROLLED pallas chain takes ~10min to
+    # remote-compile cold (program size scales the compile helper's cost;
+    # the cache had been evicted between the last good run and the driver's
+    # end-of-round run).  With scan the body compiles ONCE regardless of n.
     @jax.jit
     def fn(b):
-        acc = jnp.float32(0.0)
-        for i in range(n):
+        def body(acc, i):
             if fused:
                 # per-step scale on the kernel's (small) weight operand
                 # defeats CSE without an extra full-tensor multiply pass
                 # over the 151MB input (which tripled HBM traffic/step).
                 # 1 + i/64: exactly representable after a bf16 weight
                 # split, so the scaled operands stay DISTINCT (1e-6-scale
-                # nudges round away in bf16 and the steps CSE to one call)
-                out = pipeline_flat(b,
-                                    wscale=1.0 + jnp.float32(i) * 0.015625)
+                # nudges round away in bf16 and the steps CSE to one call).
+                # Under scan the scale is loop-carried-traced, so steps
+                # cannot CSE either way.
+                out = pipeline_flat(b, wscale=1.0 +
+                                    i.astype(jnp.float32) * 0.015625)
             else:
                 # fallback path: perturb the input (ops are not opaque,
                 # so identical inputs would CSE into one step)
-                out = pipeline_xla(b * (1.0 + jnp.float32(i) * 1e-6))
+                out = pipeline_xla(b * (1.0 + i.astype(jnp.float32) * 1e-6))
             # full sum — a sliced sum lets XLA dead-code whole images out
             # of the (non-opaque) fallback path and under-report
-            acc = acc + jnp.sum(out)
+            return acc + jnp.sum(out), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return acc
 
     return fn
@@ -157,39 +165,45 @@ def main():
 
 
 def _supervise():
-    """Run the measurement in a watchdogged child; fall back to the last
-    good figure if the worker hangs or dies."""
+    """Run the measurement in a watchdogged child; retry once (a first
+    attempt can hit a cold remote-compile that the retry then finds cached),
+    fall back to the last good figure only if both attempts fail."""
     env = dict(os.environ)
     env[_CHILD_ENV] = "1"
-    try:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           capture_output=True, text=True,
-                           timeout=_TIMEOUT_S, env=env)
-        for line in (r.stdout or "").splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                rec = json.loads(line)
-                if "metric" in rec and "value" in rec:
-                    with open(_LASTGOOD, "w") as f:
-                        json.dump(rec, f)
-                    print(json.dumps(rec))
-                    return
-        raise RuntimeError("no JSON line from child:\n" + (r.stderr or ""))
-    except (subprocess.TimeoutExpired, RuntimeError,
-            json.JSONDecodeError) as exc:
-        if os.path.exists(_LASTGOOD):
-            rec = json.load(open(_LASTGOOD))
-            rec["unit"] = rec.get("unit", "") + \
-                " [last-good: live run failed/timed out (%s)]" % \
-                type(exc).__name__
-            print(json.dumps(rec))
-        else:
-            print(json.dumps({
-                "metric": "thumbnail_pipeline_megapixels_per_sec",
-                "value": 0.0,
-                "unit": "bench failed: %s" % type(exc).__name__,
-                "vs_baseline": 0.0,
-            }))
+    attempts = int(os.environ.get("IMTPU_BENCH_ATTEMPTS", "2"))
+    exc = None
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               capture_output=True, text=True,
+                               timeout=_TIMEOUT_S, env=env)
+            for line in (r.stdout or "").splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    if "metric" in rec and "value" in rec:
+                        with open(_LASTGOOD, "w") as f:
+                            json.dump(rec, f)
+                        print(json.dumps(rec))
+                        return
+            raise RuntimeError("no JSON line from child:\n" +
+                               (r.stderr or ""))
+        except (subprocess.TimeoutExpired, RuntimeError,
+                json.JSONDecodeError) as e:
+            exc = e
+    if os.path.exists(_LASTGOOD):
+        rec = json.load(open(_LASTGOOD))
+        rec["unit"] = rec.get("unit", "") + \
+            " [last-good: live run failed/timed out (%s)]" % \
+            type(exc).__name__
+        print(json.dumps(rec))
+    else:
+        print(json.dumps({
+            "metric": "thumbnail_pipeline_megapixels_per_sec",
+            "value": 0.0,
+            "unit": "bench failed: %s" % type(exc).__name__,
+            "vs_baseline": 0.0,
+        }))
 
 
 if __name__ == "__main__":
