@@ -239,7 +239,7 @@ def test_convert_corpus(ref_file, tmp_path):
     for opts in CONVERT_OPTIONS:
         out = str(tmp_path / "out.miff")
         cmds.append([ref_file] + shlex.split(opts) + [ref_file, out])
-    failures = _run_corpus(cmds, 0.99)
+    failures = _run_corpus(cmds, 1.0)
     # informational: list residual gaps in the test output
     if failures:
         print("residual convert gaps:", [c for c, _ in failures])
@@ -250,7 +250,7 @@ def test_composite_corpus(ref_file, tmp_path):
     for op in COMPOSITE_COMPOSE:
         out = str(tmp_path / "out.miff")
         cmds.append([ref_file, ref_file, "-compose", op, "-composite", out])
-    _run_corpus(cmds, 0.98)
+    _run_corpus(cmds, 1.0)
 
 
 def test_montage_corpus(ref_file, tmp_path):
@@ -259,7 +259,7 @@ def test_montage_corpus(ref_file, tmp_path):
         out = str(tmp_path / "out.miff")
         cmds.append([ref_file, ref_file] + shlex.split(opts) +
                     ["-montage", out])
-    _run_corpus(cmds, 0.98)
+    _run_corpus(cmds, 1.0)
 
 
 def test_identify_corpus(ref_file, capsys):
