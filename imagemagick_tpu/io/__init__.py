@@ -462,7 +462,15 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
     elif use in ("pdf", "ps", "eps"):
         images = delegates.decode_postscript(data, use)
     elif use == "dng":
-        images = [dng.decode_dng(data)]
+        # native CFA demosaic first; exotic raws (compressed/lossy DNG,
+        # vendor raws renamed .dng) fall back to the dcraw/darktable
+        # delegate chain when a binary exists (delegates.xml.in:68-70)
+        try:
+            images = [dng.decode_dng(data)]
+        except ValueError:
+            if not delegates.has_dcraw():
+                raise
+            images = delegates.decode_dcraw(data, "dng")
     else:
         images = None
         if use in ("tiff", "tif") and dng.is_dng(data):

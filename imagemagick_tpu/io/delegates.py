@@ -187,28 +187,39 @@ def decode_office(data: bytes, fmt: str) -> List:
 
 
 def decode_dcraw(data: bytes, fmt: str) -> List:
-    """Camera-raw fallback via dcraw/darktable (delegates.xml.in:68-69
-    dng:decode rules) — used when the native DNG demosaic path declines."""
+    """Camera-raw fallback via dcraw, then darktable-cli
+    (delegates.xml.in:70 dng:decode rule chain: dcraw first, darktable
+    as the alternate) — used when the native DNG demosaic path declines."""
     policy.enforce("delegate", "dcraw", "execute")
     prog = _which("dcraw_emu", "dcraw")
-    if prog is None:
+    dt = _which("darktable-cli")
+    if prog is None and dt is None:
         raise DelegateError(
-            f"no raw delegate for {fmt!r} (dcraw not installed)")
+            f"no raw delegate for {fmt!r} (dcraw/darktable not installed)")
+    from . import image_from_blob
+
     with tempfile.TemporaryDirectory() as td:
         src = os.path.join(td, f"in.{fmt}")
         with open(src, "wb") as f:
             f.write(data)
-        r = subprocess.run([prog, "-w", "-T", src], capture_output=True,
-                           timeout=300, cwd=td)
-        if r.returncode != 0:
-            raise DelegateError(f"dcraw failed: {r.stderr[:200]!r}")
-        from . import image_from_blob
-
-        for name in os.listdir(td):
-            if name.endswith((".tiff", ".tif")):
-                with open(os.path.join(td, name), "rb") as f:
-                    return image_from_blob(f.read(), "tiff")
-        raise DelegateError("dcraw produced no output")
+        if prog is not None:
+            r = subprocess.run([prog, "-w", "-T", src], capture_output=True,
+                               timeout=300, cwd=td)
+            if r.returncode == 0:
+                for name in os.listdir(td):
+                    if name.endswith((".tiff", ".tif")) and name != \
+                            os.path.basename(src):
+                        with open(os.path.join(td, name), "rb") as f:
+                            return image_from_blob(f.read(), "tiff")
+        if dt is not None:
+            out = os.path.join(td, "out.png")
+            r = subprocess.run([dt, src, out, "--core", "--conf",
+                                "plugins/lighttable/export/iccintent=0"],
+                               capture_output=True, timeout=300, cwd=td)
+            if r.returncode == 0 and os.path.exists(out):
+                with open(out, "rb") as f:
+                    return image_from_blob(f.read(), "png")
+        raise DelegateError(f"raw delegates failed for {fmt!r}")
 
 
 def list_delegates() -> dict:

@@ -166,3 +166,23 @@ def test_supported_formats_grew():
     for f in ("ora", "mask", "clip", "kernel", "pango"):
         assert f in rf or f in wf, f
     assert "ora" in wf and "kernel" in wf and "mask" in wf
+
+
+def test_dng_dcraw_fallback_gate(tmp_path):
+    """Exotic raws the native CFA demosaic declines route to the
+    dcraw/darktable delegate chain when a binary exists; with no binary
+    the native error propagates (delegates.xml.in:70 rule parity)."""
+    from imagemagick_tpu.io import delegates
+
+    # a DNG-tagged TIFF with no CFA IFD: native decode raises ValueError
+    import struct
+    # minimal little-endian TIFF header with one IFD carrying DNGVersion
+    ifd = struct.pack("<H", 1) + struct.pack("<HHI4s", 50706, 1, 4,
+                                             bytes([1, 4, 0, 0])) + b"\0" * 4
+    blob = b"II*\x00" + struct.pack("<I", 8) + ifd
+    if delegates.has_dcraw():
+        with pytest.raises(Exception):   # delegate gets it, fails cleanly
+            iio.image_from_blob(blob, "dng")
+    else:
+        with pytest.raises(ValueError):
+            iio.image_from_blob(blob, "dng")
