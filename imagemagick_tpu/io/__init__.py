@@ -19,7 +19,7 @@ from typing import List, Optional, Union
 import numpy as np
 
 from ..core.image import Image
-from . import (codecs, coders_r4, coders_r4b, delegates, dng, exr, extra_coders,
+from . import (codecs, coders_r4, coders_r4b, delegates, dng, emf, exr, extra_coders,
                formats2, formats3, formats4, miff, mpc, pnm, pseudo)
 from ..core.geometry import parse_geometry
 
@@ -134,6 +134,8 @@ def detect_format(data: bytes) -> Optional[str]:
             if fmt == "webp" and data[8:12] != b"WEBP":
                 continue
             return fmt
+    if data[:4] == b"\x01\x00\x00\x00" and data[40:44] == b" EMF":
+        return "emf"   # EMR_HEADER iType + dSignature (emf.c IsEMF)
     if data[:4] == b"\x00\x00\x01\x00" and len(data) > 6:
         count = data[4] | (data[5] << 8)
         if 0 < count <= 0x40:
@@ -216,7 +218,7 @@ def _split_filename(filename: str):
               | {"mpr", "info", "txt", "json", "dng",
                  "url", "http", "https", "ftp", "file",
                  "mask", "clip", "ora", "kernel", "pango",
-                 "strimg", "debug", "matte", "dmr", "wmf"}
+                 "strimg", "debug", "matte", "dmr", "wmf", "emf"}
               | set(coders_r4b._META_PROFILE) | _VIDEO_FMTS):
         return m.group(1).lower(), m.group(2)
     return None, filename
@@ -339,6 +341,8 @@ def image_from_blob(data: bytes, fmt: Optional[str] = None) -> List[Image]:
             data.decode("ascii", "replace").strip())]
     elif use == "wmf":
         images = [coders_r4b.decode_wmf(data)]
+    elif use == "emf":
+        images = [emf.decode_emf(data)]
     elif use in ("jbig", "jbg", "bie"):
         images = [coders_r4b.decode_jbig(data)]
     elif use in ("djvu", "flif", "fpx"):
@@ -844,7 +848,7 @@ _VIDEO_FMTS = {"mp4", "mkv", "webm", "avi", "mov", "mpeg", "mpg", "wmv"}
 def supported_read_formats():
     out = (set(_PSEUDO) | set(_NATIVE_EXT) | set(codecs._PIL_FORMATS)
            | _FORMATS2_READ | _PIL_READ_EXTRA
-           | {"mpr", "dng", "ora", "mask", "clip", "dmr", "wmf"}
+           | {"mpr", "dng", "ora", "mask", "clip", "dmr", "wmf", "emf"}
            | set(coders_r4b._META_PROFILE)
            | _heifjxl_formats())
     if delegates.has_ffmpeg():
