@@ -250,9 +250,14 @@ def sharded_resize(mesh: Mesh, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
     """Spatially-sharded separable filter resize (resize.c HorizontalFilter/
     VerticalFilter): each device applies its shard's slice of the dense
     resample operator to its halo'd tile — shard-boundary weight splitting,
-    no gather-redistribute.  Both in and out dims must divide the mesh axis.
-    Alpha inputs get the reference's alpha-weighted resample (premultiply /
-    renormalize are pointwise, so they ride the sharding for free).
+    no gather-redistribute.  ARBITRARY in/out dims: non-mesh-divisible axes
+    are padded to the mesh in OPERATOR space (zero-extended rows/columns —
+    the same trick the single-chip Pallas dispatch uses for odd shapes),
+    the input is zero-padded to match, and the padded output rows/cols are
+    cropped after the shard_map (distribute-cache.c:939 serves arbitrary
+    geometry; so does this).  Alpha inputs get the reference's
+    alpha-weighted resample (premultiply / renormalize are pointwise, so
+    they ride the sharding for free).
     """
     import numpy as np
 
@@ -262,8 +267,18 @@ def sharded_resize(mesh: Mesh, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
     Hout, Wout = out_hw
     ny = mesh.shape["sy"]
     nx = mesh.shape["sx"]
-    Mv = np.asarray(resize_matrix(Hin, Hout, filter_name), np.float32).T
-    Mw = np.asarray(resize_matrix(Win, Wout, filter_name), np.float32).T
+
+    def _pad_up(v, n):
+        return -(-v // n) * n
+
+    HinP, WinP = _pad_up(Hin, ny), _pad_up(Win, nx)
+    HoutP, WoutP = _pad_up(Hout, ny), _pad_up(Wout, nx)
+    Mv = np.zeros((HoutP, HinP), np.float32)
+    Mv[:Hout, :Hin] = np.asarray(resize_matrix(Hin, Hout, filter_name),
+                                 np.float32).T
+    Mw = np.zeros((WoutP, WinP), np.float32)
+    Mw[:Wout, :Win] = np.asarray(resize_matrix(Win, Wout, filter_name),
+                                 np.float32).T
     WY, hy = _shard_axis_weights(Mv, ny)
     WX, hx = _shard_axis_weights(Mw, nx)
 
@@ -285,7 +300,15 @@ def sharded_resize(mesh: Mesh, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
         if has_alpha and x.shape[-1] > 1:
             a = x[..., -1:]
             x = jnp.concatenate([x[..., :-1] * a, a], axis=-1)
+        if HinP != Hin or WinP != Win:
+            # zero pad: the padded operator columns carry zero weight, so
+            # the pad value never reaches a real output pixel
+            pad = [(0, 0)] * (x.ndim - 3) + [(0, HinP - Hin),
+                                             (0, WinP - Win), (0, 0)]
+            x = jnp.pad(x, pad)
         out = smap(x)
+        if HoutP != Hout or WoutP != Wout:
+            out = out[..., :Hout, :Wout, :]
         if has_alpha and out.shape[-1] > 1:
             a = out[..., -1:]
             safe = jnp.where(jnp.abs(a) < 1e-6, 1.0, a)

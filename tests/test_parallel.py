@@ -196,3 +196,34 @@ def test_cli_define_tpu_mesh_autoshards(tmp_path):
     b = np.asarray(PILImage.open(tmp_path / "sharded.png"))
     assert a.shape == b.shape
     assert np.mean(a != b) < 1e-3
+
+
+def test_sharded_resize_arbitrary_shape(mesh):
+    """Non-mesh-divisible dims (VERDICT r4 #7): operator-space zero padding
+    + output crop — a 45x67 image resized to 31x23 on a 2x2 spatial mesh,
+    equal to the single-device resize."""
+    from imagemagick_tpu.ops import resize as rz
+    from imagemagick_tpu.parallel.spatial import sharded_resize
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, (2, 45, 67, 3)).astype(np.float32)
+    # pad the INPUT layout only to the mesh (the operator handles the
+    # rest): callers shard whatever layout they have
+    fn = jax.jit(sharded_resize(mesh, (45, 67), (31, 23), "lanczos"))
+    out = np.asarray(fn(x))
+    ref = np.asarray(rz.resize(x, 31, 23, "lanczos"))
+    assert out.shape == ref.shape == (2, 31, 23, 3)
+    assert np.max(np.abs(out - ref)) < 1e-4
+
+
+def test_sharded_resize_odd_upscale(mesh):
+    from imagemagick_tpu.ops import resize as rz
+    from imagemagick_tpu.parallel.spatial import sharded_resize
+
+    rng = np.random.default_rng(12)
+    x = rng.uniform(0, 1, (2, 33, 49, 3)).astype(np.float32)
+    fn = jax.jit(sharded_resize(mesh, (33, 49), (77, 101), "mitchell"))
+    out = np.asarray(fn(x))
+    ref = np.asarray(rz.resize(x, 77, 101, "mitchell"))
+    assert out.shape == ref.shape
+    assert np.max(np.abs(out - ref)) < 1e-4
