@@ -46,24 +46,42 @@ class ThumbnailerConfig:
     grayscale: bool = False
     decode_workers: int = 8
     encode_workers: int = 8
+    # DCT-scaled decode (coders/jpeg.c jpeg:size culture): decode at the
+    # largest 1/{2,4,8} scale still covering scale_hint_mul x the thumb
+    # dims (1.0 = exactly `-define jpeg:size=WxH`), so the Lanczos pass
+    # always downsamples.  Cuts host->device bytes ~4x on 2-4x-larger
+    # sources — the dominant cost through a slow transfer link.
+    dct_scale_hint: bool = True
+    scale_hint_mul: float = 1.0
+    # in-flight device batches before the oldest is drained; >=3 lets
+    # batch k's readback overlap k+1's upload and k+2's staging
+    inflight_depth: int = 3
 
 
 def _align(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _decode_flat(blob: bytes, max_w: int, max_h: int
+def _decode_flat(blob: bytes, max_w: int, max_h: int,
+                 min_w: int = 0, min_h: int = 0
                  ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Decode into the flat wire layout: (h8, wcp) u8 with the image's
     (h, w, 3) bytes row-major in the top-left and zero pad to the
-    8-row / 128-lane alignment.  Returns (flat, (w, h))."""
+    8-row / 128-lane alignment.  Returns (flat, (w, h)).  min_w/min_h > 0
+    request a DCT-scaled decode covering at least that size."""
     from .. import native
 
-    arr = native.decode_jpeg(blob) if native.available() else None
+    arr = None
+    if native.available():
+        arr = (native.decode_jpeg_scaled(blob, min_w, min_h)
+               if min_w and min_h else native.decode_jpeg(blob))
     if arr is None:
         from PIL import Image as PImage
 
-        pim = PImage.open(_io.BytesIO(blob)).convert("RGB")
+        pim = PImage.open(_io.BytesIO(blob))
+        if min_w and min_h:
+            pim.draft("RGB", (min_w, min_h))    # PIL's DCT-scale hint
+        pim = pim.convert("RGB")
         arr = np.asarray(pim)
     h, w = arr.shape[:2]
     # host-side decimation if wildly larger than the bound (stride trick)
@@ -163,7 +181,12 @@ def run(paths: Sequence[str], out_dir: str,
         def decode_one(p):
             with open(p, "rb") as f:
                 blob = f.read()
-            return _decode_flat(blob, cfg.stage_width, cfg.stage_height)
+            mw = int(cfg.thumb_width * cfg.scale_hint_mul) \
+                if cfg.dct_scale_hint else 0
+            mh = int(cfg.thumb_height * cfg.scale_hint_mul) \
+                if cfg.dct_scale_hint else 0
+            return _decode_flat(blob, cfg.stage_width, cfg.stage_height,
+                                mw, mh)
 
         enc_futures = []
         # per-size pending batches
@@ -201,9 +224,9 @@ def run(paths: Sequence[str], out_dir: str,
             staged = np.stack(flats)
             out_dev = step_for(*key)(jnp.asarray(staged))
             inflight.append((out_dev, bpaths))
-            # double buffer: drain the OLDER batch only, letting this one
-            # compute while the next decodes
-            while len(inflight) > 1:
+            # deep pipeline: keep inflight_depth batches queued so batch
+            # k's readback overlaps k+1's upload and k+2's staging
+            while len(inflight) >= max(cfg.inflight_depth, 1) + 1:
                 drain_one()
 
         for path, (flat, (w, h)) in zip(paths,

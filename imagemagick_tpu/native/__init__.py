@@ -56,6 +56,11 @@ def _load():
             ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.miniio_decode_jpeg.restype = ctypes.c_int
+        lib.miniio_decode_jpeg_scaled.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.miniio_decode_jpeg_scaled.restype = ctypes.c_int
         lib.miniio_encode_jpeg.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(c_u8p),
@@ -74,7 +79,7 @@ def _load():
         lib.miniio_encode_png.restype = ctypes.c_int
         lib.miniio_free.argtypes = [ctypes.c_void_p]
         lib.miniio_abi_version.restype = ctypes.c_int
-        if lib.miniio_abi_version() != 1:
+        if lib.miniio_abi_version() != 2:
             _build_failed = True
             return None
         _lib = lib
@@ -97,6 +102,29 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
     rc = lib.miniio_decode_jpeg(data, len(data), ctypes.byref(out),
                                 ctypes.byref(w), ctypes.byref(h),
                                 ctypes.byref(c))
+    if rc != 0:
+        return None
+    n = w.value * h.value * c.value
+    arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    lib.miniio_free(out)
+    return arr.reshape(h.value, w.value, c.value)
+
+
+def decode_jpeg_scaled(data: bytes, min_w: int, min_h: int
+                       ) -> Optional[np.ndarray]:
+    """DCT-scaled JPEG decode (jpeg:size semantics, coders/jpeg.c): decode
+    at the largest 1/{1,2,4,8} scale whose output still covers
+    (min_w, min_h).  -> (H, W, 3) uint8, or None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.miniio_decode_jpeg_scaled(data, len(data), min_w, min_h,
+                                       ctypes.byref(out), ctypes.byref(w),
+                                       ctypes.byref(h), ctypes.byref(c))
     if rc != 0:
         return None
     n = w.value * h.value * c.value

@@ -284,6 +284,63 @@ void miniio_u16be_to_f32(const uint8_t* in, float* out, size_t n) {
 
 void miniio_free(void* p) { free(p); }
 
-int miniio_abi_version() { return 1; }
+// DCT-scaled JPEG decode (the reference's -define jpeg:size culture,
+// coders/jpeg.c jpeg_calc_output_dimensions scale selection): pick the
+// largest 1/denom in {1,2,4,8} whose output still covers (min_w, min_h),
+// so a following Lanczos resize downsamples.  Decoding at 1/2 or 1/4 is
+// nearly free in libjpeg and cuts the host->device upload bytes by the
+// square of the scale — the thumbnailer's tunnel bottleneck.
+int miniio_decode_jpeg_scaled(const uint8_t* data, size_t size,
+                              int min_w, int min_h,
+                              uint8_t** out, int* width, int* height,
+                              int* channels) {
+    jpeg_decompress_struct cinfo;
+    miniio_jpeg_error jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = miniio_jpeg_error_exit;
+    uint8_t* buffer = nullptr;
+    if (setjmp(jerr.setjmp_buffer)) {
+        jpeg_destroy_decompress(&cinfo);
+        free(buffer);
+        return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), size);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    int denom = 1;
+    if (min_w > 0 && min_h > 0) {
+        for (int d = 2; d <= 8; d *= 2) {
+            if (static_cast<int>(cinfo.image_width) / d >= min_w &&
+                static_cast<int>(cinfo.image_height) / d >= min_h) {
+                denom = d;
+            }
+        }
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+    jpeg_start_decompress(&cinfo);
+    const int w = cinfo.output_width;
+    const int h = cinfo.output_height;
+    const int c = cinfo.output_components;
+    buffer = static_cast<uint8_t*>(malloc(static_cast<size_t>(w) * h * c));
+    if (!buffer) {
+        jpeg_destroy_decompress(&cinfo);
+        return 2;
+    }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        uint8_t* row = buffer + static_cast<size_t>(cinfo.output_scanline) * w * c;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    *out = buffer;
+    *width = w;
+    *height = h;
+    *channels = c;
+    return 0;
+}
+
+int miniio_abi_version() { return 2; }
 
 }  // extern "C"
