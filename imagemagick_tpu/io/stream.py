@@ -195,16 +195,122 @@ def open_rows(filename: str, size: Optional[str] = None):
     return loader, (h, w, c)
 
 
+class _IncrementalWriter:
+    """numpy-assignment shim: run_chain writes out[y0:y1] = band in
+    ascending order; each slice is encoded and flushed immediately —
+    the output is never fully resident (WriteStream, stream.c:993).
+
+    Formats: binary PNM (P5/P6), raw gray/rgb, uncompressed DirectClass
+    MIFF, and PNG (zlib-streamed IDAT chunks, filter 0 rows)."""
+
+    def __init__(self, out_path: str, fmt: str, Hout: int, Wout: int,
+                 depth: int):
+        self.path = out_path
+        self.fmt = fmt
+        self.h, self.w = Hout, Wout
+        self.depth = depth
+        self.f = None
+        self.next_row = 0
+        self.cout = None
+        self._z = None          # PNG zlib stream
+        self._crc = None
+
+    def _begin(self, cout: int):
+        import struct
+        import zlib
+
+        self.cout = cout
+        self.f = open(self.path, "wb")
+        maxval = (1 << self.depth) - 1
+        if self.fmt == "pnm":
+            if cout not in (1, 3):
+                raise ValueError(
+                    f"streaming PNM supports 1 or 3 channels, chain "
+                    f"produced {cout} (flatten or -separate alpha first)")
+            kind = b"P5" if cout == 1 else b"P6"
+            self.f.write(kind + b"\n%d %d\n%d\n" % (self.w, self.h, maxval))
+        elif self.fmt == "miff":
+            cs = "Gray" if cout == 1 else "sRGB"
+            alpha = "True" if cout in (2, 4) else "False"
+            hdr = (f"id=ImageMagick  version=1.0\n"
+                   f"class=DirectClass  colors=0  alpha={alpha}\n"
+                   f"columns={self.w}  rows={self.h}  depth={self.depth}\n"
+                   f"colorspace={cs}\ncompression=None\n\x0c\n:\x1a")
+            self.f.write(hdr.encode("latin-1"))
+        elif self.fmt == "png":
+            if cout not in (1, 2, 3, 4):
+                raise ValueError(f"PNG cannot carry {cout} channels")
+            ctype = {1: 0, 2: 4, 3: 2, 4: 6}[cout]
+            bitdepth = 8 if self.depth == 8 else 16
+            self.f.write(b"\x89PNG\r\n\x1a\n")
+            ihdr = struct.pack(">IIBBBBB", self.w, self.h, bitdepth,
+                               ctype, 0, 0, 0)
+            self._chunk(b"IHDR", ihdr)
+            self._z = zlib.compressobj(6)
+        elif self.fmt == "raw":
+            pass
+        else:
+            raise ValueError(f"no incremental writer for {self.fmt!r}")
+
+    def _chunk(self, tag: bytes, payload: bytes):
+        import struct
+        import zlib
+
+        self.f.write(struct.pack(">I", len(payload)) + tag + payload +
+                     struct.pack(">I", zlib.crc32(tag + payload)
+                                 & 0xFFFFFFFF))
+
+    def __setitem__(self, key, value):
+        y0, y1 = key.start or 0, key.stop
+        assert y0 == self.next_row, "bands must arrive in order"
+        value = np.asarray(value)
+        if self.f is None:
+            self._begin(value.shape[-1])
+        maxval = (1 << self.depth) - 1
+        q = np.clip(np.asarray(value, np.float64) * maxval + 0.5,
+                    0, maxval)
+        if self.fmt == "png":
+            rows = (q.astype(np.uint8) if self.depth == 8
+                    else q.astype(">u2"))
+            n, w, c = rows.shape
+            body = np.zeros((n, 1 + w * c * rows.dtype.itemsize), np.uint8)
+            flat = rows.reshape(n, -1).view(np.uint8)
+            body[:, 1:] = flat.reshape(n, -1)
+            data = self._z.compress(body.tobytes())
+            if data:
+                self._chunk(b"IDAT", data)
+        else:
+            buf = (q.astype(np.uint8) if self.depth == 8
+                   else q.astype(">u2")).tobytes()
+            self.f.write(buf)
+        self.next_row = y1
+
+    def close(self):
+        if self.f is not None:
+            if self.fmt == "png" and self._z is not None:
+                tail = self._z.flush()
+                if tail:
+                    self._chunk(b"IDAT", tail)
+                self._chunk(b"IEND", b"")
+            self.f.close()
+
+
+_WRITER_EXT = {"pnm": "pnm", "ppm": "pnm", "pgm": "pnm",
+               "miff": "miff", "png": "png",
+               "gray": "raw", "rgb": "raw", "rgba": "raw"}
+
+
 def convert_streaming(in_path: str, out_path: str, ops=(),
                       resize=None, post_ops=(), band_rows: int = 512,
                       depth: int = 8, size: Optional[str] = None) -> None:
     """End-to-end never-resident convert: row-addressable input -> banded
-    op chain (+ resize) on device -> incremental binary PNM output.
+    op chain (+ resize) on device -> incremental encoder.
 
     The tera-pixel tier as one call: input rows are read per band
     (open_rows), the chain runs via models/outofcore.run_chain, and each
-    output band appends to a P5/P6 file as soon as it is computed (an
-    out-array writer that never holds the full output)."""
+    output band is encoded to disk as soon as it is computed (an
+    out-array writer that never holds the full output).  Output formats:
+    PNM, raw planes, uncompressed MIFF, PNG (streamed IDAT)."""
     from ..models.outofcore import run_chain
 
     loader, (H, W, C) = open_rows(in_path, size=size)
@@ -212,44 +318,14 @@ def convert_streaming(in_path: str, out_path: str, ops=(),
         Hout, Wout = resize[0], resize[1]
     else:
         Hout, Wout = H, W
+    ext = os.path.splitext(out_path)[1].lstrip(".").lower()
+    fmt = _WRITER_EXT.get(ext)
+    if fmt is None:
+        raise ValueError(
+            f"convert_streaming: no incremental writer for {ext!r} "
+            f"(supported: {sorted(_WRITER_EXT)})")
 
-    class _BandWriter:
-        """numpy-assignment shim: run_chain writes out[y0:y1] = band in
-        ascending order; each slice is flushed to disk immediately."""
-
-        def __init__(self):
-            self.f = None
-            self.next_row = 0
-            self.cout = None
-
-        def __setitem__(self, key, value):
-            y0, y1 = key.start or 0, key.stop
-            assert y0 == self.next_row, "bands must arrive in order"
-            if self.f is None:
-                self.cout = value.shape[-1]
-                if self.cout not in (1, 3):
-                    raise ValueError(
-                        f"convert_streaming: PNM output supports 1 or 3 "
-                        f"channels, chain produced {self.cout} (flatten or "
-                        f"-separate alpha before a streaming convert)")
-                kind = b"P5" if self.cout == 1 else b"P6"
-                maxval = (1 << depth) - 1
-                self.f = open(out_path, "wb")
-                self.f.write(kind + b"\n%d %d\n%d\n" % (Wout, Hout, maxval))
-            maxval = (1 << depth) - 1
-            q = np.clip(np.asarray(value, np.float64) * maxval + 0.5,
-                        0, maxval)
-            if depth == 8:
-                self.f.write(q.astype(np.uint8).tobytes())
-            else:
-                self.f.write(q.astype(">u2").tobytes())
-            self.next_row = y1
-
-        def close(self):
-            if self.f is not None:
-                self.f.close()
-
-    w = _BandWriter()
+    w = _IncrementalWriter(out_path, fmt, Hout, Wout, depth)
     try:
         run_chain(loader, (H, W, C), ops, resize=resize,
                   post_ops=post_ops, band_rows=band_rows, out=w)
