@@ -314,6 +314,23 @@ def wiener_deconvolve(img: jnp.ndarray, kernel_fft: jnp.ndarray = None,
     pmean = jnp.sum(x.astype(jnp.float32) ** 2, axis=(-2, -1),
                     keepdims=True)
     if kernel_fft is None and mode == "fourstep":
+        # fused Pallas path first (fourier_pallas: 3 kernels, spectrum
+        # never round-trips HBM between the H-FFT, mask, and H-iFFT);
+        # IMTPU_NO_PALLAS_FFT=1 or an unsupported shape falls back to
+        # the XLA four-step
+        import os as _os
+
+        if not _os.environ.get("IMTPU_NO_PALLAS_FFT") \
+                and x.ndim == 3 and jax.default_backend() in ("tpu",
+                                                              "axon"):
+            from .fourier_pallas import supported as _wp_ok
+            from .fourier_pallas import wiener_pallas as _wp
+
+            if _wp_ok(x.shape[-2], x.shape[-1]):
+                outs = [_wp(x[c], noise) for c in range(x.shape[0])]
+                out = jnp.stack(outs)
+                return jnp.clip(jnp.moveaxis(out, 0, -1),
+                                0.0, 1.0).astype(img.dtype)
         # all-real formulation: forward with xi=None (2 matmuls saved),
         # spectral mask on (re, im) parts, inverse real part only —
         # never materializes a complex dtype

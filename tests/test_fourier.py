@@ -101,3 +101,61 @@ def test_forward_inverse_fourstep_round_trip():
     finally:
         ff.set_fft_mode("auto")
     assert 10 * np.log10(1.0 / max(np.mean((rec - img) ** 2), 1e-30)) >= 100
+
+
+def test_wiener_pallas_matches_fourstep():
+    """The fused 3-kernel Pallas wiener path (fourier_pallas) matches the
+    XLA four-step path to ~f32 round-off (interpret mode)."""
+    import numpy as np
+
+    from imagemagick_tpu.ops import fourier as ff
+    from imagemagick_tpu.ops.fourier_pallas import supported, wiener_pallas
+
+    H, W = 48, 256
+    assert supported(H, W)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    got = wiener_pallas(x, 0.01, interpret=True)
+    ff.set_fft_mode("fourstep")
+    try:
+        ref = ff.wiener_deconvolve(x[..., None], noise=0.01)[..., 0]
+    finally:
+        ff.set_fft_mode("auto")
+    err = np.asarray(got) - np.asarray(ref)
+    psnr = 10 * np.log10(1.0 / max(float(np.mean(err ** 2)), 1e-30))
+    assert psnr >= 90.0, psnr
+
+
+def test_wiener_pallas_odd_height_padding():
+    """Non-128-multiple H takes the row-padded path (HP > H) and still
+    matches; shape support gates correctly."""
+    import numpy as np
+
+    from imagemagick_tpu.ops import fourier as ff
+    from imagemagick_tpu.ops.fourier_pallas import supported, wiener_pallas
+
+    H, W = 72, 384     # H pads to 128; W = 384 factors 16x24... (and %128)
+    assert supported(H, W)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    got = wiener_pallas(x, 0.02, interpret=True)
+    assert got.shape == (H, W)
+    ff.set_fft_mode("fourstep")
+    try:
+        ref = ff.wiener_deconvolve(x[..., None], noise=0.02)[..., 0]
+    finally:
+        ff.set_fft_mode("auto")
+    err = np.asarray(got) - np.asarray(ref)
+    psnr = 10 * np.log10(1.0 / max(float(np.mean(err ** 2)), 1e-30))
+    assert psnr >= 90.0, psnr
+
+
+def test_wiener_pallas_declines_unsupported():
+    from imagemagick_tpu.ops.fourier_pallas import supported
+
+    assert not supported(64, 127)      # W not 128-aligned
+    assert not supported(7, 256)       # H not 8-aligned
+    assert not supported(8 * 13, 256) or supported(104, 256)
+    # prime H (e.g. 2161 is prime but not %8); a truly unfactorable H:
+    assert not supported(1928, 256) if all(1928 % d for d in
+                                           range(2, 44)) else True
