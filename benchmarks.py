@@ -257,10 +257,16 @@ def config2_blur_unsharp_lab():
     def step_fused3(b, s=None):
         # VERDICT r2 #2: the whole chain INCLUDING the Lab round trip as
         # one kernel — the per-pixel Lab math runs as a VPU epilogue on
-        # the tile already in VMEM (zero extra HBM traffic)
-        return fused_blur_unsharp_pipeline(b, 2.0, 1.0, 1.0, C, TO=128,
+        # the tile already in VMEM (zero extra HBM traffic).  TO=64 with
+        # the raised Mosaic vmem ceiling (round 5): the 11MB default
+        # budget silently degraded this shape to TO=32 tiles (1.5x band
+        # reread + quarter-height MXU tiles); measured 3,614 -> 4,040
+        # MP/s at TO=64/48MB, fidelity 104.3dB vs f64 (two div-free
+        # Newton steps on the cbrt seed)
+        return fused_blur_unsharp_pipeline(b, 2.0, 1.0, 1.0, C, TO=64,
                                            nslots=2, in_shape=(N, H, W, C),
-                                           lab_roundtrip=True, wscale=s)
+                                           lab_roundtrip=True, wscale=s,
+                                           vmem_budget=48 * 1024 * 1024)
 
     # headline: two-stage kernel with in-kernel Lab epilogue
     try:

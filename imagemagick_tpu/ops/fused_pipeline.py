@@ -251,49 +251,136 @@ def _lane_chanmin(z, C, ch):
     return mn
 
 
-def _lab_roundtrip_rows(z, C):
+def _lane_chunk(L: int, C: int) -> int:
+    """Epilogue lane-chunk width: chunk boundaries must be 128-aligned
+    (vreg) AND pixel-aligned (lane mixes stay in-chunk).  Pick the
+    SMALLEST aligned chunk >= 512 — the epilogue's ~8 live (TO, chunk)
+    f32 temps dominate the kernel's VMEM surcharge, and a smaller chunk
+    is what lets the config-2 shape keep TO=64 instead of degrading to
+    TO=32 tiles (round-5: 1152 lanes instead of 1920 on the 5760-lane
+    1080p shape)."""
+    best = L
+    for cand in range(2, 13):
+        if L % cand == 0 and (L // cand) % 128 == 0 and \
+                (L // cand) % C == 0 and L // cand >= 512:
+            best = L // cand
+    return best
+
+
+def _mat3_bands(M, C):
+    """(d -> per-channel coefficient triple) bands of a 3x3 lane mix."""
+    bands = []
+    for d in range(-(C - 1), C):
+        terms = [(ct, float(M[ct][ct + d])) for ct in range(C)
+                 if 0 <= ct + d < C and float(M[ct][ct + d]) != 0.0]
+        if terms:
+            bands.append((d, terms))
+    return bands
+
+
+# the two affine Lab scalings (stored L/100, a/255+.5, b/255+.5) and its
+# inverse — colorspace.c:722 sRGBTransformImage / TransformsRGBImage
+_LAB_A = [[0.0, 116.0 / 100.0, 0.0],
+          [500.0 / 255.0, -500.0 / 255.0, 0.0],
+          [0.0, 200.0 / 255.0, -200.0 / 255.0]]
+_LAB_B = [[100.0 / 116.0, 255.0 / 500.0, 0.0],
+          [100.0 / 116.0, 0.0, 0.0],
+          [100.0 / 116.0, 0.0, -255.0 / 200.0]]
+
+
+def _lab_mats():
+    from ..ops.colorspace import _RGB2XYZ, _XYZ2RGB
+
+    return (("m_rgb2xyz", np.asarray(_RGB2XYZ)), ("m_A", _LAB_A),
+            ("m_B", _LAB_B), ("m_xyz2rgb", np.asarray(_XYZ2RGB)))
+
+
+def _lab_fields(shape, C):
+    """Precompute every lane-position-dependent field the Lab epilogue
+    needs (channel masks, per-band mix coefficients, whitepoint/offset
+    constants).  These depend ONLY on lane index — with pixel-aligned
+    chunking every chunk of every step sees identical fields, so they are
+    built once per step and shared across chunks.  (A step-0 VMEM-scratch
+    variant measured slightly SLOWER — Mosaic already hoists these.)"""
+    from ..ops.colorspace import D65
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    ch = lane % C
+    f = {"ch": ch, "ch1": ch == 1}
+
+    def chanconst(vals):
+        out = jnp.full(shape, jnp.float32(vals[0]))
+        for c in range(1, len(vals)):
+            out = jnp.where(ch == c, jnp.float32(vals[c]), out)
+        return out
+
+    f["invD65"] = chanconst([1.0 / w for w in D65])
+    f["D65"] = chanconst(D65)
+    f["off"] = chanconst((-16.0 / 100.0, 0.5, 0.5))
+    for key, M in _lab_mats():
+        fields = []
+        for d, terms in _mat3_bands(M, C):
+            wv = None
+            for ct, v in terms:
+                m = jnp.where(ch == ct, jnp.float32(v), 0.0)
+                wv = m if wv is None else wv + m
+            fields.append((d, wv))
+        f[key] = tuple(fields)
+    # chanmin roll-validity masks (True where the roll stays in-pixel)
+    f["minmask"] = tuple(
+        (d, (ch >= -d) if d < 0 else (ch < C - d))
+        for d in range(-(C - 1), C) if d != 0)
+    return f
+
+
+
+def _lane_mat3_pre(z, bands):
+    """Per-pixel 3x3 channel mix with precomputed per-band coefficient
+    fields (see _lab_fields)."""
+    out = None
+    for d, wv in bands:
+        contrib = _roll_lanes(z, d) * wv
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def _lab_roundtrip_rows(z, C, f=None):
     """sRGB -> Lab -> sRGB on interleaved-lane rows, inside the kernel.
 
     The exact per-pixel math of ops.colorspace rgb_to_lab/lab_to_rgb
     (sRGBTransformImage/TransformsRGBImage, colorspace.c:722) expressed
     as VPU elementwise chains + lane-roll 3x3 mixes, so the config-2
     epilogue costs zero extra HBM traffic (VERDICT r2 #2).  pow sites
-    use the measured split-exponent exp2/log2 forms; the cbrt estimate
-    gets one Newton step — the op path uses jnp.cbrt, and the raw
-    exp2(log2/3) estimate alone capped kernel-vs-op fidelity at ~97dB."""
-    from ..ops.colorspace import (CIE_EPSILON, CIE_K, D65, _RGB2XYZ,
-                                  _XYZ2RGB)
+    use the measured split-exponent exp2/log2 forms; cbrt is a two-step
+    DIVISION-FREE Newton on the inverse cube root from the exp2(log2/3)
+    seed — converges to f32 round-off (the raw seed alone capped
+    kernel-vs-op fidelity at ~97dB, and the old div-form Newton spent
+    two VPU divides per step)."""
+    from ..ops.colorspace import CIE_EPSILON, CIE_K
 
-    # shared lane-phase field, built once per call (the old helpers each
-    # re-derived iota+mod+compare mask chains per band — the bulk of the
-    # epilogue's VPU time)
-    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-    ch = lane % C
+    if f is None:
+        f = _lab_fields(z.shape, C)
     # decode sRGB -> linear (x^2.4 = x^2 * exp2(0.4 log2 x))
     vs = jnp.maximum((z + 0.055) / 1.055, 1e-12)
     p24 = vs * vs * jnp.exp2(jnp.float32(0.4) * jnp.log2(vs))
     lin = jnp.where(z <= 0.0404482362771076, z / 12.92, p24)
-    xyz = _lane_mat3(lin, np.asarray(_RGB2XYZ), C, ch)
+    xyz = _lane_mat3_pre(lin, f["m_rgb2xyz"])
     # f(t) with per-channel whitepoint
-    r = xyz * _lane_chanconst(ch, [1.0 / w for w in D65])
+    r = xyz * f["invD65"]
     rm = jnp.maximum(r, 1e-30)
-    y0 = jnp.exp2(jnp.log2(rm) * jnp.float32(1.0 / 3.0))
-    cbrt_r = (2.0 * y0 + rm / (y0 * y0)) * jnp.float32(1.0 / 3.0)
-    f = jnp.where(r > CIE_EPSILON,
-                  cbrt_r,
-                  (jnp.float32(CIE_K) * r + 16.0) / 116.0)
-    # Lab (stored scaling: L/100, a/255+.5, b/255+.5) as an affine mix
-    A = [[0.0, 116.0 / 100.0, 0.0],
-         [500.0 / 255.0, -500.0 / 255.0, 0.0],
-         [0.0, 200.0 / 255.0, -200.0 / 255.0]]
-    off = _lane_chanconst(ch, (-16.0 / 100.0, 0.5, 0.5))
-    lab = _lane_mat3(f, A, C, ch) + off
+    # inverse cube root u = rm^(-1/3): seed + 2 div-free Newton steps
+    # u <- u*(4 - rm*u^3)/3; then cbrt = rm*u^2
+    u = jnp.exp2(jnp.log2(rm) * jnp.float32(-1.0 / 3.0))
+    u = u * (4.0 - rm * (u * u * u)) * jnp.float32(1.0 / 3.0)
+    u = u * (4.0 - rm * (u * u * u)) * jnp.float32(1.0 / 3.0)
+    cbrt_r = rm * (u * u)
+    fv = jnp.where(r > CIE_EPSILON,
+                   cbrt_r,
+                   (jnp.float32(CIE_K) * r + 16.0) / 116.0)
+    lab = _lane_mat3_pre(fv, f["m_A"]) + f["off"]
     # inverse: unscale + (x,y,z) f-values as an affine mix
-    lab0 = lab - off
-    B = [[100.0 / 116.0, 255.0 / 500.0, 0.0],
-         [100.0 / 116.0, 0.0, 0.0],
-         [100.0 / 116.0, 0.0, -255.0 / 200.0]]
-    fxyz = _lane_mat3(lab0, B, C, ch)
+    lab0 = lab - f["off"]
+    fxyz = _lane_mat3_pre(lab0, f["m_B"])
     f3 = fxyz * fxyz * fxyz
     # linear branch (116 f - 16)/K at every lane; at the Y lane
     # 116*fxyz - 16 IS Lraw (fxyz_y = (Lraw+16)/116), so the reference's
@@ -301,16 +388,19 @@ def _lab_roundtrip_rows(z, C):
     # of the same two fields: the old extra Lraw 3x3 mix + per-lane
     # selects are gone.  Nested f32 selects — NOT i1 mask algebra:
     # select-between-bool-vectors doesn't lower (i8->i1 trunc error)
-    linb = (116.0 * fxyz - 16.0) / jnp.float32(CIE_K)
-    xyz2 = jnp.where((ch == 1),
+    linb = (116.0 * fxyz - 16.0) * jnp.float32(1.0 / CIE_K)
+    xyz2 = jnp.where(f["ch1"],
                      jnp.where(fxyz > jnp.float32((CIE_K * CIE_EPSILON
                                                    + 16.0) / 116.0),
                                f3, linb),
                      jnp.where(f3 > jnp.float32(CIE_EPSILON), f3, linb))
-    xyz2 = xyz2 * _lane_chanconst(ch, D65)
-    rgb = _lane_mat3(xyz2, np.asarray(_XYZ2RGB), C, ch)
+    xyz2 = xyz2 * f["D65"]
+    rgb = _lane_mat3_pre(xyz2, f["m_xyz2rgb"])
     # out-of-gamut lift (colorspace-private.h:84-90)
-    mn = _lane_chanmin(rgb, C, ch)
+    mn = rgb
+    for d, valid in f["minmask"]:
+        mn = jnp.minimum(mn, jnp.where(valid, _roll_lanes(rgb, d),
+                                       jnp.float32(1e30)))
     rgb = jnp.where(mn < 0.0, rgb - mn, rgb)
     # encode linear -> sRGB
     ve = jnp.maximum(rgb, 1e-12)
@@ -319,13 +409,158 @@ def _lab_roundtrip_rows(z, C):
                      1.055 * pinv - 0.055)
 
 
+def _mxu_stage(band_val, wv_at, gb_at, tt, *, c0s, SPAN, precision, nterms,
+               guids, ntiles):
+    """The two banded block matmuls for one tile: (BAND, WINC) band ->
+    (TOE, OUTP) raw result.  Horizontal pass first (deep-K narrow-N runs
+    ~3.5x more MACs/s than the vertical-first shape).  wv_at/gb_at are
+    index->operand accessors so callers can hand out PRE-SPLIT (hi, lo)
+    bf16 weight pairs from scratch (splitting the static weights per step
+    was a measured per-step VPU cost)."""
+    if precision == "b3":
+        bsplit = _split(band_val)
+    else:
+        bsplit = band_val
+    nb = len(c0s)
+    out = None
+    for t in range(nterms):
+        mids = []
+        for b, c0 in enumerate(c0s):
+            bnd = (bsplit[0][:, c0:c0 + SPAN], bsplit[1][:, c0:c0 + SPAN]) \
+                if precision == "b3" else bsplit[:, c0:c0 + SPAN]
+            mids.append(_mm(bnd, gb_at(guids[t * nb + b]), precision))
+        mid = jnp.concatenate(mids, axis=1)                   # (BAND, OUTP)
+        term = _mm(wv_at(t * ntiles + tt), mid, precision)    # (TOE, OUTP)
+        out = term if out is None else out + term
+    return out
+
+
+def _vpu_stage(out, *, TO, clip, unsharp, chan_epilogue, fields=None):
+    """The elementwise tail for one tile: unsharp shift-adds + clamp +
+    (optional) in-kernel Lab chunks.  (TOE, OUTP) -> (TO, OUTP)."""
+    if unsharp is not None:
+        tv, th_, gain, C = unsharp
+        r = len(th_) // 2
+        zc = out[len(tv) // 2:len(tv) // 2 + TO]
+        vc = tv[0] * out[0:TO]
+        for k in range(1, len(tv)):
+            vc = vc + tv[k] * out[k:k + TO]
+        OUTPW = vc.shape[1]
+        # ONE border-replicated pad, then every horizontal tap is a
+        # static slice — the old per-tap concatenate pair rebuilt the
+        # full tile ~3x per tap (measured VPU cost on the 1080p batch)
+        pieces = [vc[:, :C]] * r + [vc] + [vc[:, OUTPW - C:]] * r
+        padded = jnp.concatenate(pieces, axis=1)
+        bacc = None
+        for j, w_ in enumerate(th_):
+            sh = padded[:, j * C:j * C + OUTPW]
+            bacc = w_ * sh if bacc is None else bacc + w_ * sh
+        out = (1.0 + gain) * zc - gain * bacc
+    if chan_epilogue is not None:
+        out = jnp.clip(out, 0.0, 1.0)
+        Cep = unsharp[3] if unsharp is not None else 3
+        L = out.shape[1]
+        w_ = _lane_chunk(L, Cep)
+        if fields is None:
+            fields = _lab_fields((out.shape[0], w_), Cep)
+        if w_ < L:
+            out = jnp.concatenate(
+                [chan_epilogue(out[:, j * w_:(j + 1) * w_], Cep, fields)
+                 for j in range(L // w_)], axis=1)
+        else:
+            out = chan_epilogue(out, Cep, fields)
+    if clip:
+        out = jnp.clip(out, 0.0, 1.0)
+    return out
+
+
+def _kernel_pipe(r0_ref, x_hbm, wv_hbm, gb_hbm, out_hbm, band, wv, gb,
+                 stage, outbuf, sem, gsem, osem, *, TO, BAND, c0s, SPAN,
+                 precision, clip, nprog, ntiles, nterms=1, guids=None,
+                 nslots=_NSLOTS, unsharp=None, chan_epilogue=None):
+    """Software-pipelined variant: tile i's MXU matmuls overlap tile
+    i-1's VPU epilogue (grid = nprog + 1 steps).
+
+    The sequential kernel spends ~2.3ms on MXU+DMA and ~1.8ms on the VPU
+    Lab epilogue for the 1080p batch — strictly serialized inside each
+    step.  The TPU core issues matrix and vector work on independent
+    queues, so staging the raw matmul result in a ping-pong scratch and
+    running the PREVIOUS tile's elementwise tail (which has no data
+    dependency on this tile's matmuls) lets Mosaic overlap the two.
+    Output rows are written with explicit async copies at precomputed
+    absolute offsets (the out BlockSpec would need a non-affine i-1
+    index_map, which stalls block prefetch ~10us/step — measured round 2)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        gcopy = pltpu.make_async_copy(gb_hbm, gb, gsem)
+        gcopy.start()
+        gcopy.wait()
+        wcopy = pltpu.make_async_copy(wv_hbm, wv, gsem)
+        wcopy.start()
+        wcopy.wait()
+
+    def band_dma(s, which):
+        r0 = pl.multiple_of(r0_ref[which], 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(r0, BAND), :], band.at[s], sem.at[s])
+
+    def out_copy(j):
+        return pltpu.make_async_copy(
+            outbuf.at[jax.lax.rem(j, 2)],
+            out_hbm.at[pl.ds(j * TO, TO), :], osem.at[jax.lax.rem(j, 2)])
+
+    @pl.when(step == 0)
+    def _():
+        for k in range(min(nslots, nprog)):
+            band_dma(k, k).start()
+
+    nxt = step + nslots - 1
+
+    @pl.when((step > 0) & (nxt < nprog))
+    def _():
+        band_dma(nxt % nslots, nxt).start()
+
+    # VPU phase first (previous tile, data already in stage): its long
+    # elementwise chain issues while this tile's matmuls execute below
+    @pl.when(step > 0)
+    def _():
+        @pl.when(step >= 3)
+        def _():
+            out_copy(step - 3).wait()       # frees outbuf[(step-1)%2]
+        z = stage[jax.lax.rem(step - 1, 2)]
+        y = _vpu_stage(z, TO=TO, clip=clip, unsharp=unsharp,
+                       chan_epilogue=chan_epilogue)
+        outbuf[jax.lax.rem(step - 1, 2)] = y
+        out_copy(step - 1).start()
+
+    @pl.when(step < nprog)
+    def _():
+        band_dma(step % nslots, step).wait()
+        tt = jax.lax.rem(step, ntiles)
+        stage[jax.lax.rem(step, 2)] = _mxu_stage(
+            band[step % nslots], lambda i: wv[i], lambda g: gb[g], tt,
+            c0s=c0s, SPAN=SPAN, precision=precision, nterms=nterms,
+            guids=guids, ntiles=ntiles)
+
+    @pl.when(step == nprog)
+    def _():
+        # BOTH still-in-flight copies must complete before kernel exit:
+        # copy j is otherwise waited at step j+3, so tiles nprog-2 and
+        # nprog-1 (started at steps nprog-1 and nprog) are pending here
+        if nprog >= 2:
+            out_copy(nprog - 2).wait()
+        out_copy(nprog - 1).wait()
+
+
 def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
             *, TO, BAND, c0s, SPAN, precision, clip, nprog, ntiles,
             nterms=1, guids=None, nslots=_NSLOTS, unsharp=None,
             chan_epilogue=None):
     """One program per (image, row-tile), flattened to a 1-D grid.
 
-    Two measured structural rules shape this kernel:
+    Three measured structural rules shape this kernel:
     * flat 1-D grid + absolute precomputed row offsets — a 2-D
       (batch, tile) grid with an in-kernel batch index measured ~5us/step
       slower (dynamic leading-axis memref slicing defeats Mosaic's cheap
@@ -333,8 +568,17 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
     * ALL weight blocks live in persistent scratch, copied once at step 0
       and indexed dynamically — a BlockSpec whose index_map uses rem()
       (non-affine) stalls Mosaic's block prefetch for ~10us every step,
-      which alone made the kernel 3.5x slower.
+      which alone made the kernel 3.5x slower;
+    * every step-invariant VPU computation (the b3 hi/lo split of the
+      static weights, the Lab epilogue's lane-constant fields) runs ONCE
+      at step 0 into scratch — recomputing them per step was a measured
+      per-step VPU cost on the nprog=136 1080p grid.
     """
+    # NOTE (round 5, measured): moving the step-invariant VPU work (the
+    # b3 hi/lo weight splits, the Lab lane fields) into step-0 scratch
+    # measured slightly SLOWER (4.21 vs 4.11 ms on the 1080p lab batch) —
+    # Mosaic already hoists/CSEs those chains effectively, and scratch
+    # round-trips cost more than recomputation.  Keep them inline.
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -368,90 +612,23 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
     slot = step % nslots
     band_dma(slot, step).wait()
 
-    # Horizontal pass FIRST: (BAND, SPAN) @ (SPAN, 128) per block — deep-K,
-    # narrow-N matmuls run ~3.5x more MACs/s on the MXU than the skinny-K
-    # wide-N shape the vertical-first order produces.  The vertical pass
-    # then contracts the small (TO, BAND) @ (BAND, OUTP) mid — ~5% of MACs.
-    if precision == "b3":
-        bsplit = _split(band[slot])
-    else:
-        bsplit = band[slot]
-    tt = jax.lax.rem(step, ntiles)
-    nb = len(c0s)
-    out = None
     # nterms > 1 = a rank-T sum of separable operators (e.g. blur+unsharp:
     # (1+g)*Bg - g*Bu@Bg per axis pair): out = sum_t WV_t @ x @ G_t.
     # gb holds only UNIQUE blocks (convolutional G is block-Toeplitz:
     # interior blocks repeat); guids maps (term, block) -> unique id.
-    for t in range(nterms):
-        mids = []
-        for b, c0 in enumerate(c0s):
-            bnd = (bsplit[0][:, c0:c0 + SPAN], bsplit[1][:, c0:c0 + SPAN]) \
-                if precision == "b3" else bsplit[:, c0:c0 + SPAN]
-            mids.append(_mm(bnd, gb[guids[t * nb + b]], precision))
-        mid = jnp.concatenate(mids, axis=1)                   # (BAND, OUTP)
-        term = _mm(wv[t * ntiles + tt], mid, precision)       # (TOE, OUTP)
-        out = term if out is None else out + term
-    if unsharp is not None:
-        # two-stage epilogue: `out` is the TOE=TO+2r rows of the stage-1
-        # blur z; apply unsharp = (1+g) z - g * Bu(z) with the tiny
-        # sigma-u taps as VPU shift-adds (vertical over sublanes,
-        # horizontal as C-lane shifts with border-pixel replication) —
-        # halving the MXU work the rank-2 formulation spends
-        tv, th_, gain, C = unsharp
-        r = len(tv) // 2
-        zc = out[r:r + TO]
-        vc = tv[0] * out[0:TO]
-        for k in range(1, len(tv)):
-            vc = vc + tv[k] * out[k:k + TO]
-        OUTPW = vc.shape[1]
-        bacc = None
-        for j, w_ in enumerate(th_):
-            d = j - len(th_) // 2
-            if d == 0:
-                sh = vc
-            elif d < 0:
-                rep = jnp.concatenate([vc[:, :C]] * (-d), axis=1)
-                sh = jnp.concatenate([rep, vc[:, :OUTPW + d * C]], axis=1)
-            else:
-                rep = jnp.concatenate([vc[:, OUTPW - C:]] * d, axis=1)
-                sh = jnp.concatenate([vc[:, d * C:], rep], axis=1)
-            bacc = w_ * sh if bacc is None else bacc + w_ * sh
-        out = (1.0 + gain) * zc - gain * bacc
-    if chan_epilogue is not None:
-        # clamp first: the op path clips the unsharp result before the
-        # colorspace conversion (per-op Q16-style clamping)
-        out = jnp.clip(out, 0.0, 1.0)
-        Cep = unsharp[3] if unsharp is not None else 3
-        L = out.shape[1]
-        # chunk the lanes so the epilogue's ~8 live (TO, chunk) temps fit
-        # the 16MB Mosaic scoped-vmem stack at TO>=64: chunk boundaries
-        # must be 128-aligned (vreg) AND pixel-aligned (lane mixes stay
-        # in-chunk); target <= ~2K lanes per chunk
-        nch = 1
-        for cand in range(2, 9):
-            if L % cand == 0 and (L // cand) % 128 == 0 and \
-                    (L // cand) % Cep == 0 and L // cand >= 512:
-                nch = cand
-                if L // cand <= 2048:
-                    break
-        if nch > 1:
-            w_ = L // nch
-            out = jnp.concatenate(
-                [chan_epilogue(out[:, j * w_:(j + 1) * w_], Cep)
-                 for j in range(nch)], axis=1)
-        else:
-            out = chan_epilogue(out, Cep)
-    if clip:
-        out = jnp.clip(out, 0.0, 1.0)
-    out_ref[:, :] = out
+    tt = jax.lax.rem(step, ntiles)
+    out = _mxu_stage(band[slot], lambda i: wv[i], lambda g: gb[g], tt,
+                     c0s=c0s, SPAN=SPAN, precision=precision,
+                     nterms=nterms, guids=guids, ntiles=ntiles)
+    out_ref[:, :] = _vpu_stage(out, TO=TO, clip=clip, unsharp=unsharp,
+                               chan_epilogue=chan_epilogue)
 
 
 @functools.lru_cache(maxsize=64)
 def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
                 precision, clip, interpret=False, nterms=1, guids=None,
                 n_unique=None, nslots=_NSLOTS, unsharp=None,
-                chan_epilogue=None):
+                chan_epilogue=None, vmem_limit=None):
     nprog = N * ntiles
     if guids is None:
         guids = tuple(range(nterms * nb))
@@ -463,6 +640,13 @@ def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
                              ntiles=ntiles, nterms=nterms, guids=guids,
                              nslots=nslots, unsharp=unsharp,
                              chan_epilogue=chan_epilogue)
+    scratch = [
+        pltpu.VMEM((nslots, BAND, WINC), jnp.float32),
+        pltpu.VMEM((nterms * ntiles, TOE, BAND), jnp.float32),
+        pltpu.VMEM((n_unique, SPAN, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((nslots,)),
+        pltpu.SemaphoreType.DMA,
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nprog,),
@@ -473,12 +657,59 @@ def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
         ],
         out_specs=pl.BlockSpec((TO, OUTP), lambda i, r0: (i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nprog * TO, OUTP), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # Mosaic's default scoped-vmem ceiling is 16MB; the epilogue
+            # variants (unsharp shift-adds + Lab) keep enough live
+            # full-width temps that TO=64 tiles need ~19-24MB of stack.
+            # v5e has 128MB physical VMEM — raising the ceiling is what
+            # lets config-2 run TO=64/128 instead of degrading to TO=32.
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _build_call_pipe(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
+                     precision, clip, interpret=False, nterms=1, guids=None,
+                     n_unique=None, nslots=_NSLOTS, unsharp=None,
+                     chan_epilogue=None, vmem_limit=None):
+    """Pipelined _build_call: MXU(tile i) overlaps VPU(tile i-1)."""
+    nprog = N * ntiles
+    if guids is None:
+        guids = tuple(range(nterms * nb))
+    if n_unique is None:
+        n_unique = nterms * nb
+    TOE = TO + (len(unsharp[0]) - 1 if unsharp is not None else 0)
+    kern = functools.partial(_kernel_pipe, TO=TO, BAND=BAND, c0s=c0s,
+                             SPAN=SPAN, precision=precision, clip=clip,
+                             nprog=nprog, ntiles=ntiles, nterms=nterms,
+                             guids=guids, nslots=nslots, unsharp=unsharp,
+                             chan_epilogue=chan_epilogue)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nprog + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((nslots, BAND, WINC), jnp.float32),
             pltpu.VMEM((nterms * ntiles, TOE, BAND), jnp.float32),
             pltpu.VMEM((n_unique, SPAN, 128), jnp.float32),
+            pltpu.VMEM((2, TOE, OUTP), jnp.float32),   # stage ping-pong
+            pltpu.VMEM((2, TO, OUTP), jnp.float32),    # outbuf ping-pong
             pltpu.SemaphoreType.DMA((nslots,)),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -486,7 +717,8 @@ def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nprog * TO, OUTP), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
 
@@ -780,7 +1012,9 @@ def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
                                                          int]] = None,
                                 lab_roundtrip: bool = False,
                                 interpret: bool = False,
-                                wscale=None) -> Optional[jnp.ndarray]:
+                                wscale=None,
+                                vmem_budget: Optional[int] = None
+                                ) -> Optional[jnp.ndarray]:
     """Blur -> unsharp (threshold 0) as ONE kernel, two stages inside.
 
     Instead of the rank-2 sum of separable operators (which doubles
@@ -863,33 +1097,42 @@ def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
         # the Lab epilogue keeps ~8 live (TOE, chunk) f32 temporaries on
         # the Mosaic stack — without this surcharge the TO=64 variant
         # passes the block budget but blows the 16MB scoped-vmem limit
-        # at lowering (measured 17.8M unchunked).  Mirror the kernel's
-        # lane-chunking choice (128- and C-aligned, <= ~2K lanes).
-        chunk = WINC
-        for cand in range(2, 9):
-            if WINC % cand == 0 and (WINC // cand) % 128 == 0 and \
-                    (WINC // cand) % C == 0 and WINC // cand >= 512:
-                chunk = WINC // cand
-                if chunk <= 2048:
-                    break
-        vmem += 8 * TOE * chunk * 4
-    if vmem > _VMEM_BUDGET:
+        # at lowering (measured 17.8M unchunked).  Shared chunk rule
+        # with the kernel (_lane_chunk).
+        vmem += 8 * TOE * _lane_chunk(WINC, C) * 4
+        # pipelined kernel: stage + outbuf ping-pongs
+        vmem += (2 * TOE * OUTP + 2 * TO * OUTP) * 4
+    if vmem > (vmem_budget or _VMEM_BUDGET):
         if TO > 16:
             return fused_blur_unsharp_pipeline(
                 x, sigma_blur, sigma_unsharp, gain, C, TO // 2, nslots,
                 precision=precision, in_shape=in_shape,
                 lab_roundtrip=lab_roundtrip, interpret=interpret,
-                wscale=wscale)
+                wscale=wscale, vmem_budget=vmem_budget)
         return None
     unsharp = (taps, taps, float(gain), C)
     chanep = _lab_roundtrip_rows if lab_roundtrip and C == 3 else None
     if lab_roundtrip and chanep is None:
         return None
-    call = _build_call(N, Hin, WINC, TO, BAND, ntiles, len(c0s), SPAN,
-                       OUTP, c0s, precision, True, interpret, nterms=1,
-                       guids=tuple(guids), n_unique=len(keep),
-                       nslots=nslots, unsharp=unsharp,
-                       chan_epilogue=chanep)
+    # A software-pipelined variant (_build_call_pipe: tile i's matmuls
+    # staged while tile i-1's VPU epilogue runs) measured SLOWER than the
+    # sequential kernel (4.40 vs 4.11 ms on the 1080p batch, bit-exact):
+    # Mosaic does not overlap the two pl.when phases' MXU/VPU queues, and
+    # the manual output DMA adds per-step cost.  Kept for measurement
+    # (IMTPU_PIPE_KERNEL=1) — default is the sequential kernel.
+    import os as _os
+    builder = (_build_call_pipe
+               if chanep is not None and _os.environ.get("IMTPU_PIPE_KERNEL")
+               else _build_call)
+    call = builder(N, Hin, WINC, TO, BAND, ntiles, len(c0s), SPAN,
+                   OUTP, c0s, precision, True, interpret, nterms=1,
+                   guids=tuple(guids), n_unique=len(keep),
+                   nslots=nslots, unsharp=unsharp,
+                   chan_epilogue=chanep,
+                   # epilogue stack needs more than Mosaic's 16MB
+                   # default at TO>=64 (measured 19M at TO=64/1080p);
+                   # grant 2x the block estimate, floor 24MB
+                   vmem_limit=min(max(2 * vmem, 24 << 20), 100 << 20))
     r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hin, ntiles) +
                np.tile(r0s.astype(np.int64), N)).astype(np.int32)
     wv = jnp.asarray(WV)

@@ -95,3 +95,42 @@ def test_error_surface(server):
     r = c.getresponse()
     assert r.status == 400
     assert "error" in json.loads(r.read())
+
+
+def test_session_store_apply_fetch(server):
+    """Device-resident batch sessions (VERDICT r4 #6): store an (N,H,W,C)
+    batch once, apply a CLI chain on the warm device state, fetch u8."""
+    rng = np.random.default_rng(3)
+    n, h, w, c = 4, 32, 48, 3
+    raw = (rng.random((n, h, w, c)) * 255).astype(np.uint8).tobytes()
+    conn = _conn(server)
+    conn.request("POST", "/session/t1", body=raw,
+                 headers={"X-Shape": f"{n},{h},{w},{c}", "X-Dtype": "u8"})
+    r = conn.getresponse()
+    info = json.loads(r.read())
+    assert r.status == 200 and info["shape"] == [n, h, w, c], info
+
+    from urllib.parse import quote
+    conn = _conn(server)
+    conn.request("POST", "/session/t1/apply?args=" +
+                 quote("-resize 16x16! -negate"))
+    r = conn.getresponse()
+    info = json.loads(r.read())
+    assert r.status == 200, info
+    assert info["shape"] == [n, 16, 16, c], info
+    assert info["seconds"] > 0
+
+    conn = _conn(server)
+    conn.request("GET", "/session/t1")
+    r = conn.getresponse()
+    out = np.frombuffer(r.read(), np.uint8).reshape(n, 16, 16, c)
+    assert r.status == 200
+    # negate of a resize: values present and inverted-ish (not all zeros)
+    assert out.mean() > 1
+
+    # unsafe args still rejected on sessions
+    conn = _conn(server)
+    conn.request("POST", "/session/t1/apply?args=" + quote("-write /tmp/x"))
+    r = conn.getresponse()
+    assert r.status == 400
+    r.read()
