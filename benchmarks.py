@@ -45,14 +45,20 @@ def _time_chain_w(make_step, x, n1=1, n2=11, reps=4):
     operands to (hi, lo) bf16 (~16-bit combined), where 1+i*1e-6 rounds
     back to IDENTICAL operands and every step CSEs into one call
     (measured: a 31-step chain = 1-step wall time, '16 billion MP/s').
-    1 + i/64 is exactly representable in bf16 and keeps steps distinct."""
+    1 + i/64 is exactly representable in bf16 and keeps steps distinct.
+
+    lax.scan, NOT an unrolled Python loop (round-4 lesson, see bench.py):
+    the remote compile helper's cost scales with program SIZE — a 31-step
+    unrolled pallas chain compiles cold in ~minutes; the scan body
+    compiles ONCE regardless of n."""
     def chain(n):
         @jax.jit
         def f(b):
-            acc = jnp.float32(0)
-            for i in range(n):
-                out = make_step(b, 1.0 + jnp.float32(i) * 0.015625)
-                acc = acc + jnp.sum(out)
+            def body(acc, i):
+                out = make_step(b, 1.0 + i * 0.015625)
+                return acc + jnp.sum(out), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(n, dtype=jnp.float32))
             return acc
         return f
 
@@ -70,9 +76,9 @@ def _time_chain_feedback(make_step, x, n1=1, n2=11, reps=4):
     def chain(n):
         @jax.jit
         def f(b):
-            y = b
-            for _ in range(n):
-                y = make_step(y)
+            def body(y, _):
+                return make_step(y), None
+            y, _ = jax.lax.scan(body, b, None, length=n)
             return jnp.sum(y)
         return f
 
@@ -87,12 +93,13 @@ def _time_chain(make_step, x, n1=1, n2=11, reps=4):
     def chain(n):
         @jax.jit
         def f(b):
-            acc = jnp.float32(0)
-            for i in range(n):
-                out = make_step(b * (1.0 + jnp.float32(i) * 1e-6))
+            def body(acc, i):
+                out = make_step(b * (1.0 + i * 1e-6))
                 # FULL sum: slicing (e.g. out[:1]) lets XLA dead-code
                 # whole images out of non-opaque steps and under-reports.
-                acc = acc + jnp.sum(out)
+                return acc + jnp.sum(out), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(n, dtype=jnp.float32))
             return acc
         return f
 
@@ -208,6 +215,83 @@ def config1_cli():
     _report("config1_cli", mp, per_img,
             f"CLI-driven batch marginal ({N2}-{N1} imgs, fused dispatch)")
     return mp / per_img
+
+
+def config1_serve():
+    """Config #1 through the serve daemon (VERDICT r4 #6): device-resident
+    session batches over real HTTP, whole chain as ONE batched Pallas
+    call per request (dispatch.try_fused_batch_array), warm executables.
+    Marginal per-image time between two session batch sizes — the same
+    fixed-cost exclusion config1_cli makes (per-request HTTP + parse +
+    the one sync readback cancel in the marginal)."""
+    import threading
+    from http.client import HTTPConnection
+    from urllib.parse import quote
+
+    from imagemagick_tpu import serve
+
+    srv = serve.make_server(port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    NB = 16 if QUICK else 64
+    H, W, C = 512, 768, 3
+    rng = np.random.default_rng(0)
+    args = quote("-resize 256x256! -gaussian-blur 0x2 -colorspace gray")
+
+    def post(path, body=None, headers=None):
+        c = HTTPConnection("127.0.0.1", port, timeout=600)
+        c.request("POST", path, body=body, headers=headers or {})
+        r = c.getresponse()
+        out = r.read()
+        assert r.status == 200, out
+        return json.loads(out)
+
+    raw = (rng.random((NB, H, W, C)) * 255).astype(np.uint8).tobytes()
+    post("/session/s1", raw,
+         {"X-Shape": f"{NB},{H},{W},{C}", "X-Dtype": "u8"})
+
+    def apply_once(_i=None):
+        t0 = time.perf_counter()
+        info = post(f"/session/s1/apply?keep=1&args={args}")
+        wall = time.perf_counter() - t0
+        assert info["path"] == "fused-batch", info
+        return wall
+
+    # NO marginal here: the batched kernel runs the whole request in
+    # sub-ms, so a batch-size marginal just measures RPC jitter (a first
+    # cut reported an impossible 393 GMP/s).  Two honest figures instead:
+    # (a) FULL client-observed single-request wall — HTTP + option parse
+    # + one fused kernel call + the sync readback (floor on THIS machine:
+    # the tunnel's ~23ms readback round trip; on-prem PCIe would be
+    # ~100x lower); (b) aggregate throughput with 8 concurrent clients —
+    # round trips pipeline (~4.6x measured), which is how a serving
+    # deployment actually runs.
+    apply_once(); apply_once()                    # compile + warm
+    walls = sorted(apply_once() for _ in range(9))
+    per = walls[len(walls) // 2]
+    mp = NB * H * W / 1e6
+    _report(f"config1_serve_batch{NB}", mp, per,
+            f"serve daemon, batch {NB}, FULL request wall "
+            "(HTTP+parse+fused kernel+sync readback)")
+
+    from concurrent.futures import ThreadPoolExecutor
+    nclients, rounds = 8, 3
+    with ThreadPoolExecutor(nclients) as ex:
+        list(ex.map(apply_once, range(nclients)))     # warm the pool
+        t0 = time.perf_counter()
+        list(ex.map(apply_once, range(nclients * rounds)))
+        wall = time.perf_counter() - t0
+    total_mp = nclients * rounds * mp
+    _emit(({
+        "metric": "bench_config1_serve_concurrent_megapixels_per_sec",
+        "value": round(total_mp / wall, 2),
+        "unit": f"MP/s/chip (serve daemon, {nclients} concurrent clients"
+                f" x batch {NB}, {nclients * rounds} requests, every "
+                "request synced)",
+        "ms_per_request": round(wall / (nclients * rounds) * 1e3, 2),
+    }))
+    srv.shutdown()
+    return total_mp / wall
 
 
 def config2_blur_unsharp_lab():
@@ -481,7 +565,8 @@ def _load_lastgood():
 if __name__ == "__main__":
     results = {}
     last_good = _load_lastgood()
-    for fn in (config1_thumbnail, config1_cli, config2_blur_unsharp_lab,
+    for fn in (config1_thumbnail, config1_cli, config1_serve,
+               config2_blur_unsharp_lab,
                config3_document, config4_fft, config5_thumbnailer):
         try:
             results[fn.__name__] = fn()
@@ -512,7 +597,7 @@ if __name__ == "__main__":
     import os as _os
 
     art = _os.environ.get("IMTPU_BENCH_ARTIFACT",
-                          __file__.rsplit("/", 1)[0] + "/BENCHMARKS_r04.json")
+                          __file__.rsplit("/", 1)[0] + "/BENCHMARKS_r05.json")
     try:
         with open(art, "w") as f:
             for rec in RECORDS:

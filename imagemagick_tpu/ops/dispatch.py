@@ -213,6 +213,77 @@ def _batch_runner(N: int, H: int, W: int, C: int, prefix: tuple,
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _batch_array_runner(N: int, H: int, W: int, C: int, prefix: tuple,
+                        interpret: bool = False):
+    """_batch_runner for a BORN-STACKED (N, H, W, C) array: the serve
+    daemon's device-resident sessions hold the whole batch as one array,
+    so slicing it into N per-image arguments (N eager device ops per
+    request) just to re-stack them inside the jit would dominate the
+    request cost.  One array in, one kernel call out."""
+    import jax
+    import jax.numpy as jnp
+
+    from .fused_pipeline import fused_linear_pipeline
+
+    plan = _plan_chain(H, W, C, prefix)
+    if plan is None:
+        return None
+    Mv, Mw, mix, Hout, Wout, Cout = plan
+    Hp, Wp = _aligned_dims(H, W, C)
+    if (Hp, Wp) != (H, W):
+        Mv = np.pad(Mv, ((0, 0), (0, Hp - H)))
+        Mw = np.pad(Mw, ((0, 0), (0, Wp - W)))
+    probe = jax.ShapeDtypeStruct((N, Hp, Wp, C), jnp.float32)
+    ok = fused_linear_pipeline(probe, [(Mv, Mw)], C, mix=mix,
+                               interpret=interpret, plan_only=True)
+    if not ok:
+        return None
+
+    @jax.jit
+    def run(x):
+        if (Hp, Wp) != (H, W):
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        return fused_linear_pipeline(x, [(Mv, Mw)], C, mix=mix,
+                                     interpret=interpret)
+
+    return run
+
+
+def try_fused_batch_array(x, tags: List[Optional[tuple]],
+                          alpha: bool = False):
+    """try_fused_batch over one (N, H, W, C) device array (no host-side
+    per-image slicing).  Returns the (N, Hout, Wout, Cout) result or
+    None when the chain/shape leaves the kernel envelope."""
+    if not ENABLED or getattr(x, "ndim", 0) != 4 or \
+            str(x.dtype) != "float32":
+        return None
+    N, H, W, C = map(int, x.shape)
+    if (H < 8 or W * C < 128 or C > _MAX_CHANNELS
+            or H > _MAX_DIM or W > _MAX_DIM):
+        return None
+    if not _shape_safe(H, W, C, FORCE_INTERPRET):
+        return None
+    if alpha and not _fully_opaque(x):
+        return None
+    n = match_prefix(tags)
+    if n != len(tags) or n == 0:
+        return None
+    try:
+        run = _batch_array_runner(N, H, W, C, tuple(tags),
+                                  interpret=FORCE_INTERPRET)
+        if run is None:
+            return None
+        out = run(x)
+        COUNTS["pallas"] += 1
+        return out
+    except Exception:            # noqa: BLE001 — transparent fallback
+        if STRICT:
+            raise
+        COUNTS["error"] += 1
+        return None
+
+
 def try_fused_batch(datas, tags: List[Optional[tuple]], alpha: bool = False):
     """Batch variant of try_fused_chain: ``datas`` is a sequence of N
     same-shape (H, W, C) arrays sharing one FULLY-tagged chain.  Returns

@@ -25,6 +25,7 @@ identical request measures device-bound, not compile-bound).
 
 from __future__ import annotations
 
+import functools
 import io
 import json
 import shlex
@@ -142,6 +143,20 @@ def validate_convert_args(args):
 # transfer and hit the warm compiled executable (accelerate.c:3986 —
 # a fast path counts when callers hit it).
 _SESSIONS: dict = {}
+# (args, shape) -> kernel tags (None = chain not kernel-expressible)
+_TAG_CACHE: dict = {}
+
+
+@functools.lru_cache(maxsize=1)
+def _sync_fn():
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda x: jnp.sum(x[0, 0]))
+
+
+def _sync_scalar(x):
+    return _sync_fn()(x)
 
 
 def _session_store(name: str, body: bytes, shape, dtype: str):
@@ -167,7 +182,7 @@ def _session_store(name: str, body: bytes, shape, dtype: str):
             "platform": jax.devices()[0].platform}
 
 
-def _session_apply(name: str, args):
+def _session_apply(name: str, args, keep: bool = False):
     import importlib
     import time as _time
 
@@ -176,26 +191,61 @@ def _session_apply(name: str, args):
     climain = importlib.import_module("imagemagick_tpu.cli.main")
     from .core.image import Image
     from .core.spec import ImageSpec
+    from .ops import dispatch as _dsp
 
     dev = _SESSIONS.get(name)
     if dev is None:
         raise KeyError("no such session %r" % name)
     t0 = _time.perf_counter()
-    st = climain.CLIState()
-    for i in range(dev.shape[0]):
+    # Probe pass: run the option interpreter over ONE image to collect
+    # the lazy chain's kernel tags.  When the whole chain is
+    # kernel-expressible, the resident (N, H, W, C) array goes through
+    # ONE batched Pallas call (try_fused_batch_array) — no per-image
+    # slicing (N eager device ops) and no re-stack.  Anything else falls
+    # back to the general per-image path below.  The probe result is
+    # cached per (args, shape): a warm repeated request pays NO eager
+    # probe ops at all (each eager op is a tunnel RPC on this machine —
+    # the probe alone measured ~10ms of the 35ms request wall).
+    new = None
+    path = "general"
+    ck = (tuple(args), tuple(map(int, dev.shape)))
+    tags = _TAG_CACHE.get(ck, False)
+    if tags is False:
+        probe = dev[0]
+        st = climain.CLIState()
         st.images.append(climain.LazyImage(
-            Image(dev[i], ImageSpec(colorspace="srgb"))))
-    climain.process(list(args), st)
-    outs = climain.materialize_all(st.images)
-    new = jnp.stack([o.data for o in outs])
-    # sync with a scalar readback (block_until_ready is a no-op through
-    # the axon tunnel)
-    float(jnp.sum(new[0, 0, 0]))
-    _SESSIONS[name] = new
+            Image(probe, ImageSpec(colorspace="srgb"))))
+        climain.process(list(args), st)
+        tags = None
+        if len(st.images) == 1 and st.images[0].image.data is probe:
+            li = st.images[0]
+            ptags = [t for _, _, t in li.pending]
+            if li.pending and all(t is not None for t in ptags):
+                tags = ptags
+        _TAG_CACHE[ck] = tags
+    if tags is not None:
+        out = _dsp.try_fused_batch_array(dev, tags)
+        if out is not None:
+            new = out
+            path = "fused-batch"
+    if new is None:
+        st = climain.CLIState()
+        for i in range(dev.shape[0]):
+            st.images.append(climain.LazyImage(
+                Image(dev[i], ImageSpec(colorspace="srgb"))))
+        climain.process(list(args), st)
+        outs = climain.materialize_all(st.images)
+        new = jnp.stack([o.data for o in outs])
+    # sync with ONE jitted scalar readback (block_until_ready is a no-op
+    # through the axon tunnel; the eager slice+sum+float form is 3
+    # round-trips)
+    float(_sync_scalar(new))
+    if not keep:
+        _SESSIONS[name] = new
     dt = _time.perf_counter() - t0
     mp = dev.shape[0] * dev.shape[1] * dev.shape[2] / 1e6
     return {"session": name, "shape": list(map(int, new.shape)),
-            "seconds": round(dt, 5),
+            "seconds": round(dt, 5), "path": path,
             "megapixels_per_sec": round(mp / dt, 1) if dt > 0 else 0.0}
 
 
@@ -236,8 +286,7 @@ class Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         if url.path.startswith("/session/"):
             try:
-                with _LOCK:
-                    raw = _session_fetch(url.path[len("/session/"):])
+                raw = _session_fetch(url.path[len("/session/"):])
                 return self._reply(200, raw, "application/octet-stream")
             except Exception as exc:                # noqa: BLE001
                 return self._err(404, str(exc))
@@ -292,10 +341,14 @@ class Handler(BaseHTTPRequestHandler):
                     url.path.endswith("/apply"):
                 name = url.path[len("/session/"):-len("/apply")]
                 args = shlex.split(q.get("args", [""])[0])
+                keep = q.get("keep", ["0"])[0] not in ("", "0")
                 if not getattr(self.server, "unsafe_args", False):
                     validate_convert_args(args)
-                with _LOCK:
-                    info = _session_apply(name, args)
+                # NO global lock: session applies overlap across client
+                # threads (concurrent readbacks pipeline ~4.6x through
+                # the tunnel).  Dict get/set are GIL-atomic; concurrent
+                # non-keep applies to one session are last-writer-wins.
+                info = _session_apply(name, args, keep=keep)
                 self._reply(200, json.dumps(info).encode())
             elif url.path.startswith("/session/"):
                 name = url.path[len("/session/"):]

@@ -29,6 +29,7 @@ def interpret_dispatch(monkeypatch):
     monkeypatch.setattr(dispatch, "FORCE_INTERPRET", True)
     monkeypatch.setattr(dispatch, "STRICT", True)
     counts = dict(dispatch.COUNTS)
+    dispatch.COUNTS.update({k: 0 for k in dispatch.COUNTS})
     yield dispatch.COUNTS
     dispatch.COUNTS.update(counts)
 
@@ -189,6 +190,22 @@ def test_batched_materialize_one_kernel_call(tmp_path, interpret_dispatch):
     single = st2.images[0].materialize()
     np.testing.assert_allclose(np.asarray(outs[2].data),
                                np.asarray(single.data), atol=1e-6)
+
+
+def test_try_fused_batch_array(interpret_dispatch):
+    """The born-stacked (N, H, W, C) batch entry (serve sessions) runs
+    the same kernel as the per-image-list batch path, no slicing."""
+    n = 3
+    x = jnp.asarray(np.stack([_natural(64, 96, seed=i) for i in range(n)]))
+    tags = [("resize", (32, 48, "lanczos")), ("gblur", (0.0, 1.0, "2d")),
+            ("mix", ((0.212656, 0.715158, 0.072186),))]
+    out = dispatch.try_fused_batch_array(x, tags)
+    assert out is not None and out.shape == (n, 32, 48, 1)
+    ref = dispatch.try_fused_batch([x[i] for i in range(n)], list(tags))
+    assert ref is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # non-expressible chain declines
+    assert dispatch.try_fused_batch_array(x, [None]) is None
 
 
 def test_dispatch_alpha_opacity_probe(interpret_dispatch):

@@ -134,3 +134,40 @@ def test_session_store_apply_fetch(server):
     r = conn.getresponse()
     assert r.status == 400
     r.read()
+
+
+def test_session_apply_fused_batch_path(server, monkeypatch):
+    """An expressible chain on a session takes the ONE-kernel batched
+    fast path (no per-image slicing), and keep=1 leaves the session
+    source untouched for repeated benchmarking applies."""
+    import imagemagick_tpu.ops.dispatch as dsp
+
+    monkeypatch.setattr(dsp, "FORCE_INTERPRET", True)
+    rng = np.random.default_rng(7)
+    n, h, w, c = 3, 64, 96, 3
+    raw = (rng.random((n, h, w, c)) * 255).astype(np.uint8).tobytes()
+    conn = _conn(server)
+    conn.request("POST", "/session/fb", body=raw,
+                 headers={"X-Shape": f"{n},{h},{w},{c}", "X-Dtype": "u8"})
+    assert conn.getresponse().status == 200
+
+    from urllib.parse import quote
+    args = quote("-resize 48x32! -gaussian-blur 0x1 -colorspace gray")
+    for _ in range(2):                      # keep=1: source stays (n,h,w,c)
+        conn = _conn(server)
+        conn.request("POST", f"/session/fb/apply?keep=1&args={args}")
+        r = conn.getresponse()
+        info = json.loads(r.read())
+        assert r.status == 200, info
+        assert info["path"] == "fused-batch", info
+        assert info["shape"] == [n, 32, 48, 1]
+
+    # without keep, the session is replaced by the result
+    conn = _conn(server)
+    conn.request("POST", f"/session/fb/apply?args={args}")
+    info = json.loads(conn.getresponse().read())
+    assert info["shape"] == [n, 32, 48, 1]
+    conn = _conn(server)
+    conn.request("GET", "/session/fb")
+    out = np.frombuffer(conn.getresponse().read(), np.uint8)
+    assert out.size == n * 32 * 48 * 1
