@@ -174,6 +174,7 @@ def run(paths: Sequence[str], out_dir: str,
     n_done = 0
     total_mp = 0.0
     drain_wait = 0.0
+    staged_bytes = 0
 
     with futures.ThreadPoolExecutor(cfg.decode_workers) as dec_pool, \
             futures.ThreadPoolExecutor(cfg.encode_workers) as enc_pool:
@@ -220,8 +221,10 @@ def run(paths: Sequence[str], out_dir: str,
                 n_done += 1
 
         def submit(key):
+            nonlocal staged_bytes
             bpaths, flats = pend.pop(key)
             staged = np.stack(flats)
+            staged_bytes += staged.nbytes
             out_dev = step_for(*key)(jnp.asarray(staged))
             inflight.append((out_dev, bpaths))
             # deep pipeline: keep inflight_depth batches queued so batch
@@ -257,5 +260,8 @@ def run(paths: Sequence[str], out_dir: str,
         # 1.0 = device time fully hidden behind host work
         "overlap_efficiency": round(1.0 - drain_wait / dt, 3)
         if dt > 0 else 0.0,
+        # actual host->device staging volume (DCT-scaled decode stages
+        # the REDUCED size, not the source size — see _decode_flat)
+        "staged_MB": round(staged_bytes / 1e6, 2),
         "size_groups": len(steps),
     }
