@@ -225,7 +225,19 @@ def run(paths: Sequence[str], out_dir: str,
             bpaths, flats = pend.pop(key)
             staged = np.stack(flats)
             staged_bytes += staged.nbytes
-            out_dev = step_for(*key)(jnp.asarray(staged))
+            # Pass the HOST array straight into the jitted step: the
+            # jit-argument transfer path moves bytes ~40x faster through
+            # this machine's tunnel than an explicit device_put
+            # (jnp.asarray) — measured 13 vs 0.35 MB/s (CLAUDE.md round-2
+            # notes).  Same TPU behavior either way; strictly better here.
+            out_dev = step_for(*key)(staged)
+            # Start the device->host copy NOW so the readback streams
+            # behind the next batches' decode+upload instead of starting
+            # cold inside drain_one's blocking np.asarray.
+            try:
+                out_dev.copy_to_host_async()
+            except Exception:   # noqa: BLE001 - optional fast path
+                pass
             inflight.append((out_dev, bpaths))
             # deep pipeline: keep inflight_depth batches queued so batch
             # k's readback overlaps k+1's upload and k+2's staging

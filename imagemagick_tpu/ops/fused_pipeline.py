@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -289,10 +290,17 @@ _LAB_B = [[100.0 / 116.0, 255.0 / 500.0, 0.0],
 
 
 def _lab_mats():
-    from ..ops.colorspace import _RGB2XYZ, _XYZ2RGB
+    from ..ops.colorspace import D65, _RGB2XYZ, _XYZ2RGB
 
-    return (("m_rgb2xyz", np.asarray(_RGB2XYZ)), ("m_A", _LAB_A),
-            ("m_B", _LAB_B), ("m_xyz2rgb", np.asarray(_XYZ2RGB)))
+    # D65 whitepoint scalings folded into the 3x3s — one fewer full-width
+    # VPU multiply on each side of the round trip:
+    #   r   = (M x) / D65     == (diag(1/D65) M) x
+    #   rgb = Mi (D65 * xyz2) == (Mi diag(D65)) xyz2
+    d65 = np.asarray(D65, np.float64)
+    m_fwd = np.asarray(_RGB2XYZ, np.float64) / d65[:, None]
+    m_inv = np.asarray(_XYZ2RGB, np.float64) * d65[None, :]
+    return (("m_rgb2xyz", m_fwd), ("m_A", _LAB_A),
+            ("m_B", _LAB_B), ("m_xyz2rgb", m_inv))
 
 
 def _lab_fields(shape, C):
@@ -302,8 +310,6 @@ def _lab_fields(shape, C):
     chunking every chunk of every step sees identical fields, so they are
     built once per step and shared across chunks.  (A step-0 VMEM-scratch
     variant measured slightly SLOWER — Mosaic already hoists these.)"""
-    from ..ops.colorspace import D65
-
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     ch = lane % C
     f = {"ch": ch, "ch1": ch == 1}
@@ -314,8 +320,6 @@ def _lab_fields(shape, C):
             out = jnp.where(ch == c, jnp.float32(vals[c]), out)
         return out
 
-    f["invD65"] = chanconst([1.0 / w for w in D65])
-    f["D65"] = chanconst(D65)
     f["off"] = chanconst((-16.0 / 100.0, 0.5, 0.5))
     for key, M in _lab_mats():
         fields = []
@@ -364,15 +368,18 @@ def _lab_roundtrip_rows(z, C, f=None):
     vs = jnp.maximum((z + 0.055) / 1.055, 1e-12)
     p24 = vs * vs * jnp.exp2(jnp.float32(0.4) * jnp.log2(vs))
     lin = jnp.where(z <= 0.0404482362771076, z / 12.92, p24)
-    xyz = _lane_mat3_pre(lin, f["m_rgb2xyz"])
-    # f(t) with per-channel whitepoint
-    r = xyz * f["invD65"]
+    # whitepoint-folded matrix: this IS xyz/D65 (see _lab_mats)
+    r = _lane_mat3_pre(lin, f["m_rgb2xyz"])
     rm = jnp.maximum(r, 1e-30)
     # inverse cube root u = rm^(-1/3): seed + 2 div-free Newton steps
-    # u <- u*(4 - rm*u^3)/3; then cbrt = rm*u^2
+    # u <- u*(4 - rm*u^3)/3; then cbrt = rm*u^2.  The TPU exp2/log2 seed
+    # carries ~1.4e-5 rel error (97dB cap measured round 4); ONE Newton
+    # step squares that to ~6e-10 — already below f32 round-off, so the
+    # second step buys nothing (kernel fidelity is capped by the pow
+    # decode/encode at ~104dB either way; measured equal on-chip).
     u = jnp.exp2(jnp.log2(rm) * jnp.float32(-1.0 / 3.0))
-    u = u * (4.0 - rm * (u * u * u)) * jnp.float32(1.0 / 3.0)
-    u = u * (4.0 - rm * (u * u * u)) * jnp.float32(1.0 / 3.0)
+    for _ in range(int(os.environ.get("IMTPU_CBRT_NEWTON", "1"))):
+        u = u * (4.0 - rm * (u * u * u)) * jnp.float32(1.0 / 3.0)
     cbrt_r = rm * (u * u)
     fv = jnp.where(r > CIE_EPSILON,
                    cbrt_r,
@@ -394,7 +401,7 @@ def _lab_roundtrip_rows(z, C, f=None):
                                                    + 16.0) / 116.0),
                                f3, linb),
                      jnp.where(f3 > jnp.float32(CIE_EPSILON), f3, linb))
-    xyz2 = xyz2 * f["D65"]
+    # whitepoint-folded inverse matrix: applies D65 * xyz2 (see _lab_mats)
     rgb = _lane_mat3_pre(xyz2, f["m_xyz2rgb"])
     # out-of-gamut lift (colorspace-private.h:84-90)
     mn = rgb
@@ -557,7 +564,7 @@ def _kernel_pipe(r0_ref, x_hbm, wv_hbm, gb_hbm, out_hbm, band, wv, gb,
 def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
             *, TO, BAND, c0s, SPAN, precision, clip, nprog, ntiles,
             nterms=1, guids=None, nslots=_NSLOTS, unsharp=None,
-            chan_epilogue=None):
+            chan_epilogue=None, col_chunk=None, hblur=None):
     """One program per (image, row-tile), flattened to a 1-D grid.
 
     Three measured structural rules shape this kernel:
@@ -617,9 +624,123 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
     # gb holds only UNIQUE blocks (convolutional G is block-Toeplitz:
     # interior blocks repeat); guids maps (term, block) -> unique id.
     tt = jax.lax.rem(step, ntiles)
-    out = _mxu_stage(band[slot], lambda i: wv[i], lambda g: gb[g], tt,
-                     c0s=c0s, SPAN=SPAN, precision=precision,
-                     nterms=nterms, guids=guids, ntiles=ntiles)
+    OUTP_ = out_ref.shape[1]
+
+    def _h_mid_stencil(bv):
+        """H-pass strength reduction (round 5, measured): the blur band
+        matrix's interior rows are a pure Toeplitz stencil, so the
+        banded matmul spent SPAN-wide dense K (~22x the stencil's MACs)
+        at the h-pass's weak MXU shape (K=176/N=128 ~ 17TF).  Compute
+        interior lanes as f32 VPU shift-adds (more accurate than b3)
+        and keep the banded matmul only for the two 128-lane edge
+        blocks, whose G columns carry the exact edge policy."""
+        thb, Cb = hblur
+        rb = len(thb) // 2
+        padded = jnp.concatenate(
+            [bv[:, :Cb]] * rb + [bv] + [bv[:, OUTP_ - Cb:]] * rb, axis=1)
+        mid = None
+        for j, w_ in enumerate(thb):
+            sh = padded[:, j * Cb:j * Cb + OUTP_]
+            mid = w_ * sh if mid is None else mid + w_ * sh
+        b0 = bv[:, c0s[0]:c0s[0] + SPAN]
+        b1 = bv[:, c0s[-1]:c0s[-1] + SPAN]
+        if precision == "b3":
+            b0, b1 = _split(b0), _split(b1)
+        left = _mm(b0, gb[0], precision)
+        right = _mm(b1, gb[1], precision)
+        return jnp.concatenate([left, mid[:, 128:OUTP_ - 128], right],
+                               axis=1)
+
+    if (unsharp is not None and col_chunk and col_chunk < OUTP_
+            and OUTP_ % col_chunk == 0):
+        # Column-chunked MXU/VPU interleave (round 5, for the epilogue-
+        # heavy config-2 shape): the vertical-pass matmul is issued in Q
+        # column chunks UP FRONT, then the VPU epilogue runs chunk by
+        # chunk — chunk q's elementwise tail has no data dependency on
+        # chunk >q's matmuls, so the core's independent MXU/VPU issue
+        # queues overlap them.  The cross-grid-step variant of this idea
+        # (_kernel_pipe) measured slower: pl.when phase boundaries defeat
+        # the overlap; straight-line single-step code does not.
+        tv, th_, gain, Cep = unsharp
+        rr = len(th_) // 2
+        rC = rr * Cep
+        CW = col_chunk
+        Q = OUTP_ // CW
+        if hblur is not None:
+            mid = _h_mid_stencil(band[slot])
+            mids = [_split(mid) if precision == "b3" else mid]
+        else:
+            if precision == "b3":
+                bsplit = _split(band[slot])
+            else:
+                bsplit = band[slot]
+            nb = len(c0s)
+            mids = []
+            for t in range(nterms):
+                parts = []
+                for b, c0 in enumerate(c0s):
+                    bnd = ((bsplit[0][:, c0:c0 + SPAN],
+                            bsplit[1][:, c0:c0 + SPAN])
+                           if precision == "b3" else bsplit[:, c0:c0 + SPAN])
+                    parts.append(_mm(bnd, gb[guids[t * nb + b]], precision))
+                mid = jnp.concatenate(parts, axis=1)
+                mids.append(_split(mid) if precision == "b3" else mid)
+        wvs = [_split(wv[t * ntiles + tt]) if precision == "b3"
+               else wv[t * ntiles + tt] for t in range(nterms)]
+        raws = []
+        for q in range(Q):
+            acc = None
+            for t in range(nterms):
+                mq = ((mids[t][0][:, q * CW:(q + 1) * CW],
+                       mids[t][1][:, q * CW:(q + 1) * CW])
+                      if precision == "b3" else mids[t][:, q * CW:(q + 1) * CW])
+                term = _mm(wvs[t], mq, precision)
+                acc = term if acc is None else acc + term
+            raws.append(acc)
+        fields = (_lab_fields((TO, CW), Cep)
+                  if chan_epilogue is not None else None)
+        hw = len(tv) // 2
+
+        def vtaps(z):            # (TOE, w) -> (TO, w) vertical shift-add
+            acc = tv[0] * z[0:TO]
+            for k in range(1, len(tv)):
+                acc = acc + tv[k] * z[k:k + TO]
+            return acc
+
+        for q in range(Q):
+            vc = vtaps(raws[q])
+            zc = raws[q][hw:hw + TO]
+            if rr:
+                # horizontal halo: true neighbor columns from the adjacent
+                # raw chunk; border-replicate only at the global edges
+                left = (vtaps(raws[q - 1][:, CW - rC:]) if q > 0
+                        else jnp.concatenate([vc[:, :Cep]] * rr, axis=1))
+                right = (vtaps(raws[q + 1][:, :rC]) if q < Q - 1
+                         else jnp.concatenate([vc[:, CW - Cep:]] * rr,
+                                              axis=1))
+                padded = jnp.concatenate([left, vc, right], axis=1)
+            else:
+                padded = vc
+            bacc = None
+            for j, w_ in enumerate(th_):
+                sh = padded[:, j * Cep:j * Cep + CW]
+                bacc = w_ * sh if bacc is None else bacc + w_ * sh
+            y = (1.0 + gain) * zc - gain * bacc
+            if chan_epilogue is not None:
+                y = jnp.clip(y, 0.0, 1.0)
+                y = chan_epilogue(y, Cep, fields)
+            if clip:
+                y = jnp.clip(y, 0.0, 1.0)
+            out_ref[:, q * CW:(q + 1) * CW] = y
+        return
+    if hblur is not None:
+        mid = _h_mid_stencil(band[slot])
+        wvt = _split(wv[tt]) if precision == "b3" else wv[tt]
+        out = _mm(wvt, _split(mid) if precision == "b3" else mid, precision)
+    else:
+        out = _mxu_stage(band[slot], lambda i: wv[i], lambda g: gb[g], tt,
+                         c0s=c0s, SPAN=SPAN, precision=precision,
+                         nterms=nterms, guids=guids, ntiles=ntiles)
     out_ref[:, :] = _vpu_stage(out, TO=TO, clip=clip, unsharp=unsharp,
                                chan_epilogue=chan_epilogue)
 
@@ -628,7 +749,8 @@ def _kernel(r0_ref, x_hbm, wv_hbm, gb_hbm, out_ref, band, wv, gb, sem, gsem,
 def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
                 precision, clip, interpret=False, nterms=1, guids=None,
                 n_unique=None, nslots=_NSLOTS, unsharp=None,
-                chan_epilogue=None, vmem_limit=None):
+                chan_epilogue=None, vmem_limit=None, col_chunk=None,
+                hblur=None):
     nprog = N * ntiles
     if guids is None:
         guids = tuple(range(nterms * nb))
@@ -639,7 +761,8 @@ def _build_call(N, Hin, WINC, TO, BAND, ntiles, nb, SPAN, OUTP, c0s,
                              precision=precision, clip=clip, nprog=nprog,
                              ntiles=ntiles, nterms=nterms, guids=guids,
                              nslots=nslots, unsharp=unsharp,
-                             chan_epilogue=chan_epilogue)
+                             chan_epilogue=chan_epilogue,
+                             col_chunk=col_chunk, hblur=hblur)
     scratch = [
         pltpu.VMEM((nslots, BAND, WINC), jnp.float32),
         pltpu.VMEM((nterms * ntiles, TOE, BAND), jnp.float32),
@@ -1091,8 +1214,35 @@ def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
             keep.append(blk)
         guids.append(uniq[key])
     GB_all = np.stack(keep)
+    # Round-5 h-pass strength reduction (see _kernel._h_mid_stencil):
+    # when the blur's interior rows are a pure odd Toeplitz stencil
+    # fitting inside the two 128-lane edge blocks, ship only those two
+    # G blocks and compute interior lanes as f32 shift-adds.
+    hblur = None
+    if WINC == OUTP and OUTP > 256 and len(c0s) > 2 and \
+            not os.environ.get("IMTPU_NO_HSTENCIL"):
+        mrow = np.asarray(Bgw[Win // 2], np.float64)
+        nzh = np.nonzero(mrow)[0]
+        if len(nzh):
+            thb = mrow[nzh[0]:nzh[-1] + 1]
+            rb = len(thb) // 2
+            if len(thb) % 2 == 1 and 0 < rb * C <= 128:
+                ideal = np.zeros((Win, Win))
+                for w in range(rb, Win - rb):
+                    ideal[w, w - rb:w + rb + 1] = thb
+                interior = np.asarray(Bgw, np.float64)[rb:Win - rb]
+                if np.array_equal(interior, ideal[rb:Win - rb]):
+                    hblur = (tuple(float(v) for v in thb), C)
+                    GB_all = np.stack([GBp[0], GBp[-1]])
+                    guids = [0, 1]
+                    keep = [GBp[0], GBp[-1]]
     vmem = (nslots * BAND * WINC + GB_all.size + WV.size +
             2 * TOE * OUTP + TOE * WINC) * 4
+    if hblur is not None:
+        # h-stencil temporaries: border-replicated padded band + the
+        # f32 mid accumulator + the edge-spliced concat result (the AOT
+        # pre-flight measured a 394K stack overrun without this)
+        vmem += 3 * BAND * (OUTP + 2 * (len(hblur[0]) // 2) * C) * 4
     if lab_roundtrip:
         # the Lab epilogue keeps ~8 live (TOE, chunk) f32 temporaries on
         # the Mosaic stack — without this surcharge the TO=64 variant
@@ -1124,6 +1274,17 @@ def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
     builder = (_build_call_pipe
                if chanep is not None and _os.environ.get("IMTPU_PIPE_KERNEL")
                else _build_call)
+    # Column-chunked MXU/VPU interleave for the epilogue-heavy variant:
+    # issue the vertical-pass matmuls in Q column chunks, then run the
+    # VPU tail chunk-by-chunk so it overlaps the later chunks' matmuls
+    # (see _kernel).  Chunk = the Lab lane-chunk rule (128- and pixel-
+    # aligned); killswitch IMTPU_NO_COLCHUNK for A/B.
+    colck = None
+    if (chanep is not None and builder is _build_call
+            and not _os.environ.get("IMTPU_NO_COLCHUNK")):
+        cand = _lane_chunk(OUTP, C)
+        if cand < OUTP and OUTP % cand == 0 and r * C <= cand:
+            colck = cand
     call = builder(N, Hin, WINC, TO, BAND, ntiles, len(c0s), SPAN,
                    OUTP, c0s, precision, True, interpret, nterms=1,
                    guids=tuple(guids), n_unique=len(keep),
@@ -1132,7 +1293,10 @@ def fused_blur_unsharp_pipeline(x: jnp.ndarray, sigma_blur: float,
                    # epilogue stack needs more than Mosaic's 16MB
                    # default at TO>=64 (measured 19M at TO=64/1080p);
                    # grant 2x the block estimate, floor 24MB
-                   vmem_limit=min(max(2 * vmem, 24 << 20), 100 << 20))
+                   vmem_limit=min(max(2 * vmem, 24 << 20), 100 << 20),
+                   **(({"col_chunk": colck} if colck else {})
+                      | ({"hblur": hblur}
+                         if hblur and builder is _build_call else {})))
     r0_flat = (np.repeat(np.arange(N, dtype=np.int64) * Hin, ntiles) +
                np.tile(r0s.astype(np.int64), N)).astype(np.int32)
     wv = jnp.asarray(WV)

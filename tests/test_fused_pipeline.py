@@ -198,6 +198,29 @@ def test_blur_unsharp_lab_roundtrip_epilogue():
     assert psnr >= 60.0, f"in-kernel Lab epilogue PSNR {psnr:.1f}dB"
 
 
+def test_blur_unsharp_colchunk_hstencil_paths(monkeypatch):
+    """Round-5 kernel strength reductions must not change the math: the
+    column-chunked MXU/VPU interleave (col_chunk) + the h-pass Toeplitz
+    stencil (hblur) path vs the plain banded-matmul path.  W=512 is the
+    smallest width whose OUTP (1536) takes the col_chunk branch
+    (chunk=768, Q=2); hblur fires at any OUTP>256."""
+    import numpy as np
+
+    from imagemagick_tpu.ops import fused_pipeline as fp
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((1, 64, 512, 3)).astype(np.float32))
+    got = fp.fused_blur_unsharp_pipeline(x, 2.0, 1.0, 1.0, 3, TO=32,
+                                         lab_roundtrip=True, interpret=True)
+    monkeypatch.setenv("IMTPU_NO_COLCHUNK", "1")
+    monkeypatch.setenv("IMTPU_NO_HSTENCIL", "1")
+    want = fp.fused_blur_unsharp_pipeline(x, 2.0, 1.0, 1.0, 3, TO=32,
+                                          lab_roundtrip=True, interpret=True)
+    err = np.asarray(got) - np.asarray(want)
+    psnr = 10 * np.log10(1.0 / max(float(np.mean(err ** 2)), 1e-30))
+    assert psnr >= 100.0, f"col_chunk/hblur diverge from baseline: {psnr:.1f}dB"
+
+
 def test_blur_unsharp_lab_survives_vmem_recursion(monkeypatch):
     """The VMEM-budget TO-halving recursion must forward lab_roundtrip/
     wscale — a positional-arg slip silently DROPPED the Lab epilogue on
